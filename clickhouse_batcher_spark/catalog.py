@@ -1,0 +1,48 @@
+"""Query catalog: named queries + their DuckDB oracle SQL.
+
+Every operator the engine claims is registered here as a callable
+``(spark, sf_dir) -> DataFrame`` plus, when the semantics are
+SQL-expressible, an equivalent ANSI-SQL string the driver runs on
+DuckDB over the same parquet tables. The driver compares row count,
+schema, and an order-insensitive value hash — so implementations must
+be *deterministic* (no ties broken arbitrarily, no float sums that
+depend on partition order; see ``functions.dec_sum``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL over the shared views.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible ops).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from clickhouse_batcher_spark import queries  # noqa: F401
+    from clickhouse_batcher_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )

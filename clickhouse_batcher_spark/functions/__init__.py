@@ -1,0 +1,93 @@
+"""Scalar-function helpers shared by operators and the query catalog.
+
+Two concerns drive this module:
+
+1. **Oracle parity** — every helper has deterministic, engine-portable
+   semantics so the same logic can be written in ANSI SQL for DuckDB
+   and hash-match the Spark result (the driver's correctness gate).
+   Floating-point aggregates are the classic trap: summing doubles is
+   order-dependent, and Spark and DuckDB will not sum in the same
+   order. ``dec_sum``/``dec_avg`` route sums through DECIMAL, which is
+   exact and order-independent, then cast back to DOUBLE.
+
+2. **Scale** — everything here is built-in ``pyspark.sql.functions``
+   (JVM-side, whole-stage-codegen'd). No Python UDFs.
+
+The reference's only scalar computation is the SHA-256 content hash
+carried in its ``sha256sum`` column (``hashes.go:25``);
+``sha256_hex`` reproduces it engine-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Decimal wide enough for sums over billions of rows of money-scale
+# values without overflow: 38 total digits, 6 fractional.
+_DEC = "DECIMAL(27,6)"
+
+
+def dec(col: Column | str) -> Column:
+    """Cast a double column to exact decimal (order-independent math)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(_DEC)
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Exact SUM of a double column, returned as DOUBLE.
+
+    SUM over DECIMAL is exact => independent of partitioning / shuffle
+    order => identical on Spark and DuckDB. The final cast to DOUBLE is
+    a single deterministic conversion of an identical decimal value.
+    """
+    return dec_sum_expr(dec(col)).alias(alias)
+
+
+def dec_sum_expr(dec_col: Column) -> Column:
+    return F.sum(dec_col).cast("double")
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Exact-sum-based AVG: (decimal sum as double) / (count as double).
+
+    Both operands are bit-identical across engines, and double division
+    is deterministic IEEE-754, so the quotient matches exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c).cast("double")).alias(alias)
+
+
+def sha256_hex(col: Column | str) -> Column:
+    """Lowercase hex SHA-256 of a string/binary column.
+
+    Engine-side reproduction of the reference's ``sha256sum`` input
+    column (``hashes.go:25``). DuckDB oracle: ``sha256(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text, empty strings removed.
+
+    DuckDB oracle equivalent:
+    ``list_filter(string_split_regex(lower(x), '\\s+'), t -> t <> '')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def portable_hash64(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit hash of a string as a non-negative BIGINT.
+
+    Built from SHA-256 so the value is stable across Spark versions,
+    JVMs, and engines (unlike ``xxhash64``/``hash`` whose seeds and
+    algorithms are engine-specific). Used by MinHash / SimHash /
+    fingerprinting where reproducibility matters more than speed; still
+    fully JVM-side and codegen-friendly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(F.lit(salt), c) if salt else c
+    # 15 hex chars = 60 bits: fits a signed 64-bit int, always >= 0.
+    return F.conv(F.substring(F.sha2(salted, 256), 1, 15), 16, 10).cast("bigint")

@@ -1,0 +1,32 @@
+"""Sink interface shared by batch and streaming delivery paths."""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame
+
+
+class BatchSink(abc.ABC):
+    """A sink that accepts micro-batches keyed by a monotonically
+    increasing ``batch_id`` and must deliver each batch exactly once.
+
+    Mirrors the reference repository's contract (``save(ctx, b)`` at
+    ``hashes.go:76-102``: skip empty, skip already-sent, else insert)
+    with the ``isSent`` atomic flag replaced by a durable ledger so the
+    guarantee holds across process restarts — the property the
+    reference's in-memory flag cannot provide.
+    """
+
+    @abc.abstractmethod
+    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Deliver one micro-batch. Returns True if written, False if
+        skipped (empty batch or batch_id already delivered)."""
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def _fn(df: DataFrame, batch_id: int) -> None:
+            self.write_batch(df, batch_id)
+
+        return _fn
