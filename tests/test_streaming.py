@@ -1,0 +1,148 @@
+"""Golden-count + idempotency tests for the micro-batch ingest path.
+
+Mirrors the reference's test strategy (SURVEY §5): rows-in must equal
+rows-in-sink EXACTLY — no loss, no duplication — across trigger
+regimes, plus the restart-recovery case the reference cannot test
+(its ``isSent`` flag is in-memory only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.sinks.parquet_sink import IdempotentParquetSink
+from clickhouse_batcher_spark.streaming.batcher import BatcherConfig, MicroBatcher
+from clickhouse_batcher_spark.streaming.windowed import windowed_counts
+from clickhouse_batcher_spark.tables import load_table
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    return str(tmp_path)
+
+
+def _write_source_files(spark, sf_dir, src_dir, n_files):
+    """Split events into n_files parquet files to drive the file source."""
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()
+    events.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    # drop _SUCCESS etc; streaming source ignores them anyway
+    return events.schema, total
+
+
+# Regime matrix after FIXTURES.md §2: size-capped (many small batches),
+# one-big-batch (time-only), and mixed.
+@pytest.mark.parametrize(
+    "n_files,max_files", [(8, 1), (8, 100), (6, 2)],
+    ids=["size_capped", "single_flush", "mixed"],
+)
+def test_golden_count(spark, sf_dir, tmp_root, n_files, max_files):
+    src = f"{tmp_root}/src"
+    schema, total = _write_source_files(spark, sf_dir, src, n_files)
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    batcher = MicroBatcher(
+        sink,
+        BatcherConfig(trigger_interval="1 second", max_files_per_trigger=max_files),
+    )
+    source = batcher.file_source(spark, src, schema)
+    batcher.run_until_drained(source, f"{tmp_root}/ckpt")
+
+    assert sink.count(spark) == total  # exact: no loss, no duplication
+    if max_files == 1:
+        assert len(sink.committed_batches()) >= n_files  # size cap respected
+
+
+def test_restart_recovery_no_duplicates(spark, sf_dir, tmp_root):
+    """Kill the stream, restart with the same checkpoint + ledger:
+    already-delivered batches must not be re-delivered, new files must
+    land exactly once."""
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 4)
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    batcher = MicroBatcher(
+        sink, BatcherConfig(trigger_interval="1 second", max_files_per_trigger=2)
+    )
+    ckpt = f"{tmp_root}/ckpt"
+
+    batcher.run_until_drained(batcher.file_source(spark, src, schema), ckpt)
+    first_total = sink.count(spark)
+    first_batches = sink.committed_batches()
+
+    # More data arrives while "down": copy events again under new names.
+    events = load_table(spark, sf_dir, "events")
+    extra = events.limit(500)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    n_extra = 500
+
+    # Restart: same checkpoint, same sink ledger.
+    batcher.run_until_drained(batcher.file_source(spark, src, schema), ckpt)
+    assert sink.count(spark) == first_total + n_extra
+    # old batches were not re-written
+    assert set(first_batches) <= set(sink.committed_batches())
+
+
+def test_disabled_gate_drops_batches(spark, sf_dir, tmp_root):
+    """connect.go:28-36 / hashes.go:12-15: disabled pipeline silently
+    drops rows; offsets still advance."""
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 2)
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    batcher = MicroBatcher(sink, BatcherConfig(enabled=False))
+    batcher.run_until_drained(batcher.file_source(spark, src, schema), f"{tmp_root}/ckpt")
+    assert sink.committed_batches() == []
+
+
+def test_replay_uncommitted_heals_partial_write(spark, sf_dir, tmp_root):
+    """Crash between data write and ledger commit -> replay overwrites
+    the partial partition instead of duplicating it (the reference's
+    TOCTOU window, hashes.go:79-83, closed)."""
+    events = load_table(spark, sf_dir, "events").limit(100)
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    # Simulate partial write: data lands but marker never written.
+    batch_dir = f"{sink.data_dir}/_batch_id=0"
+    events.limit(40).write.mode("overwrite").parquet(batch_dir)
+    assert not sink.is_committed(0)
+    # Replay of the full batch heals.
+    assert sink.write_batch(events, 0) is True
+    assert sink.count(spark) == 100
+    # Committed replay is a no-op.
+    assert sink.write_batch(events, 0) is False
+    assert sink.count(spark) == 100
+
+
+def test_streaming_windowed_agg_matches_batch(spark, sf_dir, tmp_root):
+    """Watermarked tumbling-window agg over the stream == batch agg."""
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 3)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = windowed_counts(stream, window_duration="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", f"{tmp_root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT win.start AS h, event_type, cnt FROM win_out")
+        .orderBy("h", "event_type")
+        .collect()
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("h", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
