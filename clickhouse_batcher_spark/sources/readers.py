@@ -1,0 +1,72 @@
+"""Batch source readers: the scan surface the reference delegates.
+
+The reference's only source is its in-process channel (R1); every
+format below is engine-native. All readers return plain declarative
+scans so Catalyst applies predicate pushdown, column pruning, and
+partition pruning — at 100 TB those three decide whether a query
+reads terabytes or gigabytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, *, merge_schema: bool = False) -> DataFrame:
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV with an explicit schema — inference is a full extra pass over
+    the data and non-deterministic under sampling; never at scale."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC read (e.g. back out of ClickHouse).
+
+    Without ``partition_column`` a JDBC read is a single connection on
+    one executor — useless at scale. With bounds, Spark issues
+    ``num_partitions`` range-predicated queries in parallel, and
+    Catalyst pushes filters/projections into each.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
