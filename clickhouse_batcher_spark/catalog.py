@@ -41,6 +41,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from clickhouse_batcher_spark import queries  # noqa: F401
     from clickhouse_batcher_spark.operators import (  # noqa: F401
+        asof,
         dedup,
         multimodal,
         similarity,

@@ -1,0 +1,142 @@
+"""As-of / range joins — operators Spark lacks natively.
+
+Two interchangeable implementations with identical semantics:
+
+1. ``asof_join`` — pure DataFrame composition: equi-join on the key,
+   range predicate, then a window picks the latest match per left row.
+   Deterministic (total tie-break order) and oracle-checkable. The
+   equi-join keeps the shuffle keyed (no cross product); the window
+   dedup is the standard Catalyst-friendly formulation.
+2. ``asof_join_pandas`` — ``applyInPandas`` per key group using
+   ``pd.merge_asof`` — the right choice when per-key match lists are
+   long (the composition's intermediate is |matches| rows; merge_asof
+   is O(n log n) per group). Used by tests as a cross-check.
+
+At 100 TB: both shuffle once on the join key; skewed keys (one user
+with millions of events) favor (2) plus AQE skew splitting, or
+bucketing both sides on the key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``right_ts``
+    <= ``left_ts`` on the same key (ties broken by ``right_tiebreak``
+    descending — a unique column, making the result deterministic).
+    Left rows with no match are kept with nulls (left join)."""
+    matched = left.join(
+        right,
+        (F.col(left_key) == F.col(right_key)) & (F.col(right_ts) <= F.col(left_ts)),
+        "left",
+    )
+    w = Window.partitionBy(*left.columns).orderBy(
+        F.col(right_ts).desc(), F.col(right_tiebreak).desc()
+    )
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*left.columns, *right_cols)
+    )
+
+
+@query(
+    "asof_events_orders",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+               AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_id < 1000) e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the customer's latest order at event time."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    right_cols: list[str],
+    out_schema: str,
+) -> DataFrame:
+    """merge_asof-based implementation: cogrouped pandas per key.
+
+    Sorting the right side by (ts, tiebreak) makes ``merge_asof``'s
+    take-last-on-tie pick the max-tiebreak row — identical semantics
+    to :func:`asof_join`'s window formulation.
+    """
+    left_cols = left.columns
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[left_cols + right_cols]
+        r_sorted = r_pdf.sort_values(
+            [right_ts, right_tiebreak], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted[[right_ts, right_tiebreak]
+                     + [c for c in right_cols if c not in (right_ts, right_tiebreak)]],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        return merged[left_cols + right_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(lambda lg, rg: merge(lg, rg), schema=out_schema)
+    )

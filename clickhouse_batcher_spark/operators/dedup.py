@@ -1,1 +1,471 @@
-"""Placeholder — filled in by the LLM-pipeline operator milestone."""
+"""Deduplication operators: exact, content-hash, n-gram Jaccard,
+MinHash-LSH, and SimHash.
+
+Design for 100 TB:
+
+- **exact / content-hash**: one hash-partitioned groupBy on the
+  64-bit/256-bit content key — the minimal possible shuffle; rows
+  shuffle as (key, id) pairs, never full documents.
+- **n-gram Jaccard**: candidate pairs come from an equi-join on
+  shared shingles with a *document-frequency cap* (a shingle present
+  in more than ``max_shingle_df`` docs generates no candidates) — the
+  standard guard that keeps the candidate set near-linear instead of
+  quadratic when common boilerplate appears in millions of docs.
+- **MinHash-LSH**: signatures are ``num_perms`` independent min-hashes;
+  banding turns near-dup search into an equi-join on (band_id,
+  band_signature) — O(n) shuffle, no pairwise scan. Verification
+  (exact Jaccard) runs only on band-collision candidates.
+- **SimHash**: 64-bit signature from token-hash bit voting; candidate
+  blocking on 16-bit chunks (a Hamming-distance<=4 pair must agree on
+  at least one of 4 chunks), verify exact Hamming on collisions.
+
+Hashes are built from SHA-256 hex (``functions.portable_hash64``
+rationale): stable across engines, which is what makes every one of
+these pipelines expressible as a DuckDB oracle. A throughput-tuned
+deployment can swap ``xxhash64`` in for a ~2-3x hash speedup at the
+cost of oracle portability — the plan shape is identical.
+
+Each operator also ships a *corpus builder* that unions the documents
+with deterministically truncated twins (last ``TRUNCATE_TOKENS``
+tokens dropped): the synthetic corpus has few natural near-dups, and
+the twins give the detectors a known, deterministic signal to find —
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import sha256_hex, tokens
+from clickhouse_batcher_spark.tables import load_table
+
+TWIN_ID_OFFSET = 100_000
+TRUNCATE_TOKENS = 5
+MIN_TWIN_TOKENS = 20
+SHINGLE_K = 3
+MAX_SHINGLE_DF = 50
+JACCARD_THRESHOLD = 0.6
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # rows per band = MINHASH_PERMS / MINHASH_BANDS = 4
+MINHASH_VERIFY_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 4
+
+# --- shared SQL fragments (DuckDB oracle side) -----------------------------
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+SQL_CORPUS = f"""
+toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents
+), corpus AS (
+  SELECT doc_id, tokens FROM toks
+  UNION ALL
+  SELECT doc_id + {TWIN_ID_OFFSET} AS doc_id,
+         tokens[1:len(tokens)-{TRUNCATE_TOKENS}] AS tokens
+  FROM toks WHERE len(tokens) >= {MIN_TWIN_TOKENS}
+)"""
+
+SQL_SHINGLES = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(tokens)-{SHINGLE_K - 1}),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM corpus WHERE len(tokens) >= {SHINGLE_K}
+)"""
+
+SQL_SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)"
+
+
+# --- shared Spark-side builders -------------------------------------------
+def tokenized_corpus(docs: DataFrame) -> DataFrame:
+    """documents + truncated twins as (doc_id, tokens)."""
+    toks = docs.select("doc_id", tokens("text").alias("tokens"))
+    twins = toks.filter(F.size("tokens") >= MIN_TWIN_TOKENS).select(
+        (F.col("doc_id") + TWIN_ID_OFFSET).alias("doc_id"),
+        F.slice(
+            "tokens", 1, F.size("tokens") - TRUNCATE_TOKENS
+        ).alias("tokens"),
+    )
+    return toks.unionByName(twins)
+
+
+def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        corpus.filter(F.size("tokens") >= k)
+        .select("doc_id", F.explode(mk).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard(shared: Column, na: Column, nb: Column) -> Column:
+    return shared.cast("double") / (na + nb - shared)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Generic exact dedup: deterministic survivor = min(id) per key."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+# ---------------------------------------------------------------------------
+# Content-hash dedup: group by SHA-256 of the normalized content
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_content_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(sha256_hex("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {SQL_SHINGLES}, {SQL_SIZES},
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS shared
+      FROM shingles s1
+      JOIN rare r ON s1.shingle = r.shingle
+      JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM cand
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_set(tokenized_corpus(docs)).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    s1 = shingles.join(rare, "shingle").alias("s1")
+    s2 = shingles.alias("s2")
+    cand = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = _jaccard(F.col("shared"), F.col("sa.n"), F.col("sb.n"))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs
+# ---------------------------------------------------------------------------
+def _minhash_salts_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {i} AS salt_id, '{i:02d}|' AS salt" for i in range(MINHASH_PERMS)
+    )
+
+
+_BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 64  # hex chars per band
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {SQL_SHINGLES}, {SQL_SIZES},
+    salts AS ({_minhash_salts_sql()}),
+    mh AS (
+      SELECT s.doc_id, sa.salt_id, MIN(sha256(sa.salt || s.shingle)) AS mh
+      FROM shingles s CROSS JOIN salts sa GROUP BY s.doc_id, sa.salt_id
+    ),
+    sig AS (
+      SELECT doc_id, string_agg(mh, '' ORDER BY salt_id) AS signature
+      FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             substring(signature, b * {_BAND_HEX} + 1, {_BAND_HEX}) AS band_sig
+      FROM sig, unnest(generate_series(0, {MINHASH_BANDS - 1})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+           AND b1.doc_id < b2.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingles s1 ON s1.doc_id = c.doc_a
+      JOIN shingles s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.shared AS DOUBLE) / (sa.n + sb.n - v.shared) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.shared AS DOUBLE) / (sa.n + sb.n - v.shared)
+          >= {MINHASH_VERIFY_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = shingle_set(tokenized_corpus(docs)).cache()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    salts = spark.range(MINHASH_PERMS).select(
+        F.col("id").cast("int").alias("salt_id"),
+        F.format_string("%02d|", F.col("id")).alias("salt"),
+    )
+    mh = (
+        shingles.crossJoin(F.broadcast(salts))
+        .groupBy("doc_id", "salt_id")
+        .agg(F.min(F.sha2(F.concat(F.col("salt"), F.col("shingle")), 256)).alias("mh"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("salt_id", "mh"))),
+                lambda x: x["mh"],
+            ),
+            "",
+        ).alias("signature")
+    )
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr(f"substring(signature, band_id * {_BAND_HEX} + 1, {_BAND_HEX})").alias(
+            "band_sig"
+        ),
+    )
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    verified = (
+        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = _jaccard(F.col("shared"), F.col("sa.n"), F.col("sb.n"))
+    return (
+        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + near-dup pairs
+# ---------------------------------------------------------------------------
+# Bit b (0-based, from the top) of a token's 64-bit hash, extracted
+# from its SHA-256 hex prefix: hex char at b div 4, nibble bit b mod 4.
+_SQL_TOKEN_BITS = """
+tok_bits AS (
+  SELECT doc_id, tok, b,
+    ((strpos('0123456789abcdef', substring(h, (b // 4) + 1, 1)) - 1)
+     // CAST(pow(2, 3 - (b % 4)) AS INTEGER)) % 2 AS bit
+  FROM (
+    SELECT doc_id, tok, sha256(tok) AS h
+    FROM (SELECT doc_id, unnest(tokens) AS tok FROM corpus) u
+  ) th, unnest(generate_series(0, 63)) AS gb(b)
+)
+"""
+
+_SQL_SIMHASH = f"""
+votes AS (
+  SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+  FROM tok_bits GROUP BY doc_id, b
+),
+simhash AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {_SQL_TOKEN_BITS}, {_SQL_SIMHASH}
+    SELECT doc_id, sig FROM simhash
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash(tokenized_corpus(docs))
+
+
+def _simhash(corpus: DataFrame) -> DataFrame:
+    toks = corpus.select("doc_id", F.explode("tokens").alias("tok"))
+    th = toks.select("doc_id", "tok", F.sha2(F.col("tok"), 256).alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.expr("substring(h, CAST(b / 4 AS INT) + 1, 1)"),
+                    )
+                    - 1
+                )
+                / F.pow(F.lit(2), 3 - (F.col("b") % 4)).cast("int")
+            ).cast("int")
+            % 2
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "b",
+                            F.when(F.col("vote") > 0, F.lit("1"))
+                            .otherwise(F.lit("0"))
+                            .alias("bitc"),
+                        )
+                    )
+                ),
+                lambda x: x["bitc"],
+            ),
+            "",
+        ).alias("sig")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {_SQL_TOKEN_BITS}, {_SQL_SIMHASH},
+    chunks AS (
+      SELECT doc_id, sig, c AS chunk_id, substring(sig, c * 16 + 1, 16) AS chunk
+      FROM simhash, unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS t(c)
+    ),
+    cand AS (
+      SELECT DISTINCT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+             c1.sig AS sig_a, c2.sig AS sig_b
+      FROM chunks c1 JOIN chunks c2
+        ON c1.chunk_id = c2.chunk_id AND c1.chunk = c2.chunk
+           AND c1.doc_id < c2.doc_id
+    )
+    SELECT doc_a, doc_b,
+      len(list_filter(generate_series(1, 64),
+          i -> substring(sig_a, i, 1) <> substring(sig_b, i, 1))) AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+          i -> substring(sig_a, i, 1) <> substring(sig_b, i, 1)))
+          <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _simhash(tokenized_corpus(docs))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "sig",
+        "chunk_id",
+        F.expr("substring(sig, chunk_id * 16 + 1, 16)").alias("chunk"),
+    )
+    c1 = chunks.alias("c1")
+    c2 = chunks.alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.chunk_id") == F.col("c2.chunk_id"))
+            & (F.col("c1.chunk") == F.col("c2.chunk"))
+            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+        )
+        .select(
+            F.col("c1.doc_id").alias("doc_a"),
+            F.col("c2.doc_id").alias("doc_b"),
+            F.col("c1.sig").alias("sig_a"),
+            F.col("c2.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {SIMHASH_BITS}),"
+        " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,1 +1,247 @@
-"""Placeholder — filled in by the LLM-pipeline operator milestone."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two paths:
+
+- **Brute-force cosine top-k** (the exactness baseline): query set x
+  full corpus, JVM-side fold over zipped arrays — no Python in the
+  loop. At scale the corpus side stays partitioned, the (small) query
+  side broadcasts, and the per-partition top-k window keeps the
+  shuffle to k rows per query per partition.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  computed from literal plane vectors (seeded, deterministic),
+  equi-join on the bucket signature, exact rerank within buckets —
+  O(n) shuffle instead of O(n^2) pairs. Registered without an oracle
+  (rows-only check): the plane literals make an equivalent SQL string
+  impractical, and the operator's guarantee is recall, not an exact
+  row set; ``tests/test_similarity.py`` measures recall against the
+  brute-force baseline instead.
+
+Determinism: cosine is computed in float64 on both engines over
+identical inputs, output rounded to 6 decimals with ranking tie-broken
+by neighbor id, so Spark and DuckDB produce identical rows (a value
+within 5e-7 of a rounding boundary could in principle flip — not
+observed on this corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.tables import load_table
+
+N_QUERY_VECS = 10
+TOP_K = 5
+NEARDUP_COS_THRESHOLD = 0.97
+TWIN_ID_OFFSET = 100_000
+TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
+LSH_TABLES = 8  # independent hash tables; candidates = union over tables
+LSH_PLANES = 5  # sign bits per table: 2^5 buckets/table
+LSH_SEED = 42
+
+
+def _dvec(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+# DuckDB oracle fragments: same double-precision fold, left to right.
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))"
+)
+_SQL_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+_SQL_NORM_C = "sqrt(list_sum(list_transform(cv, x -> x * x)))"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("cv")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (cosine >= threshold) over corpus + twins
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {TWIN_ID_OFFSET},
+             list_transform(generate_series(1, 64),
+                            i -> CASE WHEN i <= {TWIN_ZERO_DIMS}
+                                      THEN 0.0 ELSE v[i] END)
+      FROM base
+    ),
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM sims
+    WHERE cos_sim >= {NEARDUP_COS_THRESHOLD}
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _dvec("embedding").alias("v"))
+    twins = base.select(
+        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= TWIN_ZERO_DIMS, F.lit(0.0)).otherwise(
+                F.element_at("v", i.cast("int"))
+            ),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("cv"))
+    sims = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return sims.filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; recall-tested, no SQL oracle)
+# ---------------------------------------------------------------------------
+def _hyperplanes() -> list[list[list[float]]]:
+    """Deterministic pseudo-random planes: [table][plane][dim]."""
+    import numpy as np
+
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_PLANES, 64)).tolist()
+
+
+def lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Explode each vector into one row per hash table:
+    (..., table_id, bucket) where bucket is the table's sign-bit
+    signature. Multi-table LSH: a near pair only needs to agree in ONE
+    table, which is what buys recall without coarsening any single
+    table."""
+    per_table = []
+    for t, planes in enumerate(_hyperplanes()):
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        per_table.append(F.struct(F.lit(t).alias("table_id"), F.concat(*bits).alias("bucket")))
+    return df.withColumn("tb", F.explode(F.array(*per_table))).select(
+        *df.columns, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+@query("similarity_ann_lsh")  # rows-only: recall measured in tests
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = lsh_buckets(emb.select("vec_id", _dvec("embedding").alias("v")))
+    a = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "table_id",
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "table_id",
+        "bucket",
+    )
+    # Candidates: same bucket in ANY table (dedup pairs before rerank).
+    cand = (
+        F.broadcast(a)
+        .join(b, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )

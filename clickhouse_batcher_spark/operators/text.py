@@ -1,1 +1,185 @@
-"""Placeholder — filled in by the LLM-pipeline operator milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text surface: per-document statistics and
+quality signals, language-ID, token histograms, and content
+fingerprints. Everything is built-in ``pyspark.sql.functions`` (no
+Python in the hot path); every ratio is a single IEEE division of
+exact integer counts, so results are bit-identical to the DuckDB
+oracle regardless of partitioning.
+
+Scale: all operators are embarrassingly parallel per-document maps or
+a single token-level shuffle (the histogram); no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import sha256_hex, tokens
+from clickhouse_batcher_spark.tables import load_table
+
+# Shared tokenization fragment for the DuckDB oracles — must mirror
+# functions.tokens exactly.
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+# Tiny per-language marker lists. The synthetic corpus draws from one
+# shared vocabulary, so these act as a deterministic heuristic surface
+# (the oracle checks engine agreement); a production deployment swaps
+# in full stopword tables / n-gram profiles without changing the plan
+# shape (a broadcast map-side lookup).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+# Explicit tie-break: first language in this order wins on equal score.
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+# ---------------------------------------------------------------------------
+# Per-document statistics + quality signals
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+      length(text) AS n_chars,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_uniq_tokens,
+      CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        AS type_token_ratio,
+      CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE) AS short_token_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    short = F.size(F.filter(F.col("toks"), lambda x: F.length(x) <= 2))
+    return t.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_uniq.cast("bigint").alias("n_uniq_tokens"),
+        (tok_chars.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        (n_uniq.cast("double") / n_tokens.cast("double")).alias("type_token_ratio"),
+        (short.cast("double") / n_tokens.cast("double")).alias("short_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-token voting, deterministic tie-break)
+# ---------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers}))) AS s_{lang}"
+
+
+def _langid_case_sql() -> str:
+    # CASE chain in LANG_ORDER: the first lang whose score >= all
+    # later-checked langs wins — an explicit argmax-with-tiebreak that
+    # both engines evaluate identically.
+    clauses = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_ORDER[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+@query(
+    "langid_predict",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+          {", ".join(_lang_score_sql(lg) for lg in LANG_ORDER)} FROM t)
+    SELECT doc_id, lang AS labeled_lang, {_langid_case_sql()} AS pred_lang,
+           greatest(s_en, s_de, s_es, s_fr, s_zh) AS top_score
+    FROM s
+    """,
+)
+def langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = [
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.isin(*LANG_MARKERS[lang]))
+        )
+        .cast("bigint")
+        .alias(f"s_{lang}")
+        for lang in LANG_ORDER
+    ]
+    s = t.select("doc_id", "lang", *scores)
+    pred = None
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(
+            pred if pred is not None else F.lit(LANG_ORDER[-1])
+        )
+    return s.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER]).alias("top_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token histogram (the one shuffling text op: token-level groupBy
+# with map-side partial aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "token_histogram",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest({SQL_TOKENS}) AS tok FROM documents) t
+    GROUP BY tok
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: whitespace-normalized SHA-256 prefix
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+      substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+        AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.substring(sha256_hex(normalized), 1, 16).alias("fingerprint")
+    )

@@ -1,0 +1,119 @@
+"""Parity + behavior tests for the LLM-pipeline operator surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+from tests.parity import assert_parity
+
+ORACLED = [
+    "text_stats",
+    "langid_predict",
+    "token_histogram",
+    "doc_fingerprint",
+    "dedup_content_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "dedup_simhash",
+    "similarity_topk",
+    "embedding_neardup",
+    "media_metadata",
+    "media_frame_sample",
+    "asof_events_orders",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_operator_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_neardup_detectors_find_planted_twins(spark, sf_dir):
+    """The truncated-twin corpus gives every detector a known signal."""
+    jac = catalog.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    twin_pairs = jac.filter(
+        F.col("doc_b") == F.col("doc_a") + 100_000
+    ).count()
+    assert twin_pairs > 100  # most twins detected at jaccard >= 0.6
+
+    mh = catalog.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert mh.count() > 100
+
+    emb = catalog.QUERIES["embedding_neardup"](spark, sf_dir)
+    assert emb.filter(F.col("vec_b") == F.col("vec_a") + 100_000).count() > 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The LSH path is approximate: measure top-5 recall against the
+    brute-force baseline (rows-only op — this is its correctness
+    check)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["similarity_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["similarity_ann_lsh"](spark, sf_dir).collect()
+    }
+    assert approx  # buckets are non-degenerate
+    recall = len(exact & approx) / len(exact)
+    # 12 hyperplanes over 10 queries x 5 neighbors: recall is modest by
+    # design (single-probe LSH); assert it beats random chance by far.
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_decode_features_plumbing(spark, sf_dir):
+    from clickhouse_batcher_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        media_table,
+    )
+
+    media = media_table(spark, sf_dir)
+    feats = decode_features(media)
+    assert feats.schema["features"].dataType.simpleString() == "array<double>"
+    rows = feats.limit(20).collect()
+    assert rows and all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic: same input -> same features
+    again = feats.limit(20).collect()
+    assert [r["features"] for r in rows] == [r["features"] for r in again]
+
+
+def test_asof_pandas_matches_window(spark, sf_dir):
+    from clickhouse_batcher_spark.operators.asof import asof_join_pandas
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    window_version = {
+        (r["event_id"], r["o_orderkey"])
+        for r in catalog.QUERIES["asof_events_orders"](spark, sf_dir)
+        .filter(F.col("event_id") < 500)
+        .collect()
+    }
+    pandas_version = asof_join_pandas(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        out_schema="event_id BIGINT, user_id BIGINT, ts TIMESTAMP, "
+        "o_orderkey BIGINT, o_orderdate TIMESTAMP",
+    )
+    pandas_set = {
+        (r["event_id"], r["o_orderkey"]) for r in pandas_version.collect()
+    }
+    assert window_version == pandas_set
