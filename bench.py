@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "ingest_rows_per_sec": N}
+
+Each query is forced end-to-end with a noop write (full materialization
+on executors, no driver collect). Ingest throughput drives the
+streaming micro-batch path at the reference's batch constants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
+
+from clickhouse_batcher_spark import catalog, get_session  # noqa: E402
+from clickhouse_batcher_spark.sinks.parquet_sink import IdempotentParquetSink  # noqa: E402
+from clickhouse_batcher_spark.streaming.batcher import BatcherConfig, MicroBatcher  # noqa: E402
+from clickhouse_batcher_spark.tables import load_table  # noqa: E402
+
+catalog.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q1",
+    "join_revenue_by_segment",
+    "orders_by_region",
+    "topk_per_user",
+    "events_hourly",
+    "distinct_users_by_type",
+    "dedup_exact_docs",
+    "dedup_content_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "embedding_neardup",
+    "text_stats",
+    "langid_predict",
+    "doc_fingerprint",
+    "asof_events_orders",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_ingest(spark) -> float:
+    """Micro-batch ingest throughput (rows/sec) at reference constants."""
+    with tempfile.TemporaryDirectory(prefix="chb_bench_ingest_") as root:
+        events = load_table(spark, SF_DIR, "events")
+        src = f"{root}/src"
+        events.repartition(16).write.parquet(src)
+        total = events.count()
+        sink = IdempotentParquetSink(f"{root}/sink")
+        batcher = MicroBatcher(
+            sink,
+            BatcherConfig(trigger_interval="100 milliseconds", max_files_per_trigger=4),
+        )
+        t0 = time.perf_counter()
+        batcher.run_until_drained(
+            batcher.file_source(spark, src, events.schema), f"{root}/ckpt"
+        )
+        elapsed = time.perf_counter() - t0
+        assert sink.count(spark) == total, "ingest lost rows"
+        return total / elapsed
+
+
+def main() -> None:
+    spark = get_session(app_name="chb_bench")
+    # JVM/codegen warmup on a trivial action.
+    _force(load_table(spark, SF_DIR, "region"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+    rows_per_sec = bench_ingest(spark)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "ingest_rows_per_sec": round(rows_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,15 @@ SQL_SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_i
 
 # --- shared Spark-side builders -------------------------------------------
 def tokenized_corpus(docs: DataFrame) -> DataFrame:
-    """documents + truncated twins as (doc_id, tokens)."""
+    """documents + truncated twins as (doc_id, tokens).
+
+    Repartitioned to the session's parallelism: the documents table
+    arrives as a couple of parquet splits, which would leave the
+    downstream per-row hash folds (shingling, minhash, simhash) on a
+    fraction of the cores. The shuffle moves only (id, tokens) rows —
+    trivial next to the compute it parallelizes.
+    """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", tokens("text").alias("tokens"))
     twins = toks.filter(F.size("tokens") >= MIN_TWIN_TOKENS).select(
         (F.col("doc_id") + TWIN_ID_OFFSET).alias("doc_id"),
@@ -253,23 +261,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = shingle_set(tokenized_corpus(docs)).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    salts = spark.range(MINHASH_PERMS).select(
-        F.col("id").cast("int").alias("salt_id"),
-        F.format_string("%02d|", F.col("id")).alias("salt"),
+    # All MINHASH_PERMS hashes computed in ONE pass per (doc, shingle)
+    # row (an array column), then per-permutation MIN aggregates with
+    # map-side partial aggregation — one narrow shuffle of (doc_id,
+    # 16 hashes), no salt crossJoin row explosion.
+    hashes = shingles.select(
+        "doc_id",
+        *[
+            F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ],
     )
-    mh = (
-        shingles.crossJoin(F.broadcast(salts))
-        .groupBy("doc_id", "salt_id")
-        .agg(F.min(F.sha2(F.concat(F.col("salt"), F.col("shingle")), 256)).alias("mh"))
+    mh_row = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)]
     )
-    sig = mh.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("salt_id", "mh"))),
-                lambda x: x["mh"],
-            ),
-            "",
-        ).alias("signature")
+    sig = mh_row.select(
+        "doc_id",
+        F.concat(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias(
+            "signature"
+        ),
     )
     bands = sig.select(
         "doc_id",
@@ -362,48 +374,38 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash(corpus: DataFrame) -> DataFrame:
-    toks = corpus.select("doc_id", F.explode("tokens").alias("tok"))
-    th = toks.select("doc_id", "tok", F.sha2(F.col("tok"), 256).alias("h"))
-    bits = th.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).select(
-        "doc_id",
-        "b",
-        (
-            (
-                (
-                    F.instr(
-                        F.lit("0123456789abcdef"),
-                        F.expr("substring(h, CAST(b / 4 AS INT) + 1, 1)"),
-                    )
-                    - 1
-                )
-                / F.pow(F.lit(2), 3 - (F.col("b") % 4)).cast("int")
-            ).cast("int")
-            % 2
-        ).alias("bit"),
+    """Per-document 64-bit SimHash as a single narrow projection.
+
+    The bit-vote accumulation is a per-row fold over the token array
+    (aggregate + zip_with) — no explode, no shuffle at all: 10k docs
+    x ~100 tokens x 64 bits stays inside whole-stage codegen. The
+    SHA-256 per token occurrence is recomputed inline; with a small
+    vocabulary a broadcast token->bits dimension would also work, but
+    the fold wins by avoiding the join entirely.
+    """
+    # One SHA-256 per token occurrence (hoisted out of the per-bit
+    # lambda — inlining it there costs 64x the hashing). Each hex char
+    # is decoded to its digit ONCE (16 substring+instr per token), then
+    # expanded to four +/-1 bit votes with integer arithmetic.
+    digits = (
+        "transform(sequence(1, 16),"
+        " i -> instr('0123456789abcdef', substring(h, i, 1)) - 1)"
     )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("vote"))
-    return votes.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "b",
-                            F.when(F.col("vote") > 0, F.lit("1"))
-                            .otherwise(F.lit("0"))
-                            .alias("bitc"),
-                        )
-                    )
-                ),
-                lambda x: x["bitc"],
-            ),
-            "",
-        ).alias("sig")
+    contrib = (
+        f"flatten(transform({digits}, d -> array("
+        " 2 * ((d div 8) % 2) - 1, 2 * ((d div 4) % 2) - 1,"
+        " 2 * ((d div 2) % 2) - 1, 2 * (d % 2) - 1)))"
     )
+    votes = F.expr(
+        "aggregate(transform(tokens, t -> substring(sha2(t, 256), 1, 16)), "
+        " transform(sequence(0, 63), b -> CAST(0 AS BIGINT)), "
+        f" (acc, h) -> zip_with(acc, {contrib}, (x, y) -> x + y))"
+    )
+    sig = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    return corpus.select("doc_id", sig.alias("sig"))
 
 
 @query(
@@ -432,7 +434,9 @@ def _simhash(corpus: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _simhash(tokenized_corpus(docs))
+    # Cache: the chunk self-join references the signatures twice; without
+    # this the whole hash pipeline runs twice.
+    sigs = _simhash(tokenized_corpus(docs)).cache()
     chunks = sigs.select(
         "doc_id",
         "sig",
