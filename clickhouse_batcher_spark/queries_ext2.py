@@ -1,0 +1,131 @@
+"""Third coverage batch: union, grouping sets, deterministic
+collection aggregates, and batch sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec_sum
+from clickhouse_batcher_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL (multiset union preserved exactly)
+# ---------------------------------------------------------------------------
+@query(
+    "union_event_slices",
+    oracle="""
+    SELECT user_id, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, value FROM events WHERE value > 150.0
+    """,
+)
+def union_event_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "value")
+    big = events.filter(F.col("value") > 150.0).select("user_id", "value")
+    return clicks.unionByName(big)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (finer than rollup/cube)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic collection aggregate (sorted, joined to a string)
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_type_profile",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: lag + gap-flag + running session index
+# ---------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN date_diff('second', lag(ts) OVER w, ts)
+                  > {SESSION_GAP_MIN * 60} THEN 1
+             ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    )
+    flagged = events.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_s > SESSION_GAP_MIN * 60, 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,62 @@
+"""Parity for the third query batch + ORC + streaming session windows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+from clickhouse_batcher_spark.sources.readers import read_orc
+from clickhouse_batcher_spark.streaming.windowed import session_counts
+from clickhouse_batcher_spark.tables import load_table
+from tests.parity import assert_parity
+
+EXT2 = [
+    "union_event_slices",
+    "orders_grouping_sets",
+    "user_event_type_profile",
+    "user_sessions",
+]
+
+
+@pytest.mark.parametrize("name", EXT2)
+def test_ext2_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "orc")
+    events.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
+
+
+def test_streaming_session_window_counts(spark, sf_dir, tmp_path):
+    """session_window streaming agg: total sessionized events == input."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    events.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = spark.sql("SELECT SUM(n_events) FROM sess_out").collect()[0][0]
+    assert total == events.count()
