@@ -43,6 +43,7 @@ def load_all() -> None:
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
         dedup,
+        merge,
         multimodal,
         similarity,
         text,

@@ -166,6 +166,34 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token counting: word pieces + standalone punctuation, the
+# usual pre-tokenization regex — a deterministic proxy for LLM token
+# budgeting at corpus scale (per-row regexp, no shuffle).
+# ---------------------------------------------------------------------------
+_BPE_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "token_count_bpeish",
+    oracle=f"""
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpeish_tokens,
+      CAST(ceil(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) * 1.3)
+           AS BIGINT) AS est_llm_tokens
+    FROM documents
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bpeish_tokens"),
+        F.ceil(n * 1.3).cast("bigint").alias("est_llm_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint: whitespace-normalized SHA-256 prefix
 # ---------------------------------------------------------------------------
 @query(

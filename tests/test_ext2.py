@@ -17,7 +17,22 @@ EXT2 = [
     "orders_grouping_sets",
     "user_event_type_profile",
     "user_sessions",
+    "merge_upsert_orders",
+    "token_count_bpeish",
 ]
+
+
+def test_merge_upsert_semantics(spark):
+    from clickhouse_batcher_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
 @pytest.mark.parametrize("name", EXT2)
