@@ -261,18 +261,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = shingle_set(tokenized_corpus(docs)).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    # All MINHASH_PERMS hashes computed in ONE pass per (doc, shingle)
-    # row (an array column), then per-permutation MIN aggregates with
-    # map-side partial aggregation — one narrow shuffle of (doc_id,
-    # 16 hashes), no salt crossJoin row explosion.
-    hashes = shingles.select(
-        "doc_id",
+    # Hash each DISTINCT shingle once (the shingle vocabulary is orders
+    # of magnitude smaller than (doc, shingle) occurrences), computing
+    # all MINHASH_PERMS hashes in one projection, then broadcast-join
+    # the tiny hash table back. Per-permutation MIN aggregates with
+    # map-side partials — one narrow shuffle of (doc_id, 16 hashes),
+    # no salt crossJoin row explosion. At web scale the shingle
+    # vocabulary outgrows a broadcast and this flips to a shuffle join
+    # on `shingle`; everything else is unchanged.
+    shingle_hashes = shingles.select("shingle").distinct().select(
+        "shingle",
         *[
             F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256).alias(
                 f"h{i}"
             )
             for i in range(MINHASH_PERMS)
         ],
+    )
+    hashes = shingles.join(F.broadcast(shingle_hashes), "shingle").select(
+        "doc_id", *[f"h{i}" for i in range(MINHASH_PERMS)]
     )
     mh_row = hashes.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)]
@@ -308,23 +315,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    s1 = shingles.alias("s1")
-    s2 = shingles.alias("s2")
-    verified = (
-        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("doc_b") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # Verification: candidates are few (band collisions), so gather each
+    # doc's shingle SET into an array once and verify per pair with
+    # array_intersect — O(|cand| * shingles-per-doc) instead of two more
+    # joins over the full (doc, shingle) relation.
+    doc_sets = shingles.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = _jaccard(F.col("shared"), F.col("sa.n"), F.col("sb.n"))
+    sa = doc_sets.alias("sa")
+    sb = doc_sets.alias("sb")
+    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jac = _jaccard(shared, F.col("sa.n"), F.col("sb.n"))
     return (
-        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
