@@ -1,0 +1,147 @@
+"""Deterministic sampling & dataset splitting for training pipelines.
+
+`df.sample()` is seed-dependent but partitioning-sensitive — resampling
+after a repartition changes membership, which is unacceptable for
+reproducible training corpora. Everything here derives membership from
+a *content hash* of a stable key column: the decision is a pure
+function of the row, independent of partitioning, executor count, and
+engine — hence also DuckDB-oracle-checkable.
+
+Bucket = first 4 hex chars of SHA-256(key) mod 100 — uniform enough
+for sampling purposes, computable identically in any engine with a
+sha256 function. At 100 TB these are per-row maps (no shuffle), and
+the split columns prune scans if used as partition keys downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.tables import load_table
+
+
+def hash_bucket(key: Column | str, buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets): sha256-hex prefix as int, mod n.
+
+    DuckDB mirror:
+    ``CAST(('0x' || substring(sha256(<key>), 1, 4))::BIGINT ... )`` has
+    no portable form, so the portable formulation converts the 4-char
+    hex prefix via position arithmetic on both sides — see
+    ``_SQL_BUCKET``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, 4)
+    # hex -> int with conv (Spark-side); bucket in [0, buckets)
+    return (F.conv(h, 16, 10).cast("bigint") % buckets).alias("bucket")
+
+
+def _sql_bucket(key_sql: str, buckets: int = 100, salt: str = "") -> str:
+    """DuckDB-portable hex-prefix-to-int: positional digit arithmetic."""
+    h = f"substring(sha256('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 4)"
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    )
+    val = " + ".join(
+        f"{digit(i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+    return f"(({val}) % {buckets})"
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction_pct: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose bucket < fraction_pct (stable ~pct% sample)."""
+    return df.filter(
+        (F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(salt), F.col(key).cast("string")), 256), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint") % 100) < fraction_pct
+    )
+
+
+def train_val_test_split(
+    df: DataFrame, key: str, val_pct: int = 10, test_pct: int = 10, salt: str = "split"
+) -> DataFrame:
+    """Append a stable ``split`` column: train/val/test by hash bucket."""
+    bucket = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(salt), F.col(key).cast("string")), 256), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+@query(
+    "docs_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_sql_bucket("doc_id", salt="split")} < 10 THEN 'test'
+                WHEN {_sql_bucket("doc_id", salt="split")} < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           lang, COUNT(*) AS cnt
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "events_deterministic_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE {_sql_bucket("event_id")} < 20
+    """,
+)
+def events_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return deterministic_sample(events, "event_id", 20).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified quota sampling: at most N per group, chosen by stable hash
+# order (not arbitrary row order) — reproducible class balancing.
+# ---------------------------------------------------------------------------
+@query(
+    "docs_lang_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_sql_bucket("doc_id", buckets=1000000)},
+                                         doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 50
+    """,
+)
+def docs_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10
+    ).cast("bigint") % 1_000_000
+    w = Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )

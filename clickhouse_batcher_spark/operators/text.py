@@ -194,6 +194,46 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII-style redaction: pattern scrubbing before training. The synthetic
+# corpus has no real PII, so the patterns target numbers/emails/handles
+# generically; output is the redacted-content hash (small, exact).
+# ---------------------------------------------------------------------------
+_REDACTIONS = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"@[a-z0-9_]+", "<HANDLE>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def _redact_sql(expr: str = "lower(text)") -> str:
+    for pattern, repl in _REDACTIONS:
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{repl}', 'g')"
+    return expr
+
+
+@query(
+    "redact_docs",
+    oracle=f"""
+    SELECT doc_id,
+      sha256({_redact_sql()}) AS redacted_sha,
+      length({_redact_sql()}) AS redacted_len
+    FROM documents
+    """,
+)
+def redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.lower(F.col("text"))
+    for pattern, repl in _REDACTIONS:
+        redacted = F.regexp_replace(redacted, pattern, repl)
+    return docs.select(
+        "doc_id",
+        sha256_hex(redacted).alias("redacted_sha"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint: whitespace-normalized SHA-256 prefix
 # ---------------------------------------------------------------------------
 @query(
