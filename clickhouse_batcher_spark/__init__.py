@@ -24,5 +24,14 @@ cannot express the semantics.
 
 from clickhouse_batcher_spark.session import get_session
 
-__all__ = ["get_session"]
+__all__ = ["get_session", "BatcherEngine", "EngineConfig"]
+
+
+def __getattr__(name: str):
+    # Lazy: engine pulls in streaming/sinks; keep bare imports cheap.
+    if name in ("BatcherEngine", "EngineConfig"):
+        from clickhouse_batcher_spark import engine
+
+        return getattr(engine, name)
+    raise AttributeError(name)
 __version__ = "0.1.0"

@@ -1,0 +1,100 @@
+"""BatcherEngine facade: the reference's API surface end-to-end."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark import BatcherEngine, EngineConfig
+from clickhouse_batcher_spark.plans.migrations import Migration
+from clickhouse_batcher_spark.sinks.parquet_sink import IdempotentParquetSink
+
+SCHEMA = "user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING"
+
+
+def _row(i: int, user: str = "test_user_001") -> tuple:
+    return (user, i, None, str(i))
+
+
+def test_save_async_size_flush_and_queries(spark, tmp_path):
+    """SaveAsync -> size-capped flushes -> Q1/Q2/Q3 verification."""
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(
+        spark, sink, SCHEMA, EngineConfig(max_batch_rows=1000)
+    )
+    eng.connect()
+    for i in range(1, 2501):
+        eng.save_async(_row(i))
+    eng.close()  # flush tail
+
+    assert eng.count() == 2500  # Q1 golden count
+    assert sink.committed_batches() == [0, 1, 2]  # 2 size-capped + tail
+    # Q2: each row exists exactly once
+    assert eng.filtered_count(user_id="test_user_001", amount=42, sha256sum="42") == 1
+    # Q3: predicate delete
+    remaining = eng.delete_where(F.col("amount") <= 500)
+    assert remaining.count() == 2000
+
+
+def test_disabled_engine_drops_rows(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(spark, sink, SCHEMA, EngineConfig(enabled=False))
+    assert eng.save_async(_row(1)) is False
+    eng.close()
+    assert sink.committed_batches() == []
+
+
+def test_timer_flush(spark, tmp_path):
+    """The reference's ticker path: rows flush without hitting the cap."""
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(
+        spark,
+        sink,
+        SCHEMA,
+        EngineConfig(max_batch_rows=1_000_000, flush_interval_s=0.5),
+    )
+    for i in range(1, 51):
+        eng.save_async(_row(i))
+    eng.start_auto_flush()
+    deadline = time.time() + 10
+    while time.time() < deadline and not sink.committed_batches():
+        time.sleep(0.2)
+    eng.stop_auto_flush()
+    assert sink.committed_batches()  # flushed by timer, not by cap
+    assert eng.count() == 50
+
+
+def test_engine_migrations_and_sql(spark, tmp_path):
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(
+        spark,
+        sink,
+        SCHEMA,
+        EngineConfig(
+            migrations=[
+                Migration(1, "v", "CREATE OR REPLACE TEMP VIEW eng_v AS SELECT 7 AS x")
+            ],
+            migration_state_path=str(tmp_path / "mig.json"),
+        ),
+    )
+    assert eng.up_migrations() == [1]
+    assert eng.sql("SELECT x FROM eng_v").collect()[0][0] == 7
+    assert eng.up_migrations() == []
+
+
+def test_engine_streaming_path(spark, sf_dir, tmp_path):
+    """ProcessHashes analogue through the facade."""
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(spark, sink, events.schema, EngineConfig())
+    q = eng.process_stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert eng.count() == events.count()
