@@ -49,6 +49,13 @@ HEADLINE = [
     "langid_predict",
     "doc_fingerprint",
     "asof_events_orders",
+    "events_analytics_window",
+    "user_sessions",
+    "merge_upsert_orders",
+    "events_pivot_by_type",
+    "quantity_percentiles",
+    "docs_split_counts",
+    "token_count_bpeish",
 ]
 
 
