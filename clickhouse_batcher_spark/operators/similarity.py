@@ -289,7 +289,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = base.mapInPandas(
         assign, schema="vec_id BIGINT, v ARRAY<DOUBLE>, cell INT"
-    )
+    ).cache()
 
     def probe(batches):
         import pandas as pd
@@ -340,7 +340,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_ann_lsh")  # rows-only: recall measured in tests
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    base = lsh_buckets(emb.select("vec_id", _dvec("embedding").alias("v")))
+    # cache: both join sides read the bucketed frame — without it the
+    # 40 hyperplane dot-folds run twice per vector
+    base = lsh_buckets(emb.select("vec_id", _dvec("embedding").alias("v"))).cache()
     a = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -75,3 +75,38 @@ def read_jdbc(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same pushdown/pruning properties as parquet."""
     return spark.read.orc(path)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    max_offsets_per_trigger: int = 10_000,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka streaming source builder (the production ingest front end).
+
+    ``maxOffsetsPerTrigger`` is the reference's batch cap applied at the
+    source (``hashes.go:68``): every micro-batch is bounded, giving the
+    size-or-time flush guarantee with ``trigger(processingTime=T)``.
+
+    The Kafka connector jar is not bundled in this environment —
+    construction succeeds (options validated) but ``load()`` raises
+    until ``spark-sql-kafka`` is on the classpath; callers get a clear
+    error from this function instead of a deep Spark stack.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    )
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar absent
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka connector on the "
+            "classpath (not bundled in this environment)"
+        ) from exc

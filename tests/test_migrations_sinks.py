@@ -93,3 +93,10 @@ def test_readers_roundtrip(spark, sf_dir, tmp_path):
 def test_jdbc_reader_requires_bounds(spark):
     with pytest.raises(ValueError):
         read_jdbc(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_kafka_source_gated(spark):
+    from clickhouse_batcher_spark.sources.readers import kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "events")
