@@ -45,6 +45,7 @@ def load_all() -> None:
         dedup,
         merge,
         multimodal,
+        rangejoin,
         sampling,
         similarity,
         text,

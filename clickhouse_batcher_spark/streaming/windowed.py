@@ -54,3 +54,22 @@ def session_counts(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *key_cols)
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ingest: first occurrence of each key
+    wins; duplicates arriving within the watermark horizon are dropped.
+
+    State is one entry per key inside the horizon, sharded by key
+    across executors — the watermark bounds it, which is what makes
+    dedup-on-ingest feasible forever at 100 TB/day (an unbounded
+    dropDuplicates would accumulate state for every key ever seen).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
