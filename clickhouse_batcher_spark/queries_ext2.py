@@ -129,3 +129,65 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long): stack() in Spark, UNION ALL oracle
+# ---------------------------------------------------------------------------
+@query(
+    "customer_unpivot_measures",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def customer_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        " AS (measure, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: versioned rows with validity ranges from a
+# change log (the events stream as a change feed per user).
+# ---------------------------------------------------------------------------
+# Open-ended (current) versions carry an end-of-time sentinel instead
+# of NULL: NULL timestamps hit engine/pandas NaT comparison quirks in
+# value hashing, and the sentinel is the conventional SCD2 encoding
+# anyway.
+_SCD2_EOT = "2200-01-01 00:00:00"  # within datetime64[ns] range (max 2262)
+
+
+@query(
+    "scd2_user_value_history",
+    oracle=f"""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+      COALESCE(lead(CAST(ts AS TIMESTAMP)) OVER w, TIMESTAMP '{_SCD2_EOT}')
+        AS valid_to,
+      value,
+      CASE WHEN lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+           THEN 1 ELSE 0 END AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    next_ts = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(next_ts, F.lit(_SCD2_EOT).cast("timestamp")).alias("valid_to"),
+        "value",
+        F.when(next_ts.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

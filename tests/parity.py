@@ -28,6 +28,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for col in out.columns:
+        if out[col].dtype.kind == "M":
+            # normalize datetime unit: ns-vs-us frames with NaT trip
+            # pandas' cross-unit comparison
+            out[col] = out[col].astype("datetime64[us]")
         if out[col].dtype == object:
             sample = out[col].dropna()
             if len(sample) and isinstance(sample.iloc[0], (bytes, bytearray)):

@@ -75,3 +75,11 @@ def test_streaming_session_window_counts(spark, sf_dir, tmp_path):
         q.stop()
     total = spark.sql("SELECT SUM(n_events) FROM sess_out").collect()[0][0]
     assert total == events.count()
+
+
+EXT2_B = ["customer_unpivot_measures", "scd2_user_value_history"]
+
+
+@pytest.mark.parametrize("name", EXT2_B)
+def test_ext2b_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
