@@ -374,17 +374,24 @@ def parts_with_heavy_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "customers_without_orders",
+    "customers_without_recent_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join with a pushed-down date predicate on the right side —
+    non-empty at every SF (a bare no-orders-ever anti-join matches
+    nothing in this data, which would make the check vacuous)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

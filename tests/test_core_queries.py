@@ -25,7 +25,7 @@ CORE_QUERIES = [
     "events_hourly",
     "orders_rollup",
     "parts_with_heavy_lineitems",
-    "customers_without_orders",
+    "customers_without_recent_orders",
     "orders_by_region",
 ]
 

@@ -49,7 +49,7 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 def test_semi_anti_joins_selected(spark, sf_dir):
     semi = _formatted_plan(catalog.QUERIES["parts_with_heavy_lineitems"](spark, sf_dir))
-    anti = _formatted_plan(catalog.QUERIES["customers_without_orders"](spark, sf_dir))
+    anti = _formatted_plan(catalog.QUERIES["customers_without_recent_orders"](spark, sf_dir))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
 
