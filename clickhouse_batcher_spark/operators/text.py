@@ -251,3 +251,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.substring(sha256_hex(normalized), 1, 16).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k-gram hashes,
+# minimum per sliding window of w — the rolling-hash fingerprint used
+# for plagiarism/near-dup detection at passage granularity.
+#
+# Portable min-selection trick: minimize the STRING key
+# ``hash || zero-padded-position`` — lexicographic min on a
+# fixed-width key equals (hash, position) tuple-min in both engines,
+# which also gives winnowing's deterministic tie-break.
+# Scale: one explode to (doc, pos) rows + one window over (doc, pos)
+# — no joins; state per window is O(w).
+# ---------------------------------------------------------------------------
+WINNOW_K = 8   # k-gram length (chars)
+WINNOW_W = 16  # window: guarantees a shared fingerprint for any match
+               # of length >= w + k - 1 chars
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i,
+        substring(sha256(substring(t, i, {WINNOW_K})), 1, 16)
+          || lpad(CAST(i AS VARCHAR), 8, '0') AS key,
+        length(t) - {WINNOW_K} + 1 AS n_grams
+      FROM norm, unnest(generate_series(1, length(t) - {WINNOW_K} + 1)) AS g(i)
+      WHERE length(t) >= {WINNOW_K}
+    ), win AS (
+      SELECT doc_id,
+        MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+          AS min_key,
+        i, n_grams
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, substring(min_key, 1, 16) AS fp
+    FROM win WHERE i <= n_grams - {WINNOW_W} + 1
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    norm = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
+    ).filter(F.length("t") >= WINNOW_K)
+    grams = norm.select(
+        "doc_id",
+        (F.length("t") - WINNOW_K + 1).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - WINNOW_K + 1)).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.concat(
+            F.substring(F.sha2(F.expr(f"substring(t, i, {WINNOW_K})"), 256), 1, 16),
+            F.lpad(F.col("i").cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    win = grams.select(
+        "doc_id", "i", "n_grams", F.min("key").over(w).alias("min_key")
+    )
+    return (
+        win.filter(F.col("i") <= F.col("n_grams") - WINNOW_W + 1)
+        .select("doc_id", F.substring("min_key", 1, 16).alias("fp"))
+        .distinct()
+    )

