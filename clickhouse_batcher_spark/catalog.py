@@ -39,7 +39,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from clickhouse_batcher_spark import queries, queries_ext, queries_ext2  # noqa: F401
+    from clickhouse_batcher_spark import (  # noqa: F401
+        queries,
+        queries_ext,
+        queries_ext2,
+        queries_ext3,
+    )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
         dedup,

@@ -213,7 +213,7 @@ def _minhash_salts_sql() -> str:
     )
 
 
-_BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 64  # hex chars per band
+_BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 16  # hex chars per band (16-char hash prefixes)
 
 
 @query(
@@ -222,7 +222,7 @@ _BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 64  # hex chars per band
     WITH {SQL_CORPUS}, {SQL_SHINGLES}, {SQL_SIZES},
     salts AS ({_minhash_salts_sql()}),
     mh AS (
-      SELECT s.doc_id, sa.salt_id, MIN(sha256(sa.salt || s.shingle)) AS mh
+      SELECT s.doc_id, sa.salt_id, MIN(substring(sha256(sa.salt || s.shingle), 1, 16)) AS mh
       FROM shingles s CROSS JOIN salts sa GROUP BY s.doc_id, sa.salt_id
     ),
     sig AS (
@@ -272,7 +272,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_hashes = shingles.select("shingle").distinct().select(
         "shingle",
         *[
-            F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256).alias(
+            F.substring(F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256), 1, 16).alias(
                 f"h{i}"
             )
             for i in range(MINHASH_PERMS)

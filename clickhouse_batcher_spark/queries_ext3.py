@@ -1,0 +1,132 @@
+"""Fourth coverage batch: weighted source mixing, range-frame windows,
+ntile bucketing, correlated-subquery shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec
+from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+from clickhouse_batcher_spark.tables import load_table
+
+# Per-source sampling weights for the training-mix query: source ->
+# percent of that source's docs to keep. Deterministic hash-bucket
+# membership (operators/sampling.py), so the mix is reproducible and
+# the per-source proportions are exact functions of the data.
+MIX_WEIGHTS = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20}
+
+
+@query(
+    "training_mix_by_source",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT doc_id, source, lang FROM documents
+        WHERE source = '{src}' AND {_sql_bucket("doc_id", salt="mix")} < {pct}
+        """
+        for src, pct in MIX_WEIGHTS.items()
+    ),
+)
+def training_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source contributes a deterministic
+    hash-selected fraction — the curriculum/source-weighting step of a
+    training-data pipeline. One scan, per-row predicate, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("mix"), F.col("doc_id").cast("string")), 256),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    weight_expr = None
+    for src, pct in MIX_WEIGHTS.items():
+        cond = (F.col("source") == src) & (bucket < pct)
+        weight_expr = cond if weight_expr is None else (weight_expr | cond)
+    return docs.filter(weight_expr).select("doc_id", "source", "lang")
+
+
+@query(
+    "events_range_window_30min",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS rolling_30m_value,
+      CAST(COUNT(*) OVER (
+        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS rolling_30m_events
+    FROM events
+    """,
+)
+def events_range_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN INTERVAL): Spark's
+    rangeBetween is numeric, so the frame runs over epoch seconds —
+    identical semantics to the oracle's interval frame. Decimal sums
+    keep the rolling values exact under any evaluation order."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-30 * 60, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_30m_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_30m_events"),
+    )
+
+
+@query(
+    "orders_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        AS price_quartile
+    FROM orders
+    """,
+)
+def orders_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by hand into the
+    aggregate-join Catalyst would produce: per-customer exact average
+    joined back (broadcast — the aggregate is one row per customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avgs), orders.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -105,3 +105,16 @@ def test_winnow_detects_shared_passages(spark, sf_dir):
     assert len(row["fp"]) == 16
     n_docs = fps.select("doc_id").distinct().count()
     assert n_docs > 0
+
+
+EXT3 = [
+    "training_mix_by_source",
+    "events_range_window_30min",
+    "orders_ntile_quartiles",
+    "orders_above_customer_avg",
+]
+
+
+@pytest.mark.parametrize("name", EXT3)
+def test_ext3_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
