@@ -90,12 +90,19 @@ def main() -> None:
     _force(load_table(spark, SF_DIR, "region"))
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name in HEADLINE:
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        try:
+            _force(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record, keep benching
+            failures.append(f"{name}: {exc}")
+        finally:
+            spark.catalog.clearCache()
+    if failures:
+        print("\n".join(failures), file=sys.stderr)
 
     rows_per_sec = bench_ingest(spark)
 
