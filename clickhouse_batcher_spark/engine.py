@@ -60,7 +60,11 @@ class BatcherEngine:
         self.config = config or EngineConfig()
         self._buffer: list[tuple] = []
         self._lock = threading.Lock()
-        self._next_batch_id = 0
+        # Resume after the sink's last committed batch: a fresh engine
+        # writing to an existing sink must NOT reuse batch id 0 — the
+        # ledger would silently skip the new data as a replay.
+        committed = getattr(sink, "committed_batches", None)
+        self._next_batch_id = (max(committed()) + 1) if callable(committed) and committed() else 0
         self._timer: threading.Timer | None = None
         self._connected = False
 

@@ -98,3 +98,73 @@ def test_engine_streaming_path(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert eng.count() == events.count()
+
+
+def test_new_engine_on_existing_sink_does_not_lose_data(spark, tmp_path):
+    """Regression: a fresh engine must resume batch ids after the
+    sink's ledger, not restart at 0 (which the ledger would skip as a
+    replay -> silent data loss)."""
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng1 = BatcherEngine(spark, sink, SCHEMA, EngineConfig())
+    for i in range(1, 101):
+        eng1.save_async(_row(i))
+    eng1.close()
+    assert eng1.count() == 100
+
+    eng2 = BatcherEngine(
+        spark, IdempotentParquetSink(str(tmp_path / "sink")), SCHEMA, EngineConfig()
+    )
+    for i in range(101, 151):
+        eng2.save_async(_row(i))
+    eng2.close()
+    assert eng2.count() == 150  # not 100: second engine's batch landed
+
+
+def test_clickhouse_ping_retry_then_success(monkeypatch):
+    """connect.go:56-64 semantics: up to 4 attempts, then success."""
+    from clickhouse_batcher_spark.sinks.clickhouse import (
+        ClickHouseSink,
+        ClickHouseSinkConfig,
+    )
+
+    attempts = {"n": 0}
+
+    class FakeReader:
+        def format(self, *_): return self
+        def options(self, **_): return self
+        def load(self):
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise RuntimeError("connection refused")
+            return self
+        def collect(self): return []
+
+    class FakeSpark:
+        read = FakeReader()
+
+    sink = ClickHouseSink(ClickHouseSinkConfig(ping_interval_s=0.01))
+    assert sink.ping(FakeSpark()) is True
+    assert attempts["n"] == 3
+
+
+def test_clickhouse_ping_exhausts_retries(monkeypatch):
+    from clickhouse_batcher_spark.sinks.clickhouse import (
+        ClickHouseSink,
+        ClickHouseSinkConfig,
+    )
+
+    class FailReader:
+        def format(self, *_): return self
+        def options(self, **_): return self
+        def load(self): raise RuntimeError("down")
+
+    class FakeSpark:
+        read = FailReader()
+
+    sink = ClickHouseSink(
+        ClickHouseSinkConfig(ping_count=2, ping_interval_s=0.01)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError, match="after 2 attempts"):
+        sink.ping(FakeSpark())

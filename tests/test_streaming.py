@@ -146,3 +146,23 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir, tmp_root):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_rate_source_ingest(spark, tmp_root):
+    """Rate source through the batcher: rows land exactly once."""
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    batcher = MicroBatcher(sink, BatcherConfig(trigger_interval="250 milliseconds"))
+    source = batcher.rate_source(spark, rows_per_second=200)
+    query = batcher.start(source, f"{tmp_root}/ckpt")
+    import time as _time
+
+    try:
+        deadline = _time.time() + 20
+        while _time.time() < deadline and not sink.committed_batches():
+            _time.sleep(0.25)
+    finally:
+        query.stop()
+        query.awaitTermination()
+    assert sink.committed_batches(), "no batch flushed by the timer path"
+    df = sink.read(spark)
+    assert df.count() == df.select("value").distinct().count()  # no dups
