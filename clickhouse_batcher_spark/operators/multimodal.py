@@ -151,3 +151,47 @@ def decode_features(media: DataFrame) -> DataFrame:
 @query("media_decode_features")  # rows-only: kernel is a documented fake
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Resize / re-encode: payload -> payload transformation with updated
+# metadata. Kernel is a deterministic fake (no image libs in this
+# container): "resizing" to WxH keeps a proportional byte prefix —
+# the Spark contract (binary in/out, metadata columns, Arrow batching)
+# is the real, swappable part.
+# ---------------------------------------------------------------------------
+RESIZE_W, RESIZE_H = 64, 64
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            target = (n_bytes * (RESIZE_W * RESIZE_H) // (256 * 256)).clip(lower=16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        p[: int(t)] for p, t in zip(pdf["payload"], target)
+                    ],
+                    "width": RESIZE_W,
+                    "height": RESIZE_H,
+                    "orig_bytes": n_bytes,
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id BIGINT, media_type STRING, payload BINARY, "
+            "width INT, height INT, orig_bytes BIGINT"
+        ),
+    )
+
+
+@query("media_resize")  # rows-only: fake kernel; plumbing tested
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(
+        media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    )

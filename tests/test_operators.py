@@ -117,3 +117,19 @@ def test_asof_pandas_matches_window(spark, sf_dir):
         (r["event_id"], r["o_orderkey"]) for r in pandas_version.collect()
     }
     assert window_version == pandas_set
+
+
+def test_resize_plumbing(spark, sf_dir):
+    from clickhouse_batcher_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        media_table,
+        resize_media,
+    )
+
+    out = resize_media(media_table(spark, sf_dir)).limit(10).collect()
+    assert out
+    for r in out:
+        assert r["width"] == RESIZE_W and r["height"] == RESIZE_H
+        assert isinstance(r["payload"], (bytes, bytearray))
+        assert len(r["payload"]) <= r["orig_bytes"]
