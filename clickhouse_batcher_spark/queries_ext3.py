@@ -130,3 +130,65 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end cleaned-corpus pipeline: quality filters -> exact dedup ->
+# deterministic split -> per-split/lang counts. The composed form of
+# the individual operators, as one declarative plan (Catalyst fuses
+# the filters into the scan; the only shuffle is the dedup groupBy).
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 20
+MAX_SHORT_RATIO = 0.4
+
+
+@query(
+    "cleaned_corpus_summary",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+        len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+          AS n_tokens,
+        CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> ''), x -> length(x) <= 2))
+             AS DOUBLE)
+          / CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS DOUBLE) AS short_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= {MIN_TOKENS} AND short_ratio <= {MAX_SHORT_RATIO}
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang FROM quality
+      GROUP BY sha256(text)
+    ), split AS (
+      SELECT doc_id, lang,
+        CASE WHEN {_sql_bucket("doc_id", salt="split")} < 10 THEN 'test'
+             WHEN {_sql_bucket("doc_id", salt="split")} < 20 THEN 'val'
+             ELSE 'train' END AS split
+      FROM deduped
+    )
+    SELECT split, lang, COUNT(*) AS n_docs FROM split GROUP BY split, lang
+    """,
+)
+def cleaned_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_batcher_spark.functions import tokens
+    from clickhouse_batcher_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    short_ratio = (
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2)).cast("double")
+        / n_tokens.cast("double")
+    )
+    quality = docs.filter(
+        (n_tokens >= MIN_TOKENS) & (short_ratio <= MAX_SHORT_RATIO)
+    )
+    deduped = (
+        quality.groupBy(F.sha2(F.col("text"), 256))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("lang").alias("lang"))
+        .select("doc_id", "lang")
+    )
+    split = train_val_test_split(deduped, "doc_id")
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))

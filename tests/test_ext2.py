@@ -118,3 +118,30 @@ EXT3 = [
 @pytest.mark.parametrize("name", EXT3)
 def test_ext3_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_cleaned_corpus_parity(spark, sf_dir):
+    assert_parity(spark, "cleaned_corpus_summary", sf_dir)
+
+
+def test_operators_tolerate_empty_input(spark, sf_dir):
+    """Edge robustness: operators over empty frames return empty, not
+    crash (the behavior at a partition-pruned empty slice)."""
+    from clickhouse_batcher_spark.operators.dedup import (
+        shingle_set,
+        tokenized_corpus,
+    )
+    from clickhouse_batcher_spark.operators.merge import merge_upsert
+    from clickhouse_batcher_spark.operators.skew import salted_sum_count
+    from clickhouse_batcher_spark.tables import load_table
+
+    empty_docs = load_table(spark, sf_dir, "documents").filter("doc_id < 0")
+    assert shingle_set(tokenized_corpus(empty_docs)).count() == 0
+
+    empty_events = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    assert salted_sum_count(empty_events, ["user_id"], "value").count() == 0
+
+    events = load_table(spark, sf_dir, "events").limit(5).select("event_id", "value")
+    assert (
+        merge_upsert(events, events.filter("event_id < 0"), ["event_id"]).count() == 5
+    )
