@@ -174,23 +174,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = shingle_set(tokenized_corpus(docs)).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
+    # Pair generation without a self-join: group each rare shingle's
+    # doc list (bounded by the DF cap) and emit its i<j combinations
+    # in-row, then count per pair. One groupBy on shingle replaces the
+    # shuffle-heavy shingle⋈shingle join; the candidate multiset is
+    # identical (pairs sharing a rare shingle, counted once per shared
+    # rare shingle). The DF cap bounds each row's fan-out at
+    # cap*(cap-1)/2 — the same guard that kept the join near-linear.
+    doc_lists = (
         shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
     )
-    s1 = shingles.join(rare, "shingle").alias("s1")
-    s2 = shingles.alias("s2")
+    pairs = doc_lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs) - i - 1),"
+                "           y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
     cand = (
-        s1.join(
-            s2,
-            (F.col("s1.shingle") == F.col("s2.shingle"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .groupBy(
-            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
-        )
+        pairs.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.alias("sa")
