@@ -1,0 +1,93 @@
+"""Connected components over near-duplicate pairs — dedup clustering.
+
+Pair detectors (Jaccard/MinHash/SimHash/embedding) emit edges; the
+keep-one-per-group decision needs the transitive closure: connected
+components. Implemented as iterative min-label propagation:
+
+    label(v) <- min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one join + one min-agg —
+both hash-shuffles on the vertex key; iterations needed = graph
+diameter (near-dup clusters are tiny cliques, so 2-4 in practice).
+This is the standard Spark formulation of CC at scale (a large-star/
+small-star variant would cut iterations on pathological chains; the
+propagation loop is the right tradeoff for clique-like dedup graphs).
+
+Genuinely iterative => no single-statement SQL oracle; correctness is
+pinned by a driver-side union-find cross-check in tests (rows-only
+check at the driver gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component id =
+    min vertex id in the component. Deterministic."""
+    spark = edges.sparkSession
+    # undirected: both directions, plus self-loops so isolated ends keep labels
+    fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
+    bwd = edges.select(F.col(dst).alias("v"), F.col(src).alias("u"))
+    adj = fwd.unionByName(bwd).distinct().cache()
+
+    labels = (
+        adj.select("v").distinct().withColumn("label", F.col("v")).cache()
+    )
+    for _ in range(MAX_ITERATIONS):
+        # candidate labels: own label + min neighbor label
+        # rename to break the self-join lineage ambiguity
+        lbl = labels.withColumnRenamed("v", "lv")
+        neighbor_min = (
+            adj.join(lbl, F.col("u") == F.col("lv"))
+            .select("v", "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+@query("dedup_clusters")  # rows-only: iterative; union-find checked in tests
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the MinHash-verified near-dup pairs; output one row per
+    clustered doc with its component id and the deterministic survivor
+    (min doc id = the component id itself)."""
+    from clickhouse_batcher_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_survivor"),
+    )

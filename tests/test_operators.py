@@ -133,3 +133,40 @@ def test_resize_plumbing(spark, sf_dir):
         assert r["width"] == RESIZE_W and r["height"] == RESIZE_H
         assert isinstance(r["payload"], (bytes, bytearray))
         assert len(r["payload"]) <= r["orig_bytes"]
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    """Spark label propagation == exact union-find on the same edges."""
+    from clickhouse_batcher_spark.operators.cluster import connected_components
+    from clickhouse_batcher_spark.operators.dedup import dedup_minhash_lsh
+
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    assert edges
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    pairs_df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs_df).collect()
+    }
+    assert got == expected
