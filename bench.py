@@ -63,8 +63,13 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_ingest(spark) -> float:
-    """Micro-batch ingest throughput (rows/sec) at reference constants."""
+def bench_ingest(spark, max_files_per_trigger: int = 4) -> float:
+    """Micro-batch ingest throughput (rows/sec).
+
+    With ``max_files_per_trigger=4`` this exercises the reference-style
+    many-small-batches regime; with a large cap it measures bulk
+    throughput (one big exactly-once batch).
+    """
     with tempfile.TemporaryDirectory(prefix="chb_bench_ingest_") as root:
         events = load_table(spark, SF_DIR, "events")
         src = f"{root}/src"
@@ -73,7 +78,10 @@ def bench_ingest(spark) -> float:
         sink = IdempotentParquetSink(f"{root}/sink")
         batcher = MicroBatcher(
             sink,
-            BatcherConfig(trigger_interval="100 milliseconds", max_files_per_trigger=4),
+            BatcherConfig(
+                trigger_interval="100 milliseconds",
+                max_files_per_trigger=max_files_per_trigger,
+            ),
         )
         t0 = time.perf_counter()
         batcher.run_until_drained(
@@ -105,6 +113,7 @@ def main() -> None:
         print("\n".join(failures), file=sys.stderr)
 
     rows_per_sec = bench_ingest(spark)
+    bulk_rows_per_sec = bench_ingest(spark, max_files_per_trigger=1000)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -120,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "ingest_rows_per_sec": round(rows_per_sec, 1),
+                "ingest_bulk_rows_per_sec": round(bulk_rows_per_sec, 1),
             }
         )
     )

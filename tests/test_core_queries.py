@@ -42,3 +42,26 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_parity_harness_discriminates(spark, sf_dir):
+    """Meta: the oracle comparison must FAIL on a wrong result — guards
+    against a vacuous harness."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark import catalog as cat
+    from tests.parity import canonicalize, duckdb_connection
+
+    spark_pd = cat.QUERIES["tpch_q1"](spark, sf_dir).toPandas()
+    spark_pd.loc[0, "sum_qty"] += 1.0  # corrupt one value
+    con = duckdb_connection(sf_dir)
+    oracle_pd = con.execute(cat.ORACLES["tpch_q1"]).df()
+    con.close()
+    with _pytest.raises(AssertionError):
+        pd.testing.assert_frame_equal(
+            canonicalize(spark_pd),
+            canonicalize(oracle_pd),
+            check_dtype=False,
+            check_exact=True,
+        )
