@@ -375,3 +375,46 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: top-k neighbors joined back to their document text — the
+# RAG-retrieval shape (ANN candidates -> exact rerank -> payload
+# fetch). The payload join is the step that must stay column-pruned
+# and keyed: neighbors are few, so the text fetch is a broadcast-side
+# lookup of k*|Q| keys against the documents table.
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_topk_docs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT r.query_id, r.neighbor_id, r.cos_sim, r.rank,
+           d.lang AS neighbor_lang, length(d.text) AS neighbor_chars
+    FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+    WHERE r.rank <= {TOP_K}
+    """,
+)
+def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    neighbors = similarity_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("lang").alias("neighbor_lang"),
+        F.length("text").cast("bigint").alias("neighbor_chars"),
+    )
+    return neighbors.join(
+        docs, neighbors.neighbor_id == docs.doc_id
+    ).select(
+        "query_id", "neighbor_id", "cos_sim", "rank", "neighbor_lang", "neighbor_chars"
+    )

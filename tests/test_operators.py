@@ -170,3 +170,7 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
         for r in connected_components(pairs_df).collect()
     }
     assert got == expected
+
+
+def test_retrieval_parity(spark, sf_dir):
+    assert_parity(spark, "retrieval_topk_docs", sf_dir)
