@@ -54,5 +54,6 @@ def load_all() -> None:
         rangejoin,
         sampling,
         similarity,
+        sketch,
         text,
     )

@@ -1,0 +1,99 @@
+"""Count-Min sketch: sublinear-memory frequency estimation.
+
+The streaming-friendly heavy-hitter sketch: d hash rows x w buckets of
+counters; an item's estimate is the MIN over its d bucket counters —
+always an overestimate, bounded by collisions. At 100 TB the sketch
+(d*w counters per partition, merged by addition) replaces a
+full-cardinality groupBy when only heavy hitters matter; here the
+sketch is built relationally (a (salt, bucket) groupBy whose result
+IS the merged sketch — Spark's partial aggregation does the per-
+partition sketching automatically).
+
+Hashing is the engine-portable SHA-prefix arithmetic, so the entire
+sketch — build AND query — is reproduced exactly by the DuckDB oracle:
+estimates are deterministic integers, not approximations-with-noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.tables import load_table
+
+CMS_DEPTH = 4    # hash rows
+CMS_WIDTH = 64   # buckets per row
+
+
+def _bucket(col: Column, salt: str) -> Column:
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(salt), col), 256), 1, 4), 16, 10
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def _sql_bucket(expr: str, salt: str) -> str:
+    h = f"substring(sha256('{salt}' || {expr}), 1, 4)"
+    digit = lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit(i)} * {16 ** (4 - i)}" for i in range(1, 5))
+    return f"(({val}) % {CMS_WIDTH})"
+
+
+@query(
+    "token_count_min_sketch",
+    oracle=f"""
+    WITH hist AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents) u
+      GROUP BY tok
+    ),
+    est AS (
+      SELECT a.tok,
+        least({", ".join(
+            f"(SELECT CAST(SUM(b.cnt) AS BIGINT) FROM hist b"
+            f" WHERE {_sql_bucket('b.tok', f'{i:02d}|')}"
+            f" = {_sql_bucket('a.tok', f'{i:02d}|')})"
+            for i in range(CMS_DEPTH)
+        )}) AS cms_estimate
+      FROM hist a
+    )
+    SELECT h.tok, h.cnt AS exact_cnt, e.cms_estimate
+    FROM hist h JOIN est e ON e.tok = h.tok
+    """,
+)
+def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token counts next to their CMS estimates (est >= exact,
+    equal when the item's buckets are collision-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    estimates = []
+    for i in range(CMS_DEPTH):
+        salt = f"{i:02d}|"
+        # merged sketch row i: bucket -> total count (this IS the CMS row)
+        row = hist.groupBy(_bucket(F.col("tok"), salt).alias("bucket")).agg(
+            F.sum("cnt").alias(f"row_cnt_{i}")
+        )
+        estimates.append(
+            hist.select(
+                "tok", _bucket(F.col("tok"), salt).alias("bucket")
+            ).join(F.broadcast(row), "bucket").select("tok", f"row_cnt_{i}")
+        )
+    est = estimates[0]
+    for other in estimates[1:]:
+        est = est.join(other, "tok")
+    cms = F.least(*[F.col(f"row_cnt_{i}") for i in range(CMS_DEPTH)]).cast("bigint")
+    return (
+        hist.join(est, "tok")
+        .select("tok", F.col("cnt").alias("exact_cnt"), cms.alias("cms_estimate"))
+    )

@@ -174,3 +174,11 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
 
 def test_retrieval_parity(spark, sf_dir):
     assert_parity(spark, "retrieval_topk_docs", sf_dir)
+
+
+def test_cms_parity_and_bounds(spark, sf_dir):
+    assert_parity(spark, "token_count_min_sketch", sf_dir)
+    rows = catalog.QUERIES["token_count_min_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"]  # CMS never undercounts
