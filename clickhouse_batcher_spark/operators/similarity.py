@@ -48,6 +48,14 @@ def _dvec(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan repartitioned to session parallelism: the table
+    arrives as one small parquet file (1-2 splits), which would pin the
+    per-vector fold work (plane dots, cosines) to a couple of cores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dot(a: str, b: str) -> Column:
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
@@ -94,7 +102,7 @@ _SQL_NORM_C = "sqrt(list_sum(list_transform(cv, x -> x * x)))"
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
     )
@@ -263,7 +271,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings(spark, sf_dir)
     base = emb.select("vec_id", _dvec("embedding").alias("v"))
 
     cents_pdf = (
@@ -339,7 +347,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")  # rows-only: recall measured in tests
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings(spark, sf_dir)
     # cache: both join sides read the bucketed frame — without it the
     # 40 hyperplane dot-folds run twice per vector
     base = lsh_buckets(emb.select("vec_id", _dvec("embedding").alias("v"))).cache()
