@@ -51,6 +51,7 @@ def load_all() -> None:
         dedup,
         merge,
         multimodal,
+        profile,
         rangejoin,
         sampling,
         similarity,

@@ -74,3 +74,41 @@ class IdempotentParquetSink(BatchSink):
 
     def count(self, spark: SparkSession) -> int:
         return self.read(spark).agg(F.count(F.lit(1))).collect()[0][0]
+
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Consolidate all committed batch directories into one compacted
+        batch. Micro-batch ingest leaves one small directory per batch;
+        compaction rewrites them as ``target_files`` files under a fresh
+        batch id and retires the old ids — the standard small-files
+        maintenance job, run out-of-band (streaming ingest can continue
+        appending new batch ids meanwhile; only the ids captured at the
+        start are retired).
+
+        Crash-safe ordering: write compacted data, commit its marker,
+        then drop old markers before old data — a crash in between
+        leaves either extra (ignored) data dirs or a fully valid state,
+        never missing rows.
+        """
+        import shutil
+
+        old_ids = self.committed_batches()
+        if not old_ids:
+            return 0
+        new_id = max(old_ids) + 1
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[f"{self.data_dir}/_batch_id={b}" for b in old_ids]
+        )
+        if "_batch_id" in df.columns:
+            df = df.drop("_batch_id")
+        df.coalesce(target_files).write.mode("overwrite").parquet(
+            f"{self.data_dir}/_batch_id={new_id}"
+        )
+        with open(self._marker(new_id), "w") as fh:
+            fh.write("compacted")
+        for b in old_ids:
+            os.remove(self._marker(b))
+        for b in old_ids:
+            shutil.rmtree(f"{self.data_dir}/_batch_id={b}", ignore_errors=True)
+        return new_id

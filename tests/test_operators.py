@@ -182,3 +182,7 @@ def test_cms_parity_and_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["cms_estimate"] >= r["exact_cnt"]  # CMS never undercounts
+
+
+def test_profile_parity(spark, sf_dir):
+    assert_parity(spark, "profile_events", sf_dir)

@@ -166,3 +166,24 @@ def test_rate_source_ingest(spark, tmp_root):
     assert sink.committed_batches(), "no batch flushed by the timer path"
     df = sink.read(spark)
     assert df.count() == df.select("value").distinct().count()  # no dups
+
+
+def test_sink_compaction_preserves_rows(spark, sf_dir, tmp_root):
+    src = f"{tmp_root}/src"
+    schema, total = _write_source_files(spark, sf_dir, src, 6)
+    sink = IdempotentParquetSink(f"{tmp_root}/sink")
+    batcher = MicroBatcher(
+        sink, BatcherConfig(trigger_interval="1 second", max_files_per_trigger=1)
+    )
+    batcher.run_until_drained(batcher.file_source(spark, src, schema), f"{tmp_root}/ckpt")
+    n_batches_before = len(sink.committed_batches())
+    assert n_batches_before >= 6
+
+    new_id = sink.compact(spark, target_files=2)
+    assert sink.committed_batches() == [new_id]
+    assert sink.count(spark) == total  # no loss, no duplication
+    # further ingest resumes after the compacted id
+    assert sink.write_batch(
+        load_table(spark, sf_dir, "events").limit(10), new_id + 1
+    )
+    assert sink.count(spark) == total + 10
