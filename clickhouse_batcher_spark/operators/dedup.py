@@ -483,3 +483,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-detector consensus: pairs flagged by BOTH the Jaccard and the
+# MinHash-LSH detectors. Composing detectors is how production dedup
+# curbs each detector's false positives; relationally it is just an
+# equi-join of the two pair sets (the oracle composes the two
+# detectors' SQL verbatim as CTEs).
+# ---------------------------------------------------------------------------
+def _consensus_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    j = ORACLES["dedup_ngram_jaccard"]
+    m = ORACLES["dedup_minhash_lsh"]
+    return (
+        f"WITH j AS ({j}), m AS ({m}) "
+        "SELECT j.doc_a, j.doc_b, j.jaccard FROM j "
+        "JOIN m ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b"
+    )
+
+
+@query("dedup_consensus", oracle=None)
+def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return jac.join(mh, ["doc_a", "doc_b"])
+
+
+# register the composed oracle after both components exist
+from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_consensus"] = " ".join(_consensus_oracle().split())

@@ -192,3 +192,49 @@ def cleaned_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = train_val_test_split(deduped, "doc_id")
     return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments from exact decimal power sums: mean/variance/
+# stddev derived in double from order-independent exact sums — the
+# only formulation where a distributed engine and a single-threaded
+# oracle agree bit-for-bit (naive sum-of-doubles variance is neither
+# order-stable nor shuffle-stable).
+# ---------------------------------------------------------------------------
+@query(
+    "value_moments_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+      s1 / CAST(n AS DOUBLE) AS mean_value,
+      (s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_value,
+      sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        AS stddev_value
+    FROM s
+    """,
+)
+def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n_d) / (F.col("n") - 1).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / n_d).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )

@@ -37,7 +37,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """If the session still has Spark's stock 200 shuffle partitions
+    (wrong for every local run: 25x over-parallelized per stage), set
+    it to the actual parallelism. Touches nothing a user configured
+    explicitly — 200 is only ever the untouched default."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_session(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects natively. Read it as epoch-nanos LONG and truncate to

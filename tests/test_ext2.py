@@ -145,3 +145,11 @@ def test_operators_tolerate_empty_input(spark, sf_dir):
     assert (
         merge_upsert(events, events.filter("event_id < 0"), ["event_id"]).count() == 5
     )
+
+
+EXT4 = ["dedup_consensus", "value_moments_by_type"]
+
+
+@pytest.mark.parametrize("name", EXT4)
+def test_ext4_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
