@@ -56,6 +56,13 @@ HEADLINE = [
     "quantity_percentiles",
     "docs_split_counts",
     "token_count_bpeish",
+    "events_hourly_gapfill",
+    "value_moments_by_type",
+    "profile_events",
+    "retrieval_topk_docs",
+    "token_count_min_sketch",
+    "range_join_orders_window",
+    "winnow_fingerprints",
 ]
 
 
