@@ -59,11 +59,11 @@ def training_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
-        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP))
         RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
       ) AS DOUBLE) AS rolling_30m_value,
       CAST(COUNT(*) OVER (
-        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        PARTITION BY user_id ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP))
         RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
       ) AS BIGINT) AS rolling_30m_events
     FROM events
@@ -72,8 +72,11 @@ def training_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_range_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range window frame (RANGE BETWEEN INTERVAL): Spark's
     rangeBetween is numeric, so the frame runs over epoch seconds —
-    identical semantics to the oracle's interval frame. Decimal sums
-    keep the rolling values exact under any evaluation order."""
+    which TRUNCATES sub-second precision. The oracle must order over
+    second-truncated timestamps too, or events exactly 30min+epsilon
+    apart land inside Spark's frame but outside the oracle's (bit us
+    at sf0.1: 0.001%% of rows). Decimal sums keep the rolling values
+    exact under any evaluation order."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
