@@ -162,7 +162,7 @@ MAX_SHORT_RATIO = 0.4
       SELECT * FROM scored
       WHERE n_tokens >= {MIN_TOKENS} AND short_ratio <= {MAX_SHORT_RATIO}
     ), deduped AS (
-      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang FROM quality
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang FROM quality
       GROUP BY sha256(text)
     ), split AS (
       SELECT doc_id, lang,
@@ -190,7 +190,7 @@ def cleaned_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = (
         quality.groupBy(F.sha2(F.col("text"), 256))
-        .agg(F.min("doc_id").alias("doc_id"), F.any_value("lang").alias("lang"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
         .select("doc_id", "lang")
     )
     split = train_val_test_split(deduped, "doc_id")
