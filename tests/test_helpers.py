@@ -1,0 +1,64 @@
+"""Coverage for helper functions not exercised via the catalog."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.functions import portable_hash64
+from clickhouse_batcher_spark.operators.dedup import exact_dedup
+from clickhouse_batcher_spark.sinks.delete import delete_where_in_place
+from clickhouse_batcher_spark.tables import load_table
+
+
+def test_delete_where_in_place_rewrites_path(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    events.write.parquet(path)
+    before = spark.read.parquet(path)
+    n_errors = before.filter("event_type = 'error'").count()
+    assert n_errors > 0
+
+    delete_where_in_place(
+        spark.read.parquet(path), F.col("event_type") == "error", path
+    )
+    after = spark.read.parquet(path)
+    assert after.filter("event_type = 'error'").count() == 0
+    assert after.count() == events.count() - n_errors
+
+
+def test_portable_hash64_stable_and_nonnegative(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "s STRING")
+    rows = df.select("s", portable_hash64("s").alias("h")).collect()
+    by_val = {}
+    for r in rows:
+        assert r["h"] >= 0
+        by_val.setdefault(r["s"], set()).add(r["h"])
+    assert all(len(v) == 1 for v in by_val.values())  # stable per value
+    assert by_val["a"] != by_val["b"]
+    # salted variant diverges
+    salted = df.select(portable_hash64("s", salt="x").alias("h")).collect()
+    assert {r["h"] for r in salted} != {r["h"] for r in rows}
+
+
+def test_exact_dedup_generic(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id INT, k STRING"
+    )
+    out = {(r["k"], r["id"]) for r in exact_dedup(df, ["k"], "id").collect()}
+    assert out == {("x", 1), ("y", 3)}
+
+
+def test_cli_list_runs_without_spark():
+    proc = subprocess.run(
+        [sys.executable, "-m", "clickhouse_batcher_spark", "list"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 0
+    assert "tpch_q1  [oracle]" in proc.stdout
+    assert "similarity_ann_lsh  [rows-only]" in proc.stdout
