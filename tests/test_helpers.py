@@ -62,3 +62,36 @@ def test_cli_list_runs_without_spark():
     assert proc.returncode == 0
     assert "tpch_q1  [oracle]" in proc.stdout
     assert "similarity_ann_lsh  [rows-only]" in proc.stdout
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """The spark.sql surface over registered table views."""
+    from clickhouse_batcher_spark.tables import TABLE_NAMES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLE_NAMES:
+        assert spark.sql(f"SELECT COUNT(*) FROM {t}").collect()[0][0] > 0
+    joined = spark.sql(
+        """
+        SELECT r_name, COUNT(*) AS n FROM region
+        JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name
+        """
+    )
+    assert joined.count() == 5
+
+
+def test_catalog_registry_invariants(spark):
+    from clickhouse_batcher_spark import catalog
+
+    catalog.load_all()
+    # every oracle belongs to a registered query
+    assert set(catalog.ORACLES) <= set(catalog.QUERIES)
+    # all callables share the (spark, sf_dir) signature
+    import inspect
+
+    for name, fn in catalog.QUERIES.items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, name
+    # oracle SQL strings are single-statement (no stray semicolons)
+    for name, sql in catalog.ORACLES.items():
+        assert ";" not in sql, name
