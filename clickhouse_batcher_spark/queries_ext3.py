@@ -241,3 +241,40 @@ def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_value"),
         F.sqrt(var).alias("stddev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-record-per-key: the dominant warehouse dedup pattern (keep the
+# newest event per user per day). Total order via (ts, event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "latest_event_per_user_day",
+    oracle="""
+    SELECT user_id, day, event_id, event_type, value FROM (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id",
+            day.alias("day"),
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

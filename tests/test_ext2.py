@@ -153,3 +153,7 @@ EXT4 = ["dedup_consensus", "value_moments_by_type"]
 @pytest.mark.parametrize("name", EXT4)
 def test_ext4_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_latest_event_parity(spark, sf_dir):
+    assert_parity(spark, "latest_event_per_user_day", sf_dir)
