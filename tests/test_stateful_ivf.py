@@ -67,3 +67,63 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # probing 4/16 cells; assert well above the ~25% random-cell floor
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """Kill the stateful query mid-stream; restart from the checkpoint:
+    per-key running totals must end exactly where a single
+    uninterrupted run would."""
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "updates")
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can. Updates append at-least-once — harmless, because the
+        # running counter is monotone and we take the max per user.
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: process at least one batch, then stop mid-stream
+    q = start()
+    deadline = _time.time() + 60
+    while _time.time() < deadline and q.lastProgress is None:
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    # phase 2: restart from the checkpoint, drain fully
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    exp = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == exp  # state carried across the restart exactly
