@@ -37,6 +37,7 @@ TOP_K = 5
 NEARDUP_COS_THRESHOLD = 0.97
 TWIN_ID_OFFSET = 100_000
 TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
+NEARDUP_TILES = 8  # T(T+1)/2 GEMM groups; per-group rows <= 2n/T
 LSH_TABLES = 8  # independent hash tables; candidates = union over tables
 LSH_PLANES = 5  # sign bits per table: 2^5 buckets/table
 LSH_SEED = 42
@@ -158,22 +159,25 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= threshold via blocked matrix multiply.
+    """All-pairs cosine >= threshold via distributed tiled matrix multiply.
 
-    The corpus (normalized float64 matrix) is broadcast to executors;
-    each partition multiplies its block against the broadcast side with
-    BLAS (``Bn @ Mn.T``) inside an Arrow-batched ``mapInPandas`` — the
-    i<j triangle and the threshold are applied vectorized. ~100x
-    faster than a per-pair expression fold: 8M pair scores at sf0.1 in
-    ~1s of GEMM instead of minutes of per-row array allocation.
+    Every vector gets a tile ``vec_id % T``; each row is exploded into
+    its ``T`` unordered tile-pairs ``(ti, tj)`` and the pairs are
+    grouped, so each of the ``T*(T+1)/2`` groups holds exactly the two
+    tiles it must score. The per-group kernel (Arrow-batched
+    ``applyInPandas``) runs one BLAS GEMM of tile-i against tile-j with
+    the ``vec_a < vec_b`` triangle and the threshold applied
+    vectorized. Every unordered vector pair lands in exactly one group,
+    so no pair is scored twice and no dedup shuffle is needed.
 
-    Scale: the broadcast side caps at ~1M x 64 f64 (~0.5 GB); beyond
-    that, block BOTH sides (a blocked cross-join of matrix tiles) or
-    route candidates through ``lsh_buckets``/IVF first — the
-    per-tile kernel stays exactly this GEMM.
+    Nothing is collected to the driver and nothing is broadcast: the
+    corpus moves once through a shuffle with replication factor ``T``
+    (each row to its T groups). Per-group memory is <= 2n/T vectors —
+    size ``NEARDUP_TILES`` so that fits an executor (the replication
+    cost O(n*T) = O(n^2 / tile_rows) is inherent to EXACT all-pairs;
+    beyond ~10M vectors route candidates through ``lsh_buckets``/IVF
+    and keep this GEMM as the per-bucket rerank kernel).
     """
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", _dvec("embedding").alias("v"))
     twins = base.select(
@@ -187,37 +191,52 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(twins)
 
-    pdf = corpus.toPandas()  # broadcast side: n x 64 f64, small
-    ids_all = pdf["vec_id"].to_numpy()
-    mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, mat_n))
+    t = NEARDUP_TILES
+    tiled = (
+        corpus.withColumn("tile", F.pmod(F.col("vec_id"), F.lit(t)).cast("int"))
+        # one copy of the row per tile-pair it participates in; for
+        # other == tile the row lands (once) in its diagonal group
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(t - 1))))
+        .withColumn("ti", F.least("tile", "other"))
+        .withColumn("tj", F.greatest("tile", "other"))
+    )
 
-    def block(batches):
+    def gemm(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids_all, b_mat = bc.value
-        for part in batches:
-            if part.empty:
-                continue
-            ids_b = part["vec_id"].to_numpy()
-            blk = np.asarray(part["v"].tolist(), dtype=np.float64)
-            blk_n = blk / np.linalg.norm(blk, axis=1, keepdims=True)
-            sims = np.round(blk_n @ b_mat.T, 6)
-            mask = (ids_b[:, None] < b_ids_all[None, :]) & (
-                sims >= NEARDUP_COS_THRESHOLD
-            )
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids_b[ai],
-                    "vec_b": b_ids_all[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        if pdf.empty:
+            return empty
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        a = pdf[pdf["tile"] == ti]
+        b = pdf[pdf["tile"] == tj] if tj != ti else a
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.asarray(a["v"].tolist(), dtype=np.float64)
+        mb = (
+            np.asarray(b["v"].tolist(), dtype=np.float64) if tj != ti else ma
+        )
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True) if tj != ti else ma
+        sims = np.round(ma @ mb.T, 6)
+        mask = sims >= NEARDUP_COS_THRESHOLD
+        if ti == tj:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(mask)
+        ia, ib = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cos_sim": sims[ai, bi],
+            }
+        )
 
-    return corpus.mapInPandas(
-        block, schema="vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
+    return tiled.groupBy("ti", "tj").applyInPandas(
+        gemm, schema="vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE"
     )
 
 
