@@ -62,9 +62,11 @@ class BatcherEngine:
         self._lock = threading.Lock()
         # Resume after the sink's last committed batch: a fresh engine
         # writing to an existing sink must NOT reuse batch id 0 — the
-        # ledger would silently skip the new data as a replay.
-        committed = getattr(sink, "committed_batches", None)
-        self._next_batch_id = (max(committed()) + 1) if callable(committed) and committed() else 0
+        # ledger would silently skip the new data as a replay. The hook
+        # is sink-agnostic: JDBC sinks query their ledger table via
+        # ``spark``, file sinks list their marker dir.
+        nbid = getattr(sink, "next_batch_id", None)
+        self._next_batch_id = nbid(spark) if callable(nbid) else 0
         self._timer: threading.Timer | None = None
         self._connected = False
 

@@ -23,6 +23,23 @@ class BatchSink(abc.ABC):
         """Deliver one micro-batch. Returns True if written, False if
         skipped (empty batch or batch_id already delivered)."""
 
+    def next_batch_id(self, spark=None) -> int:
+        """First batch id a fresh producer should use against this sink.
+
+        A producer that restarts over an existing sink must NOT reuse a
+        committed id — the ledger would silently skip the new data as a
+        replay. Default: one past the highest committed id when the
+        sink exposes ``committed_batches()``; 0 for stateless sinks.
+        Sinks whose ledger lives behind a connection (JDBC) override
+        this and use ``spark`` to query it.
+        """
+        committed = getattr(self, "committed_batches", None)
+        if callable(committed):
+            ids = committed()
+            if ids:
+                return max(ids) + 1
+        return 0
+
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``."""
 
@@ -59,3 +76,7 @@ class MultiSink(BatchSink):
             return wrote_any
         finally:
             df.unpersist()
+
+    def next_batch_id(self, spark=None) -> int:
+        """A fresh id must be new to EVERY child ledger."""
+        return max(sink.next_batch_id(spark) for sink in self.sinks)

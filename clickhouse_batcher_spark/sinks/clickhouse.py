@@ -30,7 +30,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.sinks.base import BatchSink
 
@@ -47,7 +48,12 @@ class ClickHouseSinkConfig:
     ping_interval_s: float = 1.0
     query_timeout_s: int = 60    # hashes_test.go:302-304
     compression: str = "lz4"     # hashes_test.go:306-308
+    dial_timeout_s: int = 5      # hashes_test.go:305 DialTimeout
     max_connections: int = 10    # hashes_test.go:311-313 -> numPartitions
+    # ConnMaxLifetime 10 min (hashes_test.go:311-313). Spark JDBC opens
+    # a connection per write task (no long-lived pool), so this is a
+    # pass-through driver option rather than pool management.
+    conn_max_lifetime_s: int = 600
     batch_size: int = 10_000     # hashes.go:68 flush threshold
     ledger_table: str = "batch_ledger"
     extra_options: dict[str, str] = field(default_factory=dict)
@@ -64,6 +70,9 @@ class ClickHouseSinkConfig:
             "numPartitions": str(self.max_connections),
             "queryTimeout": str(self.query_timeout_s),
             "compress_algorithm": self.compression,
+            # clickhouse-jdbc client options take milliseconds
+            "connect_timeout": str(self.dial_timeout_s * 1000),
+            "max_connection_lifetime": str(self.conn_max_lifetime_s * 1000),
         }
         opts.update(self.extra_options)
         return opts
@@ -118,6 +127,21 @@ class ClickHouseSink(BatchSink):
                 self._committed = set()
         return self._committed
 
+    def next_batch_id(self, spark=None) -> int:
+        """Resume point for a fresh producer: one past the ledger max.
+
+        Without this a restarted engine would reuse id 0 and
+        ``write_batch`` would silently skip it as a replay — dropping
+        new data. A ledger read that fails because the *server* is
+        unreachable raises (via ping) rather than defaulting to 0.
+        """
+        if spark is None:
+            return 0
+        if not self._pinged:
+            self.ping(spark)
+        committed = self._load_committed(spark)
+        return max(committed) + 1 if committed else 0
+
     # -- sink -----------------------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
         if not self.config.enabled:
@@ -127,12 +151,19 @@ class ClickHouseSink(BatchSink):
             self.ping(spark)
         if batch_id in self._load_committed(spark):
             return False
+        # Row count observed during the insert (no second source scan);
+        # an empty batch gets no ledger row (hashes.go:79 empty-skip) —
+        # the empty INSERT itself is harmless.
+        obs = Observation()
         (
-            df.write.format("jdbc")
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.format("jdbc")
             .options(**self.config.jdbc_options())
             .mode("append")
             .save()
         )
+        if obs.get["rows"] == 0:
+            return False
         ledger_row = spark.createDataFrame(
             [(int(batch_id),)], "batch_id BIGINT"
         )

@@ -33,12 +33,19 @@ def delete_where_in_place(df: DataFrame, predicate: Column | str, path: str) -> 
     """Materialized delete: rewrite ``path`` without the matching rows.
 
     Two-phase to avoid reading and overwriting the same location in one
-    job: stage to ``path + '.staging'`` then swap. Partition-pruned
-    deployments should instead rewrite only affected partitions.
+    job: stage to ``path + '.staging'``, rename the original aside,
+    rename staging in, and delete the old copy LAST — at every crash
+    point there is a complete copy of the data on disk (``path``,
+    ``.old``, or ``.staging``), never a window with no live data.
+    Partition-pruned deployments should instead rewrite only affected
+    partitions.
     """
     import shutil
 
-    staging = path.rstrip("/") + ".staging"
+    base = path.rstrip("/")
+    staging, old = base + ".staging", base + ".old"
     delete_where(df, predicate).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(staging, path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    shutil.move(base, old)
+    shutil.move(staging, base)
+    shutil.rmtree(old)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.sinks.base import BatchSink
@@ -54,8 +54,21 @@ class IdempotentParquetSink(BatchSink):
             return False  # replay of a committed batch: exactly-once no-op
         batch_dir = f"{self.data_dir}/_batch_id={int(batch_id)}"
         # Overwrite (not append) the single batch partition: heals
-        # partial writes from a crashed earlier attempt.
-        df.write.mode("overwrite").parquet(batch_dir)
+        # partial writes from a crashed earlier attempt. Row count is
+        # observed DURING the write — a pre-write isEmpty() would be a
+        # second scan of the source (and double numInputRows in
+        # streaming metrics).
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
+        if obs.get["rows"] == 0:
+            # reference empty-skip (hashes.go:79): no data, no marker —
+            # the id stays free for a later real batch
+            import shutil
+
+            shutil.rmtree(batch_dir, ignore_errors=True)
+            return False
         with open(self._marker(batch_id), "w") as fh:
             fh.write("committed")
         return True
@@ -86,6 +99,14 @@ class IdempotentParquetSink(BatchSink):
         appending new batch ids meanwhile; only the ids captured at the
         start are retired).
 
+        Compacted batches live in a DISJOINT id space — negative ids
+        counting down from -1. Producers (engine resume, streaming
+        epochs) only ever allocate ids >= 0, so a compaction running
+        concurrently with live ingest can never mint an id the stream
+        is about to use (which would make ``is_committed`` silently
+        swallow that stream batch while its checkpoint advanced —
+        permanent row loss).
+
         Crash-safe ordering: write compacted data, commit its marker,
         then drop old markers before old data — a crash in between
         leaves either extra (ignored) data dirs or a fully valid state,
@@ -96,7 +117,7 @@ class IdempotentParquetSink(BatchSink):
         old_ids = self.committed_batches()
         if not old_ids:
             return 0
-        new_id = max(old_ids) + 1
+        new_id = min(0, min(old_ids)) - 1
         df = spark.read.option("basePath", self.data_dir).parquet(
             *[f"{self.data_dir}/_batch_id={b}" for b in old_ids]
         )

@@ -49,6 +49,11 @@ class BatcherConfig:
 
     trigger_interval: str = "1 second"
     max_batch_rows: int = 10_000
+    # Per-trigger source rate cap. ``None`` means "derive a default":
+    # the file source caps at 1 file per trigger, so with producers
+    # emitting files of <= max_batch_rows rows (the engine's own flush
+    # path does) every micro-batch is size-bounded. Pass an explicit
+    # int to widen, or 0 to disable the cap (unbounded batches).
     max_files_per_trigger: int | None = None
     enabled: bool = True
 
@@ -70,13 +75,17 @@ class MicroBatcher:
         ``maxFilesPerTrigger`` is the file-source form of the
         reference's batch cap: with writers emitting bounded files,
         rows-per-batch is bounded, and an idle source still flushes
-        whatever arrived when the trigger fires (time path).
+        whatever arrived when the trigger fires (time path). The cap
+        defaults ON (1 file/trigger) so the size-or-time flush
+        guarantee (``hashes.go:33-68``) holds without opt-in
+        configuration; ``max_files_per_trigger=0`` disables it.
         """
+        cap = self.config.max_files_per_trigger
+        if cap is None:
+            cap = 1
         reader = spark.readStream.schema(schema)
-        if self.config.max_files_per_trigger is not None:
-            reader = reader.option(
-                "maxFilesPerTrigger", str(self.config.max_files_per_trigger)
-            )
+        if cap:
+            reader = reader.option("maxFilesPerTrigger", str(cap))
         return reader.parquet(path)
 
     def rate_source(self, spark: SparkSession, rows_per_second: int) -> DataFrame:

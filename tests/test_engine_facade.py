@@ -120,6 +120,76 @@ def test_new_engine_on_existing_sink_does_not_lose_data(spark, tmp_path):
     assert eng2.count() == 150  # not 100: second engine's batch landed
 
 
+def test_empty_batch_not_committed(spark, tmp_path):
+    """Reference empty-skip (hashes.go:79): an empty batch writes no
+    data, no marker — the id stays free for a later real batch."""
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    empty = spark.createDataFrame([], SCHEMA)
+    assert sink.write_batch(empty, batch_id=0) is False
+    assert sink.committed_batches() == []
+    full = spark.createDataFrame([_row(1)], SCHEMA)
+    assert sink.write_batch(full, batch_id=0) is True  # id not burned
+
+
+def test_compact_ids_disjoint_from_live_producer(spark, tmp_path):
+    """Regression (round-2 advice): compact() used to mint
+    max(old_ids)+1 — exactly the id a live producer would use next, so
+    that producer's batch was silently skipped as a replay. Compacted
+    batches now live in a negative id space."""
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    eng = BatcherEngine(spark, sink, SCHEMA, EngineConfig(max_batch_rows=10))
+    for i in range(1, 21):
+        eng.save_async(_row(i))  # batches 0 and 1
+    new_id = sink.compact(spark, target_files=1)
+    assert new_id < 0  # disjoint from any producer id
+    # The live engine keeps counting 0,1,2... — its next batch must
+    # land, not be swallowed by a marker compact() just minted.
+    for i in range(21, 31):
+        eng.save_async(_row(i))
+    eng.close()
+    assert eng.count() == 30
+    # A second compaction mints a fresh negative id below the first.
+    assert sink.compact(spark, target_files=1) < new_id
+
+
+def test_clickhouse_next_batch_id_resumes_from_ledger():
+    """Regression (round-2 advice): a fresh engine over an existing
+    ClickHouse ledger must resume past max(batch_id), not restart at 0
+    (write_batch would skip 0 as a replay -> silent data loss)."""
+    from clickhouse_batcher_spark.sinks.clickhouse import (
+        ClickHouseSink,
+        ClickHouseSinkConfig,
+    )
+
+    class FakeReader:
+        def format(self, *_): return self
+        def options(self, **_): return self
+        def load(self): return self
+        def select(self, *_): return self
+        def collect(self): return [(0,), (3,), (2,)]
+
+    class FakeSpark:
+        read = FakeReader()
+
+    sink = ClickHouseSink(ClickHouseSinkConfig())
+    assert sink.next_batch_id(FakeSpark()) == 4
+    # and the engine consumes the hook
+    eng = BatcherEngine(FakeSpark(), sink, SCHEMA, EngineConfig())
+    assert eng._next_batch_id == 4
+
+
+def test_multisink_next_batch_id_covers_every_child(spark, tmp_path):
+    from clickhouse_batcher_spark.sinks.base import MultiSink
+
+    a = IdempotentParquetSink(str(tmp_path / "a"))
+    b = IdempotentParquetSink(str(tmp_path / "b"))
+    df = spark.createDataFrame([_row(1)], SCHEMA)
+    a.write_batch(df, 0)
+    a.write_batch(df, 1)
+    b.write_batch(df, 0)
+    assert MultiSink([a, b]).next_batch_id(spark) == 2
+
+
 def test_clickhouse_ping_retry_then_success(monkeypatch):
     """connect.go:56-64 semantics: up to 4 attempts, then success."""
     from clickhouse_batcher_spark.sinks.clickhouse import (
