@@ -64,9 +64,11 @@ class BatcherEngine:
         # writing to an existing sink must NOT reuse batch id 0 — the
         # ledger would silently skip the new data as a replay. The hook
         # is sink-agnostic: JDBC sinks query their ledger table via
-        # ``spark``, file sinks list their marker dir.
-        nbid = getattr(sink, "next_batch_id", None)
-        self._next_batch_id = nbid(spark) if callable(nbid) else 0
+        # ``spark``, file sinks list their marker dir. Resolution is
+        # DEFERRED to connect()/first flush — construction must stay
+        # side-effect-free (a JDBC sink's ledger read pings the server,
+        # which the reference only does inside Connect, connect.go:38-41).
+        self._next_batch_id: int | None = None
         self._timer: threading.Timer | None = None
         self._connected = False
 
@@ -77,7 +79,17 @@ class BatcherEngine:
         ping = getattr(self.sink, "ping", None)
         if callable(ping):
             ping(self.spark)
+        self._resolve_next_batch_id()
         self._connected = True
+
+    def _resolve_next_batch_id(self) -> int:
+        """Lazily ask the sink for the resume id (idempotent; may touch
+        the sink's ledger, so it runs at connect/first-flush, never at
+        construction)."""
+        if self._next_batch_id is None:
+            nbid = getattr(self.sink, "next_batch_id", None)
+            self._next_batch_id = nbid(self.spark) if callable(nbid) else 0
+        return self._next_batch_id
 
     def up_migrations(self) -> list[int]:
         runner = MigrationRunner(
@@ -109,6 +121,7 @@ class BatcherEngine:
     def flush(self) -> int:
         """Flush the current buffer as one idempotent batch; returns
         rows flushed. Empty buffer is a no-op (hashes.go:79)."""
+        self._resolve_next_batch_id()  # before the lock: may do JDBC I/O
         with self._lock:
             if not self._buffer:
                 return 0
@@ -149,7 +162,7 @@ class BatcherEngine:
         source_path: str,
         checkpoint_dir: str,
         trigger_interval: str = "1 second",
-        max_files_per_trigger: int | None = None,
+        max_files_per_trigger: int | None | str = "auto",
     ):
         batcher = MicroBatcher(
             self.sink,

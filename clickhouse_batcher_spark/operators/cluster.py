@@ -25,53 +25,61 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 
-MAX_ITERATIONS = 20
+MAX_ITERATIONS = 30
+# Truncate lineage every N iterations: each iteration stacks a
+# join+agg on the plan, and on high-diameter graphs (chains) the
+# un-truncated DAG grows until planning dominates or the driver OOMs.
+CHECKPOINT_EVERY = 3
 
 
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component id =
-    min vertex id in the component. Deterministic."""
-    spark = edges.sparkSession
-    # undirected: both directions, plus self-loops so isolated ends keep labels
+    min vertex id in the component. Deterministic.
+
+    Iteration hygiene (round-1/2 advice): ONE action per iteration —
+    the convergence check rides the same job that materializes the new
+    labels (labels only ever decrease, so ``label < old_label`` counts
+    changes) instead of a separate new-vs-old join; and lineage is cut
+    with ``localCheckpoint()`` every ``CHECKPOINT_EVERY`` iterations so
+    a diameter-D graph costs O(D) work, not O(D) plan depth.
+    """
+    # undirected: both directions; every vertex appears as "v"
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
     bwd = edges.select(F.col(dst).alias("v"), F.col(src).alias("u"))
     adj = fwd.unionByName(bwd).distinct().cache()
 
-    labels = (
-        adj.select("v").distinct().withColumn("label", F.col("v")).cache()
-    )
-    for _ in range(MAX_ITERATIONS):
-        # candidate labels: own label + min neighbor label
-        # rename to break the self-join lineage ambiguity
-        lbl = labels.withColumnRenamed("v", "lv")
+    labels = adj.select("v").distinct().withColumn("label", F.col("v")).cache()
+    prev_cached = labels
+    for it in range(MAX_ITERATIONS):
+        lbl = labels.select(F.col("v").alias("lv"), F.col("label").alias("llabel"))
         neighbor_min = (
             adj.join(lbl, F.col("u") == F.col("lv"))
-            .select("v", "label")
             .groupBy("v")
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("llabel").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
+        new_labels = labels.join(neighbor_min, "v", "left").select(
+            "v",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            # eager: materializes AND truncates lineage in one job
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.cache()
+        # single action: materializes the cache/checkpoint and returns
+        # the number of vertices whose label shrank this round
+        changed = new_labels.select(
+            F.sum((F.col("label") < F.col("old_label")).cast("long")).alias("c")
+        ).first()["c"]
+        prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("v", "label")
+        if not changed:
             break
     adj.unpersist()
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))

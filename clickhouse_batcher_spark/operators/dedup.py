@@ -118,13 +118,15 @@ def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 # Shared-shingle memo: the jaccard/minhash/consensus queries all start
 # from the identical (doc_id, shingle) relation; within one session the
 # cached frame is computed once and reused across catalog queries (the
-# driver and bench invoke them back to back). Keyed on the session and
-# sf_dir; entries die with the session.
-_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+# driver and bench invoke them back to back). Keyed on the Spark
+# application id (unique per SparkContext — ``id(spark)`` could be
+# reused after a session is GC'd, silently serving a DataFrame owned by
+# a dead session) plus sf_dir.
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_MEMO.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")

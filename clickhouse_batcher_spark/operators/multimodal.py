@@ -6,7 +6,7 @@ metadata — the reference's nullable ``msg []byte`` column
 video blobs. Since no media libraries exist in this container, the
 *decode* step is a deterministic fake behind the real Spark plumbing
 (``mapInPandas`` with Arrow batches, explicit output schema, partition
--preserving) — swap ``_fake_decode_batch`` for a PIL/librosa call and
+-preserving) — swap the nested ``fake_decode`` for a PIL/librosa call and
 nothing else changes.
 
 The synthetic media table derives deterministically from
@@ -112,27 +112,34 @@ DECODE_SCHEMA = (
 )
 
 
-def _fake_decode_batch(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a media decoder.
-
-    A real deployment replaces this with PIL/torchvision/librosa frame
-    or spectrogram features; the container has no media libs, so the
-    "features" are a stable byte-statistics vector. Raising
-    NotImplementedError here would poison every downstream test, so a
-    deterministic fake is used instead — the Spark-side contract
-    (schema, batching, distribution) is what's under test.
-    """
-    n = len(payload)
-    if n == 0:
-        return [0.0] * FEATURE_DIM
-    step = max(1, n // FEATURE_DIM)
-    feats = [float(sum(payload[i : i + step]) % 997) for i in range(0, n, step)]
-    feats = feats[:FEATURE_DIM]
-    return feats + [0.0] * (FEATURE_DIM - len(feats))
-
-
 def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode: payload bytes -> fixed-dim feature vector."""
+    """Arrow-batched decode: payload bytes -> fixed-dim feature vector.
+
+    The decode kernel is a deterministic stand-in for a media decoder:
+    a real deployment swaps it for PIL/torchvision/librosa frame or
+    spectrogram features (this container has no media libs; raising
+    NotImplementedError would poison every downstream test). The
+    Spark-side contract — schema, Arrow batching, distribution — is
+    the real, swappable part.
+
+    Both functions are NESTED so cloudpickle serializes them BY VALUE:
+    a module-level helper would pickle by reference and require the
+    ``clickhouse_batcher_spark`` package to be importable on executor
+    Python workers, which the driver contract does not guarantee
+    (round-3 verify caught exactly that ModuleNotFoundError).
+    """
+    feature_dim = FEATURE_DIM
+
+    def fake_decode(payload: bytes) -> list[float]:
+        n = len(payload)
+        if n == 0:
+            return [0.0] * feature_dim
+        step = max(1, n // feature_dim)
+        feats = [
+            float(sum(payload[i : i + step]) % 997) for i in range(0, n, step)
+        ]
+        feats = feats[:feature_dim]
+        return feats + [0.0] * (feature_dim - len(feats))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,7 +148,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(_fake_decode_batch),
+                    "features": pdf["payload"].map(fake_decode),
                 }
             )
 

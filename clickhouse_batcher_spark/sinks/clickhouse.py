@@ -50,10 +50,11 @@ class ClickHouseSinkConfig:
     compression: str = "lz4"     # hashes_test.go:306-308
     dial_timeout_s: int = 5      # hashes_test.go:305 DialTimeout
     max_connections: int = 10    # hashes_test.go:311-313 -> numPartitions
-    # ConnMaxLifetime 10 min (hashes_test.go:311-313). Spark JDBC opens
-    # a connection per write task (no long-lived pool), so this is a
-    # pass-through driver option rather than pool management.
-    conn_max_lifetime_s: int = 600
+    # ConnMaxLifetime 1 h (hashes_test.go:311-313 sets time.Hour).
+    # Spark JDBC opens a connection per write task (no long-lived
+    # pool), so this is a pass-through driver option rather than pool
+    # management.
+    conn_max_lifetime_s: int = 3600
     batch_size: int = 10_000     # hashes.go:68 flush threshold
     ledger_table: str = "batch_ledger"
     extra_options: dict[str, str] = field(default_factory=dict)
@@ -72,7 +73,10 @@ class ClickHouseSinkConfig:
             "compress_algorithm": self.compression,
             # clickhouse-jdbc client options take milliseconds
             "connect_timeout": str(self.dial_timeout_s * 1000),
-            "max_connection_lifetime": str(self.conn_max_lifetime_s * 1000),
+            # clickhouse-jdbc pooled-connection time-to-live (ms). The
+            # v2 driver's documented key; older drivers ignore unknown
+            # keys rather than erroring, so passing it is safe.
+            "connection_ttl": str(self.conn_max_lifetime_s * 1000),
         }
         opts.update(self.extra_options)
         return opts
@@ -134,8 +138,12 @@ class ClickHouseSink(BatchSink):
         ``write_batch`` would silently skip it as a replay — dropping
         new data. A ledger read that fails because the *server* is
         unreachable raises (via ping) rather than defaulting to 0.
+
+        A disabled sink never writes (the reference gate, connect.go:
+        28-36 / hashes.go:12-15, makes the whole pipeline inert), so it
+        must stay side-effect-free here too — no ping, no JDBC traffic.
         """
-        if spark is None:
+        if spark is None or not self.config.enabled:
             return 0
         if not self._pinged:
             self.ping(spark)

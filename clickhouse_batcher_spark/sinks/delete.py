@@ -44,8 +44,35 @@ def delete_where_in_place(df: DataFrame, predicate: Column | str, path: str) -> 
 
     base = path.rstrip("/")
     staging, old = base + ".staging", base + ".old"
+    _recover_interrupted_swap(base, old)
     delete_where(df, predicate).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    shutil.rmtree(old, ignore_errors=True)  # stale copy; base is live
     shutil.move(base, old)
     shutil.move(staging, base)
     shutil.rmtree(old)
+
+
+def _recover_interrupted_swap(base: str, old: str) -> None:
+    """Crash recovery: a run that died between ``move(base, old)`` and
+    ``move(staging, base)`` left the sole complete copy at ``.old`` —
+    restore it rather than letting the next rewrite delete it as
+    leftover garbage (or fail on the missing base)."""
+    import os
+    import shutil
+
+    if not os.path.exists(base) and os.path.exists(old):
+        shutil.move(old, base)
+
+
+def delete_where_at(spark, predicate: Column | str, path: str) -> None:
+    """Self-rewrite entry point: recover any interrupted swap FIRST,
+    then read ``path`` and rewrite it without the matching rows.
+
+    Callers rewriting a table in place should prefer this over
+    constructing the DataFrame themselves — after a mid-swap crash the
+    base dir may not exist until recovery runs, and ``spark.read``
+    resolves (and fails on) the path eagerly.
+    """
+    base = path.rstrip("/")
+    _recover_interrupted_swap(base, base + ".old")
+    delete_where_in_place(spark.read.parquet(base), predicate, path)

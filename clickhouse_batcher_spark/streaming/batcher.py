@@ -49,12 +49,15 @@ class BatcherConfig:
 
     trigger_interval: str = "1 second"
     max_batch_rows: int = 10_000
-    # Per-trigger source rate cap. ``None`` means "derive a default":
-    # the file source caps at 1 file per trigger, so with producers
-    # emitting files of <= max_batch_rows rows (the engine's own flush
-    # path does) every micro-batch is size-bounded. Pass an explicit
-    # int to widen, or 0 to disable the cap (unbounded batches).
-    max_files_per_trigger: int | None = None
+    # Per-trigger source rate cap. ``"auto"`` (the default) caps the
+    # file source at 1 file per trigger: with producers emitting files
+    # of <= max_batch_rows rows (the engine's own flush path does),
+    # every micro-batch is size-bounded, preserving the reference's
+    # size-or-time flush guarantee without opt-in configuration. Pass
+    # an explicit int to widen, or ``None``/``0`` for no cap
+    # (unbounded catch-up batches — ``None`` keeps its original
+    # "uncapped" meaning for existing callers).
+    max_files_per_trigger: int | None | str = "auto"
     enabled: bool = True
 
 
@@ -76,16 +79,17 @@ class MicroBatcher:
         reference's batch cap: with writers emitting bounded files,
         rows-per-batch is bounded, and an idle source still flushes
         whatever arrived when the trigger fires (time path). The cap
-        defaults ON (1 file/trigger) so the size-or-time flush
-        guarantee (``hashes.go:33-68``) holds without opt-in
-        configuration; ``max_files_per_trigger=0`` disables it.
+        defaults ON (``"auto"`` = 1 file/trigger) so the size-or-time
+        flush guarantee (``hashes.go:33-68``) holds without opt-in
+        configuration; ``max_files_per_trigger=None`` (or 0) disables
+        it for unbounded catch-up reads.
         """
         cap = self.config.max_files_per_trigger
-        if cap is None:
+        if cap == "auto":
             cap = 1
         reader = spark.readStream.schema(schema)
         if cap:
-            reader = reader.option("maxFilesPerTrigger", str(cap))
+            reader = reader.option("maxFilesPerTrigger", str(int(cap)))
         return reader.parquet(path)
 
     def rate_source(self, spark: SparkSession, rows_per_second: int) -> DataFrame:

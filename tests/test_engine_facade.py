@@ -173,9 +173,38 @@ def test_clickhouse_next_batch_id_resumes_from_ledger():
 
     sink = ClickHouseSink(ClickHouseSinkConfig())
     assert sink.next_batch_id(FakeSpark()) == 4
-    # and the engine consumes the hook
-    eng = BatcherEngine(FakeSpark(), sink, SCHEMA, EngineConfig())
+    # The engine consumes the hook LAZILY (round-3 advice): construction
+    # must be side-effect-free — no JDBC ping until connect/first flush.
+    class ExplodingSpark:
+        @property
+        def read(self):
+            raise AssertionError("engine construction touched the sink")
+
+    eng = BatcherEngine(ExplodingSpark(), sink, SCHEMA, EngineConfig())
+    assert eng._next_batch_id is None
+    eng.spark = FakeSpark()
+    assert eng._resolve_next_batch_id() == 4
     assert eng._next_batch_id == 4
+
+
+def test_clickhouse_disabled_sink_is_inert_on_resume():
+    """Round-3 advice: a disabled sink (connect.go:28-36 gate) must not
+    ping or read its ledger from next_batch_id — it never writes, so
+    its resume point is trivially 0 and construction stays offline."""
+    from clickhouse_batcher_spark.sinks.clickhouse import (
+        ClickHouseSink,
+        ClickHouseSinkConfig,
+    )
+
+    class ExplodingSpark:
+        @property
+        def read(self):
+            raise AssertionError("disabled sink performed JDBC I/O")
+
+    sink = ClickHouseSink(ClickHouseSinkConfig(enabled=False))
+    assert sink.next_batch_id(ExplodingSpark()) == 0
+    eng = BatcherEngine(ExplodingSpark(), sink, SCHEMA, EngineConfig())
+    assert eng._resolve_next_batch_id() == 0
 
 
 def test_multisink_next_batch_id_covers_every_child(spark, tmp_path):

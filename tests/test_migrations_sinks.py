@@ -77,7 +77,8 @@ def test_clickhouse_sink_gate_and_options(spark, sf_dir):
     assert opts["numPartitions"] == "10"  # hashes_test.go:311-313
     assert opts["isolationLevel"] == "NONE"
     assert opts["connect_timeout"] == "5000"  # hashes_test.go:305 DialTimeout 5s
-    assert opts["max_connection_lifetime"] == "600000"  # hashes_test.go:311-313
+    # hashes_test.go:311-313 sets ConnMaxLifetime(time.Hour) = 3600 s
+    assert opts["connection_ttl"] == "3600000"
 
 
 def test_readers_roundtrip(spark, sf_dir, tmp_path):

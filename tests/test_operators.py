@@ -172,6 +172,52 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert got == expected
 
 
+def test_connected_components_chain_graph_terminates(spark):
+    """Round-3 advice: a diameter-15 chain (worst case for min-label
+    propagation — one hop per iteration) must converge to a single
+    component without lineage blowup (localCheckpoint every few
+    iterations keeps the plan bounded)."""
+    from clickhouse_batcher_spark.operators.cluster import connected_components
+
+    n = 16  # chain 0-1-2-...-15, diameter 15
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["vertex"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_shingle_memo_keyed_on_application_id(spark):
+    """Round-3 advice: the memo key must be the Spark applicationId
+    (unique per context), not id(spark) — a recycled id() could serve a
+    cached DataFrame owned by a dead session."""
+    from clickhouse_batcher_spark.operators import dedup
+
+    live_key = (spark.sparkContext.applicationId, "/fake/sf")
+    stale_key = ("app-some-other-session", "/fake/sf")
+    live_sentinel, stale_sentinel = object(), object()
+    dedup._SHINGLE_MEMO[live_key] = live_sentinel
+    dedup._SHINGLE_MEMO[stale_key] = stale_sentinel
+    try:
+        # the live session gets its own entry...
+        assert dedup._shingles_cached(spark, "/fake/sf") is live_sentinel
+
+        # ...and a different session, even at the same sf_dir, resolves
+        # to ITS entry — never the other session's.
+        class _FakeSC:
+            applicationId = "app-some-other-session"
+
+        class _FakeSpark:
+            sparkContext = _FakeSC()
+
+        assert dedup._shingles_cached(_FakeSpark(), "/fake/sf") is stale_sentinel
+    finally:
+        del dedup._SHINGLE_MEMO[live_key]
+        del dedup._SHINGLE_MEMO[stale_key]
+
+
 def test_retrieval_parity(spark, sf_dir):
     assert_parity(spark, "retrieval_topk_docs", sf_dir)
 
