@@ -37,12 +37,27 @@ TOP_K = 5
 NEARDUP_COS_THRESHOLD = 0.97
 TWIN_ID_OFFSET = 100_000
 TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
-NEARDUP_TILES = 8  # T(T+1)/2 GEMM groups; per-group rows <= 2n/T
+# Tiling factor for the exact all-pairs GEMM (embedding_neardup).
+# Sizing: T(T+1)/2 GEMM groups; each group holds <= 2n/T vectors, so
+# per-task memory ~ 2n/T * dim * 8 bytes (plus the n/T x n/T float64
+# score block: (n/T)^2 * 8). Shuffle replication is O(n*T) rows.
+# Pick the smallest T whose group fits comfortably in an executor:
+#   n=1M, dim=64 -> T=32: ~0.5 GB scores + 32 MB vectors per task.
+# Raising T shrinks per-task memory linearly but grows shuffle volume
+# linearly and task count quadratically — results are T-invariant
+# (tested), so T is purely a memory/parallelism knob.
+NEARDUP_TILES = 8
 LSH_TABLES = 8  # independent hash tables; candidates = union over tables
 LSH_PLANES = 5  # sign bits per table: 2^5 buckets/table
 LSH_SEED = 42
 IVF_CELLS = 16
-IVF_NPROBE = 4
+IVF_NPROBE = 8
+# Soft assignment: each corpus vector is indexed into its IVF_ASSIGN
+# nearest cells (index replication factor A). On clustered corpora A=1
+# suffices; on near-isotropic data (this synthetic fixture) recall is
+# bounded by candidate coverage, and multi-assign buys coverage at A x
+# index size instead of probing every cell.
+IVF_ASSIGN = 2
 
 
 def _dvec(col: str) -> Column:
@@ -302,30 +317,106 @@ def lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
     return df.mapInPandas(assign, schema=schema)
 
 
+IVF_LLOYD_ITERS = 3
+
+
+def _kmeans_centroids(
+    base: DataFrame,
+    k: int = IVF_CELLS,
+    iters: int = IVF_LLOYD_ITERS,
+    seed: int = LSH_SEED,
+):
+    """Seeded distributed Lloyd k-means on the unit sphere.
+
+    - **init**: deterministic k-vector sample — order by
+      ``xxhash64(vec_id, seed)`` and take k (a seeded shuffle, so the
+      init is corpus-order-independent; ``limit(k)`` moves k rows, not
+      the corpus).
+    - **assign**: one numpy GEMM per Arrow batch against the broadcast
+      centroid matrix (the same kernel shape as bucket assignment) —
+      executors never see more than a batch.
+    - **update**: each batch emits per-cell partial (sum, count) rows —
+      at most k rows per batch — and the driver combines them; driver
+      traffic is O(k * partitions), never O(n). Empty cells keep their
+      previous centroid. Centroids are re-normalized each round
+      (spherical k-means: argmax cosine == argmax dot on unit vectors).
+
+    Runs ``iters`` fixed rounds (one Spark job each): near-optimal
+    cells are not the goal — stable, data-shaped centroids are, and
+    2-3 rounds from a seeded sample gets there for recall purposes.
+    """
+    import numpy as np
+
+    spark = base.sparkSession
+    init_pdf = (
+        base.withColumn("r", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("r", "vec_id")
+        .limit(k)
+        .toPandas()
+    )
+    cents = np.asarray(init_pdf["v"].tolist(), dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        bc_c = spark.sparkContext.broadcast(cents)
+
+        def partial(batches):
+            import pandas as pd
+
+            c = bc_c.value
+            for part in batches:
+                if part.empty:
+                    continue
+                mat = np.asarray(part["v"].tolist(), dtype=np.float64)
+                mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cells = np.argmax(mat_n @ c.T, axis=1)
+                rows = [
+                    (
+                        int(cell),
+                        mat_n[cells == cell].sum(axis=0).tolist(),
+                        int((cells == cell).sum()),
+                    )
+                    for cell in np.unique(cells)
+                ]
+                yield pd.DataFrame(rows, columns=["cell", "s", "n"])
+
+        partials = base.mapInPandas(
+            partial, schema="cell INT, s ARRAY<DOUBLE>, n BIGINT"
+        ).collect()  # bounded: <= k rows per input batch
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for row in partials:
+            sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+            counts[row["cell"]] += row["n"]
+        occupied = counts > 0
+        new_cents = cents.copy()
+        new_cents[occupied] = sums[occupied] / counts[occupied, None]
+        new_cents /= np.linalg.norm(new_cents, axis=1, keepdims=True)
+        cents = new_cents
+    return cents
+
+
 @query("similarity_ann_ivf")  # rows-only: recall measured in tests
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted-file cells
-    around deterministic centroids; queries probe their ``IVF_NPROBE``
+    around k-means centroids; queries probe their ``IVF_NPROBE``
     nearest cells and rerank exactly within them.
 
-    Centroids here are the normalized first ``IVF_CELLS`` vectors (a
-    deterministic stand-in for a k-means pass — at scale run a few
-    seeded Lloyd iterations on a sample; the operator shape is
-    identical). Assignment and probing are numpy GEMMs over a
-    broadcast centroid matrix inside mapInPandas; the cell equi-join
-    replaces the all-pairs scan: O(n/cells * nprobe) candidates per
-    query.
+    Centroids come from ``_kmeans_centroids`` — a seeded sample
+    refined by ``IVF_LLOYD_ITERS`` distributed Lloyd rounds (replacing
+    the round-1/2 "first 16 vectors" stand-in). Assignment and probing
+    are numpy GEMMs over a broadcast centroid matrix inside
+    mapInPandas; the cell equi-join replaces the all-pairs scan:
+    O(n/cells * nprobe) candidates per query.
     """
     import numpy as np
 
     emb = _embeddings(spark, sf_dir)
-    base = emb.select("vec_id", _dvec("embedding").alias("v"))
+    # cached: scanned by k-means init, each Lloyd round, assignment and
+    # probing — without it every pass re-reads and re-casts the parquet
+    base = emb.select("vec_id", _dvec("embedding").alias("v")).cache()
 
-    cents_pdf = (
-        base.filter(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").toPandas()
-    )
-    cents = np.asarray(cents_pdf["v"].tolist(), dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _kmeans_centroids(base)
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
@@ -337,9 +428,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.asarray(part["v"].tolist(), dtype=np.float64)
             mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cells = np.argmax(mat_n @ c.T, axis=1)
+            # soft assignment: top-IVF_ASSIGN cells per vector
+            order = np.argsort(-(mat_n @ c.T), axis=1)[:, :IVF_ASSIGN]
             yield pd.DataFrame(
-                {"vec_id": part["vec_id"], "v": part["v"], "cell": cells}
+                {
+                    "vec_id": part["vec_id"].to_numpy().repeat(IVF_ASSIGN),
+                    "v": part["v"].to_numpy().repeat(IVF_ASSIGN),
+                    "cell": order.reshape(-1),
+                }
             )
 
     assigned = base.mapInPandas(

@@ -47,6 +47,23 @@ def test_neardup_detectors_find_planted_twins(spark, sf_dir):
     assert emb.filter(F.col("vec_b") == F.col("vec_a") + 100_000).count() > 0
 
 
+def test_embedding_neardup_tile_invariance(spark, sf_dir, monkeypatch):
+    """NEARDUP_TILES is a memory/parallelism knob only: every unordered
+    pair lands in exactly one tile-pair group for ANY T, so the result
+    set must be identical across tile counts (round-3 advice)."""
+    from clickhouse_batcher_spark.operators import similarity as S
+
+    results = {}
+    for tiles in (3, 8):
+        monkeypatch.setattr(S, "NEARDUP_TILES", tiles)
+        results[tiles] = {
+            (r["vec_a"], r["vec_b"], round(r["cos_sim"], 6))
+            for r in catalog.QUERIES["embedding_neardup"](spark, sf_dir).collect()
+        }
+    assert results[3]  # twins guarantee a non-empty result
+    assert results[3] == results[8]
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """The LSH path is approximate: measure top-5 recall against the
     brute-force baseline (rows-only op — this is its correctness

@@ -56,17 +56,24 @@ def test_running_user_totals_across_batches(spark, sf_dir, tmp_path):
         assert abs(got[uid][1] - exp[uid][1]) < 1e-6, uid
 
 
-def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize("fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_recall_vs_bruteforce(spark, fixture_dir):
+    """K-means centroids (seeded Lloyd) + soft assignment (IVF_ASSIGN=2)
+    + nprobe=8: measured 0.92 / 0.96 recall on the two fixtures (the
+    corpus is near-isotropic, so recall is candidate-coverage-bound —
+    multi-assign is what buys coverage without probing every cell)."""
     exact = {
         (r["query_id"], r["neighbor_id"])
-        for r in catalog.QUERIES["similarity_topk"](spark, sf_dir).collect()
+        for r in catalog.QUERIES["similarity_topk"](spark, fixture_dir).collect()
     }
-    approx_rows = catalog.QUERIES["similarity_ann_ivf"](spark, sf_dir).collect()
+    approx_rows = catalog.QUERIES["similarity_ann_ivf"](spark, fixture_dir).collect()
     approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     assert approx
     recall = len(exact & approx) / len(exact)
-    # probing 4/16 cells; assert well above the ~25% random-cell floor
-    assert recall >= 0.3, f"recall {recall}"
+    assert recall >= 0.92, f"recall {recall}"
 
 
 def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
