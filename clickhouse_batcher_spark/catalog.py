@@ -48,6 +48,7 @@ def load_all() -> None:
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
         cluster,
+        corpus,
         dedup,
         merge,
         multimodal,

@@ -296,38 +296,46 @@ WINNOW_W = 16  # window: guarantees a shared fingerprint for any match
     """,
 )
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """In-row winnowing: ZERO shuffles (round-3 plan improvement).
 
+    All k-grams of a doc derive from one source row, so the whole
+    pipeline stays in per-row array expressions: build the (hash ||
+    padded-position) key array once (one sha2 per gram, hoisted out of
+    the window step), take the sliding-window min with
+    ``array_min(slice(keys, i, w))``, and dedup per doc with
+    ``array_distinct`` — within-doc dedup makes output rows unique, so
+    no global ``distinct`` either. The previous formulation exploded
+    to (doc, pos) rows and paid a full shuffle+sort for the window
+    plus a second shuffle for DISTINCT; this one moves no rows at all.
+    Per-row memory is O(n_chars * 24 B) for the key array — fine for
+    document-sized text; for multi-MB blobs switch back to the
+    exploded window-min form, which bounds memory at O(w).
+    """
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     norm = docs.select(
         "doc_id",
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("t"),
-    ).filter(F.length("t") >= WINNOW_K)
-    grams = norm.select(
+    ).filter(
+        # need n_grams = len-K+1 >= W for any window to exist
+        F.length("t") >= WINNOW_K + WINNOW_W - 1
+    )
+    keyed = norm.select(
         "doc_id",
-        (F.length("t") - WINNOW_K + 1).alias("n_grams"),
-        F.explode(F.sequence(F.lit(1), F.length("t") - WINNOW_K + 1)).alias("i"),
-        "t",
-    ).select(
+        F.expr(
+            f"transform(sequence(1, length(t) - {WINNOW_K} + 1), "
+            f"i -> concat(substring(sha2(substring(t, i, {WINNOW_K}), 256), 1, 16), "
+            f"lpad(cast(i as string), 8, '0')))"
+        ).alias("keys"),
+    )
+    return keyed.select(
         "doc_id",
-        "n_grams",
-        "i",
-        F.concat(
-            F.substring(F.sha2(F.expr(f"substring(t, i, {WINNOW_K})"), 256), 1, 16),
-            F.lpad(F.col("i").cast("string"), 8, "0"),
-        ).alias("key"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    win = grams.select(
-        "doc_id", "i", "n_grams", F.min("key").over(w).alias("min_key")
-    )
-    return (
-        win.filter(F.col("i") <= F.col("n_grams") - WINNOW_W + 1)
-        .select("doc_id", F.substring("min_key", 1, 16).alias("fp"))
-        .distinct()
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(keys) - {WINNOW_W} + 1), "
+                    f"i -> substring(array_min(slice(keys, i, {WINNOW_W})), 1, 16))"
+                )
+            )
+        ).alias("fp"),
     )

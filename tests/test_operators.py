@@ -24,6 +24,8 @@ ORACLED = [
     "media_metadata",
     "media_frame_sample",
     "asof_events_orders",
+    "chunk_documents",
+    "docs_rare_token_ratio",
 ]
 
 
@@ -45,6 +47,36 @@ def test_neardup_detectors_find_planted_twins(spark, sf_dir):
 
     emb = catalog.QUERIES["embedding_neardup"](spark, sf_dir)
     assert emb.filter(F.col("vec_b") == F.col("vec_a") + 100_000).count() > 0
+
+
+def test_chunk_documents_invariants(spark, sf_dir):
+    """Chunking contract: contiguous chunk_idx from 0; every chunk has
+    1..CHUNK_TOKENS tokens (docs are non-empty); consecutive chunk
+    starts are CHUNK_STRIDE apart so coverage has CHUNK-STRIDE token
+    overlap; the chunk count matches 1+ceil(max(0, n-CHUNK)/STRIDE)."""
+    import math
+
+    from clickhouse_batcher_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    chunks = {}
+    for r in catalog.QUERIES["chunk_documents"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["n_chunk_tokens"]
+    n_toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in catalog.QUERIES["text_stats"](spark, sf_dir).collect()
+    }
+    assert set(chunks) == set(n_toks)
+    for doc_id, by_idx in chunks.items():
+        n = n_toks[doc_id]
+        expected_chunks = 1 + math.ceil(max(0, n - CHUNK_TOKENS) / CHUNK_STRIDE)
+        assert sorted(by_idx) == list(range(expected_chunks)), doc_id
+        for idx, clen in by_idx.items():
+            start = idx * CHUNK_STRIDE  # 0-based
+            assert clen == min(CHUNK_TOKENS, n - start), (doc_id, idx)
+            assert 1 <= clen <= CHUNK_TOKENS, (doc_id, idx)
 
 
 def test_embedding_neardup_tile_invariance(spark, sf_dir, monkeypatch):
