@@ -569,3 +569,65 @@ def retrieval_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", "cos_sim", "rank", "neighbor_lang", "neighbor_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization: the storage/serving compression step of an
+# embedding pipeline (4x smaller vectors; ANN rerank reads fp32 only
+# for finalists). Symmetric per-vector scale = max|x| / 127; rounding
+# is floor(x/scale + 0.5) — half-up, branch-free, and bit-identical in
+# Spark and DuckDB (both evaluate the same IEEE-double expression per
+# element, no aggregation order involved), unlike round(), whose
+# half-even/half-up behavior differs across engines. Pure per-row
+# column expressions: zero shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+QUANT_LEVELS = 127
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / {QUANT_LEVELS}.0 AS scale
+      FROM base
+    )
+    SELECT vec_id, scale,
+      array_to_string(list_transform(v, x ->
+        CAST(CASE WHEN scale = 0 THEN 0
+                  ELSE floor(x / scale + 0.5) END AS BIGINT)), ',') AS q_csv,
+      CASE WHEN scale = 0 THEN 0.0
+           ELSE list_max(list_transform(v, x ->
+                  abs(x - floor(x / scale + 0.5) * scale))) END AS max_abs_err
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, scale, q_csv, max_abs_err): int8 codes serialized as a
+    CSV string (portable across the value-hash gate; a production sink
+    would keep ARRAY<TINYINT>), plus the per-vector reconstruction
+    error, which quantization theory bounds by scale/2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _dvec("embedding").alias("v"))
+    s = base.select(
+        "vec_id",
+        "v",
+        (
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+            / float(QUANT_LEVELS)
+        ).alias("scale"),
+    )
+    return s.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "array_join(transform(v, x -> cast(cast("
+            "CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale + 0.5) END"
+            " AS BIGINT) AS STRING)), ',')"
+        ).alias("q_csv"),
+        F.expr(
+            "CASE WHEN scale = 0 THEN 0.0 ELSE array_max(transform(v, "
+            "x -> abs(x - floor(x / scale + 0.5) * scale))) END"
+        ).alias("max_abs_err"),
+    )

@@ -26,6 +26,7 @@ ORACLED = [
     "asof_events_orders",
     "chunk_documents",
     "docs_rare_token_ratio",
+    "embedding_quantize_int8",
 ]
 
 
@@ -47,6 +48,18 @@ def test_neardup_detectors_find_planted_twins(spark, sf_dir):
 
     emb = catalog.QUERIES["embedding_neardup"](spark, sf_dir)
     assert emb.filter(F.col("vec_b") == F.col("vec_a") + 100_000).count() > 0
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    """Quantization contract: codes fit int8 ([-127, 127]) and the
+    reconstruction error respects the half-step bound scale/2."""
+    rows = catalog.QUERIES["embedding_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r["q_csv"].split(",")]
+        assert len(codes) == 64
+        assert all(-127 <= c <= 127 for c in codes), r["vec_id"]
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12, r["vec_id"]
 
 
 def test_chunk_documents_invariants(spark, sf_dir):
