@@ -150,3 +150,72 @@ def docs_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rare_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share n-gram
+# shingles with an evaluation/benchmark set — the step that keeps eval
+# data out of a training corpus. The benchmark set here is the
+# deterministic slice doc_id % 29 == 0 (a stand-in for "docs matching
+# the benchmark index"; swap the predicate for a real benchmark join).
+#
+# Scale: the benchmark shingle set is small by nature (benchmarks are
+# thousands of docs, corpora billions), so the contamination check is
+# a broadcast semi-structure: shingle equi-join against the broadcast
+# benchmark set, then a per-doc count — no all-pairs anything.
+# ---------------------------------------------------------------------------
+CONTAM_BENCH_MOD = 29     # benchmark membership: doc_id % 29 == 0
+CONTAM_MIN_SHARED = 2     # shared distinct shingles => contaminated
+
+
+@query(
+    "decontaminate_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+          AS shingle
+      FROM t WHERE len(tokens) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shared,
+           COUNT(*) >= {CONTAM_MIN_SHARED} AS contaminated
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train_doc_id, n_shared_shingles, contaminated) for every train
+    doc sharing at least one 3-token shingle with the benchmark slice.
+    Per-doc shingles are distinct and the benchmark set is distinct,
+    so the join has multiplicity 1 and COUNT(*) counts shared DISTINCT
+    shingles."""
+    from clickhouse_batcher_spark.operators.dedup import shingle_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_set(
+        docs.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id", tokens("text").alias("tokens")
+        )
+    ).cache()
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shared",
+        (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
+    )

@@ -27,6 +27,7 @@ ORACLED = [
     "chunk_documents",
     "docs_rare_token_ratio",
     "embedding_quantize_int8",
+    "decontaminate_docs",
 ]
 
 
