@@ -92,13 +92,17 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_consensus",
-    "orders_grouping_sets",
-    "events_pivot_by_type",
-    "user_sessions",
-    "events_analytics_window",
-    "parts_with_heavy_lineitems",
-    "docs_split_counts",
+    # --- new round-3 oracled operators: first driver check ---
+    "chunk_documents",
+    "docs_rare_token_ratio",
+    "decontaminate_docs",
+    "embedding_quantize_int8",
+    "bm25_retrieval_topk",
+    "quality_filter_gopher",
 ]
+# Demoted this round to make room (all green in r1+r2, pytest parity
+# retained): orders_grouping_sets, events_pivot_by_type, user_sessions,
+# events_analytics_window, parts_with_heavy_lineitems, docs_split_counts.
 
 
 def _ordered(mapping: dict) -> dict:

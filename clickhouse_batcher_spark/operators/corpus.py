@@ -219,3 +219,243 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval: score every document against a fixed query
+# term set and keep the global top-k. The classic sparse-retrieval
+# operator of a RAG / data-curation pipeline (the lexical complement
+# of the dense retrieval in operators/similarity.py).
+#
+# Plan shape (scale-first): per-term tf is an in-row array scan (zero
+# shuffle); the corpus statistics (N, avgdl, per-term df) reduce to ONE
+# row via a map-side-combined aggregate; that row is broadcast back and
+# the score is pure per-row arithmetic; the global top-k is
+# TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+# never a full sort). At 100 TB the only shuffle is the single
+# stats row.
+#
+# Determinism: tf/df/N/dl are exact integers; avgdl/idf/score are IEEE
+# doubles computed with the SAME operation order in Spark and DuckDB,
+# so the bits match and the driver's value-hash agrees. Ties break by
+# doc_id.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("join", "hash", "window", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+
+
+def _bm25_score_sql(term: str) -> str:
+    """Per-term BM25 contribution, mirrored exactly by the Spark expr."""
+    return (
+        f"ln(1.0 + (n_docs - df_{term} + 0.5) / (df_{term} + 0.5))"
+        f" * (tf_{term} * ({BM25_K1} + 1.0))"
+        f" / (tf_{term} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        {", ".join(f"CAST(len(list_filter(toks, x -> x = '{tm}')) AS DOUBLE) AS tf_{tm}" for tm in BM25_TERMS)}
+      FROM t
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        {", ".join(f"CAST(SUM(CASE WHEN tf_{tm} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{tm}" for tm in BM25_TERMS)}
+      FROM tf
+    ), scored AS (
+      SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+             round({" + ".join(_bm25_score_sql(tm) for tm in BM25_TERMS)}, 6)
+               AS score
+      FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, n_tokens, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global BM25 top-k over ``documents`` for ``BM25_TERMS``.
+
+    Lucene-style idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive, so high-df terms still contribute). Arithmetic mirrors
+    the oracle's operation order; the score is rounded to 6 decimals
+    because ``ln`` differs in the last ULP between the JVM and libm
+    (same convention as ``cos_sim`` in operators/similarity.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # NB: the predicate must be built by a factory, not a default-arg
+    # lambda — F.filter calls two-parameter lambdas as (element, index).
+    def _is_term(tm):
+        return lambda x: x == F.lit(tm)
+
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), _is_term(tm)))
+        .cast("double")
+        .alias(f"tf_{tm}")
+        for tm in BM25_TERMS
+    ]
+    tf = docs.select(tokens("text").alias("toks"), F.col("doc_id")).select(
+        "doc_id", F.size("toks").cast("double").alias("dl"), *tf_cols
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{tm}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{tm}")
+            for tm in BM25_TERMS
+        ],
+    )
+
+    def term_score(tm: str):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{tm}") + F.lit(0.5))
+            / (F.col(f"df_{tm}") + F.lit(0.5))
+        )
+        return (
+            idf
+            * (F.col(f"tf_{tm}") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{tm}")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+
+    score = term_score(BM25_TERMS[0])
+    for tm in BM25_TERMS[1:]:
+        score = score + term_score(tm)
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filter (Rae et al. 2021, "Scaling
+# Language Models" appendix A1.1 — public rule family): reject docs by
+# cheap structural signals before any model-based scoring. Thresholds
+# are calibrated to this synthetic corpus (10-99 token docs, shared
+# alphabetic vocabulary) so the output has a real pass/fail mix; a
+# production run swaps the constants, not the plan.
+#
+# Pure per-row column expressions over the token array — zero shuffle
+# at any corpus size. Ratios are single IEEE divisions of exact
+# integer counts (bit-identical in Spark and DuckDB).
+# ---------------------------------------------------------------------------
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 5.5
+GOPHER_STOPWORDS = ("a", "the", "of", "and", "is")
+GOPHER_MIN_STOPWORDS = 2   # distinct stopwords required
+GOPHER_MIN_TTR = 0.25      # type-token ratio (repetition guard)
+
+
+@query(
+    "quality_filter_gopher",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        len(list_distinct(list_filter(toks,
+            x -> x IN ({", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)}))))
+          AS n_stopwords,
+        CAST(len(list_distinct(toks)) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_token_len, n_stopwords, type_token_ratio,
+      (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS})
+        AS r_word_count,
+      (mean_token_len >= {GOPHER_MIN_MEAN_LEN}
+       AND mean_token_len <= {GOPHER_MAX_MEAN_LEN}) AS r_mean_len,
+      n_stopwords >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+      type_token_ratio >= {GOPHER_MIN_TTR} AS r_repetition,
+      ((n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS})
+       AND (mean_token_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_token_len <= {GOPHER_MAX_MEAN_LEN})
+       AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+       AND type_token_ratio >= {GOPHER_MIN_TTR}) AS keep
+    FROM m
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc structural quality rules + final keep/reject verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    n_tokens = F.size("toks").cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("bigint").cast("double") / F.size("toks").cast(
+        "double"
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(F.col("toks"), lambda x: x.isin(*GOPHER_STOPWORDS))
+        )
+    ).cast("bigint")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / F.size(
+        "toks"
+    ).cast("double")
+    m = t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        n_stop.alias("n_stopwords"),
+        ttr.alias("type_token_ratio"),
+    )
+    r_wc = (F.col("n_tokens") >= GOPHER_MIN_TOKENS) & (
+        F.col("n_tokens") <= GOPHER_MAX_TOKENS
+    )
+    r_ml = (F.col("mean_token_len") >= GOPHER_MIN_MEAN_LEN) & (
+        F.col("mean_token_len") <= GOPHER_MAX_MEAN_LEN
+    )
+    r_sw = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    r_rep = F.col("type_token_ratio") >= GOPHER_MIN_TTR
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "n_stopwords",
+        "type_token_ratio",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_sw.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_ml & r_sw & r_rep).alias("keep"),
+    )

@@ -28,6 +28,8 @@ ORACLED = [
     "docs_rare_token_ratio",
     "embedding_quantize_int8",
     "decontaminate_docs",
+    "bm25_retrieval_topk",
+    "quality_filter_gopher",
 ]
 
 
@@ -295,3 +297,44 @@ def test_cms_parity_and_bounds(spark, sf_dir):
 
 def test_profile_parity(spark, sf_dir):
     assert_parity(spark, "profile_events", sf_dir)
+
+
+def test_bm25_topk_contract(spark, sf_dir):
+    """BM25 contract: exactly TOP_K rows, rank is the dense 1..k
+    sequence in score order, and every score is positive (Lucene idf
+    is always > 0)."""
+    from clickhouse_batcher_spark.operators.corpus import BM25_TOP_K
+
+    rows = (
+        catalog.QUERIES["bm25_retrieval_topk"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(rows) == BM25_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, BM25_TOP_K + 1))
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_filter_gopher_mix(spark, sf_dir):
+    """The calibrated thresholds must actually split the corpus: some
+    docs keep, some reject, and `keep` is the AND of the four rules."""
+    df = catalog.QUERIES["quality_filter_gopher"](spark, sf_dir)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.sum(
+            (
+                F.col("keep")
+                != (
+                    F.col("r_word_count")
+                    & F.col("r_mean_len")
+                    & F.col("r_stopwords")
+                    & F.col("r_repetition")
+                )
+            ).cast("int")
+        ).alias("n_inconsistent"),
+    ).collect()[0]
+    assert agg["n_inconsistent"] == 0
+    assert 0 < agg["n_keep"] < agg["n"]
