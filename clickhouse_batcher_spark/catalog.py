@@ -57,5 +57,6 @@ def load_all() -> None:
         sampling,
         similarity,
         sketch,
+        skew,
         text,
     )

@@ -1,45 +1,97 @@
-"""Skew-safe aggregation: two-phase salted groupBy.
+"""Skew-mitigation join: explicit key salting.
 
-When one key owns a disproportionate share of rows (the classic hot
-user / hot document), a single groupBy sends that key's entire volume
-to one reducer. Salting splits each key into ``salt_buckets`` partial
-groups aggregated in parallel, then merges the partials — the same
-partial/final shape Spark already uses map-side, made explicit so the
-*reduce* side also fans out. AQE's skew-join handling covers joins;
-this covers aggregations.
+The 100-TB failure mode of a shuffle join is a hot key: one reducer
+receives the whole key's rows while the rest of the cluster idles.
+Spark's AQE skew-join (enabled in ``session.get_session``) splits
+oversized partitions at runtime, but it only helps sort-merge joins
+and only after a stage materializes. Explicit salting is the
+plan-level cure that works for any join the optimizer picks:
 
-The salt is ``spark_partition_id() % buckets``: zero extra hashing,
-naturally co-located with the data, and the merge phase is
-salt-value-independent — results are identical to the direct groupBy
-(property-tested), only the shuffle shape changes.
+- **big side**: add ``salt = xxhash64(row) % N`` — a deterministic
+  per-row value that spreads each hot key over N reducers;
+- **small side**: replicate each row N times, once per salt value
+  (``explode(sequence(0, N-1))``) — N· |small| rows, still tiny;
+- join on ``(key, salt)`` — every big row matches exactly one of the
+  N replicas, so the result multiset is identical to the unsalted
+  join while the shuffle fans each key out N ways.
+
+The salt comes from ``xxhash64`` of the row contents (never
+``rand()`` / ``monotonically_increasing_id()``, which change across
+task retries and would break exactly-once semantics).
+
+Reference parity note: the reference (kostyasolovev/clickhouse-batcher)
+delegates all join execution to ClickHouse (SURVEY.md §2.2); this is
+part of the natively-rebuilt surface.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_batcher_spark.functions import dec
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec_sum
+from clickhouse_batcher_spark.tables import load_table
+
+SALT_BUCKETS = 8
 
 
-def salted_sum_count(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    salt_buckets: int = 16,
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = SALT_BUCKETS,
+    how: str = "inner",
 ) -> DataFrame:
-    """groupBy(key).agg(exact sum(value), count) via salted two-phase.
+    """Join ``big`` to ``small`` on ``big_key == small_key`` with the
+    hot keys of ``big`` spread over ``n_salts`` shuffle partitions.
 
-    Returns columns: key_cols + [sum_value DOUBLE, cnt BIGINT].
+    Result multiset is identical to the plain equi-join (each big row
+    pairs with exactly one small replica). Only inner/left joins are
+    meaningful here — a right/outer join would see N copies of
+    unmatched small rows.
     """
-    salted = df.withColumn(
-        "_salt", F.spark_partition_id() % salt_buckets
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )
-    partial = salted.groupBy(*key_cols, "_salt").agg(
-        F.sum(dec(value_col)).alias("_psum"),
-        F.count(F.lit(1)).alias("_pcnt"),
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return partial.groupBy(*key_cols).agg(
-        F.sum("_psum").cast("double").alias("sum_value"),
-        F.sum("_pcnt").cast("bigint").alias("cnt"),
+    joined = big_salted.join(
+        small_replicated,
+        (big_salted[big_key] == small_replicated[small_key])
+        & (big_salted["_salt"] == small_replicated["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
+@query(
+    "salted_join_user_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume + exact value sum per customer segment, joined via
+    the salted path. events.user_id is hot by construction (~N_events /
+    150 rows per key vs 1 row per customer key); the salt spreads each
+    user's rows over SALT_BUCKETS reducers. The oracle is the PLAIN
+    join — proving the salted plan changes execution, not results.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(events, customer, "user_id", "c_custkey")
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "total_value"),
     )

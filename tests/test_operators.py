@@ -30,6 +30,7 @@ ORACLED = [
     "decontaminate_docs",
     "bm25_retrieval_topk",
     "quality_filter_gopher",
+    "salted_join_user_segments",
 ]
 
 
@@ -338,3 +339,30 @@ def test_quality_filter_gopher_mix(spark, sf_dir):
     ).collect()[0]
     assert agg["n_inconsistent"] == 0
     assert 0 < agg["n_keep"] < agg["n"]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting is an execution-layer rewrite: the (key, salt) join must
+    return the exact multiset of the plain equi-join, for any salt
+    count."""
+    from clickhouse_batcher_spark.operators.skew import salted_join
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = sorted(
+        (r["event_id"], r["c_mktsegment"])
+        for r in events.join(
+            customer, events.user_id == customer.c_custkey
+        ).collect()
+    )
+    for n_salts in (1, 5):
+        salted = sorted(
+            (r["event_id"], r["c_mktsegment"])
+            for r in salted_join(
+                events, customer, "user_id", "c_custkey", n_salts=n_salts
+            ).collect()
+        )
+        assert salted == plain, n_salts

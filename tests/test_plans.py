@@ -7,6 +7,8 @@ refactor that silently breaks pushdown fails here, not at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from clickhouse_batcher_spark import catalog
 
 catalog.load_all()
@@ -84,3 +86,46 @@ def test_ingest_metrics_listener(spark, sf_dir, tmp_path):
         spark.streams.removeListener(listener)
     assert listener.total_rows == events.count()
     assert len([b for b in listener.batches if b["num_input_rows"] > 0]) >= 3
+
+
+def test_bucketed_join_colocates_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing is the co-located-join strategy for repeated big-big
+    joins (SCALE.md): writing both sides bucketed by the join key lets
+    the SortMergeJoin read buckets 1:1 with NO Exchange on either side.
+    At 100 TB this turns the nightly orders x lineitem join from two
+    full shuffles into a local merge."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .saveAsTable("b_lineitem")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the guard is meaningful
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the bucketed plan still returns the right row count
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
