@@ -73,7 +73,9 @@ def _force(df) -> None:
 N_TIMING_PASSES = 2  # per-query best-of-N; pass 2 runs in reverse order
 
 
-def bench_ingest(spark, max_files_per_trigger: int = 4) -> float:
+def bench_ingest(
+    spark, max_files_per_trigger: int = 4, sf_dir: str = SF_DIR
+) -> float:
     """Micro-batch ingest throughput (rows/sec).
 
     With ``max_files_per_trigger=4`` this exercises the reference-style
@@ -81,7 +83,7 @@ def bench_ingest(spark, max_files_per_trigger: int = 4) -> float:
     throughput (one big exactly-once batch).
     """
     with tempfile.TemporaryDirectory(prefix="chb_bench_ingest_") as root:
-        events = load_table(spark, SF_DIR, "events")
+        events = load_table(spark, sf_dir, "events")
         src = f"{root}/src"
         events.repartition(16).write.parquet(src)
         total = events.count()
@@ -155,10 +157,14 @@ def main() -> None:
     if failures:
         print("\n".join(failures), file=sys.stderr)
 
-    # Ingest: best-of-2 per regime. The FIRST streaming query in a
-    # process pays one-off machinery costs (checkpoint manager, state
-    # store init) that halved the recorded micro-batch rate in round 2;
-    # measured isolated: micro 30k cold -> 62k warm rows/s.
+    # Ingest: one untimed warm run at sf0.001, then best-of-2 per
+    # regime. The FIRST streaming query in a process pays one-off
+    # machinery costs (checkpoint manager, state store init) that
+    # halved the recorded micro-batch rate in round 2; measured
+    # isolated: micro 33k cold -> 64-73k warm rows/s. The warm run
+    # moves that cost off the clock the same way the query warm pass
+    # does for Janino compilation.
+    bench_ingest(spark, sf_dir=warm_dir)
     rows_per_sec = max(bench_ingest(spark) for _ in range(2))
     bulk_rows_per_sec = max(
         bench_ingest(spark, max_files_per_trigger=1000) for _ in range(2)

@@ -129,3 +129,25 @@ def test_bucketed_join_colocates_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partition layout: writing facts partitioned by a
+    coarse key lets a filter on that key skip whole directories. The
+    plan must show the filter as a PartitionFilter (metadata-level,
+    zero I/O for non-matching partitions), not a post-scan Filter —
+    at 100 TB this is the difference between reading one day and
+    reading the lake."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(out)
+    one_type = events.select("event_type").first()["event_type"]
+    df = spark.read.parquet(out).filter(F.col("event_type") == one_type)
+    plan = _formatted_plan(df)
+    assert "PartitionFilters" in plan
+    partition_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in partition_filters, plan
+    expected = events.filter(F.col("event_type") == one_type).count()
+    assert df.count() == expected
