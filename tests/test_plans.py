@@ -151,3 +151,26 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "event_type" in partition_filters, plan
     expected = events.filter(F.col("event_type") == one_type).count()
     assert df.count() == expected
+
+
+def test_catalog_wide_no_cartesian_products(spark, sf_dir):
+    """Repo-wide plan audit: NO catalog query may plan a
+    CartesianProduct (the unbounded all-pairs shuffle that kills any
+    100-TB run), and BroadcastNestedLoopJoin is allowed only where the
+    build side is bounded by construction and documented here."""
+    # BNLJ whitelist — every entry has a broadcast side that stays tiny
+    # at ANY corpus size:
+    bnlj_ok = {
+        "bm25_retrieval_topk",       # 1-row corpus-stats frame
+        "similarity_topk",           # N_QUERY_VECS (10) query vectors
+        "retrieval_topk_docs",       # same query-vector broadcast
+        "events_hourly_gapfill",     # hour spine x type dims (bounded)
+    }
+    offenders = {}
+    for name, fn in catalog.QUERIES.items():
+        plan = _formatted_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "unlisted BroadcastNestedLoopJoin"
+    assert not offenders, offenders
