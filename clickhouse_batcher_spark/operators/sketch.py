@@ -97,3 +97,93 @@ def token_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.join(est, "tok")
         .select("tok", F.col("cnt").alias("exact_cnt"), cms.alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: fixed-width bin counts per group, with
+# quantiles read off the cumulative histogram. The mergeable-quantile
+# design for streams and 100-TB scans: per-partition (group, bin)
+# counts merge by addition (Spark's partial aggregation does it
+# map-side), the shuffle moves only |groups| x |bins| rows, and the
+# estimate is deterministic — unlike t-digest/GK sketches whose
+# estimates depend on merge order, every engine computing this
+# histogram reads the same quantile edges. Bin-width error is bounded
+# by construction (est in [true - W, true]).
+# ---------------------------------------------------------------------------
+HIST_BIN_WIDTH = 10.0
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def _sql_hist_q(q: float) -> str:
+    pct = int(q * 100)
+    return (
+        f"CAST(MIN(CASE WHEN cum >= ceil({q} * n) THEN bin END)"
+        f" * {HIST_BIN_WIDTH} AS DOUBLE) AS q{pct}_est"
+    )
+
+
+@query(
+    "value_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin
+      FROM events
+    ), c AS (
+      SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ), cc AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           {", ".join(_sql_hist_q(q) for q in HIST_QS)}
+    FROM cc GROUP BY event_type
+    """,
+)
+def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: q50/q90/q99 of ``value`` estimated from a
+    fixed-width cumulative histogram (estimate = lower edge of the
+    first bin whose cumulative count reaches ceil(q*n))."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cc = c.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    q_cols = [
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin")
+                )
+            )
+            * HIST_BIN_WIDTH
+        )
+        .cast("double")
+        .alias(f"q{int(q * 100)}_est")
+        for q in HIST_QS
+    ]
+    return cc.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"), *q_cols
+    )

@@ -31,6 +31,7 @@ ORACLED = [
     "bm25_retrieval_topk",
     "quality_filter_gopher",
     "salted_join_user_segments",
+    "value_histogram_quantiles",
 ]
 
 
@@ -366,3 +367,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
             ).collect()
         )
         assert salted == plain, n_salts
+
+
+def test_histogram_quantile_bound(spark, sf_dir):
+    """The discrete q-quantile element lies inside the estimated bin:
+    est <= exact < est + BIN_WIDTH (the sketch's error bound)."""
+    import duckdb
+
+    from clickhouse_batcher_spark.operators.sketch import (
+        HIST_BIN_WIDTH,
+        HIST_QS,
+    )
+
+    est = {
+        r["event_type"]: r
+        for r in catalog.QUERIES["value_histogram_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT event_type,
+              {", ".join(f"quantile_disc(value, {q}) AS q{int(q*100)}" for q in HIST_QS)}
+           FROM '{sf_dir}/events.parquet' GROUP BY event_type"""
+    ).fetchall()
+    assert exact
+    for row in exact:
+        etype = row[0]
+        for i, q in enumerate(HIST_QS):
+            e, x = est[etype][f"q{int(q*100)}_est"], row[1 + i]
+            assert e <= x < e + HIST_BIN_WIDTH, (etype, q, e, x)
