@@ -459,3 +459,64 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("r_repetition"),
         (r_wc & r_ml & r_sw & r_rep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring: the statistical-LM quality signal
+# (CCNet-style pipelines rank documents by LM perplexity; the unigram
+# model is the distributed, model-free stand-in — swap a KenLM Pandas
+# UDF in deployment, the plan shape stays: broadcast stats, per-row
+# score). Low average token log-probability = document full of
+# corpus-atypical tokens (OCR noise, boilerplate, wrong language).
+#
+# Determinism: a float SUM over a doc's tokens is shuffle-order-
+# dependent, so each token's ln(p) is rounded to 6 decimals and cast
+# to DECIMAL(27,6) BEFORE summing — the decimal sum is exact and
+# order-independent (same trick as functions.dec_sum), and the final
+# division is one IEEE op. ln() rounding convention as elsewhere
+# (JVM/libm last-ULP drift).
+#
+# Scale: vocabulary aggregate (zipf-small) + 1-row total, both
+# broadcast back to the token stream; per-doc agg shuffles doc rows
+# once. Same shape as docs_rare_token_ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "docs_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)),
+                        6) AS DECIMAL(27,6)) AS lp
+      FROM occ o JOIN vocab v ON o.token = v.token CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus unigram
+    distribution (higher = more typical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    lp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+    ).cast("decimal(27,6)")
+    scored = (
+        occ.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_logprob"
+        ),
+    )

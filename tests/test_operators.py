@@ -32,6 +32,7 @@ ORACLED = [
     "quality_filter_gopher",
     "salted_join_user_segments",
     "value_histogram_quantiles",
+    "docs_unigram_logprob",
 ]
 
 

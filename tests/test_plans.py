@@ -165,6 +165,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "similarity_topk",           # N_QUERY_VECS (10) query vectors
         "retrieval_topk_docs",       # same query-vector broadcast
         "events_hourly_gapfill",     # hour spine x type dims (bounded)
+        "docs_unigram_logprob",      # 1-row vocabulary-total frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
