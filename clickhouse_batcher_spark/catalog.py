@@ -52,6 +52,7 @@ def load_all() -> None:
         dedup,
         merge,
         multimodal,
+        ngrams,
         profile,
         rangejoin,
         sampling,

@@ -1,0 +1,208 @@
+"""Token n-gram operators: repetition quality signals + tokenizer
+merge-pair statistics.
+
+Two corpus-preparation operations over adjacent-token n-grams:
+
+- **Repetition signals** (``docs_repetition_signals``): the Gopher
+  repetition rules the structural filter (``quality_filter_gopher``,
+  reference behavior surveyed in SURVEY.md §2 "LLM pipeline ops")
+  does not cover — the fraction of bigram occurrences taken by the
+  single most frequent bigram, and the fraction of trigram
+  occurrences whose trigram appears more than once. Machine-generated
+  / boilerplate text loops short phrases; both signals spike on it.
+- **Merge-pair counts** (``bpe_pair_counts``): global adjacent-pair
+  frequencies — the statistic a BPE tokenizer trainer computes every
+  merge round. One round is a pure relational job: explode pairs,
+  count, top-k.
+
+Determinism: every fraction is a single IEEE division of two exact
+integers (counts), so results are partition-order independent with no
+decimal routing needed. Top-k ties break on the pair string itself
+(unique key), so ranks are total-ordered.
+
+Scale:
+
+- The repetition signals are *zero-shuffle*: n-gram construction is
+  ``zip_with`` over shifted ``slice`` views of the token array, and
+  per-document counting runs in-row over ``array_distinct`` —
+  O(d·u) per document (d n-grams, u distinct) with no explode and no
+  groupBy. That quadratic is bounded by document length; for a corpus
+  of book-length documents switch the counting to the exploded
+  ``groupBy(doc_id, ngram)`` form (one shuffle, linear) — the output
+  contract is identical.
+- ``bpe_pair_counts`` shuffles vocabulary-pair rows only: the explode
+  feeds a ``groupBy(pair)`` whose map-side partial aggregation
+  collapses each partition to its distinct pairs (zipf-bounded)
+  before the exchange, and the global top-k is Spark's
+  ``TakeOrderedAndProject`` (per-partition heaps, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.operators.text import SQL_TOKENS
+from clickhouse_batcher_spark.tables import load_table
+
+TOP_BIGRAM_MAX_FRAC = 0.08   # most frequent bigram may take <= 8% of bigrams
+DUP_TRIGRAM_MAX_FRAC = 0.02  # <= 2% of trigram occurrences may be repeats
+TOP_PAIRS = 50               # merge candidates reported per round
+
+# DuckDB n-gram construction: lists are 1-indexed and
+# generate_series(1, 0) is empty, so short docs yield empty n-gram
+# lists on both engines (Spark's slice(_, 1, greatest(0, n-k+1))).
+_SQL_NGRAMS = f"""
+    SELECT doc_id,
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        AS tg
+    FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+"""
+
+
+def _ngram_arrays(df: DataFrame) -> DataFrame:
+    """doc_id, bg (bigram strings), tg (trigram strings) — in-row only."""
+    toks = tokens("text")
+    n = F.size(toks)
+    base = df.select(F.col("doc_id"), toks.alias("toks"), n.alias("n"))
+    shift = lambda k: F.slice(  # noqa: E731 — tokens k..end, clipped
+        F.col("toks"), k, F.greatest(F.lit(0), F.col("n") - (k - 1))
+    )
+    bg = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(F.lit(0), F.col("n") - 1)),
+        shift(2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    out = base.select("doc_id", "toks", "n", bg.alias("bg"))
+    tg = F.zip_with(
+        F.slice(F.col("bg"), 1, F.greatest(F.lit(0), F.col("n") - 2)),
+        shift(3),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return out.select("doc_id", "bg", tg.alias("tg"))
+
+
+def _inrow_counts(arr_col: str):
+    """Occurrence count of each distinct n-gram, computed in-row."""
+
+    def count_of(g):
+        return F.size(F.filter(F.col(arr_col), lambda x: x == g))
+
+    return F.transform(F.array_distinct(F.col(arr_col)), count_of)
+
+
+@query(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH g AS ({_SQL_NGRAMS}),
+    m AS (
+      SELECT doc_id,
+        CAST(len(bg) AS BIGINT) AS n_bigrams,
+        CAST(len(tg) AS BIGINT) AS n_trigrams,
+        CAST(coalesce(list_max(list_transform(list_distinct(bg),
+               b -> len(list_filter(bg, x -> x = b)))), 0) AS BIGINT)
+          AS top_bigram_cnt,
+        CAST(coalesce(list_sum(list_transform(
+               list_transform(list_distinct(tg),
+                 b -> len(list_filter(tg, x -> x = b))),
+               c -> CASE WHEN c > 1 THEN c ELSE 0 END)), 0) AS BIGINT)
+          AS dup_trigram_cnt
+      FROM g
+    ), f AS (
+      SELECT *,
+        CASE WHEN n_bigrams > 0
+          THEN CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          ELSE 0.0 END AS top_bigram_frac,
+        CASE WHEN n_trigrams > 0
+          THEN CAST(dup_trigram_cnt AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+          ELSE 0.0 END AS dup_trigram_frac
+      FROM m
+    )
+    SELECT doc_id, n_bigrams, n_trigrams, top_bigram_cnt, dup_trigram_cnt,
+      top_bigram_frac, dup_trigram_frac,
+      top_bigram_frac <= {TOP_BIGRAM_MAX_FRAC} AS r_top_bigram,
+      dup_trigram_frac <= {DUP_TRIGRAM_MAX_FRAC} AS r_dup_trigram,
+      (top_bigram_frac <= {TOP_BIGRAM_MAX_FRAC}
+       AND dup_trigram_frac <= {DUP_TRIGRAM_MAX_FRAC}) AS keep
+    FROM f
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc phrase-repetition fractions + keep/reject verdict."""
+    g = _ngram_arrays(load_table(spark, sf_dir, "documents"))
+    top_bg = F.coalesce(F.array_max(_inrow_counts("bg")), F.lit(0))
+    dup_tg = F.coalesce(
+        F.aggregate(
+            _inrow_counts("tg"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(c > 1, c).otherwise(0),
+        ),
+        F.lit(0),
+    )
+    m = g.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.size("tg").cast("bigint").alias("n_trigrams"),
+        top_bg.cast("bigint").alias("top_bigram_cnt"),
+        dup_tg.cast("bigint").alias("dup_trigram_cnt"),
+    )
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_bigram_cnt").cast("double")
+        / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        F.col("dup_trigram_cnt").cast("double")
+        / F.col("n_trigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f = m.select(
+        "*",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+    )
+    r_top = F.col("top_bigram_frac") <= TOP_BIGRAM_MAX_FRAC
+    r_dup = F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX_FRAC
+    return f.select(
+        "*",
+        r_top.alias("r_top_bigram"),
+        r_dup.alias("r_dup_trigram"),
+        (r_top & r_dup).alias("keep"),
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH g AS ({_SQL_NGRAMS}),
+    occ AS (SELECT unnest(bg) AS pair FROM g),
+    c AS (SELECT pair, count(*) AS cnt FROM occ GROUP BY pair)
+    SELECT pair, cnt,
+      CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+    FROM c ORDER BY cnt DESC, pair LIMIT {TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token merge candidates (one BPE training round).
+
+    The global window ranks only the top-{TOP_PAIRS} rows, which Spark
+    produces via TakeOrderedAndProject (per-partition heaps) — the
+    single-partition window never sees more than TOP_PAIRS rows, so
+    the plan is scale-safe even with a large pair vocabulary.
+    """
+    g = _ngram_arrays(load_table(spark, sf_dir, "documents"))
+    c = (
+        g.select(F.explode("bg").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("pair")).limit(TOP_PAIRS)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        "pair", "cnt", F.row_number().over(w).cast("bigint").alias("rank")
+    )

@@ -33,6 +33,8 @@ ORACLED = [
     "salted_join_user_segments",
     "value_histogram_quantiles",
     "docs_unigram_logprob",
+    "docs_repetition_signals",
+    "bpe_pair_counts",
 ]
 
 
@@ -398,3 +400,57 @@ def test_histogram_quantile_bound(spark, sf_dir):
         for i, q in enumerate(HIST_QS):
             e, x = est[etype][f"q{int(q*100)}_est"], row[1 + i]
             assert e <= x < e + HIST_BIN_WIDTH, (etype, q, e, x)
+
+
+def test_repetition_signals_invariants(spark, sf_dir):
+    """Count bounds + a planted pathological doc rejects."""
+    rows = catalog.QUERIES["docs_repetition_signals"](spark, sf_dir).collect()
+    assert rows
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)  # the thresholds discriminate
+    for r in rows:
+        assert 0 <= r["top_bigram_cnt"] <= r["n_bigrams"], r["doc_id"]
+        assert 0 <= r["dup_trigram_cnt"] <= r["n_trigrams"], r["doc_id"]
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        # a doc is only rejected when a fraction crosses its threshold
+        from clickhouse_batcher_spark.operators.ngrams import (
+            DUP_TRIGRAM_MAX_FRAC,
+            TOP_BIGRAM_MAX_FRAC,
+        )
+        assert r["keep"] == (
+            r["top_bigram_frac"] <= TOP_BIGRAM_MAX_FRAC
+            and r["dup_trigram_frac"] <= DUP_TRIGRAM_MAX_FRAC
+        )
+
+
+def test_repetition_signals_planted_loop(spark):
+    """A phrase loop maxes both signals; varied text keeps both low."""
+    from clickhouse_batcher_spark.operators.ngrams import _ngram_arrays
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 30),  # 'buy now'/'now buy' dominate
+            (2, " ".join(f"w{i}" for i in range(60))),  # all n-grams unique
+        ],
+        "doc_id long, text string",
+    )
+    g = _ngram_arrays(df)
+    rows = {r["doc_id"]: r for r in g.collect()}
+    loop_bg = rows[1]["bg"]
+    assert loop_bg.count("buy now") == 30
+    assert len(set(rows[2]["tg"])) == len(rows[2]["tg"])
+
+
+def test_bpe_pair_counts_ranks(spark, sf_dir):
+    """Ranks are 1..k, counts non-increasing, pairs are real bigrams."""
+    rows = sorted(
+        catalog.QUERIES["bpe_pair_counts"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    from clickhouse_batcher_spark.operators.ngrams import TOP_PAIRS
+
+    assert [r["rank"] for r in rows] == list(range(1, TOP_PAIRS + 1))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(len(r["pair"].split(" ")) == 2 for r in rows)
