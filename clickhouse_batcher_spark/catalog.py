@@ -50,6 +50,7 @@ def load_all() -> None:
         cluster,
         corpus,
         dedup,
+        funnel,
         merge,
         multimodal,
         ngrams,

@@ -35,6 +35,7 @@ ORACLED = [
     "docs_unigram_logprob",
     "docs_repetition_signals",
     "bpe_pair_counts",
+    "funnel_conversion",
 ]
 
 
@@ -454,3 +455,37 @@ def test_bpe_pair_counts_ranks(spark, sf_dir):
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert all(len(r["pair"].split(" ")) == 2 for r in rows)
+
+
+def test_funnel_stage_cascade(spark, sf_dir):
+    """Stage counts are monotone non-increasing; per-user stage times
+    respect the strict-order + window cascade."""
+    from clickhouse_batcher_spark.operators.funnel import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_S,
+        funnel_stage_times,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    summary = catalog.QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    assert (
+        summary["n_users"]
+        >= summary["n_view"]
+        >= summary["n_view_click"]
+        >= summary["n_view_click_purchase"]
+    )
+    assert summary["n_view_click"] > 0  # window chosen to discriminate
+    assert summary["n_view_click_purchase"] < summary["n_view"]
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    )
+    for r in funnel_stage_times(events).collect():
+        if r["t2"] is not None:
+            assert r["t1"] is not None
+            gap = (r["t2"] - r["t1"]).total_seconds()
+            assert 0 < gap <= FUNNEL_WINDOW_S, r["user_id"]
+        if r["t3"] is not None:
+            assert r["t2"] is not None
+            gap = (r["t3"] - r["t2"]).total_seconds()
+            assert 0 < gap <= FUNNEL_WINDOW_S, r["user_id"]
