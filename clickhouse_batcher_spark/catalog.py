@@ -56,6 +56,7 @@ def load_all() -> None:
         ngrams,
         profile,
         rangejoin,
+        rollup,
         sampling,
         similarity,
         sketch,

@@ -36,6 +36,7 @@ ORACLED = [
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
+    "incremental_rollup_events",
 ]
 
 
@@ -489,3 +490,29 @@ def test_funnel_stage_cascade(spark, sf_dir):
             assert r["t2"] is not None
             gap = (r["t3"] - r["t2"]).total_seconds()
             assert 0 < gap <= FUNNEL_WINDOW_S, r["user_id"]
+
+
+def test_rollup_merge_is_split_invariant(spark, sf_dir):
+    """merge(agg(A), agg(B), agg(C)) == agg(full) for an arbitrary
+    3-way hash split — the mergeable-state contract, beyond the
+    catalog query's single date split."""
+    from clickhouse_batcher_spark.operators.rollup import (
+        merge_rollups,
+        partial_rollup,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    parts = [
+        partial_rollup(events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    merged = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(*parts).collect()
+    }
+    full = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(partial_rollup(events)).collect()
+    }
+    assert merged == full  # exact, including the double-cast sums
