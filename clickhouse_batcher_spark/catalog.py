@@ -47,6 +47,7 @@ def load_all() -> None:
     )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
+        bloomjoin,
         cluster,
         corpus,
         dedup,

@@ -37,6 +37,7 @@ ORACLED = [
     "bpe_pair_counts",
     "funnel_conversion",
     "incremental_rollup_events",
+    "bloom_semi_join_orders",
 ]
 
 
@@ -516,3 +517,40 @@ def test_rollup_merge_is_split_invariant(spark, sf_dir):
         for r in merge_rollups(partial_rollup(events)).collect()
     }
     assert merged == full  # exact, including the double-cast sums
+
+
+def test_bloom_prefilter_never_drops_members(spark, sf_dir, monkeypatch):
+    """Bloom filters admit false positives, never false negatives: with
+    a deliberately saturated 32-bit filter every row passes the
+    prefilter, yet the verify step keeps the result exact."""
+    from clickhouse_batcher_spark.operators import bloomjoin as B
+    from clickhouse_batcher_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == B.BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    exact = {
+        r["o_orderkey"]
+        for r in orders.join(
+            seg.withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+            "left_semi",
+        ).collect()
+    }
+
+    monkeypatch.setattr(B, "BLOOM_WORDS", 1)  # saturate: FPs guaranteed
+    bloom = B.bloom_build(seg, "c_custkey")
+    passed = B.bloom_probe(orders, "o_custkey", bloom).count()
+    final = {
+        r["o_orderkey"]
+        for r in B.bloom_semi_join(
+            orders, "o_custkey", seg, "c_custkey"
+        ).collect()
+    }
+    assert passed > len(exact)  # false positives really occurred
+    assert final == exact       # ...and verify removed every one
