@@ -520,3 +520,78 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (vocabulary-diversity quality signal)
+# ---------------------------------------------------------------------------
+@query(
+    "docs_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        list_transform(list_distinct(toks),
+                       u -> len(list_filter(toks, x -> x = u))) AS cnts
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+      -1.0 * CAST(coalesce(list_sum(list_transform(cnts,
+        c -> CAST(round((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                  6) AS DECIMAL(27,6)))), 0) AS DOUBLE) AS token_entropy
+    FROM m
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution.
+
+    Low entropy = a few tokens dominate (boilerplate / repeated
+    phrases); the natural companion to ``type_token_ratio`` in the
+    Gopher filter and the repetition signals in ``operators/ngrams``.
+
+    Zero-shuffle: counting runs in-row over ``array_distinct`` (same
+    bounded O(d*u) trade-off as the repetition signals). Each term
+    ``p*ln(p)`` is rounded to 6 decimals (the repo-wide transcendental
+    convention — JVM vs libm differ in the last ULP) and summed as
+    DECIMAL(27,6), so the per-document sum is order-independent and
+    engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+    def count_of(u):
+        return F.size(F.filter(F.col("toks"), lambda x: x == u))
+
+    cnts = F.transform(F.array_distinct("toks"), count_of)
+    p_of = lambda c: c.cast("double") / F.col("n_tokens").cast("double")  # noqa: E731
+    terms = F.transform(
+        cnts,
+        lambda c: F.round(p_of(c) * F.log(p_of(c)), 6).cast("decimal(27,6)"),
+    )
+    ent = (
+        F.lit(-1.0)
+        * F.coalesce(
+            F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(27,6)"),
+                lambda acc, x: (acc + x).cast("decimal(27,6)"),
+            ),
+            F.lit(0).cast("decimal(27,6)"),
+        ).cast("double")
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("toks")).cast("bigint").alias(
+            "n_distinct_tokens"
+        ),
+        ent.alias("token_entropy"),
+    )

@@ -38,6 +38,7 @@ ORACLED = [
     "funnel_conversion",
     "incremental_rollup_events",
     "bloom_semi_join_orders",
+    "docs_token_entropy",
 ]
 
 
@@ -554,3 +555,31 @@ def test_bloom_prefilter_never_drops_members(spark, sf_dir, monkeypatch):
     }
     assert passed > len(exact)  # false positives really occurred
     assert final == exact       # ...and verify removed every one
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_distinct) + rounding slack; uniform docs hit the
+    ceiling, single-token docs hit 0."""
+    import math
+
+    rows = catalog.QUERIES["docs_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    slack = 1e-6 * max(r["n_distinct_tokens"] for r in rows)
+    for r in rows:
+        assert -slack <= r["token_entropy"], r["doc_id"]
+        assert r["token_entropy"] <= math.log(r["n_distinct_tokens"]) + slack
+
+    df = spark.createDataFrame(
+        [(1, "same same same same"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    from clickhouse_batcher_spark.operators import corpus as C
+    from unittest.mock import patch
+
+    with patch.object(C, "load_table", lambda *_: df):
+        by_id = {
+            r["doc_id"]: r
+            for r in C.docs_token_entropy(spark, sf_dir).collect()
+        }
+    assert by_id[1]["token_entropy"] == 0.0
+    assert abs(by_id[2]["token_entropy"] - math.log(4)) < 1e-5
