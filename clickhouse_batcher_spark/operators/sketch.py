@@ -187,3 +187,93 @@ def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_events"), *q_cols
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-counting distinct sketch (deterministic, hence fully oracled)
+# ---------------------------------------------------------------------------
+LC_BITS = 4096              # sketch size m (128 x 32-bit words)
+LC_WORD_BITS = 32           # bits per word (masks exact via pow(2, b))
+
+
+def _lc_pos(col: Column, salt: str = "lc|") -> Column:
+    """Bit position in [0, LC_BITS): 16 hash bits fold evenly (65536
+    is a multiple of LC_BITS) via the engine-portable SHA prefix."""
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(salt), col), 256), 1, 4), 16, 10
+        ).cast("bigint")
+        % LC_BITS
+    )
+
+
+def _sql_lc_pos(expr: str, salt: str = "lc|") -> str:
+    h = f"substring(sha256('{salt}' || {expr}), 1, 4)"
+    digit = lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit(i)} * {16 ** (4 - i)}" for i in range(1, 5))
+    return f"(({val}) % {LC_BITS})"
+
+
+@query(
+    "distinct_users_linear_count",
+    oracle=f"""
+    WITH coords AS (
+      SELECT event_type, {_sql_lc_pos("CAST(user_id AS VARCHAR)")} AS pos
+      FROM events
+    ),
+    words AS (
+      SELECT event_type, pos // {LC_WORD_BITS} AS word,
+             bit_or(CAST(pow(2, pos % {LC_WORD_BITS}) AS BIGINT)) AS bits
+      FROM coords GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits
+      FROM words GROUP BY 1
+    )
+    SELECT event_type, n_set_bits,
+           round(-{LC_BITS}.0 * ln(({LC_BITS}.0 - n_set_bits) / {LC_BITS}.0),
+                 6) AS est_distinct
+    FROM s
+    """,
+)
+def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate by linear counting.
+
+    The classic Whang et al. load-factor estimator: every occurrence
+    sets bit ``h(user) % m``; duplicates collapse in the map-side
+    partial ``bit_or``, so — unlike ``COUNT(DISTINCT)`` — NO distinct
+    shuffle of the key universe happens. Only (event_type x m/32)
+    bitmap words cross the wire, regardless of row count: the whole
+    point at 100 TB, and the mergeability story is the same as the
+    count-min sketch above (bit_or is the merge).
+
+    Deterministic (SHA positions), so the estimate itself is
+    reproduced bit-for-bit by the DuckDB oracle; accuracy vs the true
+    count is asserted in pytest (est within a few % at this load).
+    ``est = -m * ln(V)`` where V is the zero-bit fraction; ln rounded
+    to 6 per the repo transcendental convention.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pos = _lc_pos(F.col("user_id").cast("string"))
+    coords = events.select(
+        "event_type",
+        F.floor(pos / LC_WORD_BITS).cast("int").alias("word"),
+        F.pow(F.lit(2.0), (pos % LC_WORD_BITS).cast("double"))
+        .cast("long")
+        .alias("mask"),
+    )
+    words = coords.groupBy("event_type", "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    s = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_set_bits")
+    )
+    est = F.round(
+        F.lit(-float(LC_BITS))
+        * F.log(
+            (F.lit(float(LC_BITS)) - F.col("n_set_bits").cast("double"))
+            / F.lit(float(LC_BITS))
+        ),
+        6,
+    )
+    return s.select("event_type", "n_set_bits", est.alias("est_distinct"))

@@ -39,6 +39,7 @@ ORACLED = [
     "incremental_rollup_events",
     "bloom_semi_join_orders",
     "docs_token_entropy",
+    "distinct_users_linear_count",
 ]
 
 
@@ -583,3 +584,30 @@ def test_token_entropy_bounds(spark, sf_dir):
         }
     assert by_id[1]["token_entropy"] == 0.0
     assert abs(by_id[2]["token_entropy"] - math.log(4)) < 1e-5
+
+
+def test_linear_count_accuracy(spark, sf_dir):
+    """Sketch estimate within 5% of the true distinct count at this
+    load factor (~150 keys in 4096 bits)."""
+    import duckdb
+
+    exact = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT event_type, count(DISTINCT user_id) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        )
+        .fetchall()
+    )
+    rows = catalog.QUERIES["distinct_users_linear_count"](
+        spark, sf_dir
+    ).collect()
+    assert set(r["event_type"] for r in rows) == set(exact)
+    for r in rows:
+        true = exact[r["event_type"]]
+        # tolerance: 5% relative or 2 keys absolute, whichever is
+        # larger — at tiny n a single hash collision costs one key,
+        # which is normal sketch variance, not a defect.
+        assert abs(r["est_distinct"] - true) <= max(0.05 * true, 2.0), (
+            r["event_type"]
+        )
