@@ -239,3 +239,140 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["hour", "event_type"], "left")
         .select("hour", "event_type", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation: the time-series repair operator.
+# Where the zero-fill above treats a missing hour as "count 0", the
+# value series needs the neighboring observations: interior gaps get
+# the linear blend of the previous/next observed hourly average,
+# edge gaps extend the nearest observation. Window machinery is
+# last_value/first_value IGNORE NULLS over the spine — identical
+# semantics in Spark and DuckDB.
+#
+# Determinism: observed hourly averages are decimal-sum based
+# (dec_avg pattern); the interpolation is prev + (next - prev) * frac
+# where frac divides hour-aligned epoch-second integers — a fixed
+# 3-op IEEE sequence both engines execute identically.
+#
+# Scale: the spine is (hours x types) — tiny; the only data-sized
+# shuffle is the hourly aggregation, map-side combined. Windows run
+# per event_type over the spine, not over raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.hour, t.event_type, h.cnt, h.v
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    ), nb AS (
+      SELECT hour, event_type, cnt, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid
+    )
+    SELECT hour, event_type,
+      CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+      v IS NOT NULL AS is_observed,
+      CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) *
+          (CAST(CAST(epoch(hour) AS BIGINT) - CAST(epoch(ph) AS BIGINT)
+                AS DOUBLE)
+           / CAST(CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT)
+                  AS DOUBLE))
+      END AS avg_value
+    FROM nb
+    """,
+)
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from clickhouse_batcher_spark.functions import dec
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("v"),
+    )
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    nb = grid.select(
+        "hour",
+        "event_type",
+        "cnt",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(w_back).alias("ph"),
+        F.first(obs_hour, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return nb.select(
+        "hour",
+        "event_type",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        F.col("v").isNotNull().alias("is_observed"),
+        interp.alias("avg_value"),
+    )

@@ -85,7 +85,11 @@ def test_ext2b_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
 
 
-EXT2_C = ["winnow_fingerprints", "events_hourly_gapfill"]
+EXT2_C = [
+    "winnow_fingerprints",
+    "events_hourly_gapfill",
+    "events_hourly_interpolate",
+]
 
 
 @pytest.mark.parametrize("name", EXT2_C)
@@ -157,3 +161,39 @@ def test_ext4_parity(spark, sf_dir, name):
 
 def test_latest_event_parity(spark, sf_dir):
     assert_parity(spark, "latest_event_per_user_day", sf_dir)
+
+
+def test_interpolation_fills_between_neighbors(spark, sf_dir):
+    """Interior gaps lie between (or at) their neighboring observed
+    values; edge gaps clamp to the nearest observation; observed rows
+    pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark import catalog
+
+    rows = (
+        catalog.QUERIES["events_hourly_interpolate"](spark, sf_dir)
+        .orderBy("event_type", "hour")
+        .collect()
+    )
+    assert any(not r["is_observed"] for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        obs = [(i, r["avg_value"]) for i, r in enumerate(series) if r["is_observed"]]
+        assert obs
+        first_i, last_i = obs[0][0], obs[-1][0]
+        for i, r in enumerate(series):
+            assert r["avg_value"] is not None
+            if r["is_observed"]:
+                continue
+            if i < first_i:
+                assert r["avg_value"] == obs[0][1]  # leading clamp
+            elif i > last_i:
+                assert r["avg_value"] == obs[-1][1]  # trailing clamp
+            else:
+                prev_v = [v for j, v in obs if j < i][-1]
+                next_v = [v for j, v in obs if j > i][0]
+                lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+                assert lo - 1e-9 <= r["avg_value"] <= hi + 1e-9, i
