@@ -49,6 +49,7 @@ def load_all() -> None:
         asof,
         bloomjoin,
         cluster,
+        corr,
         corpus,
         dedup,
         funnel,

@@ -40,6 +40,7 @@ ORACLED = [
     "bloom_semi_join_orders",
     "docs_token_entropy",
     "distinct_users_linear_count",
+    "event_type_value_correlation",
 ]
 
 
@@ -611,3 +612,39 @@ def test_linear_count_accuracy(spark, sf_dir):
         assert abs(r["est_distinct"] - true) <= max(0.05 * true, 2.0), (
             r["event_type"]
         )
+
+
+def test_moment_corr_matches_numpy(spark, sf_dir):
+    """Decimal-moment Pearson == numpy corrcoef to float tolerance, and
+    a self-pair correlates at exactly 1."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.corr import moment_corr
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("x")
+    )
+    a = per_user.select("user_id", F.col("event_type").alias("type_a"), F.col("x").alias("xa"))
+    b = per_user.select("user_id", F.col("event_type").alias("type_b"), F.col("x").alias("xb"))
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    got = {
+        (r["type_a"], r["type_b"]): r["corr"]
+        for r in moment_corr(pairs, "xa", "xb", ["type_a", "type_b"]).collect()
+    }
+    raw = pairs.collect()
+    by_pair = {}
+    for r in raw:
+        by_pair.setdefault((r["type_a"], r["type_b"]), []).append((r["xa"], r["xb"]))
+    for key, vals in by_pair.items():
+        xs, ys = zip(*vals)
+        expected = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[key] - expected) < 1e-9, key
+
+    self_pairs = a.join(
+        a.select("user_id", F.col("type_a").alias("type_b"), F.col("xa").alias("xb")),
+        "user_id",
+    ).filter(F.col("type_a") == F.col("type_b"))
+    selfs = moment_corr(self_pairs, "xa", "xb", ["type_a", "type_b"]).collect()
+    assert selfs and all(abs(r["corr"] - 1.0) < 1e-12 for r in selfs)
