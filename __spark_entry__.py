@@ -59,21 +59,12 @@ _PRIORITY: list[str] = [
     # --- green only in round 2: second green this round ---
     "similarity_topk",
     "embedding_neardup",
-    "text_stats",
-    "langid_predict",
-    "token_histogram",
-    "token_count_bpeish",
-    "redact_docs",
-    "doc_fingerprint",
     "winnow_fingerprints",
     "merge_upsert_orders",
     "range_join_orders_window",
     "profile_events",
-    "retrieval_topk_docs",
     "token_count_min_sketch",
     "media_metadata",
-    "media_frame_sample",
-    "events_rollup_hierarchy",
     # --- never driver-checked in rounds 1-2: promoted ---
     "dedup_content_hash",
     "distinct_users_by_type",
@@ -103,12 +94,27 @@ _PRIORITY: list[str] = [
     "docs_unigram_logprob",
     "value_histogram_quantiles",
     "salted_join_user_segments",
+    # --- built later in round 3: first driver check ---
+    "docs_repetition_signals",
+    "bpe_pair_counts",
+    "funnel_conversion",
+    "incremental_rollup_events",
+    "bloom_semi_join_orders",
+    "docs_token_entropy",
+    "distinct_users_linear_count",
+    "events_hourly_interpolate",
+    "event_type_value_correlation",
 ]
-# Demoted this round to make room (all green in r1+r2, pytest parity
-# retained): orders_grouping_sets, events_pivot_by_type, user_sessions,
-# events_analytics_window, parts_with_heavy_lineitems, docs_split_counts,
-# asof_events_orders, dedup_consensus, dedup_simhash (the simhash family
-# keeps simhash_signatures in-window; as-of/consensus keep pytest parity).
+# Demoted this round to make room (all with at least one driver-green
+# row in r1/r2, pytest parity retained): orders_grouping_sets,
+# events_pivot_by_type, user_sessions, events_analytics_window,
+# parts_with_heavy_lineitems, docs_split_counts, asof_events_orders,
+# dedup_consensus, dedup_simhash, text_stats, langid_predict,
+# token_histogram, token_count_bpeish, redact_docs, doc_fingerprint,
+# retrieval_topk_docs, media_frame_sample, events_rollup_hierarchy —
+# every demoted family keeps an in-window representative (simhash ->
+# simhash_signatures, text quality -> repetition/entropy/gopher,
+# retrieval -> bm25_retrieval_topk, multimodal -> media_metadata).
 
 
 def _ordered(mapping: dict) -> dict:
