@@ -49,10 +49,12 @@ def load_all() -> None:
         asof,
         bloomjoin,
         cluster,
+        cohort,
         corr,
         corpus,
         dedup,
         funnel,
+        fuzzy,
         merge,
         multimodal,
         ngrams,

@@ -41,6 +41,8 @@ ORACLED = [
     "docs_token_entropy",
     "distinct_users_linear_count",
     "event_type_value_correlation",
+    "cohort_retention_weekly",
+    "fuzzy_token_matches",
 ]
 
 
@@ -648,3 +650,58 @@ def test_moment_corr_matches_numpy(spark, sf_dir):
     ).filter(F.col("type_a") == F.col("type_b"))
     selfs = moment_corr(self_pairs, "xa", "xb", ["type_a", "type_b"]).collect()
     assert selfs and all(abs(r["corr"] - 1.0) < 1e-12 for r in selfs)
+
+
+def test_fuzzy_blocking_is_complete(spark, sf_dir):
+    """Deletion-neighborhood blocking must find EVERY pair within
+    distance k (no false negatives) — verified against brute-force
+    levenshtein over the whole vocabulary."""
+    from clickhouse_batcher_spark.operators.fuzzy import FUZZY_MAX_DIST
+    from clickhouse_batcher_spark.tables import load_table
+    from clickhouse_batcher_spark.functions import tokens as tok_fn
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[-1]
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sorted(
+        r["tok"]
+        for r in docs.select(F.explode(tok_fn("text")).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    import itertools
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= FUZZY_MAX_DIST
+    }
+    got = {
+        (r["tok_a"], r["tok_b"])
+        for r in catalog.QUERIES["fuzzy_token_matches"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected  # the corpus really exercises the operator
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Week-0 retention is 1.0 for every cohort; activity never
+    precedes the cohort week; n_active <= cohort_size."""
+    rows = catalog.QUERIES["cohort_retention_weekly"](spark, sf_dir).collect()
+    assert rows
+    week0 = {r["cohort_week"] for r in rows if r["activity_week"] == r["cohort_week"]}
+    cohorts = {r["cohort_week"] for r in rows}
+    assert week0 == cohorts
+    for r in rows:
+        assert r["activity_week"] >= r["cohort_week"]
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["activity_week"] == r["cohort_week"]:
+            assert r["retention"] == 1.0, r["cohort_week"]
