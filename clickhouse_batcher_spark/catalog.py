@@ -66,4 +66,5 @@ def load_all() -> None:
         sketch,
         skew,
         text,
+        zorder,
     )

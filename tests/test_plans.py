@@ -166,6 +166,8 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "retrieval_topk_docs",       # same query-vector broadcast
         "events_hourly_gapfill",     # hour spine x type dims (bounded)
         "docs_unigram_logprob",      # 1-row vocabulary-total frame
+        "events_zorder_bucket_stats",  # 1-row min/max bounds frame
+        "events_hourly_interpolate",   # hour spine x type dims (bounded)
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
