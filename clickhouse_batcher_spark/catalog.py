@@ -55,6 +55,8 @@ def load_all() -> None:
         dedup,
         funnel,
         fuzzy,
+        graph,
+        invindex,
         merge,
         multimodal,
         ngrams,

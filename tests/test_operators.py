@@ -44,6 +44,8 @@ ORACLED = [
     "cohort_retention_weekly",
     "fuzzy_token_matches",
     "events_zorder_bucket_stats",
+    "inverted_index_postings",
+    "coactivity_triangle_stats",
 ]
 
 
@@ -757,3 +759,58 @@ def test_zorder_write_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == events.count()
     assert sorted(back.columns) == sorted(events.columns)
+
+
+def test_inverted_index_invariants(spark, sf_dir):
+    """Postings are sorted, capped, and consistent with df/total_tf;
+    df cross-checks against a direct distinct count."""
+    from clickhouse_batcher_spark.operators.invindex import POSTINGS_CAP
+    from clickhouse_batcher_spark.functions import tokens as tok_fn
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = catalog.QUERIES["inverted_index_postings"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    true_df = {
+        r["token"]: r["df"]
+        for r in docs.select(F.explode(tok_fn("text")).alias("token"), "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    for r in rows:
+        ids = [int(x) for x in r["postings_csv"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["df"], POSTINGS_CAP)
+        assert r["total_tf"] >= r["df"]
+        assert true_df[r["token"]] == r["df"]
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Distributed edge-edge-edge join == brute-force triangle count
+    on the collected edge set (small by the edge threshold)."""
+    import itertools
+
+    from clickhouse_batcher_spark.operators.graph import coactivity_edges
+    from clickhouse_batcher_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    edges = {
+        (r["ua"], r["ub"]) for r in coactivity_edges(events).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # a < b < c: count each triangle once
+    )
+    row = catalog.QUERIES["coactivity_triangle_stats"](spark, sf_dir).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+    deg = {n: len(s) for n, s in adj.items()}
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
