@@ -212,3 +212,50 @@ def test_multisink_dual_write_and_partial_failure_healing(spark, sf_dir, tmp_roo
 
     # fully committed replay is a no-op everywhere
     assert multi.write_batch(events, 1) is False
+
+
+def test_rollup_streaming_equivalence(spark, sf_dir, tmp_root):
+    """Continuous-aggregate pattern: per-micro-batch partial rollup
+    states (appended via foreachBatch) merge to EXACTLY the batch
+    recompute — the streaming face of the mergeable-state contract
+    (operators/rollup.py), including the decimal-exact value sums."""
+    from clickhouse_batcher_spark.operators.rollup import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 5)
+    states_dir = f"{tmp_root}/states"
+
+    def fold(batch_df, batch_id):
+        partial_rollup(batch_df).write.mode("append").parquet(states_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp_root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    states = spark.read.parquet(states_dir)
+    assert states.count() > 0
+    streamed = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(states).collect()
+    }
+    batch = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(
+            partial_rollup(load_table(spark, sf_dir, "events"))
+        ).collect()
+    }
+    assert streamed == batch
