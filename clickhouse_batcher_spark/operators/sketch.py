@@ -277,3 +277,91 @@ def distinct_users_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return s.select("event_type", "n_set_bits", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct estimate (sketch x window composition)
+# ---------------------------------------------------------------------------
+LC_WINDOW_HOURS = 6  # sliding window length (hop = 1 hour)
+
+
+@query(
+    "sliding_distinct_users",
+    oracle=f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             {_sql_lc_pos("CAST(user_id AS VARCHAR)")} AS pos
+      FROM events
+    ),
+    covered AS (
+      SELECT h - to_hours(off) AS window_start, pos
+      FROM hours, unnest(generate_series(0, {LC_WINDOW_HOURS - 1})) AS t(off)
+    ),
+    words AS (
+      SELECT window_start, pos // {LC_WORD_BITS} AS word,
+             bit_or(CAST(pow(2, pos % {LC_WORD_BITS}) AS BIGINT)) AS bits
+      FROM covered GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT window_start, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits
+      FROM words GROUP BY 1
+    )
+    SELECT window_start, n_set_bits,
+           round(-{LC_BITS}.0 * ln(({LC_BITS}.0 - n_set_bits) / {LC_BITS}.0),
+                 6) AS est_distinct
+    FROM s
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per 6-hour sliding window (1-hour hop).
+
+    Sliding distinct counts are THE painful streaming aggregate:
+    exact answers need per-window user sets (memory ~ windows x
+    users) because distinct does not decompose over overlapping
+    windows. The sketch composition sidesteps it: each event explodes
+    into the LC_WINDOW_HOURS windows covering it (bounded constant
+    fan-out), duplicates collapse in the map-side partial ``bit_or``,
+    and only (window x m/32) bitmap words shuffle — the identical
+    plan Structured Streaming would run incrementally, since bit_or
+    states merge across micro-batches like every sketch in this
+    module.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pos = _lc_pos(F.col("user_id").cast("string"))
+    hours = events.select(
+        F.date_trunc("hour", "ts").alias("h"), pos.alias("pos")
+    )
+    covered = (
+        hours.select(
+            "h",
+            "pos",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(LC_WINDOW_HOURS - 1))
+            ).alias("off"),
+        )
+        .select(
+            (F.col("h") - F.make_dt_interval(hours=F.col("off"))).alias(
+                "window_start"
+            ),
+            "pos",
+        )
+    )
+    words = covered.select(
+        "window_start",
+        F.floor(F.col("pos") / LC_WORD_BITS).cast("int").alias("word"),
+        F.pow(F.lit(2.0), (F.col("pos") % LC_WORD_BITS).cast("double"))
+        .cast("long")
+        .alias("mask"),
+    ).groupBy("window_start", "word").agg(F.bit_or("mask").alias("bits"))
+    s = words.groupBy("window_start").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_set_bits")
+    )
+    est = F.round(
+        F.lit(-float(LC_BITS))
+        * F.log(
+            (F.lit(float(LC_BITS)) - F.col("n_set_bits").cast("double"))
+            / F.lit(float(LC_BITS))
+        ),
+        6,
+    )
+    return s.select("window_start", "n_set_bits", est.alias("est_distinct"))

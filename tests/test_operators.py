@@ -46,6 +46,7 @@ ORACLED = [
     "events_zorder_bucket_stats",
     "inverted_index_postings",
     "coactivity_triangle_stats",
+    "sliding_distinct_users",
 ]
 
 
@@ -814,3 +815,34 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert row["n_edges"] == len(edges)
     deg = {n: len(s) for n, s in adj.items()}
     assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+def test_sliding_distinct_accuracy(spark, sf_dir):
+    """Window estimates track the exact sliding distinct counts within
+    sketch tolerance (5% or 2 keys)."""
+    import duckdb
+
+    from clickhouse_batcher_spark.operators.sketch import LC_WINDOW_HOURS
+
+    exact = dict(
+        duckdb.connect()
+        .execute(
+            f"""
+            WITH h AS (SELECT DISTINCT user_id,
+                         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+                       FROM '{sf_dir}/events.parquet'),
+            c AS (SELECT h - to_hours(off) AS w, user_id
+                  FROM h, unnest(generate_series(0, {LC_WINDOW_HOURS - 1}))
+                    AS t(off))
+            SELECT w, count(DISTINCT user_id) FROM c GROUP BY w
+            """
+        )
+        .fetchall()
+    )
+    rows = catalog.QUERIES["sliding_distinct_users"](spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        true = exact[r["window_start"]]
+        assert abs(r["est_distinct"] - true) <= max(0.05 * true, 2.0), (
+            r["window_start"]
+        )
