@@ -91,3 +91,68 @@ def test_merge_upsert_algebra(spark, target, updates):
     ).filter(F.col("k").isNotNull())
     out = {r["k"]: r["v"] for r in merge_upsert(t, u, ["k"]).collect()}
     assert out == {**target, **updates}
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_key_injective_and_bounded(spark, pts):
+    """Morton keys are injective on (a, b) pairs and bounded by
+    4^bits; interleaving of zero is identity-ish (z(a,0) spreads a's
+    bits to even positions only)."""
+    from clickhouse_batcher_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+    seen = {}
+    for r in rows:
+        assert 0 <= r["z"] < 4**8
+        assert r["z"] not in seen or seen[r["z"]] == (r["a"], r["b"])
+        seen[r["z"]] = (r["a"], r["b"])
+    assert len(seen) == len(pts)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), money), min_size=1, max_size=50
+    ),
+    parts=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_rollup_merge_associative_any_split(spark, vals, parts):
+    """merge(partials of ANY hash split) == single-state rollup, with
+    decimal-exact sums (the mergeable-state property under random
+    data, beyond the fixed date split of the catalog test)."""
+    from clickhouse_batcher_spark.operators.rollup import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    rows = [
+        (i, f"2024-01-{(k % 3) + 1:02d} 00:00:00", f"t{k}", float(v))
+        for i, (k, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pieces = [
+        partial_rollup(df.filter(F.pmod(F.col("event_id"), F.lit(parts)) == i))
+        for i in range(parts)
+    ]
+    merged = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(*pieces).collect()
+    }
+    single = {
+        (r["day"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in merge_rollups(partial_rollup(df)).collect()
+    }
+    assert merged == single
