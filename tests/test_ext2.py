@@ -197,3 +197,35 @@ def test_interpolation_fills_between_neighbors(spark, sf_dir):
                 next_v = [v for j, v in obs if j > i][0]
                 lo, hi = min(prev_v, next_v), max(prev_v, next_v)
                 assert lo - 1e-9 <= r["avg_value"] <= hi + 1e-9, i
+
+
+def test_new_operators_tolerate_empty_input(spark, sf_dir):
+    """Round-3 operator helpers return empty (not crash) on empty
+    frames — the behavior at a partition-pruned empty slice."""
+    from clickhouse_batcher_spark.operators.bloomjoin import bloom_semi_join
+    from clickhouse_batcher_spark.operators.funnel import funnel_stage_times
+    from clickhouse_batcher_spark.operators.fuzzy import fuzzy_pairs
+    from clickhouse_batcher_spark.operators.graph import coactivity_edges
+    from clickhouse_batcher_spark.operators.ngrams import _ngram_arrays
+    from clickhouse_batcher_spark.operators.rollup import (
+        merge_rollups,
+        partial_rollup,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    empty_events = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    empty_docs = load_table(spark, sf_dir, "documents").filter("doc_id < 0")
+
+    assert funnel_stage_times(empty_events).count() == 0
+    assert merge_rollups(partial_rollup(empty_events)).count() == 0
+    assert coactivity_edges(empty_events).count() == 0
+    assert _ngram_arrays(empty_docs).count() == 0
+    assert (
+        fuzzy_pairs(empty_docs.select(F.col("text").alias("tok")), "tok").count()
+        == 0
+    )
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+    empty_keys = load_table(spark, sf_dir, "customer").filter(
+        "c_custkey < 0"
+    ).select("c_custkey")
+    assert bloom_semi_join(orders, "o_custkey", empty_keys, "c_custkey").count() == 0
