@@ -61,6 +61,7 @@ def load_all() -> None:
         multimodal,
         ngrams,
         profile,
+        quality,
         rangejoin,
         rollup,
         sampling,

@@ -278,3 +278,46 @@ def latest_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period: day-over-day change per event type (lag window).
+# First day per type has NULL previous -> NULL pct_change (both
+# engines agree; NULL doubles canonicalize identically). The division
+# is one IEEE op over exact integer counts.
+# ---------------------------------------------------------------------------
+@query(
+    "events_day_over_day",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, cnt,
+      lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt,
+      CASE WHEN lag(cnt) OVER (PARTITION BY event_type ORDER BY day) > 0
+        THEN CAST(cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
+                  AS DOUBLE)
+             / CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY day)
+                    AS DOUBLE)
+        ELSE NULL END AS pct_change
+    FROM d
+    """,
+)
+def events_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cnt").over(w)
+    pct = F.when(
+        prev > 0,
+        (F.col("cnt") - prev).cast("double") / prev.cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    return d.select(
+        "day", "event_type", "cnt", prev.alias("prev_cnt"), pct.alias("pct_change")
+    )

@@ -47,6 +47,8 @@ ORACLED = [
     "inverted_index_postings",
     "coactivity_triangle_stats",
     "sliding_distinct_users",
+    "events_day_over_day",
+    "orders_quality_constraints",
 ]
 
 
@@ -846,3 +848,50 @@ def test_sliding_distinct_accuracy(spark, sf_dir):
         assert abs(r["est_distinct"] - true) <= max(0.05 * true, 2.0), (
             r["window_start"]
         )
+
+
+def test_quality_constraints_catch_planted_violations(spark, sf_dir):
+    """Each rule fires on data planted to violate exactly it."""
+    from clickhouse_batcher_spark.operators.quality import (
+        check_orders_constraints,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(100).cache()
+    customer = load_table(spark, sf_dir, "customer")
+
+    clean = {
+        r["constraint_name"]: r["pass"]
+        for r in check_orders_constraints(orders, customer).collect()
+    }
+    assert all(clean.values()), clean
+
+    dirty = orders.unionByName(
+        orders.limit(1).select(  # dup key + orphan + bad status + bad price
+            "o_orderkey",
+            F.lit(-999).alias("o_custkey"),
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(-5.0).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    ).unionByName(
+        orders.limit(1).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(None).cast("bigint").alias("o_custkey"),  # null custkey
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    got = {
+        r["constraint_name"]: (r["violations"], r["pass"])
+        for r in check_orders_constraints(dirty, customer).collect()
+    }
+    assert got["orderkey_unique"] == (1, False)
+    assert got["custkey_complete"] == (1, False)
+    assert got["status_in_domain"] == (1, False)
+    assert got["price_in_range"] == (1, False)
+    assert got["custkey_references_customer"] == (1, False)
+    assert got["row_count_positive"][1] is True
