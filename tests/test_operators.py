@@ -49,6 +49,7 @@ ORACLED = [
     "sliding_distinct_users",
     "events_day_over_day",
     "orders_quality_constraints",
+    "orders_snapshot_diff",
 ]
 
 
@@ -895,3 +896,49 @@ def test_quality_constraints_catch_planted_violations(spark, sf_dir):
     assert got["price_in_range"] == (1, False)
     assert got["custkey_references_customer"] == (1, False)
     assert got["row_count_positive"][1] is True
+
+
+def test_snapshot_diff_roundtrip(spark, sf_dir):
+    """Applying the extracted diff to the old snapshot reconstructs
+    the new snapshot exactly (CDC extract ∘ apply == identity), and
+    all three change types occur in the scenario."""
+    from clickhouse_batcher_spark.operators.merge import (
+        SNAP_NEW_DAY,
+        SNAP_OLD_DAY,
+        merge_upsert,
+        snapshot_diff,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit(f"{SNAP_OLD_DAY} 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = orders.filter(
+        (F.col("o_orderdate") < F.lit(f"{SNAP_NEW_DAY} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderkey") % 13 != 3)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).cache()
+    kinds = {r["change_type"] for r in diff.select("change_type").distinct().collect()}
+    assert kinds == {"insert", "update", "delete"}
+
+    upserts = diff.filter(F.col("change_type") != "delete").select(
+        "o_orderkey",
+        F.col("new_o_totalprice").alias("o_totalprice"),
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+    )
+    deletes = diff.filter(F.col("change_type") == "delete").select("o_orderkey")
+    rebuilt = merge_upsert(old, upserts, ["o_orderkey"]).join(
+        deletes, "o_orderkey", "left_anti"
+    )
+    a = {tuple(r) for r in rebuilt.collect()}
+    b = {tuple(r) for r in new.collect()}
+    assert a == b
