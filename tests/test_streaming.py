@@ -259,3 +259,82 @@ def test_rollup_streaming_equivalence(spark, sf_dir, tmp_root):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_root):
+    """applyInPandasWithState funnel over time-sliced micro-batches ==
+    the batch min-cascade funnel (operators/funnel.py), nulls and
+    all."""
+    import os
+
+    from pyspark.sql import Window
+
+    from clickhouse_batcher_spark.operators.funnel import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_S,
+        funnel_stage_times,
+    )
+    from clickhouse_batcher_spark.streaming.stateful import streaming_funnel
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select("user_id", "event_type", "ts")
+    )
+    # 4 time slices written as one file each, mtimes ascending so the
+    # file source replays them in event-time order (per-user arrival
+    # is then time-sliced, the condition for batch equivalence)
+    n_slices = 4
+    w = Window.orderBy("ts", "user_id", "event_type")
+    sliced = events.withColumn(
+        "slice", F.ntile(n_slices).over(w)
+    )
+    src = f"{tmp_root}/src"
+    os.makedirs(src)
+    for i in range(1, n_slices + 1):
+        part_dir = f"{tmp_root}/part{i}"
+        sliced.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.parquet(part_dir)
+        name = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = f"{src}/slice{i}.parquet"
+        os.rename(f"{part_dir}/{name}", dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_funnel(stream, FUNNEL_STAGES, FUNNEL_WINDOW_S)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", f"{tmp_root}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(
+        """SELECT user_id, t1_us, t2_us, t3_us FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY version DESC) AS rn
+             FROM funnel_out) WHERE rn = 1"""
+    ).collect()
+    streamed = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"]) for r in emitted
+    }
+
+    def us(ts):
+        return -1 if ts is None else int(ts.timestamp() * 1_000_000)
+
+    batch = {
+        r["user_id"]: (us(r["t1"]), us(r["t2"]), us(r["t3"]))
+        for r in funnel_stage_times(events).collect()
+    }
+    assert streamed == batch
