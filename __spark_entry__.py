@@ -53,8 +53,6 @@ _PRIORITY: list[str] = [
     "replay_idempotent",
     "delete_where_counts",
     "tpch_q1",
-    "join_revenue_by_segment",
-    "topk_per_user",
     "dedup_exact_docs",
     # --- green only in round 2: second green this round ---
     "similarity_topk",
@@ -76,9 +74,11 @@ _PRIORITY: list[str] = [
     "union_event_slices",
     "user_event_type_profile",
     "value_moments_by_type",
-    # --- family representatives (double-green; kept) ---
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # --- final round-3 additions: first driver check ---
+    "sliding_distinct_users",
+    "events_day_over_day",
+    "orders_quality_constraints",
+    "orders_snapshot_diff",
     # --- new round-3 oracled operators: first driver check ---
     "chunk_documents",
     "docs_rare_token_ratio",
@@ -106,7 +106,12 @@ _PRIORITY: list[str] = [
     "coactivity_triangle_stats",
 ]
 # Demoted this round to make room (all with at least one driver-green
-# row in r1/r2, pytest parity retained): orders_grouping_sets,
+# row in r1/r2, pytest parity retained): join_revenue_by_segment,
+# topk_per_user, dedup_ngram_jaccard, dedup_minhash_lsh (double-green
+# t2/family entries; joins repped by orders_by_region +
+# salted_join_user_segments + bloom_semi_join_orders, top-k by
+# top10_orders + bm25_retrieval_topk, dedup by dedup_exact_docs +
+# dedup_content_hash + simhash_signatures), orders_grouping_sets,
 # events_pivot_by_type, user_sessions, events_analytics_window,
 # parts_with_heavy_lineitems, docs_split_counts, asof_events_orders,
 # dedup_consensus, dedup_simhash, text_stats, langid_predict,
