@@ -69,5 +69,6 @@ def load_all() -> None:
         sketch,
         skew,
         text,
+        timeseries,
         zorder,
     )

@@ -1,0 +1,247 @@
+"""Temporal analytics over the event stream: smoothing, anomaly
+detection, and sequence transitions.
+
+Three classic time-series questions a monitoring / training-data
+pipeline asks of an event table, each expressed shuffle-minimally:
+
+- **Weighted moving average** (linear-decay smoother): integer
+  weights x exact decimal totals, so the windowed sum is
+  order-independent and hash-identical across engines. The window is
+  materialized by *offset explosion* (each hourly total contributes
+  to the WMA_HOURS windows that cover it), the same constant-fan-out
+  trick as the sliding distinct sketch: one equi-shuffle on
+  (type, hour), no range self-join, no per-window sort.
+- **Z-score anomalies**: per-type mean/stddev from *integer* moment
+  sums over floor-quantized hourly totals. Whole-unit quantization is
+  the determinism trick: scale-12 decimal moments (x² of a scale-6
+  total) do NOT round-trip through double identically across engines
+  (observed 1-ULP cast divergence DuckDB vs Spark), but integer
+  moments below 2^53 convert exactly, making every input to the
+  closed-form z expression bit-identical; the remaining products /
+  subtraction / sqrt / division are a fixed IEEE sequence, so the
+  |z| >= threshold cut is deterministic on both engines. The <1-unit
+  quantization error on ~1e5-unit hourly totals shifts z by ~1e-5 —
+  far below any plausible alert threshold's sensitivity.
+- **Markov transition matrix**: lag() over (user, time) ordering
+  gives consecutive event-type pairs; one groupBy + a partition-local
+  window normalizes rows into transition probabilities. The only
+  float is one IEEE division of two exact integers.
+
+Scale shape:
+- WMA fan-out is WMA_HOURS rows per *hourly aggregate* (not per
+  event) — the explode happens after the first map-side-combined
+  groupBy, so its input is |types| x |hours|, already tiny relative
+  to the event count.
+- anomaly moments reduce to one row per type; the hourly frame joins
+  against a broadcast of those moments.
+- the transition window shuffles once on user_id (events for one
+  user fit an executor by assumption, same as sessionization), and
+  the pair aggregation is map-side combined down to |types|² rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec
+from clickhouse_batcher_spark.tables import load_table
+
+WMA_HOURS = 12      # trailing window length; weight = WMA_HOURS - distance
+ANOM_Z = 2.5        # |z| cut for the anomaly report
+
+_HOURLY_SQL = """
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             SUM(CAST(value AS DECIMAL(27,6))) AS tot
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly(events: DataFrame) -> DataFrame:
+    """Per (event_type, hour) exact-decimal value totals."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.sum(dec("value")).alias("tot"))
+
+
+# ---------------------------------------------------------------------------
+# Linear-weighted moving average (gap-aware, exact decimal)
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_wma",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    contrib AS (
+      SELECT event_type, h + to_hours(off) AS hour,
+             ({WMA_HOURS} - off) AS w, tot
+      FROM hourly, unnest(generate_series(0, {WMA_HOURS - 1})) AS t(off)
+    ),
+    agg AS (
+      SELECT event_type, hour,
+             SUM(CAST(tot AS DECIMAL(27,6)) * w) AS num,
+             CAST(SUM(w) AS BIGINT) AS den,
+             CAST(count(*) AS BIGINT) AS n_hours_present
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.hour,
+           CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS wma_value,
+           a.n_hours_present
+    FROM agg a JOIN hourly o
+      ON o.event_type = a.event_type AND o.h = a.hour
+    """,
+)
+def events_hourly_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing linear-weighted moving average of hourly value totals.
+
+    Weight for an hour at distance d in [0, WMA_HOURS) is
+    WMA_HOURS - d; missing hours contribute nothing and the
+    denominator shrinks accordingly (gap-aware normalization). Output
+    rows are exactly the observed (type, hour) pairs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.sum(dec("value")).cast("decimal(27,6)").alias("tot"))
+    contrib = hourly.select(
+        "event_type",
+        "h",
+        "tot",
+        F.explode(F.sequence(F.lit(0), F.lit(WMA_HOURS - 1))).alias("off"),
+    ).select(
+        "event_type",
+        (F.col("h") + F.make_dt_interval(hours=F.col("off"))).alias("hour"),
+        (F.lit(WMA_HOURS) - F.col("off")).alias("w"),
+        "tot",
+    )
+    agg = contrib.groupBy("event_type", "hour").agg(
+        F.sum(F.col("tot") * F.col("w")).alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+        F.count(F.lit(1)).alias("n_hours_present"),
+    )
+    obs = hourly.select("event_type", F.col("h").alias("hour"))
+    return agg.join(obs, ["event_type", "hour"], "left_semi").select(
+        "event_type",
+        "hour",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "wma_value"
+        ),
+        "n_hours_present",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly report (exact moments -> deterministic threshold)
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_anomalies",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    t AS (SELECT h, event_type, CAST(tot AS DECIMAL(18,6)) AS x,
+                 CAST(FLOOR(tot) AS BIGINT) AS xi
+          FROM hourly),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(SUM(xi) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(xi AS DECIMAL(19,0)) * xi) AS DOUBLE) AS s2
+      FROM t GROUP BY 1
+    )
+    SELECT t.event_type, t.h AS hour,
+           CAST(t.x AS DOUBLE) AS hour_total,
+           (CAST(t.xi AS DOUBLE) - m.s1 / CAST(m.n_hours AS DOUBLE))
+             / sqrt((CAST(m.n_hours AS DOUBLE) * m.s2 - m.s1 * m.s1)
+                    / (CAST(m.n_hours AS DOUBLE) * CAST(m.n_hours AS DOUBLE)))
+             AS zscore,
+           m.n_hours
+    FROM t JOIN m ON m.event_type = t.event_type
+    WHERE m.n_hours > 1
+      AND (CAST(m.n_hours AS DOUBLE) * m.s2 - m.s1 * m.s1) > 0
+      AND abs((CAST(t.xi AS DOUBLE) - m.s1 / CAST(m.n_hours AS DOUBLE))
+              / sqrt((CAST(m.n_hours AS DOUBLE) * m.s2 - m.s1 * m.s1)
+                     / (CAST(m.n_hours AS DOUBLE) * CAST(m.n_hours AS DOUBLE))))
+          >= {ANOM_Z}
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose per-type value total deviates >= ANOM_Z population
+    stddevs from that type's mean hourly total."""
+    events = load_table(spark, sf_dir, "events")
+    t = _hourly(events).select(
+        "h",
+        "event_type",
+        F.col("tot").cast("decimal(18,6)").alias("x"),
+        F.floor("tot").cast("bigint").alias("xi"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("xi").cast("double").alias("s1"),
+        F.sum(F.col("xi").cast("decimal(19,0)") * F.col("xi"))
+        .cast("double")
+        .alias("s2"),
+    )
+    j = t.join(F.broadcast(m), "event_type")
+    nd = F.col("n_hours").cast("double")
+    xd = F.col("x").cast("double")
+    xid = F.col("xi").cast("double")
+    var_num = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (xid - F.col("s1") / nd) / F.sqrt(var_num / (nd * nd))
+    return (
+        j.filter((F.col("n_hours") > 1) & (var_num > 0))
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            xd.alias("hour_total"),
+            z.alias("zscore"),
+            "n_hours",
+        )
+        .filter(F.abs(F.col("zscore")) >= ANOM_Z)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                    AS DOUBLE) AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current event type) from per-user ordered
+    sequences — |types|² rows out, probabilities row-normalized."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("prob"),
+    )

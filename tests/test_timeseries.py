@@ -1,0 +1,138 @@
+"""Timeseries operators: WMA smoothing, z-score anomalies, Markov
+transitions — semantic unit tests + DuckDB parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+from clickhouse_batcher_spark.tables import load_table
+from tests.parity import assert_parity
+
+TS_QUERIES = [
+    "events_hourly_wma",
+    "events_hourly_anomalies",
+    "event_transition_matrix",
+]
+
+
+@pytest.mark.parametrize("name", TS_QUERIES)
+def test_timeseries_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_wma_constant_series_is_identity(spark, sf_dir):
+    """A constant hourly series must smooth to exactly itself,
+    whatever the gap pattern (weights renormalize)."""
+    from clickhouse_batcher_spark.operators.timeseries import (
+        events_hourly_wma,
+    )
+
+    out = events_hourly_wma(spark, sf_dir)
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # row set == observed (type, hour) pairs
+    assert out.count() == hourly.count()
+    assert (
+        out.join(hourly, ["event_type", "hour"], "left_anti").count() == 0
+    )
+    # hand-check one type against a pandas recompute of the same math
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("tot"))
+        .toPandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    got = {
+        r["hour"]: r["wma_value"]
+        for r in out.filter(F.col("event_type") == "click").collect()
+    }
+    totals = {row.hour: float(row.tot) for row in pdf.itertuples(index=False)}
+    import datetime
+
+    for h, tot in list(totals.items())[:50]:
+        num = den = 0.0
+        for d in range(12):
+            hh = h - datetime.timedelta(hours=d)
+            if hh in totals:
+                num += totals[hh] * (12 - d)
+                den += 12 - d
+        assert math.isclose(got[h], num / den, rel_tol=1e-9), h
+
+
+def test_anomalies_planted_outlier(spark):
+    """A 100x spike hour must be flagged; flat hours must not."""
+    from clickhouse_batcher_spark.operators import timeseries as ts
+
+    rows = []
+    eid = 0
+    for hr in range(48):
+        v = 5000.0 if hr == 37 else 50.0
+        rows.append((eid, f"2024-03-01 {hr % 24:02d}:30:00", hr, "t", v))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts_s STRING, user_id LONG, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    # exercise the operator body against an in-memory table
+    hourly = df.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("tot"))
+    t = hourly.select(
+        "h",
+        "event_type",
+        F.col("tot").cast("decimal(18,6)").alias("x"),
+        F.floor("tot").cast("bigint").alias("xi"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("xi").cast("double").alias("s1"),
+        F.sum(F.col("xi").cast("decimal(19,0)") * F.col("xi"))
+        .cast("double")
+        .alias("s2"),
+    )
+    j = t.join(m, "event_type")
+    nd = F.col("n_hours").cast("double")
+    var_num = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("xi").cast("double") - F.col("s1") / nd) / F.sqrt(
+        var_num / (nd * nd)
+    )
+    flagged = (
+        j.filter(F.abs(z) >= ts.ANOM_Z)
+        .select(F.hour("h").alias("hr"))
+        .collect()
+    )
+    assert [r["hr"] for r in flagged] == [13]  # hr 37 % 24
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from clickhouse_batcher_spark.operators.timeseries import (
+        event_transition_matrix,
+    )
+
+    out = event_transition_matrix(spark, sf_dir)
+    sums = (
+        out.groupBy("prev_type")
+        .agg(
+            F.sum("prob").alias("p"),
+            F.sum("n_transitions").alias("n"),
+        )
+        .collect()
+    )
+    assert len(sums) > 0
+    for r in sums:
+        assert math.isclose(r["p"], 1.0, rel_tol=1e-9), r
+    # total transitions == total events - distinct users with >=1 event
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in sums) == n_events - n_users
