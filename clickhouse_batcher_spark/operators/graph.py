@@ -131,3 +131,127 @@ def coactivity_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.alias("clustering_coefficient"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (exact integer arithmetic, unrolled iterations)
+# ---------------------------------------------------------------------------
+PR_SCALE = 1_000_000_000  # rank unit = 1e-9 (9 digits of PR precision)
+PR_ITERS = 3              # unrolled in both engines
+PR_TOPK = 20
+
+_PR_EDGE_SQL = f"""
+    ah AS (
+      SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      FROM events
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS common_hours
+      FROM ah a JOIN ah b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT ua, ub FROM p WHERE common_hours >= {COACT_MIN_HOURS}),
+    d AS (
+      SELECT ua AS src, ub AS dst FROM e
+      UNION ALL
+      SELECT ub AS src, ua AS dst FROM e
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY 1
+    ),
+    it0 AS (SELECT node, deg, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+    it{k} AS (
+      SELECT n.node, n.deg,
+             CAST((15 * CAST({PR_SCALE} AS BIGINT)) // 100
+                  + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM deg n LEFT JOIN (
+        SELECT d.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+        FROM d JOIN it{k - 1} r ON r.node = d.src GROUP BY 1
+      ) s ON s.node = n.node
+    )
+    """
+
+
+@query(
+    "coactivity_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGE_SQL},
+    {",".join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))},
+    ranked AS (
+      SELECT node, rank AS pr_score,
+             row_number() OVER (ORDER BY rank DESC, node) AS pos
+      FROM it{PR_ITERS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, pr_score, CAST(pos AS BIGINT) AS pos
+    FROM ranked WHERE pos <= {PR_TOPK}
+    """,
+)
+def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOPK users by fixed-point PageRank over the co-activity
+    graph.
+
+    Float PageRank is un-oracle-able: each iteration sums
+    shuffle-ordered doubles, so no two engines (or two runs) agree at
+    the last ULP. The fix is fixed-point *integer* PageRank: ranks are
+    bigints in units of 1/PR_SCALE; a node's contribution is
+    ``rank div deg`` (truncating integer division, identical in Spark
+    and DuckDB for non-negative operands); damping is
+    ``(15*SCALE) div 100 + (85*sum) div 100``. Every iteration is
+    exact integer math — order-independent, hash-reproducible, and the
+    truncation loses at most ``deg`` rank units (1e-9 each) per node
+    per round.
+
+    Scale shape: the directed edge frame is cached (feeds the degree
+    aggregation plus one join per iteration); each iteration is one
+    equi-join (edges x ranks on src, a broadcast-able rank frame for
+    moderate graphs, shuffle join at web scale) and one map-side
+    combined groupBy(dst). Overflow headroom: 85 * n_nodes * PR_SCALE
+    must stay under 2^63 => n_nodes < ~1e8 at SCALE=1e9; shrink
+    PR_SCALE for larger graphs. Iterations are unrolled (PR_ITERS=3)
+    — for rank-until-convergence at scale you would checkpoint every
+    few rounds like the dedup connected-components loop
+    (cluster.py) instead of growing one lineage.
+    """
+    events = load_table(spark, sf_dir, "events")
+    e = coactivity_edges(events)
+    directed = (
+        e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(e.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
+        .cache()
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    ranks = nodes.select(
+        "node", "deg", F.lit(PR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = directed.join(
+            ranks.select(F.col("node").alias("src"), "rank", "deg"), "src"
+        ).select("dst", F.expr("rank div deg").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            summed, nodes["node"] == summed["dst"], "left"
+        ).select(
+            "node",
+            "deg",
+            (
+                F.lit((15 * PR_SCALE) // 100)
+                + F.expr("(85 * COALESCE(s, 0)) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("rank").alias("pr_score"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= PR_TOPK)
+    )
