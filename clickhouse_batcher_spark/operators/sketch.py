@@ -365,3 +365,145 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return s.select("window_start", "n_set_bits", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: pairwise distinct-user overlap between event types
+# ---------------------------------------------------------------------------
+_LC_EST = (
+    f"-{LC_BITS}.0 * ln(({LC_BITS}.0 - {{k}}) / {LC_BITS}.0)"
+)
+
+
+def _lc_est_col(k) -> "Column":
+    return F.lit(-float(LC_BITS)) * F.log(
+        (F.lit(float(LC_BITS)) - k.cast("double")) / F.lit(float(LC_BITS))
+    )
+
+
+@query(
+    "distinct_users_type_overlap",
+    oracle=f"""
+    WITH coords AS (
+      SELECT event_type, {_sql_lc_pos("CAST(user_id AS VARCHAR)")} AS pos
+      FROM events
+    ),
+    words AS (
+      SELECT event_type, pos // {LC_WORD_BITS} AS word,
+             bit_or(CAST(pow(2, pos % {LC_WORD_BITS}) AS BIGINT)) AS bits
+      FROM coords GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS k
+      FROM words GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.k AS ka, b.k AS kb
+      FROM k a JOIN k b ON a.event_type < b.event_type
+    ),
+    members AS (
+      SELECT type_a, type_b, type_a AS event_type FROM pairs
+      UNION ALL
+      SELECT type_a, type_b, type_b AS event_type FROM pairs
+    ),
+    uw AS (
+      SELECT m.type_a, m.type_b, w.word, bit_or(w.bits) AS bits
+      FROM members m JOIN words w ON w.event_type = m.event_type
+      GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT type_a, type_b, CAST(SUM(bit_count(bits)) AS BIGINT) AS ku
+      FROM uw GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.ka AS bits_a, p.kb AS bits_b,
+           u.ku AS bits_union,
+           round(greatest(0.0, ({_LC_EST.format(k="p.ka")})
+                               + ({_LC_EST.format(k="p.kb")})
+                               - ({_LC_EST.format(k="u.ku")})), 6)
+             AS est_intersection,
+           CASE WHEN u.ku > 0 THEN
+             round(greatest(0.0, ({_LC_EST.format(k="p.ka")})
+                                 + ({_LC_EST.format(k="p.kb")})
+                                 - ({_LC_EST.format(k="u.ku")}))
+                   / ({_LC_EST.format(k="u.ku")}), 6)
+           ELSE 0.0 END AS est_jaccard
+    FROM pairs p
+    JOIN u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    """,
+)
+def distinct_users_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-user intersection / Jaccard for every
+    event-type pair, by linear-count inclusion-exclusion.
+
+    The sketch-algebra payoff: exact pairwise overlap needs either a
+    |types|²-way COUNT(DISTINCT) or a self-join of the (type, user)
+    frame — both reshuffle the user universe. Here each type's m-bit
+    bitmap is built once (map-side bit_or, m/32 words per type on the
+    wire), pairwise union is a bit_or of two bitmaps, and
+    |A ∩ B| ≈ est(ka) + est(kb) - est(ku) — the standard
+    inclusion-exclusion over load-factor estimates (Whang et al.;
+    same algebra as theta-sketch intersection). Accuracy vs the exact
+    overlap is asserted in pytest; the estimate itself is
+    deterministic (SHA positions) and reproduced bit-for-bit by the
+    oracle, ln terms rounded to 6 per the repo convention.
+
+    The type-pair enumeration is a self-join of the per-type count
+    frame — bounded by the event-type vocabulary, broadcast by
+    construction (BNLJ-whitelisted in tests/test_plans.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    pos = _lc_pos(F.col("user_id").cast("string"))
+    coords = events.select(
+        "event_type",
+        F.floor(pos / LC_WORD_BITS).cast("int").alias("word"),
+        F.pow(F.lit(2.0), (pos % LC_WORD_BITS).cast("double"))
+        .cast("long")
+        .alias("mask"),
+    )
+    words = coords.groupBy("event_type", "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    words = words.cache()  # feeds per-type counts AND pair unions
+    k = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("k")
+    )
+    ka = k.select(F.col("event_type").alias("type_a"), F.col("k").alias("ka"))
+    kb = k.select(F.col("event_type").alias("type_b"), F.col("k").alias("kb"))
+    pairs = ka.join(kb, F.col("type_a") < F.col("type_b"))
+    members = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
+    uw = (
+        F.broadcast(members)
+        .join(words, "event_type")
+        .groupBy("type_a", "type_b", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    u = uw.groupBy("type_a", "type_b").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("ku")
+    )
+    j = pairs.join(u, ["type_a", "type_b"])
+    raw_i = (
+        _lc_est_col(F.col("ka"))
+        + _lc_est_col(F.col("kb"))
+        - _lc_est_col(F.col("ku"))
+    )
+    est_i = F.round(F.greatest(F.lit(0.0), raw_i), 6)
+    est_j = F.when(
+        F.col("ku") > 0,
+        F.round(
+            F.greatest(F.lit(0.0), raw_i) / _lc_est_col(F.col("ku")), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("ka").alias("bits_a"),
+        F.col("kb").alias("bits_b"),
+        F.col("ku").alias("bits_union"),
+        est_i.alias("est_intersection"),
+        est_j.alias("est_jaccard"),
+    )

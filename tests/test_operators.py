@@ -942,3 +942,38 @@ def test_snapshot_diff_roundtrip(spark, sf_dir):
     a = {tuple(r) for r in rebuilt.collect()}
     b = {tuple(r) for r in new.collect()}
     assert a == b
+
+
+def test_overlap_sketch_accuracy(spark, sf_dir):
+    """LC inclusion-exclusion intersection estimate within 10% (or 6
+    keys) of the exact pairwise distinct-user overlap."""
+    import duckdb
+
+    exact = {
+        (a, b): n
+        for a, b, n in duckdb.connect()
+        .execute(
+            f"""
+            WITH tu AS (SELECT DISTINCT event_type, user_id
+                        FROM '{sf_dir}/events.parquet')
+            SELECT a.event_type, b.event_type, count(*)
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            """
+        )
+        .fetchall()
+    }
+    rows = catalog.QUERIES["distinct_users_type_overlap"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        true = exact[(r["type_a"], r["type_b"])]
+        assert abs(r["est_intersection"] - true) <= max(0.10 * true, 6.0), (
+            r["type_a"],
+            r["type_b"],
+            r["est_intersection"],
+            true,
+        )
+        assert r["bits_union"] <= r["bits_a"] + r["bits_b"]

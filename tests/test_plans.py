@@ -169,6 +169,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "events_zorder_bucket_stats",  # 1-row min/max bounds frame
         "events_hourly_interpolate",   # hour spine x type dims (bounded)
         "coactivity_triangle_stats",   # three 1-row aggregate frames
+        "distinct_users_type_overlap",  # event-type vocab self-pairing
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
