@@ -167,7 +167,20 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hours whose per-type value total deviates >= ANOM_Z population
     stddevs from that type's mean hourly total."""
     events = load_table(spark, sf_dir, "events")
-    t = _hourly(events).select(
+    return anomalies_from_hourly(_hourly(events))
+
+
+def anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Z-score finalize over a (h, event_type, tot) hourly-total frame.
+
+    Shared by the batch query above and the streaming fold
+    (streaming/anomaly.py): hourly totals are the *mergeable state*
+    (decimal sums merge exactly across micro-batches), and this
+    finalize is a pure function of that state — so continuous anomaly
+    detection is partial_hourly_totals -> merge -> this, with batch
+    equivalence tested in tests/test_streaming.py.
+    """
+    t = hourly.select(
         "h",
         "event_type",
         F.col("tot").cast("decimal(18,6)").alias("x"),

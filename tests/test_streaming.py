@@ -338,3 +338,53 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_root):
         for r in funnel_stage_times(events).collect()
     }
     assert streamed == batch
+
+
+def test_anomaly_streaming_equivalence(spark, sf_dir, tmp_root):
+    """Continuous anomaly detection: per-micro-batch hourly-total
+    states merged then finalized == the one-shot batch anomaly report
+    (exact equality — decimal state merge + integer-moment z)."""
+    from clickhouse_batcher_spark.operators.timeseries import (
+        events_hourly_anomalies,
+    )
+    from clickhouse_batcher_spark.streaming.anomaly import (
+        finalize_anomalies,
+        merge_hourly_totals,
+        partial_hourly_totals,
+    )
+
+    src = f"{tmp_root}/asrc"
+    schema, _ = _write_source_files(spark, sf_dir, src, 5)
+    states_dir = f"{tmp_root}/astates"
+
+    def fold(batch_df, batch_id):
+        partial_hourly_totals(batch_df).write.mode("append").parquet(
+            states_dir
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp_root}/ackpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    states = spark.read.parquet(states_dir)
+    assert states.count() > 0
+    streamed = {
+        (r["event_type"], r["hour"]): (r["hour_total"], r["zscore"])
+        for r in finalize_anomalies(merge_hourly_totals(states)).collect()
+    }
+    batch = {
+        (r["event_type"], r["hour"]): (r["hour_total"], r["zscore"])
+        for r in events_hourly_anomalies(spark, sf_dir).collect()
+    }
+    assert streamed == batch
