@@ -47,6 +47,7 @@ def load_all() -> None:
     )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
+        attribution,
         bloomjoin,
         cluster,
         cohort,

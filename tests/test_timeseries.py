@@ -136,3 +136,48 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in sums) == n_events - n_users
+
+
+def test_purchase_attribution_semantics(spark, sf_dir):
+    """Hand-built sequences: in-window touch, out-of-window (organic),
+    purchase-run carry-through, and first-event purchase."""
+    from unittest.mock import patch
+
+    from clickhouse_batcher_spark.operators import attribution as A
+
+    rows = [
+        # user 1: click 1h before purchase -> attributed to click
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 01:00:00", 1, "purchase", 10.0),
+        # user 2: view 100h before purchase -> organic (out of 72h)
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (4, "2024-01-05 04:00:00", 2, "purchase", 20.0),
+        # user 3: view, then TWO purchases -> both credited to view
+        (5, "2024-01-02 00:00:00", 3, "view", 0.0),
+        (6, "2024-01-02 01:00:00", 3, "purchase", 5.0),
+        (7, "2024-01-02 02:00:00", 3, "purchase", 7.0),
+        # user 4: purchase with no prior events -> organic
+        (8, "2024-01-03 00:00:00", 4, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts_s STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    with patch.object(A, "load_table", lambda *_: df):
+        out = {
+            r["touch_type"]: (
+                r["n_purchases"],
+                r["attributed_value"],
+                r["avg_secs_to_touch"],
+            )
+            for r in A.purchase_attribution(spark, sf_dir).collect()
+        }
+    assert out["click"] == (1, 10.0, 3600.0)
+    assert out["view"] == (2, 12.0, (3600 + 7200) / 2)
+    assert out["organic"][0] == 2 and out["organic"][1] == 21.0
+    assert out["organic"][2] is None
+
+
+def test_attribution_parity(spark, sf_dir):
+    assert_parity(spark, "purchase_attribution", sf_dir)
