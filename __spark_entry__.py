@@ -51,13 +51,14 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (double-green; kept) ---
     "ingest_readback",
     "replay_idempotent",
-    "delete_where_counts",
-    "tpch_q1",
-    "dedup_exact_docs",
-    # --- green only in round 2: second green this round ---
-    "similarity_topk",
-    "embedding_neardup",
-    "media_metadata",
+    # --- newest operators, added after the prior rotation: first
+    #     driver check (zero rows so far -> highest priority) ---
+    "purchase_attribution",
+    "coactivity_pagerank",
+    "distinct_users_type_overlap",
+    "events_hourly_wma",
+    "events_hourly_anomalies",
+    "event_transition_matrix",
     # --- never driver-checked in rounds 1-2: promoted ---
     "dedup_content_hash",
     "distinct_users_by_type",
@@ -105,6 +106,16 @@ _PRIORITY: list[str] = [
     "inverted_index_postings",
     "coactivity_triangle_stats",
 ]
+# Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
+# (green in BOTH r1+r2), similarity_topk, embedding_neardup,
+# media_metadata (green r2) moved past the cutoff so the six operators
+# built after the prior rotation (purchase_attribution,
+# coactivity_pagerank, distinct_users_type_overlap, events_hourly_wma,
+# events_hourly_anomalies, event_transition_matrix) get their FIRST
+# driver row — a first row on a never-checked query beats a third (or
+# second) green on a checked one. tpch_q1 remains the entry() smoke
+# check every round, and all six demotions keep pytest parity.
+#
 # Demoted this round to make room (all with at least one driver-green
 # row in r1/r2, pytest parity retained): join_revenue_by_segment,
 # topk_per_user, dedup_ngram_jaccard, dedup_minhash_lsh (double-green
