@@ -44,6 +44,7 @@ def load_all() -> None:
         queries_ext,
         queries_ext2,
         queries_ext3,
+        queries_ext4,
     )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,
