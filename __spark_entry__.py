@@ -146,13 +146,27 @@ def _ordered(mapping: dict) -> dict:
     return out
 
 
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a query so driver-built sessions get the one-time shuffle
+    tuning (get_session sessions are already sized; load_table is
+    deliberately side-effect free)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from clickhouse_batcher_spark.session import tune_session
+
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return catalog.QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
+    return _tuned(catalog.QUERIES["tpch_q1"])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered(catalog.QUERIES)
+    return {k: _tuned(v) for k, v in _ordered(catalog.QUERIES).items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -63,6 +63,18 @@ HEADLINE = [
     "token_count_min_sketch",
     "range_join_orders_window",
     "winnow_fingerprints",
+    # round-3 operators (VERDICT r3 task 6): the expensive new plans
+    # need a perf signal, not just a correctness row.
+    "coactivity_pagerank",
+    "coactivity_triangle_stats",
+    "sliding_distinct_users",
+    "bm25_retrieval_topk",
+    "decontaminate_docs",
+    "funnel_conversion",
+    "purchase_attribution",
+    "events_hourly_wma",
+    "cohort_retention_weekly",
+    "quality_filter_gopher",
 ]
 
 

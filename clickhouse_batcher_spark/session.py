@@ -21,6 +21,23 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Idempotent tuning for externally-built sessions (e.g. the
+    driver's): if the session still has Spark's stock 200 shuffle
+    partitions (25x over-parallelized for every local run), set it to
+    the actual parallelism. Touches nothing a user configured
+    explicitly — 200 is only ever the untouched default. Sessions from
+    :func:`get_session` already size this correctly."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+
+
 def get_session(
     app_name: str = "clickhouse_batcher_spark",
     cpus: int | None = None,

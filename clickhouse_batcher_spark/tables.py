@@ -37,33 +37,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def _tune_session(spark: SparkSession) -> None:
-    """If the session still has Spark's stock 200 shuffle partitions
-    (wrong for every local run: 25x over-parallelized per stage), set
-    it to the actual parallelism. Touches nothing a user configured
-    explicitly — 200 is only ever the untouched default."""
-    try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(spark.sparkContext.defaultParallelism),
-            )
-    except Exception:
-        pass
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a physical-schema-dependent timestamp column to a
+    session-TZ Spark TIMESTAMP, branching on the dtype Spark actually
+    observed in the parquet footer rather than assuming one encoding.
+
+    The driver's testdata generator has shipped ``events.ts`` as both
+    TIMESTAMP(NANOS) (read by Spark as epoch-nanos LONG under the
+    legacy conf, or unreadable without it) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Handling every
+    observed encoding here is the schema-drift guard that keeps a
+    fixture regeneration from breaking every events query at once
+    (tests/test_schema_contract.py exercises each branch).
+
+    - LongType: epoch nanoseconds -> integer-divide to micros (a double
+      division would lose precision above 2^53 ns).
+    - TimestampNTZType: the session timezone is pinned to UTC
+      (session.py), so reinterpreting NTZ wall-clock as a UTC instant
+      preserves the values and matches DuckDB's naive-timestamp oracle.
+    - TimestampType: already what we want; passthrough.
+    """
+    dtype = df.schema[col].dataType.typeName()
+    if dtype in ("long", "integer"):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _tune_session(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects natively. Read it as epoch-nanos LONG and truncate to
-        # Spark's microsecond timestamps with integer division (a
-        # double division would lose precision above 2^53 ns). The
-        # DuckDB oracle side mirrors this with CAST(ts AS TIMESTAMP)
-        # (ns -> us truncation), so both engines see identical values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
 
 
