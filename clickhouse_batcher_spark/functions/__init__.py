@@ -91,3 +91,52 @@ def portable_hash64(col: Column | str, salt: str = "") -> Column:
     salted = F.concat(F.lit(salt), c) if salt else c
     # 15 hex chars = 60 bits: fits a signed 64-bit int, always >= 0.
     return F.conv(F.substring(F.sha2(salted, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def with_global_index(
+    df,
+    cols: list,
+    index_name: str = "_gidx",
+    num_partitions: int | None = None,
+):
+    """Exact 0-based global row index in the total order given by
+    ``cols`` — WITHOUT a single-partition global sort.
+
+    ``cols`` must define a total order (include a unique tiebreaker),
+    or indices within a tie group are arbitrary.
+
+    The classic distributed pattern: ``repartitionByRange`` range-sorts
+    across partitions (partition p holds strictly lower keys than
+    p+1), per-partition ``row_number`` numbers locally in parallel,
+    and a broadcast cumulative partition-count offset lifts the local
+    number to the exact global index. Costs one range shuffle plus one
+    hash shuffle on the partition id — both fully parallel — where the
+    naive ``Window.orderBy(cols)`` funnels every row through ONE task
+    (WindowExec warns "Moving all data to a single partition"), which
+    is the canonical 100-TB scale-killer. The index itself is
+    boundary-independent, so range-sampling variation cannot change
+    the result.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gidx_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_gidx_pid").agg(F.count(F.lit(1)).alias("_gidx_cnt"))
+    # The offsets frame has at most num_partitions rows; a global
+    # window over it is bounded and cheap.
+    wo = Window.orderBy("_gidx_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_gidx_pid",
+        F.coalesce(F.sum("_gidx_cnt").over(wo), F.lit(0)).cast("bigint").alias("_gidx_off"),
+    )
+    wp = Window.partitionBy("_gidx_pid").orderBy(*cols)
+    numbered = ranged.withColumn("_gidx_rn", F.row_number().over(wp))
+    out = numbered.join(F.broadcast(offsets), "_gidx_pid").withColumn(
+        index_name,
+        (F.col("_gidx_off") + F.col("_gidx_rn") - F.lit(1)).cast("bigint"),
+    )
+    return out.drop("_gidx_pid", "_gidx_rn", "_gidx_off")

@@ -101,11 +101,35 @@ def events_range_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    """Global exact ntile(4), scale-first.
+
+    ``F.ntile`` over an unpartitioned window single-partitions the
+    whole table (WindowExec's "Moving all data to a single partition"
+    warning — the r3 parity log showed it). Instead: exact global row
+    index via range-repartition + per-partition offsets
+    (``with_global_index``), then ntile's bucket arithmetic applied as
+    a column expression — SQL-standard semantics: with n rows and b
+    buckets, the first n%b buckets get n/b+1 rows, the rest n/b —
+    reproduced bit-exactly so the DuckDB ntile oracle still matches.
+    """
+    from clickhouse_batcher_spark.functions import with_global_index
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    idx = with_global_index(orders, ["o_totalprice", "o_orderkey"])
+    total = orders.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    bucket = F.expr(
+        """
+        CASE WHEN _gidx < (_n % 4) * ((_n div 4) + 1)
+             THEN _gidx div ((_n div 4) + 1) + 1
+             ELSE (_n % 4) + (_gidx - (_n % 4) * ((_n div 4) + 1)) div (_n div 4) + 1
+        END
+        """
+    )
+    return (
+        idx.crossJoin(F.broadcast(total))
+        .select("o_orderkey", bucket.cast("bigint").alias("price_quartile"))
     )
 
 
