@@ -45,6 +45,7 @@ def load_all() -> None:
         queries_ext2,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
     )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,

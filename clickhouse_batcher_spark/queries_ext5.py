@@ -1,0 +1,256 @@
+"""Fifth coverage batch: the remaining TPC-H shapes the driver schema
+supports (Q6, Q7, Q10, Q14 adaptations).
+
+The reference delegates every query to ClickHouse (SURVEY.md §2.2);
+these are the classic scan-heavy / multi-way-join / ratio-aggregate
+shapes an analytics engine must answer natively. Adaptations to the
+driver schema: nation names are ``NATION_<k>``, ``p_type`` is a single
+word (``PROMO`` replaces TPC-H's ``PROMO%`` prefix), and date columns
+are physically timestamps.
+
+Scale notes (100 TB):
+
+- Q6 is the pure-scan benchmark: both predicates and the 3-column
+  projection push into the parquet scan; the aggregate is a map-side
+  partial + 1-row final — no data shuffle at any scale.
+- Q7/Q10 broadcast every dimension side; the only big shuffle is
+  lineitem⋈orders on the order key.
+- Q10's top-20 is ``TakeOrderedAndProject`` (per-partition heaps),
+  never a global sort.
+- Q14 aggregates to ONE row via conditional decimal sums — partials
+  combine map-side; the promo/total ratio is a single IEEE division
+  of exact decimal-derived doubles (bit-identical in DuckDB).
+- Determinism: every money sum is decimal-routed (``dec_sum_expr``);
+  ties in Q10's limit are broken by the unique ``c_custkey``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec, dec_sum_expr
+from clickhouse_batcher_spark.tables import load_table
+
+_Q6_FROM = "1996-01-01 00:00:00"
+_Q6_TO = "1997-01-01 00:00:00"
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+_Q7_FROM = "1996-01-01 00:00:00"
+_Q7_TO = "1998-01-01 00:00:00"
+_Q10_FROM = "1996-01-01 00:00:00"
+_Q10_TO = "1996-04-01 00:00:00"
+_Q14_FROM = "1996-03-01 00:00:00"
+_Q14_TO = "1996-04-01 00:00:00"
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(27,6))), 0) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_FROM}'
+      AND l_shipdate < TIMESTAMP '{_Q6_TO}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue increase from hypothetical discount removal.
+
+    The canonical predicate-pushdown check: all three filters and the
+    3-column ReadSchema reach the parquet scan; the whole query is one
+    whole-stage-codegen'd scan + partial agg + 1-row final.
+    """
+    lo = F.lit(_Q6_FROM).cast("timestamp")
+    hi = F.lit(_Q6_TO).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = dec(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.groupBy().agg(
+        F.coalesce(dec_sum_expr(rev), F.lit(0.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = '{_Q7_NATION_A}' AND cn.n_name = '{_Q7_NATION_B}')
+        OR (sn.n_name = '{_Q7_NATION_B}' AND cn.n_name = '{_Q7_NATION_A}'))
+      AND l_shipdate >= TIMESTAMP '{_Q7_FROM}'
+      AND l_shipdate < TIMESTAMP '{_Q7_TO}'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+
+    supplier⋈nation and customer⋈nation pre-reduce each side to the
+    two relevant nations BEFORE touching the fact tables, so the
+    broadcast hash joins against lineitem/orders act as semi-join
+    filters; the lineitem⋈orders key shuffle is the only big exchange.
+    """
+    lo = F.lit(_Q7_FROM).cast("timestamp")
+    hi = F.lit(_Q7_TO).cast("timestamp")
+    nations = (_Q7_NATION_A, _Q7_NATION_B)
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == _Q7_NATION_A)
+                & (F.col("cust_nation") == _Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_NATION_B)
+                & (F.col("cust_nation") == _Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dec_sum_expr(rev).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           AS DOUBLE) AS revenue,
+      c_acctbal, n_name
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{_Q10_FROM}'
+      AND o_orderdate < TIMESTAMP '{_Q10_TO}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns.
+
+    Both fact filters (order-date quarter, returnflag = 'R') push to
+    the scans; customer⋈nation broadcasts; the top-20 with the unique
+    c_custkey tiebreak is per-partition heaps, not a global sort.
+    """
+    lo = F.lit(_Q10_FROM).cast("timestamp")
+    hi = F.lit(_Q10_TO).cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum_expr(rev).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+        ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(27,6))) AS DOUBLE) AS DOUBLE)
+        AS promo_revenue_pct,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '{_Q14_FROM}'
+      AND l_shipdate < TIMESTAMP '{_Q14_TO}'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts.
+
+    part broadcasts (it is dimension-sized at every SF); both decimal
+    sums combine map-side and the final frame is one row, so the only
+    cost is the pruned lineitem scan.
+    """
+    lo = F.lit(_Q14_FROM).cast("timestamp")
+    hi = F.lit(_Q14_TO).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(27,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.groupBy().agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).cast("double").alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -1,0 +1,70 @@
+"""TPC-H family: oracle parity + plan-shape guards for Q3/Q5/Q6/Q7/Q10/Q14.
+
+Q1 parity lives in test_core_queries.py; this file covers the rest of
+the family (queries_ext4/ext5) the same way the driver will: exact
+Spark-vs-DuckDB comparison, plus explain-plan assertions for the scale
+properties each query's docstring claims.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+from parity import assert_parity
+
+TPCH = [
+    "tpch_q3_unshipped",
+    "tpch_q5_regional_share",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+]
+
+
+@pytest.mark.parametrize("name", TPCH)
+def test_tpch_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_is_pure_pushed_scan(spark, sf_dir):
+    """Q6's whole point: predicates and the 3-needed-columns projection
+    must reach the parquet scan; no join, no shuffle of row data."""
+    plan = _formatted_plan(
+        catalog.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_topk_is_heap_not_global_sort(spark, sf_dir):
+    plan = _formatted_plan(
+        catalog.QUERIES["tpch_q10_returned_items"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_dimensions_broadcast(spark, sf_dir):
+    plan = _formatted_plan(
+        catalog.QUERIES["tpch_q7_volume_shipping"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
