@@ -63,6 +63,7 @@ def load_all() -> None:
         merge,
         multimodal,
         ngrams,
+        packing,
         profile,
         quality,
         rangejoin,

@@ -1,0 +1,144 @@
+"""Training-export operators: deterministic sharding and sequence
+packing.
+
+The last mile of an LLM data pipeline: the cleaned corpus has to leave
+the engine as (a) a fixed number of pseudorandomly-shuffled shards
+(so data loaders stream without a global sort) and (b) token-budgeted
+packs (so sequences fill context windows with minimal padding). Both
+are pure relational plans here — hash arithmetic + windows, zero UDFs
+— and both are mirrored bit-exactly in DuckDB SQL for the driver's
+correctness gate.
+
+Scale design (100 TB):
+
+- Shard assignment is a stateless hash — embarrassingly parallel.
+- The within-shard position and within-pack running sum use
+  ``Window.partitionBy(shard)`` — one task per shard, so the shard
+  count is the parallelism knob. Production exports pick
+  shards >> executor count with each shard ~file-sized (the same
+  reasoning every training-data format uses); the constants here are
+  test-sized, the plan shape does not change.
+- The pseudorandom order inside a shard comes from the same portable
+  SHA-256 bucket used for shard assignment (different salt), so the
+  shuffle is reproducible across engines, runs, and cluster sizes —
+  no ``rand()``, which would be partition-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+from clickhouse_batcher_spark.tables import load_table
+
+N_SHARDS = 16
+PACK_BUDGET_CHARS = 4096
+PACK_SUBSHARDS = 8
+
+
+def _bucket(col: str, buckets: int, salt: str):
+    """Portable hash bucket (mirror of sampling._sql_bucket): first 4
+    hex chars of salted SHA-256 as an int, mod buckets."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(salt), F.col(col).cast("string")), 256),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+
+
+@query(
+    "shard_documents_for_training",
+    oracle=f"""
+    SELECT doc_id,
+      CAST({_sql_bucket("doc_id", buckets=N_SHARDS, salt="shard")} AS BIGINT)
+        AS shard,
+      CAST(row_number() OVER (
+        PARTITION BY {_sql_bucket("doc_id", buckets=N_SHARDS, salt="shard")}
+        ORDER BY {_sql_bucket("doc_id", buckets=1000000, salt="shuffle")},
+                 doc_id
+      ) - 1 AS BIGINT) AS pos,
+      n_chars
+    FROM documents
+    """,
+)
+def shard_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard the corpus for training-data export: stable hash shard +
+    contiguous pseudorandom position within the shard.
+
+    A data loader can then read shard k sequentially and see a
+    reproducible shuffle — no global sort, no driver state. The
+    position window parallelizes across shards (one task per shard;
+    shard count is the parallelism/file-size knob at scale).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shard = _bucket("doc_id", N_SHARDS, "shard")
+    order = _bucket("doc_id", 1_000_000, "shuffle")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.withColumn("shard", shard.cast("bigint"))
+        .withColumn("shuffle_key", order)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("doc_id", "shard", "pos", "n_chars")
+    )
+
+
+@query(
+    "pack_sequences_budget",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        CAST({_sql_bucket("doc_id", buckets=PACK_SUBSHARDS, salt="pack")}
+             AS BIGINT) AS subshard,
+        {_sql_bucket("doc_id", buckets=1000000, salt="packorder")} AS ord
+      FROM documents
+    )
+    SELECT doc_id, source, subshard,
+      CAST((SUM(n_chars) OVER (
+              PARTITION BY source, subshard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_chars) // {PACK_BUDGET_CHARS} AS BIGINT) AS pack_id,
+      n_chars
+    FROM keyed
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-in-order sequence packing: within each (source, subshard)
+    stream, documents are packed into fixed character-budget bins by
+    exclusive running total div budget.
+
+    The streaming-friendly formulation of packing: pack membership is
+    a pure function of the running sum, so packs can be produced
+    incrementally and are identical on any cluster size. Subsharding
+    bounds each window partition (source alone would skew: one window
+    task per source regardless of corpus size).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sub = _bucket("doc_id", PACK_SUBSHARDS, "pack")
+    order = _bucket("doc_id", 1_000_000, "packorder")
+    w = (
+        Window.partitionBy("source", "subshard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("subshard", sub.cast("bigint"))
+        .withColumn("ord", order)
+        .withColumn("_running", F.sum("n_chars").over(w))
+        .withColumn(
+            "pack_id",
+            F.expr(f"(_running - n_chars) div {PACK_BUDGET_CHARS}").cast("bigint"),
+        )
+        .select("doc_id", "source", "subshard", "pack_id", "n_chars")
+    )
