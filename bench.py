@@ -75,6 +75,12 @@ HEADLINE = [
     "events_hourly_wma",
     "cohort_retention_weekly",
     "quality_filter_gopher",
+    # round-4 operators
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "orders_ntile_quartiles",
+    "shard_documents_for_training",
+    "pack_sequences_budget",
 ]
 
 

@@ -56,3 +56,86 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction.
+#
+# Long-running ingest (especially micro-batch streaming: one file per
+# trigger per partition) degrades a table into thousands of tiny
+# files; at 100 TB the scan cost becomes task-scheduling overhead and
+# footer reads instead of IO. Compaction is the maintenance operator
+# every table format (Delta OPTIMIZE, Iceberg rewrite_data_files,
+# Hive concatenate) exposes; this is the plain-parquet equivalent.
+#
+# Scale design: the *plan* works on file metadata only (one FS listing
+# — thousands of entries, never rows). The *execution* reads the data
+# once and writes ceil(total_bytes / target) files via coalesce(), the
+# shuffle-free repartition: partitions merge without an Exchange, so
+# compaction costs one read + one write and zero shuffles at any table
+# size. Incremental compaction of a partitioned table applies this
+# per partition directory (each directory is already the pruning
+# unit), keeping each job bounded.
+# ---------------------------------------------------------------------------
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet data file under ``path``, via
+    the Hadoop FS API (works for any scheme the cluster can read).
+    Metadata-only: the listing is thousands of entries, not rows."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, status.getLen()))
+    return sorted(out)
+
+
+def plan_compaction(
+    files: list[tuple[str, int]],
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> list[list[str]]:
+    """First-fit-decreasing bin packing of files into ~target-size
+    output groups. Files already >= target stay alone (never split —
+    parquet row groups make them cheap to scan as-is)."""
+    bins: list[tuple[int, list[str]]] = []
+    for name, size in sorted(files, key=lambda fs_: (-fs_[1], fs_[0])):
+        if size >= target_bytes:
+            bins.append((size, [name]))
+            continue
+        for i, (used, members) in enumerate(bins):
+            if used + size <= target_bytes:
+                bins[i] = (used + size, members + [name])
+                break
+        else:
+            bins.append((size, [name]))
+    return [members for _, members in bins]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite ``src_path`` into ~target-sized files at ``dst_path``.
+
+    Output file count = the bin-packing plan's bin count; the rewrite
+    itself is coalesce (no shuffle). Returns the number of output
+    bins. Rows, values, and schema are preserved exactly — compaction
+    is a physical-layout change only (test_layout asserts this).
+    """
+    files = list_data_files(spark, src_path)
+    if not files:
+        return 0
+    n_bins = max(1, len(plan_compaction(files, target_bytes)))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_bins).write.mode("overwrite").parquet(dst_path)
+    return n_bins

@@ -118,3 +118,41 @@ def test_no_udf_kernel_captures_module_functions():
                         f"{path.name}:{outer.name}/{inner.name} -> {sorted(hits)}"
                     )
     assert not offenders, f"kernels capturing module functions: {offenders}"
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
+    """Compacting a many-small-files table must keep every row/value
+    and shrink the file count to the bin-packing plan's bin count."""
+    from clickhouse_batcher_spark.sources.layout import (
+        compact_parquet,
+        list_data_files,
+        plan_compaction,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(40).write.parquet(src)
+
+    files = list_data_files(spark, src)
+    assert len(files) == 40
+    total = sum(sz for _, sz in files)
+    target = max(1, total // 4)
+    plan = plan_compaction(files, target)
+    # every file appears in exactly one bin
+    assert sorted(f for b in plan for f in b) == sorted(f for f, _ in files)
+    # no bin of 2+ small files exceeds the target
+    by_name = dict(files)
+    for b in plan:
+        if len(b) > 1:
+            assert sum(by_name[f] for f in b) <= target
+
+    n_bins = compact_parquet(spark, src, dst, target)
+    assert n_bins == len(plan)
+    out_files = list_data_files(spark, dst)
+    assert len(out_files) == n_bins < len(files)
+
+    before = events.orderBy("event_id").toPandas()
+    after = spark.read.parquet(dst).orderBy("event_id").toPandas()
+    assert before.equals(after)
