@@ -51,6 +51,7 @@ def load_all() -> None:
         asof,
         attribution,
         bloomjoin,
+        chagg,
         cluster,
         cohort,
         corr,

@@ -1,0 +1,58 @@
+"""ClickHouse-aggregate parity ops: oracle parity + invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+from parity import assert_parity
+
+from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
+
+
+@pytest.mark.parametrize("name", ["events_ohlc_hourly", "user_event_sequences"])
+def test_chagg_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """low <= open/close <= high per bar; event counts conserve."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    bars = catalog.QUERIES["events_ohlc_hourly"](spark, sf_dir)
+    bad = bars.filter(
+        (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+    )
+    assert bad.count() == 0
+    total = bars.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_sequences_are_prefixes(spark, sf_dir):
+    """Each user's seq is exactly their first-min(K, n) event types in
+    (ts, event_id) order — cross-checked row-by-row in pandas."""
+    from clickhouse_batcher_spark.tables import load_table
+
+    out = (
+        catalog.QUERIES["user_event_sequences"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    for user_id, grp in ev.groupby("user_id"):
+        expect = ">".join(grp["event_type"].head(SEQ_LEN))
+        assert out.loc[user_id, "seq"] == expect
+        assert out.loc[user_id, "n_events"] == len(grp)
