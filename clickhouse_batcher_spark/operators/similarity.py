@@ -631,3 +631,185 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> abs(x - floor(x / scale + 0.5) * scale))) END"
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (the FAISS-IVFPQ family's PQ half): encode
+# each vector as PQ_M uint8 codebook indices, score queries against
+# codes via per-query distance lookup tables (ADC), exact-rerank a
+# small candidate pool. At 100 TB this is the memory story IVF alone
+# lacks: 64-dim float64 vectors (512 B) compress to PQ_M=4 bytes, so
+# the scored representation of a 10^11-vector corpus fits a cluster's
+# RAM and the full-precision vectors are only touched for the
+# candidate pool.
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64-dim -> 8-dim each)
+PQ_K = 32  # codes per subspace
+PQ_TRAIN_SAMPLE = 512  # codebook training sample (driver-side, bounded)
+PQ_LLOYD_ITERS = 8  # numpy Lloyd rounds per subspace (on the sample)
+PQ_CAND = 16 * TOP_K  # ADC candidates per query before exact rerank
+
+
+@query("similarity_ann_pq")  # rows-only: recall measured in tests
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: sample-trained subspace codebooks -> corpus encoded to
+    PQ_M small codes -> ADC lookup-table scan -> exact cosine rerank.
+
+    Sub-steps and their scale shape:
+
+    - **train**: codebooks fit on a deterministic xxhash-ordered
+      sample of PQ_TRAIN_SAMPLE vectors on the driver — the standard
+      PQ practice (codebooks need distribution shape, not the corpus)
+      and the only driver-side data, bounded regardless of corpus
+      size.
+    - **encode**: one Arrow-batched numpy pass; output is (vec_id,
+      PQ_M codes) — the compressed index an executor can hold
+      entirely in memory.
+    - **ADC scan**: per-query distance tables of shape (PQ_M, PQ_K)
+      (tiny, broadcast) turn approximate distance into PQ_M table
+      lookups per vector — no floats from the corpus are read at all.
+    - **rerank**: top-PQ_CAND per query by approximate distance
+      (per-query parallel window), then exact cosine against the
+      full-precision vectors for just those candidates.
+
+    Output schema matches similarity_topk/_ann_lsh: (query_id,
+    neighbor_id, cos_sim, rank <= TOP_K).
+    """
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select("vec_id", _dvec("embedding").alias("v")).cache()
+
+    # --- train (driver, bounded sample) ---
+    sample_pdf = (
+        base.withColumn("r", F.xxhash64(F.col("vec_id"), F.lit(LSH_SEED)))
+        .orderBy("r", "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .toPandas()
+    )
+    smat = np.asarray(sample_pdf["v"].tolist(), dtype=np.float64)
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    sub_idx = [idx.tolist() for idx in np.array_split(np.arange(smat.shape[1]), PQ_M)]
+    books: list[list[list[float]]] = []
+    for idx in sub_idx:
+        sub = smat[:, idx]
+        cents = sub[:PQ_K].copy()  # deterministic init: hash-ordered sample head
+        for _ in range(PQ_LLOYD_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for kk in range(PQ_K):
+                sel = sub[assign == kk]
+                if len(sel):
+                    cents[kk] = sel.mean(0)
+        books.append(cents.tolist())
+    bc_books = spark.sparkContext.broadcast(books)
+    bc_subs = spark.sparkContext.broadcast(sub_idx)
+
+    # --- encode corpus ---
+    def encode(batches):
+        import pandas as pd
+
+        books_ = [np.asarray(b) for b in bc_books.value]
+        subs_ = [np.asarray(i) for i in bc_subs.value]
+        for part in batches:
+            if part.empty:
+                continue
+            mat = np.asarray(part["v"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.stack(
+                [
+                    ((mat[:, idx][:, None, :] - cb[None]) ** 2).sum(-1).argmin(1)
+                    for cb, idx in zip(books_, subs_)
+                ],
+                axis=1,
+            ).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": part["vec_id"], "codes": list(codes)}
+            )
+
+    encoded = base.mapInPandas(encode, schema="vec_id BIGINT, codes ARRAY<INT>")
+
+    # --- per-query ADC lookup tables (driver: NQ x PQ_M x PQ_K doubles) ---
+    qpdf = (
+        base.filter(F.col("vec_id") < N_QUERY_VECS).orderBy("vec_id").toPandas()
+    )
+    qmat = np.asarray(qpdf["v"].tolist(), dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((qmat[:, idx][:, None, :] - np.asarray(cb)[None]) ** 2).sum(-1)[qi]
+                    for cb, idx in zip(books, sub_idx)
+                ]
+            )
+            for qi in range(len(qpdf))
+        ]
+    )  # (NQ, PQ_M, PQ_K)
+    bc_lut = spark.sparkContext.broadcast(
+        (qpdf["vec_id"].tolist(), luts.tolist())
+    )
+
+    # --- ADC scan: approximate distance = PQ_M table lookups ---
+    def adc(batches):
+        import pandas as pd
+
+        qids, luts_l = bc_lut.value
+        luts_ = np.asarray(luts_l)
+        marange = np.arange(luts_.shape[1])
+        for part in batches:
+            if part.empty:
+                continue
+            codes = np.asarray(part["codes"].tolist())  # (n, PQ_M)
+            vec_ids = part["vec_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                dist = luts_[qi][marange[None, :], codes].sum(1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(part), qid, dtype="int64"),
+                            "neighbor_id": vec_ids,
+                            "adist": dist,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = encoded.mapInPandas(
+        adc, schema="query_id BIGINT, neighbor_id BIGINT, adist DOUBLE"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact rerank of the candidate pool ---
+    qside = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nside = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    sims = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(nside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -170,6 +170,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "events_hourly_interpolate",   # hour spine x type dims (bounded)
         "coactivity_triangle_stats",   # three 1-row aggregate frames
         "distinct_users_type_overlap",  # event-type vocab self-pairing
+        "orders_ntile_quartiles",    # 1-row total-count frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():

@@ -134,3 +134,30 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == exp  # state carried across the restart exactly
+
+
+@pytest.mark.parametrize("fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_pq_recall_vs_bruteforce(spark, fixture_dir):
+    """PQ ADC (M=8 subspaces x 32 codes = 8 bytes/vector) + exact
+    rerank of 16x candidates: measured 0.90 / 0.86 recall on the two
+    fixtures. Without an IVF coarse stage the ADC scan is exhaustive
+    over codes — the compression, not the pruning, is what PQ buys."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.QUERIES["similarity_topk"](spark, fixture_dir).collect()
+    }
+    rows = catalog.QUERIES["similarity_ann_pq"](spark, fixture_dir).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"recall {recall}"
+
+
+def test_pq_deterministic(spark):
+    a = sorted(
+        map(tuple, catalog.QUERIES["similarity_ann_pq"](spark, "/root/testdata/sf0.001").collect())
+    )
+    b = sorted(
+        map(tuple, catalog.QUERIES["similarity_ann_pq"](spark, "/root/testdata/sf0.001").collect())
+    )
+    assert a == b
