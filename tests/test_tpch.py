@@ -23,6 +23,8 @@ TPCH = [
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q18_big_orders",
 ]
 
 
