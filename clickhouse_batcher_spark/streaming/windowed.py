@@ -73,3 +73,34 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Continuous OHLC bars: the streaming form of
+    ``operators.chagg.events_ohlc_hourly``.
+
+    min_by/max_by with a (ts, event_id) struct ordering key are
+    mergeable aggregates, so each micro-batch folds into per-window
+    state and the finalized bar is identical to a batch recompute over
+    the same data (test_streaming asserts this equivalence). State is
+    one row per (window, type) inside the watermark horizon — bounded
+    forever, like every aggregate in this module.
+    """
+    ordkey = F.struct(ts_col, "event_id")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), *group_cols)
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -388,3 +388,45 @@ def test_anomaly_streaming_equivalence(spark, sf_dir, tmp_root):
         for r in events_hourly_anomalies(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_root):
+    """Continuous OHLC bars over the stream == the batch chagg query:
+    min_by/max_by state merges across micro-batches without drift."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.streaming.windowed import ohlc_stream
+
+    catalog.load_all()
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 4)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    bars = ohlc_stream(stream, window_duration="1 hour", watermark="0 seconds")
+    q = (
+        bars.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_out")
+        .option("checkpointLocation", f"{tmp_root}/ohlc_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql(
+            "SELECT win.start AS hour, event_type, open, high, low, close,"
+            " n_events FROM ohlc_out"
+        ).collect()
+    }
+    batch = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in catalog.QUERIES["events_ohlc_hourly"](spark, sf_dir).collect()
+    }
+    assert got == batch
