@@ -343,3 +343,115 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+_Q15_FROM = "1996-01-01 00:00:00"
+_Q15_TO = "1996-04-01 00:00:00"
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+             AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM}'
+        AND l_shipdate < TIMESTAMP '{_Q15_TO}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The view + scalar-subquery shape decomposed by hand: one map-side
+    combined revenue aggregate (decimal-exact so the MAX comparison is
+    bit-deterministic), a 1-row max frame broadcast back as an
+    equi-join (not a cross filter), and a broadcast supplier lookup.
+    """
+    lo = F.lit(_Q15_FROM).cast("timestamp")
+    hi = F.lit(_Q15_TO).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum_expr(rev).alias("total_revenue")
+    )
+    top = revenue.groupBy().agg(F.max("total_revenue").alias("total_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), "total_revenue")
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q22_CUTOFF = "2000-06-01 00:00:00"
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle=f"""
+    WITH positive AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg_bal FROM positive)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    ordered, grouped by market segment (standing in for the phone
+    country code the driver schema lacks).
+
+    "Idle" = no order since _Q22_CUTOFF (the synthetic data has no
+    never-ordered customers, so the pure Q22 predicate is vacuous);
+    NOT EXISTS becomes a left_anti join on the customer key; the
+    global average is a 1-row broadcast crossJoin filter (decimal
+    sum / exact count, so the threshold is engine-identical). The
+    anti join's right side is just order keys — column-pruned to one
+    column before the shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .groupBy()
+        .agg(
+            (
+                F.sum(dec(F.col("c_acctbal"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )

@@ -171,6 +171,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "coactivity_triangle_stats",   # three 1-row aggregate frames
         "distinct_users_type_overlap",  # event-type vocab self-pairing
         "orders_ntile_quartiles",    # 1-row total-count frame
+        "tpch_q22_idle_customers",   # 1-row global-average frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():

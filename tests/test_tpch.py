@@ -25,6 +25,8 @@ TPCH = [
     "tpch_q14_promo_revenue",
     "tpch_q13_order_distribution",
     "tpch_q18_big_orders",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers",
 ]
 
 
