@@ -78,9 +78,13 @@ HEADLINE = [
     # round-4 operators
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q18_big_orders",
     "orders_ntile_quartiles",
     "shard_documents_for_training",
     "pack_sequences_budget",
+    "events_ohlc_hourly",
+    "user_event_sequences",
 ]
 
 

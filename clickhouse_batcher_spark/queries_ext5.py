@@ -455,3 +455,160 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+_Q8_REGION = "EUROPE"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "STANDARD"
+_Q8_FROM = "1996-01-01 00:00:00"
+_Q8_TO = "1998-01-01 00:00:00"
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_orders AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+        AND o_orderdate >= TIMESTAMP '{_Q8_FROM}'
+        AND o_orderdate < TIMESTAMP '{_Q8_TO}'
+    )
+    SELECT o_year,
+      CAST(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                         THEN volume ELSE CAST(0 AS DECIMAL(27,6)) END)
+                AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM all_orders GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's part-type market by
+    year — the deepest join in the catalog (7 tables, nation twice).
+
+    Every dimension side broadcasts after its filter (region-filtered
+    customer-nation set, one part type, supplier->nation lookup); the
+    only big exchange is lineitem⋈orders. The share is a conditional
+    decimal sum over the post-join rows — one aggregate pass, and the
+    final division is a single IEEE op on exact decimal-derived
+    doubles (bit-identical in DuckDB).
+    """
+    lo = F.lit(_Q8_FROM).cast("timestamp")
+    hi = F.lit(_Q8_TO).cast("timestamp")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cn = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(27,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == _Q8_NATION, volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            ).cast("double").alias("mkt_share")
+        )
+    )
+
+
+_Q17_QTY_FRACTION = "0.5"  # of the per-part average (TPC-H uses 0.2)
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+        {_Q17_QTY_FRACTION} * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+                                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+          AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < threshold
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity line items
+    (the per-group-threshold join: correlated AVG subquery decorrelated
+    into an aggregate + equi-join).
+
+    The per-part average is decimal-exact (sum/count of exact decimals
+    in a fixed order of operations) so the `<` threshold comparison is
+    engine-identical; the aggregate frame is one row per part —
+    broadcast-able at dimension scale, AQE-decided beyond.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    frac = F.lit(float(_Q17_QTY_FRACTION))
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            frac
+            * (
+                F.sum(dec(F.col("l_quantity"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .groupBy()
+        .agg(
+            (F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -27,6 +27,8 @@ TPCH = [
     "tpch_q18_big_orders",
     "tpch_q15_top_supplier",
     "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty_revenue",
 ]
 
 
