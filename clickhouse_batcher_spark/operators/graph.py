@@ -39,18 +39,22 @@ COACT_MIN_HOURS = 12  # co-active hours needed for an edge
 def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> DataFrame:
     """Edges (ua < ub) between users sharing >= min_hours active hours.
 
-    ``ah`` is cached because the self-join consumes it twice — without
-    the cache both branches re-run the events scan + distinct
-    (measured 3.8-6.1 s -> 1.3-2.4 s at sf0.1 for the edge build).
-    DataFrame cache is MEMORY_AND_DISK, so at cluster scale the
-    (user, hour) frame spills rather than evicting mid-job; it is
-    orders of magnitude smaller than the events it summarizes.
+    ``ah`` is cached AND eagerly materialized because the self-join
+    consumes it twice: lazily, both branches race to compute the
+    subtree inside the same action before the cache is populated, so
+    only an up-front materialization actually removes the duplicate
+    events scan + distinct (measured at sf0.1, cache cleared between
+    runs: full PageRank ~7.1 s lazy vs ~4.3 s eager). DataFrame cache
+    is MEMORY_AND_DISK, so at cluster scale the (user, hour) frame
+    spills rather than evicting mid-job; it is orders of magnitude
+    smaller than the events it summarizes.
     """
     ah = (
         events.select("user_id", F.date_trunc("hour", "ts").alias("h"))
         .distinct()
         .cache()
     )
+    ah.count()
     a = ah.select(F.col("user_id").alias("ua"), "h")
     b = ah.select(F.col("user_id").alias("ub"), "h")
     pairs = (
@@ -234,6 +238,11 @@ def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
         .cache()
     )
+    # eager: the degree aggregation plus one join per unrolled
+    # iteration all consume this frame inside ONE action — a lazy
+    # cache would let those branches race and recompute the whole
+    # edge build per consumer (same reasoning as coactivity_edges).
+    directed.count()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     ranks = nodes.select(
