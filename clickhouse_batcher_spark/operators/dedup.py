@@ -470,7 +470,9 @@ def _simhash(corpus: DataFrame) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Cache: the chunk self-join references the signatures twice; without
-    # this the whole hash pipeline runs twice.
+    # this the whole hash pipeline runs twice. (Eager materialization
+    # measured neutral-to-worse here, unlike graph.py — the exchange
+    # already reuses across the self-join branches.)
     sigs = _simhash(tokenized_corpus(docs)).cache()
     chunks = sigs.select(
         "doc_id",
