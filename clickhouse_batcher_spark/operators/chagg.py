@@ -113,3 +113,119 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+RETENTION_STAGES = ("view", "click", "purchase")
+UNIQ_UP_TO = 8
+
+
+@query(
+    "user_retention_flags",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = '{RETENTION_STAGES[0]}' THEN 1 ELSE 0 END) AS c0,
+        MAX(CASE WHEN event_type = '{RETENTION_STAGES[1]}' THEN 1 ELSE 0 END) AS c1,
+        MAX(CASE WHEN event_type = '{RETENTION_STAGES[2]}' THEN 1 ELSE 0 END) AS c2
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(SUM(c0) AS BIGINT) AS r0,
+      CAST(SUM(c0 * c1) AS BIGINT) AS r1,
+      CAST(SUM(c0 * c2) AS BIGINT) AS r2,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    """,
+)
+def user_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()``: per-user condition flags where
+    r[0] = cond0 held and r[i] = cond0 AND condi, summed over users.
+
+    Two map-side-combinable aggregate passes (per-user MAX flags, then
+    global sums) — the cohort-entry/return shape without windows or
+    joins at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == stage, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"c{i}")
+        for i, stage in enumerate(RETENTION_STAGES)
+    ]
+    per_user = events.groupBy("user_id").agg(*flags)
+    return per_user.groupBy().agg(
+        F.sum("c0").cast("bigint").alias("r0"),
+        F.sum(F.col("c0") * F.col("c1")).cast("bigint").alias("r1"),
+        F.sum(F.col("c0") * F.col("c2")).cast("bigint").alias("r2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "sequence_match_counts",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = '{RETENTION_STAGES[0]}' THEN ts END) AS t_first,
+        MAX(CASE WHEN event_type = '{RETENTION_STAGES[2]}' THEN ts END) AS t_last
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(SUM(CASE WHEN t_first IS NOT NULL AND t_last IS NOT NULL
+                     AND t_first < t_last THEN 1 ELSE 0 END) AS BIGINT)
+        AS matched_users,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    """,
+)
+def sequence_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')``: users with a
+    '{RETENTION_STAGES[0]}' strictly before a later
+    '{RETENTION_STAGES[2]}'.
+
+    The regex-over-events pattern reduces to conditional MIN/MAX
+    timestamps per user — one aggregate pass, no self-join, no window;
+    the existence comparison is order-independent and exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    t_first = F.min(
+        F.when(F.col("event_type") == RETENTION_STAGES[0], F.col("ts"))
+    ).alias("t_first")
+    t_last = F.max(
+        F.when(F.col("event_type") == RETENTION_STAGES[2], F.col("ts"))
+    ).alias("t_last")
+    per_user = events.groupBy("user_id").agg(t_first, t_last)
+    matched = F.when(
+        F.col("t_first").isNotNull()
+        & F.col("t_last").isNotNull()
+        & (F.col("t_first") < F.col("t_last")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return per_user.groupBy().agg(
+        F.sum(matched).cast("bigint").alias("matched_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "uniq_up_to_types_per_user",
+    oracle=f"""
+    SELECT user_id,
+      CAST(LEAST(COUNT(DISTINCT event_type), {UNIQ_UP_TO} + 1) AS BIGINT)
+        AS uniq_types_capped
+    FROM events GROUP BY user_id
+    """,
+)
+def uniq_up_to_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)``: exact distinct count capped at N+1
+    (the "N or more" bucket). The cap is semantic, not an
+    optimization here — Spark's distinct aggregate state is already
+    bounded by the type vocabulary; in ClickHouse the cap bounds
+    hash-set memory, and the relational form preserves the contract.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.least(
+            F.countDistinct("event_type"), F.lit(UNIQ_UP_TO + 1)
+        ).cast("bigint").alias("uniq_types_capped")
+    )

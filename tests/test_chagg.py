@@ -13,7 +13,16 @@ from parity import assert_parity
 from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
 
 
-@pytest.mark.parametrize("name", ["events_ohlc_hourly", "user_event_sequences"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_ohlc_hourly",
+        "user_event_sequences",
+        "user_retention_flags",
+        "sequence_match_counts",
+        "uniq_up_to_types_per_user",
+    ],
+)
 def test_chagg_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
 
@@ -56,3 +65,19 @@ def test_sequences_are_prefixes(spark, sf_dir):
         expect = ">".join(grp["event_type"].head(SEQ_LEN))
         assert out.loc[user_id, "seq"] == expect
         assert out.loc[user_id, "n_events"] == len(grp)
+
+
+def test_retention_flags_are_monotone(spark, sf_dir):
+    """r0 >= r1 and r0 >= r2 (later stages are conjunctions with the
+    entry condition), all bounded by n_users."""
+    row = catalog.QUERIES["user_retention_flags"](spark, sf_dir).collect()[0]
+    assert row["n_users"] >= row["r0"] >= row["r1"]
+    assert row["r0"] >= row["r2"]
+
+
+def test_sequence_match_subset_of_retention(spark, sf_dir):
+    """A strict before/after match implies both stages occurred, so
+    matched_users <= the retention r2 conjunction count."""
+    m = catalog.QUERIES["sequence_match_counts"](spark, sf_dir).collect()[0]
+    r = catalog.QUERIES["user_retention_flags"](spark, sf_dir).collect()[0]
+    assert m["matched_users"] <= r["r2"]
