@@ -229,3 +229,70 @@ def uniq_up_to_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type"), F.lit(UNIQ_UP_TO + 1)
         ).cast("bigint").alias("uniq_types_capped")
     )
+
+
+EMA_SCALE = 1_000_000  # fixed-point units: 1e-6 of an event
+
+
+@query(
+    "events_ema_hourly_counts",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+        list(cnt ORDER BY hour) AS counts,
+        CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+      CAST(list_reduce(
+        list_prepend(counts[1] * {EMA_SCALE}, counts[2:]),
+        (acc, x) -> (x * {EMA_SCALE} + 3 * acc) // 4
+      ) AS BIGINT) AS ema_fixed
+    FROM series
+    """,
+)
+def events_ema_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage`` analog: EMA (alpha=1/4)
+    of the hourly event count per type, as an ordered fold.
+
+    Float EMA is un-oracle-able (the recurrence compounds last-ULP
+    drift), so the state is *fixed-point integer*: E_0 = c_0*SCALE,
+    E_t = (c_t*SCALE + 3*E_{{t-1}}) div 4 — truncating integer steps
+    that Spark's ``aggregate`` higher-order function and DuckDB's
+    ``list_reduce`` reproduce bit-exactly.
+
+    Scale shape: the per-type series is assembled by
+    ``sort_array(collect_list(...))`` — one aggregation pass, state
+    bounded by hours-per-type (time-bounded, not corpus-bounded) —
+    and the fold runs in-row, no window, no shuffle beyond the
+    groupBys. The same fold IS the streaming update rule: one state
+    integer per type, applied per finalized hour.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hour", "cnt"))),
+            lambda x: x["cnt"],
+        ).alias("counts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(counts, 2, size(counts) - 1),
+          element_at(counts, 1) * CAST({EMA_SCALE} AS BIGINT),
+          (acc, x) -> (x * CAST({EMA_SCALE} AS BIGINT) + 3 * acc) div 4
+        )
+        """
+    )
+    return series.select(
+        "event_type", "n_hours", fold.cast("bigint").alias("ema_fixed")
+    )

@@ -81,3 +81,38 @@ def test_sequence_match_subset_of_retention(spark, sf_dir):
     m = catalog.QUERIES["sequence_match_counts"](spark, sf_dir).collect()[0]
     r = catalog.QUERIES["user_retention_flags"](spark, sf_dir).collect()[0]
     assert m["matched_users"] <= r["r2"]
+
+
+def test_ema_parity(spark, sf_dir):
+    assert_parity(spark, "events_ema_hourly_counts", sf_dir)
+
+
+def test_ema_is_incremental_and_bounded(spark, sf_dir):
+    """The fold IS the streaming update rule: replaying the series
+    count-by-count in Python reproduces ema_fixed exactly, and the
+    EMA stays within [min, max] of the scaled counts."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.operators.chagg import EMA_SCALE
+    from clickhouse_batcher_spark.tables import load_table
+
+    out = {
+        r["event_type"]: (r["ema_fixed"], r["n_hours"])
+        for r in catalog.QUERIES["events_ema_hourly_counts"](spark, sf_dir).collect()
+    }
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type", "hour")
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append(r["cnt"])
+    for etype, counts in series.items():
+        state = counts[0] * EMA_SCALE
+        for c in counts[1:]:
+            state = (c * EMA_SCALE + 3 * state) // 4
+        assert out[etype] == (state, len(counts))
+        assert min(counts) * EMA_SCALE <= state <= max(counts) * EMA_SCALE
