@@ -121,3 +121,29 @@ def test_catalog_registry_invariants(spark):
     # oracle SQL strings are single-statement (no stray semicolons)
     for name, sql in catalog.ORACLES.items():
         assert ";" not in sql, name
+
+
+def test_driver_window_is_exactly_the_priority_list():
+    """The driver checks the FIRST 50 entries of queries(); pin the
+    window to _PRIORITY so a catalog edit can't silently rotate a
+    query out before it has its green row (round-3 lesson: window
+    membership is a correctness-gate decision, not an accident of
+    registration order)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries().keys())
+    assert len(mod._PRIORITY) == 50
+    assert names[: len(mod._PRIORITY)] == mod._PRIORITY
+    # every priority entry must have an oracle (the window is the
+    # hash-checked gate; rows-only entries do not belong there)
+    oracled = set(mod.oracle_sql())
+    missing = [n for n in mod._PRIORITY if n not in oracled]
+    assert not missing, missing
