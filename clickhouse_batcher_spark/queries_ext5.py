@@ -612,3 +612,107 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q19_bracket_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate that
+    spans both join sides (brand/size from part, quantity from
+    lineitem).
+
+    The interesting plan property: Catalyst factors the disjunction —
+    single-side conjuncts that appear in every branch would push to
+    the scans, and the cross-side residue evaluates post-join. The
+    join itself stays a plain broadcast equi-join on the part key; the
+    disjunction never degrades it to a nested loop (the plan audit's
+    no-cartesian guard applies to this query like every other).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    branch = lambda brand, qlo, qhi, slo, shi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(slo, shi)
+    )
+    pred = (
+        branch("Brand#11", 1, 11, 1, 5)
+        | branch("Brand#12", 10, 20, 1, 10)
+        | branch("Brand#13", 20, 30, 1, 15)
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .groupBy()
+        .agg(
+            dec_sum_expr(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "orders_transfer_checksum",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(
+        (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 72057594037927936
+        + CAST(('0x' || substring(h, 2, 14)) AS BIGINT)
+      ) AS HUGEINT) % 9223372036854775807 AS checksum
+    FROM (
+      SELECT o_orderstatus,
+        sha256(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_transfer_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum per partition-ish group — the
+    transfer-integrity primitive for a batching/shipping engine (the
+    reference carries per-row sha256sums for exactly this purpose,
+    hashes.go:25): a sink-side recompute that matches proves no row
+    was lost, duplicated, or mangled in flight.
+
+    Per-row SHA-256 over a canonical rendering, folded with SUM (a
+    commutative monoid, so the checksum is shuffle-order-independent
+    and map-side combinable) modulo 2^63-1. Engine-portable: the
+    oracle reproduces the exact 60-bit-per-row arithmetic; verified
+    identical in Spark and DuckDB at sf0.01.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+    )
+    row_hash = F.conv(
+        F.substring(F.sha2(canonical, 256), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(row_hash) % F.lit(9223372036854775807).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("checksum"),
+    )

@@ -147,3 +147,77 @@ def test_driver_window_is_exactly_the_priority_list():
     oracled = set(mod.oracle_sql())
     missing = [n for n in mod._PRIORITY if n not in oracled]
     assert not missing, missing
+
+
+def test_transfer_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
+    """The shipping-integrity property: permuting rows leaves the
+    checksum unchanged (commutative fold); corrupting one value
+    changes it."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    catalog.load_all()
+    base = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in catalog.QUERIES["orders_transfer_checksum"](spark, sf_dir).collect()
+    }
+    # permute: recompute over a repartitioned (differently ordered) copy
+    import clickhouse_batcher_spark.queries_ext5 as q5
+
+    orders = load_table(spark, sf_dir, "orders").repartition(13)
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.sha2(canonical, 256), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    permuted = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            (F.sum(row_hash) % F.lit(9223372036854775807).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("checksum")
+        )
+        .collect()
+    }
+    assert permuted == base
+
+    # corrupt one row's totalprice -> that group's checksum must move
+    corrupted_orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    status_of_key1 = corrupted_orders.filter("o_orderkey = 1").collect()[0][
+        "o_orderstatus"
+    ]
+    canonical2 = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+    )
+    row_hash2 = F.conv(F.substring(F.sha2(canonical2, 256), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    corrupted = {
+        r["o_orderstatus"]: r["checksum"]
+        for r in corrupted_orders.groupBy("o_orderstatus")
+        .agg(
+            (F.sum(row_hash2) % F.lit(9223372036854775807).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("checksum")
+        )
+        .collect()
+    }
+    assert corrupted[status_of_key1] != base[status_of_key1]
+    for k in base:
+        if k != status_of_key1:
+            assert corrupted[k] == base[k]

@@ -29,6 +29,7 @@ TPCH = [
     "tpch_q22_idle_customers",
     "tpch_q8_market_share",
     "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
 ]
 
 
