@@ -85,6 +85,10 @@ HEADLINE = [
     "pack_sequences_budget",
     "events_ohlc_hourly",
     "user_event_sequences",
+    "tpch_q19_bracket_revenue",
+    "orders_transfer_checksum",
+    "user_retention_flags",
+    "events_ema_hourly_counts",
 ]
 
 
