@@ -103,3 +103,40 @@ def test_kafka_source_gated(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_json_reader_survives_corrupt_records(spark, tmp_path):
+    """PERMISSIVE ingestion contract: malformed lines must neither
+    crash the scan nor silently vanish — they land in _corrupt_record
+    for quarantine, the canonical dead-letter pattern for an ingest
+    engine (at 100 TB a single bad line must never kill a 1000-task
+    job)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"event_id": 1, "event_type": "view"}\n'
+        "this is not json at all\n"
+        '{"event_id": 2, "event_type": "click"}\n'
+        '{"event_id": broken}\n'
+    )
+    schema = "event_id BIGINT, event_type STRING, _corrupt_record STRING"
+    df = read_json(spark, str(p), schema).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 2
+    assert {r["event_id"] for r in good.collect()} == {1, 2}
+    df.unpersist()
+
+
+def test_csv_reader_nulls_malformed_fields(spark, tmp_path):
+    """CSV PERMISSIVE: a non-numeric value in a numeric column becomes
+    NULL (row preserved) instead of failing the scan."""
+    p = tmp_path / "mixed.csv"
+    p.write_text("event_id,value\n1,2.5\nnot_a_number,3.5\n3,oops\n")
+    df = read_csv(spark, str(p), "event_id BIGINT, value DOUBLE")
+    rows = {
+        (r["event_id"], r["value"]) for r in df.collect()
+    }
+    assert (1, 2.5) in rows
+    assert (None, 3.5) in rows
+    assert (3, None) in rows
