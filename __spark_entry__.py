@@ -150,6 +150,30 @@ _PRIORITY: list[str] = [
 # tpch_q5_regional_share (VERDICT r3 task 5) — plus the round-4
 # additions above, demoting an equal number of the then-double-green
 # events/docs queries (keep one representative per operator family).
+#
+# Staged round-5 window (SWAP IN next round once CORRECTNESS_r4 lands
+# green; verify counts with tests/test_helpers.py window guard):
+# promote (21): tpch_q3_unshipped, tpch_q5_regional_share,
+#   tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+#   tpch_q8_market_share, tpch_q10_returned_items,
+#   tpch_q13_order_distribution, tpch_q14_promo_revenue,
+#   tpch_q15_top_supplier, tpch_q17_small_qty_revenue,
+#   tpch_q18_big_orders, tpch_q19_bracket_revenue,
+#   tpch_q22_idle_customers, shard_documents_for_training,
+#   pack_sequences_budget, events_ohlc_hourly, user_event_sequences,
+#   user_retention_flags, sequence_match_counts,
+#   events_ema_hourly_counts, orders_transfer_checksum
+#   (uniq_up_to_types_per_user rides with the retention family when a
+#   slot frees).
+# demote candidates (first-green r4, family still represented):
+#   distinct_users_by_type, events_cube, events_deterministic_sample,
+#   events_range_window_30min, latest_event_per_user_day,
+#   orders_above_customer_avg, top10_orders, union_event_slices,
+#   user_event_type_profile, value_moments_by_type, events_day_over_day,
+#   chunk_documents, docs_rare_token_ratio, docs_unigram_logprob,
+#   value_histogram_quantiles, docs_repetition_signals, bpe_pair_counts,
+#   docs_token_entropy, events_hourly_interpolate, fuzzy_token_matches,
+#   inverted_index_postings.
 
 
 def _ordered(mapping: dict) -> dict:
