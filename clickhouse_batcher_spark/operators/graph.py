@@ -34,6 +34,18 @@ from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.tables import load_table
 
 COACT_MIN_HOURS = 12  # co-active hours needed for an edge
+# Density guard: pairing within an hour is quadratic in that hour's
+# active-user count, so hyper-dense hours are capped to a
+# deterministic subset before pairing (same role as the DF-capped
+# shingles in dedup). An 8x-density probe measured PageRank going
+# 4.9 s -> 42 s WITHOUT the cap (quadratic) and bounded with it; at
+# normal densities (sf0.01/sf0.1 average ~130 users/hour) the cap
+# rarely binds. Selection is by a portable multiplicative hash of
+# user_id (exact integer arithmetic, identical in Spark and DuckDB),
+# so the kept subset is engine-independent and stable across runs.
+COACT_MAX_PER_HOUR = 256
+_COACT_HASH_MULT = 2654435761  # Knuth multiplicative constant
+_COACT_HASH_MOD = 4294967296
 
 
 def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> DataFrame:
@@ -49,9 +61,17 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
     spills rather than evicting mid-job; it is orders of magnitude
     smaller than the events it summarizes.
     """
+    from pyspark.sql.window import Window
+
+    raw = events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    ord_key = (F.col("user_id") * F.lit(_COACT_HASH_MULT)) % F.lit(_COACT_HASH_MOD)
+    wcap = Window.partitionBy("h").orderBy(ord_key.asc(), F.col("user_id").asc())
     ah = (
-        events.select("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .distinct()
+        raw.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= COACT_MAX_PER_HOUR)
+        .drop("_rn")
         .cache()
     )
     ah.count()
@@ -69,9 +89,16 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
 @query(
     "coactivity_triangle_stats",
     oracle=f"""
-    WITH ah AS (
+    WITH ah0 AS (
       SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
       FROM events
+    ),
+    ah AS (
+      SELECT user_id, h FROM (
+        SELECT user_id, h,
+          row_number() OVER (PARTITION BY h
+            ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+        FROM ah0) WHERE rn <= 256
     ),
     p AS (
       SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS common_hours
@@ -155,9 +182,16 @@ PR_ITERS = 3              # unrolled in both engines
 PR_TOPK = 20
 
 _PR_EDGE_SQL = f"""
-    ah AS (
+    ah0 AS (
       SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
       FROM events
+    ),
+    ah AS (
+      SELECT user_id, h FROM (
+        SELECT user_id, h,
+          row_number() OVER (PARTITION BY h
+            ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+        FROM ah0) WHERE rn <= 256
     ),
     p AS (
       SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS common_hours
