@@ -48,62 +48,62 @@ catalog.load_all()
 # families stay represented in-window and all retain pytest parity
 # coverage (tests/parity.py) plus two rounds of driver-green rows.
 _PRIORITY: list[str] = [
-    # --- t2 gate / reference core (double-green; kept) ---
+    # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
-    # --- newest operators, added after the prior rotation: first
-    #     driver check (zero rows so far -> highest priority) ---
+    # --- ROUND 5 promotions: the only oracled queries that have never
+    #     had a driver CORRECTNESS row (judge pre-verified all of them
+    #     against the sf0.01 sweep in VERDICT r4) ---
+    "tpch_q3_unshipped",
+    "tpch_q5_regional_share",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_big_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_idle_customers",
+    "shard_documents_for_training",
+    "pack_sequences_budget",
+    "events_ohlc_hourly",
+    "user_event_sequences",
+    "user_retention_flags",
+    "sequence_match_counts",
+    "uniq_up_to_types_per_user",
+    "events_ema_hourly_counts",
+    "orders_transfer_checksum",
+    # --- first green in r4; kept for a second green row (family
+    #     anchors: graph, timeseries, attribution, sketches, dedup,
+    #     joins, windows, retrieval, quality, streaming-adjacent) ---
     "purchase_attribution",
     "coactivity_pagerank",
     "distinct_users_type_overlap",
     "events_hourly_wma",
     "events_hourly_anomalies",
     "event_transition_matrix",
-    # --- never driver-checked in rounds 1-2: promoted ---
     "dedup_content_hash",
-    "distinct_users_by_type",
-    "events_cube",
-    "events_deterministic_sample",
-    "events_hourly",
-    "events_range_window_30min",
-    "latest_event_per_user_day",
-    "orders_above_customer_avg",
     "orders_by_region",
     "orders_ntile_quartiles",
     "simhash_signatures",
-    "top10_orders",
-    "union_event_slices",
-    "user_event_type_profile",
-    "value_moments_by_type",
-    # --- final round-3 additions: first driver check ---
     "sliding_distinct_users",
-    "events_day_over_day",
     "orders_quality_constraints",
     "orders_snapshot_diff",
-    # --- new round-3 oracled operators: first driver check ---
-    "chunk_documents",
-    "docs_rare_token_ratio",
     "decontaminate_docs",
     "embedding_quantize_int8",
     "bm25_retrieval_topk",
     "quality_filter_gopher",
-    "docs_unigram_logprob",
-    "value_histogram_quantiles",
     "salted_join_user_segments",
-    # --- built later in round 3: first driver check ---
-    "docs_repetition_signals",
-    "bpe_pair_counts",
     "funnel_conversion",
     "incremental_rollup_events",
     "bloom_semi_join_orders",
-    "docs_token_entropy",
     "distinct_users_linear_count",
-    "events_hourly_interpolate",
     "event_type_value_correlation",
     "cohort_retention_weekly",
-    "fuzzy_token_matches",
     "events_zorder_bucket_stats",
-    "inverted_index_postings",
     "coactivity_triangle_stats",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
@@ -145,35 +145,33 @@ _PRIORITY: list[str] = [
 # pack_sequences_budget, events_ohlc_hourly, user_event_sequences,
 # similarity_ann_pq) register past the cutoff.
 #
-# ROUND 5 rotation plan (do this next round): promote the only oracled
-# queries still never driver-checked — tpch_q3_unshipped,
-# tpch_q5_regional_share (VERDICT r3 task 5) — plus the round-4
-# additions above, demoting an equal number of the then-double-green
-# events/docs queries (keep one representative per operator family).
+# ROUND 5: the staged rotation EXECUTED (VERDICT r4 task 1), once
+# CORRECTNESS_r04 landed 50/50 green. Promoted (22): the full staged
+# list of 21 — 13-query TPC-H family, shard/pack training export,
+# OHLC/sequences/retention/sequenceMatch/EMA CH-aggregate parity ops,
+# orders_transfer_checksum — plus uniq_up_to_types_per_user, whose
+# slot was freed by additionally demoting events_hourly (first-green
+# r4; the hourly family keeps four in-window anchors: wma, anomalies,
+# OHLC, EMA). Demoted (22): the 21 staged first-green-r4 candidates
+# (distinct_users_by_type, events_cube, events_deterministic_sample,
+# events_range_window_30min, latest_event_per_user_day,
+# orders_above_customer_avg, top10_orders, union_event_slices,
+# user_event_type_profile, value_moments_by_type, events_day_over_day,
+# chunk_documents, docs_rare_token_ratio, docs_unigram_logprob,
+# value_histogram_quantiles, docs_repetition_signals, bpe_pair_counts,
+# docs_token_entropy, events_hourly_interpolate, fuzzy_token_matches,
+# inverted_index_postings) plus events_hourly — every demoted family
+# keeps an in-window representative and full pytest parity coverage.
+# After this round every one of the 120 oracled catalog queries has at
+# least one driver CORRECTNESS row.
 #
-# Staged round-5 window (SWAP IN next round once CORRECTNESS_r4 lands
-# green; verify counts with tests/test_helpers.py window guard):
-# promote (21): tpch_q3_unshipped, tpch_q5_regional_share,
-#   tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
-#   tpch_q8_market_share, tpch_q10_returned_items,
-#   tpch_q13_order_distribution, tpch_q14_promo_revenue,
-#   tpch_q15_top_supplier, tpch_q17_small_qty_revenue,
-#   tpch_q18_big_orders, tpch_q19_bracket_revenue,
-#   tpch_q22_idle_customers, shard_documents_for_training,
-#   pack_sequences_budget, events_ohlc_hourly, user_event_sequences,
-#   user_retention_flags, sequence_match_counts,
-#   events_ema_hourly_counts, orders_transfer_checksum
-#   (uniq_up_to_types_per_user rides with the retention family when a
-#   slot frees).
-# demote candidates (first-green r4, family still represented):
-#   distinct_users_by_type, events_cube, events_deterministic_sample,
-#   events_range_window_30min, latest_event_per_user_day,
-#   orders_above_customer_avg, top10_orders, union_event_slices,
-#   user_event_type_profile, value_moments_by_type, events_day_over_day,
-#   chunk_documents, docs_rare_token_ratio, docs_unigram_logprob,
-#   value_histogram_quantiles, docs_repetition_signals, bpe_pair_counts,
-#   docs_token_entropy, events_hourly_interpolate, fuzzy_token_matches,
-#   inverted_index_postings.
+# ROUND 6 rotation plan: re-promote the single-green r2 demotions for
+# second greens (ROADMAP item 2b: text_stats, langid_predict,
+# redact_docs, doc_fingerprint, retrieval_topk_docs, merge_upsert_orders,
+# range_join_orders_window, profile_events, token_count_min_sketch,
+# token_histogram, token_count_bpeish, media_frame_sample,
+# events_rollup_hierarchy, winnow_fingerprints), demoting this round's
+# first-green TPC-H/export/CH-aggregate promotions.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -89,6 +89,19 @@ HEADLINE = [
     "orders_transfer_checksum",
     "user_retention_flags",
     "events_ema_hourly_counts",
+    # round-5: the window-rotation promotions that had no perf row yet
+    # (VERDICT r4 task 5) + the now-real media kernels.
+    "tpch_q3_unshipped",
+    "tpch_q5_regional_share",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_customers",
+    "sequence_match_counts",
+    "uniq_up_to_types_per_user",
+    "media_resize",
 ]
 
 
@@ -191,10 +204,31 @@ def main() -> None:
     # moves that cost off the clock the same way the query warm pass
     # does for Janino compilation.
     bench_ingest(spark, sf_dir=warm_dir)
-    rows_per_sec = max(bench_ingest(spark) for _ in range(2))
-    bulk_rows_per_sec = max(
+    # Variance guard (VERDICT r4 task 7): record best-of-N per regime
+    # AND the sample spread, and never let a contended run become the
+    # number of record — if best-of-2 micro-batch is below the floor,
+    # take up to 2 extra samples; if it STILL can't clear the floor,
+    # the JSON is printed (so the round records what happened) but the
+    # script exits non-zero.
+    # The floor only means something at the standard bench scale:
+    # below sf0.1 the whole table drains in a couple of triggers and
+    # rows/sec is dominated by fixed per-batch cost, not throughput.
+    try:
+        _sf_num = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        _sf_num = 0.0
+    INGEST_FLOOR_ROWS_PER_SEC = 50_000 if _sf_num >= 0.1 else 0
+    micro_samples = [bench_ingest(spark) for _ in range(2)]
+    while (
+        max(micro_samples) < INGEST_FLOOR_ROWS_PER_SEC
+        and len(micro_samples) < 4
+    ):
+        micro_samples.append(bench_ingest(spark))
+    rows_per_sec = max(micro_samples)
+    bulk_samples = [
         bench_ingest(spark, max_files_per_trigger=1000) for _ in range(2)
-    )
+    ]
+    bulk_rows_per_sec = max(bulk_samples)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -211,9 +245,25 @@ def main() -> None:
                 "sf": sf_val,
                 "ingest_rows_per_sec": round(rows_per_sec, 1),
                 "ingest_bulk_rows_per_sec": round(bulk_rows_per_sec, 1),
+                "ingest_micro_samples": [round(s, 1) for s in micro_samples],
+                "ingest_micro_spread": round(
+                    max(micro_samples) - min(micro_samples), 1
+                ),
+                "ingest_bulk_samples": [round(s, 1) for s in bulk_samples],
+                "ingest_bulk_spread": round(
+                    max(bulk_samples) - min(bulk_samples), 1
+                ),
             }
         )
     )
+    if rows_per_sec < INGEST_FLOOR_ROWS_PER_SEC:
+        print(
+            f"ingest guard: micro-batch {rows_per_sec:.0f} rows/s below "
+            f"{INGEST_FLOOR_ROWS_PER_SEC} floor after "
+            f"{len(micro_samples)} samples",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,15 @@ COACT_MIN_HOURS = 12  # co-active hours needed for an edge
 COACT_MAX_PER_HOUR = 256
 _COACT_HASH_MULT = 2654435761  # Knuth multiplicative constant
 _COACT_HASH_MOD = 4294967296
+# Reduce user_id mod 2^31 BEFORE multiplying: the raw product would
+# exceed int64 for user_id >~ 3.5e9, where Spark (non-ANSI) silently
+# wraps but DuckDB raises out-of-range — the "engine-independent"
+# kept subset would diverge exactly when it matters (ADVICE r4).
+# 2^31 * 2654435761 ~= 5.7e18 < 2^63-1, so both engines compute the
+# same exact integer; ids below 2^31 (all current testdata) hash
+# identically to the unreduced formula, and ids colliding mod 2^31
+# fall back to the deterministic user_id tiebreak.
+_COACT_HASH_REDUCE = 2147483648
 
 
 def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> DataFrame:
@@ -66,7 +75,9 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
     raw = events.select(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).distinct()
-    ord_key = (F.col("user_id") * F.lit(_COACT_HASH_MULT)) % F.lit(_COACT_HASH_MOD)
+    ord_key = (
+        (F.col("user_id") % F.lit(_COACT_HASH_REDUCE)) * F.lit(_COACT_HASH_MULT)
+    ) % F.lit(_COACT_HASH_MOD)
     wcap = Window.partitionBy("h").orderBy(ord_key.asc(), F.col("user_id").asc())
     ah = (
         raw.withColumn("_rn", F.row_number().over(wcap))
@@ -97,7 +108,7 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
       SELECT user_id, h FROM (
         SELECT user_id, h,
           row_number() OVER (PARTITION BY h
-            ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+            ORDER BY ((user_id % 2147483648) * 2654435761) % 4294967296, user_id) AS rn
         FROM ah0) WHERE rn <= 256
     ),
     p AS (
@@ -190,7 +201,7 @@ _PR_EDGE_SQL = f"""
       SELECT user_id, h FROM (
         SELECT user_id, h,
           row_number() OVER (PARTITION BY h
-            ORDER BY (user_id * 2654435761) % 4294967296, user_id) AS rn
+            ORDER BY ((user_id % 2147483648) * 2654435761) % 4294967296, user_id) AS rn
         FROM ah0) WHERE rn <= 256
     ),
     p AS (

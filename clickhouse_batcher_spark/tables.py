@@ -67,6 +67,16 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
+        # Spark refuses to scan TIMESTAMP(NANOS) parquet outright
+        # ("Illegal Parquet type") unless the legacy conf maps it to
+        # LONG — without this the _normalize_ts LongType branch is
+        # unreachable and a generator flip back to the round-1/2 NANOS
+        # encoding would fail at scan time. A harmless no-op for the
+        # micros encodings; idempotent per session.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(table_path(sf_dir, name))
         return _normalize_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))

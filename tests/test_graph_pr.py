@@ -19,6 +19,56 @@ def test_pagerank_parity(spark, sf_dir):
     assert_parity(spark, "coactivity_pagerank", sf_dir)
 
 
+def test_density_cap_bounds_pairing_blowup(spark):
+    """Freeze the round-4 8x-density probe as a regression test
+    (VERDICT r4 task 8). Synthetic frames make the density explicit:
+
+    - base: exactly COACT_MAX_PER_HOUR users active in each of 24
+      hours (the cap does NOT bind);
+    - dense: 8x that many users per hour (the cap MUST bind).
+
+    With the cap working, both frames pair the same number of users
+    per hour, so the dense run costs only the extra (linear)
+    row_number pass — without the cap the pair join is 64x bigger and
+    the probe measured 4.9 s -> 42 s at sf0.1. Assert the dense run
+    stays within a small factor of base (generous bound: timing noise,
+    not the 8.5x quadratic signature, is what we tolerate)."""
+    import time
+
+    from clickhouse_batcher_spark.operators.graph import COACT_MAX_PER_HOUR
+
+    def frame(n_users):
+        return (
+            spark.range(n_users)
+            .withColumnRenamed("id", "user_id")
+            .crossJoin(spark.range(24).withColumnRenamed("id", "h"))
+            .select(
+                "user_id",
+                F.expr(
+                    "timestampadd(HOUR, cast(h AS INT), "
+                    "timestamp'2025-01-01 00:00:00')"
+                ).alias("ts"),
+            )
+        )
+
+    def timed(n_users):
+        df = frame(n_users)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            coactivity_edges(df, min_hours=25).count()  # 0 edges; pairing still runs
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        return best
+
+    t_base = timed(COACT_MAX_PER_HOUR)
+    t_dense = timed(8 * COACT_MAX_PER_HOUR)
+    assert t_dense <= 2.5 * t_base + 2.0, (
+        f"density cap regression: base {t_base:.1f}s, 8x-dense "
+        f"{t_dense:.1f}s — pairing is growing with RAW density again"
+    )
+
+
 def test_pagerank_matches_python_recompute(spark, sf_dir):
     """The distributed integer iteration must equal a sequential dict
     recompute with the same fixed-point arithmetic."""

@@ -156,3 +156,41 @@ def test_compaction_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
     before = events.orderBy("event_id").toPandas()
     after = spark.read.parquet(dst).orderBy("event_id").toPandas()
     assert before.equals(after)
+
+
+def test_compaction_size_fidelity_mode_tracks_plan_bins(spark, sf_dir, tmp_path):
+    """size_fidelity=True writes each planned bin as one output file,
+    so output sizes — not just the count — follow the plan: every
+    output built from a multi-file bin stays within the target plus
+    the single-file re-encode overhead (ADVICE r4: plain coalesce
+    merges by adjacency and can blow past target_bytes arbitrarily)."""
+    from clickhouse_batcher_spark.sources.layout import (
+        compact_parquet,
+        list_data_files,
+        plan_compaction,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(24).write.parquet(src)
+
+    files = list_data_files(spark, src)
+    total = sum(sz for _, sz in files)
+    target = max(1, total // 3)
+    plan = plan_compaction(files, target)
+
+    n_bins = compact_parquet(spark, src, dst, target, size_fidelity=True)
+    assert n_bins == len(plan)
+    out_files = list_data_files(spark, dst)
+    assert len(out_files) == n_bins
+    # Re-encoding merged row groups shifts sizes a little; 1.25x covers
+    # dictionary/statistics overhead while still failing on the
+    # adjacency-merge pathology this mode exists to prevent.
+    for _, sz in out_files:
+        assert sz <= target * 1.25, (sz, target)
+
+    before = events.orderBy("event_id").toPandas()
+    after = spark.read.parquet(dst).orderBy("event_id").toPandas()
+    assert before.equals(after)

@@ -124,6 +124,17 @@ def test_loader_handles_epoch_nanos_long(spark, tmp_path):
     assert _loaded_instants(spark, fixture) == _INSTANTS
 
 
+def test_loader_handles_annotated_timestamp_nanos(spark, tmp_path):
+    """The REAL round-1/2 encoding: parquet logical TIMESTAMP(NANOS)
+    (pa.timestamp('ns')), not a plain int64 column. Without
+    spark.sql.legacy.parquet.nanosAsLong=true Spark refuses the scan
+    with 'Illegal Parquet type' before the loader's LongType branch
+    can run — load_table must set the conf itself (ADVICE r4)."""
+    arr = pa.array(_INSTANTS, type=pa.timestamp("ns"))
+    fixture = _events_fixture(tmp_path, arr)
+    assert _loaded_instants(spark, fixture) == _INSTANTS
+
+
 def test_loader_handles_micros_ntz(spark, tmp_path):
     """Round-3+ encoding: TIMESTAMP(MICROS, isAdjustedToUTC=false) —
     Spark reads TIMESTAMP_NTZ; loader must cast (session TZ is UTC, so
