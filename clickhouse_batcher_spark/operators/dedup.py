@@ -542,3 +542,125 @@ def dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["dedup_consensus"] = " ".join(_consensus_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" family): flag every
+# position whose SPAN_K-token gram also occurs in ANOTHER document,
+# and report per-doc coverage of the flagged spans. Unlike the
+# near-dup detectors above, this one never forms document PAIRS at
+# all: the only shuffles are a groupBy on the gram (map-side combined
+# count-distinct), an equi-join of the gram stream against the
+# repeated-gram set (output <= one row per input gram, hot grams
+# included -- no quadratic term anywhere), and the per-doc coverage
+# aggregation. That makes it the cheapest cross-doc dedup signal in
+# the module and the one you run FIRST at 100 TB.
+# ---------------------------------------------------------------------------
+SPAN_K = 8  # tokens per exact-match span
+
+
+@query(
+    "repeated_span_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(tokens[i:i+{SPAN_K}-1], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(tokens)-{SPAN_K}+1)) AS t(i)
+      WHERE len(tokens) >= {SPAN_K}
+    ), rep AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)
+    ), coverage AS (
+      SELECT doc_id, COUNT(DISTINCT tok_idx) AS covered_tokens
+      FROM (SELECT doc_id, unnest(generate_series(pos, pos+{SPAN_K}-1))
+                   AS tok_idx FROM flagged)
+      GROUP BY doc_id
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(t.tokens) - {SPAN_K} + 1, 0) AS BIGINT)
+             AS n_grams,
+           CAST(COALESCE(p.n_flagged, 0) AS BIGINT) AS n_repeated_positions,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           COALESCE(c.covered_tokens, 0) / CAST(len(t.tokens) AS DOUBLE)
+             AS coverage
+    FROM toks t
+    LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    LEFT JOIN coverage c ON c.doc_id = t.doc_id
+    """,
+)
+def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring dedup signal: how much of the doc
+    is covered by SPAN_K-token grams that also appear verbatim in at
+    least one other document.
+
+    Output: (doc_id, n_tokens, n_grams, n_repeated_positions,
+    covered_tokens, coverage). ``coverage`` is the union of flagged
+    [pos, pos+K-1] intervals over n_tokens -- interval union computed
+    relationally as COUNT(DISTINCT covered token index), so both
+    engines agree exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("tokens"))
+    k = SPAN_K
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    grams = (
+        toks.filter(F.size("tokens") >= k)
+        .select("doc_id", F.posexplode(mk).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(rep, "gram").select("doc_id", "pos")
+    coverage = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tok_idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged")
+    )
+    return (
+        toks.select("doc_id", F.size("tokens").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .join(coverage, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(
+                F.col("n_tokens") - (k - 1), F.lit(0).cast("bigint")
+            ).alias("n_grams"),
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("bigint").alias(
+                "n_repeated_positions"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -50,12 +50,34 @@ ORACLED = [
     "events_day_over_day",
     "orders_quality_constraints",
     "orders_snapshot_diff",
+    "repeated_span_stats",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_operator_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_repeated_span_stats_invariants(spark, sf_dir):
+    """Structural invariants of the exact-substring span flags: one
+    row per doc, coverage bounded by the flagged-interval union, and a
+    non-zero cross-doc signal on this corpus."""
+    from clickhouse_batcher_spark.operators.dedup import SPAN_K
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = catalog.QUERIES["repeated_span_stats"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert any(r["covered_tokens"] > 0 for r in rows)  # real repeats exist
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0, r
+        assert r["covered_tokens"] <= r["n_tokens"], r
+        assert r["n_repeated_positions"] <= r["n_grams"], r
+        # interval union can cover at most K tokens per flagged start
+        assert r["covered_tokens"] <= SPAN_K * r["n_repeated_positions"], r
+        if r["n_repeated_positions"]:
+            assert r["covered_tokens"] >= SPAN_K  # one span covers K
 
 
 def test_neardup_detectors_find_planted_twins(spark, sf_dir):
