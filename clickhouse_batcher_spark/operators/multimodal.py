@@ -289,11 +289,165 @@ def _build_codecs():
             pos += 2 + length
         return None
 
+    def gif_encode(width, height, palette, frames):
+        """Minimal valid GIF89a: global color table + one image block
+        per frame. ``palette`` is a list of (r, g, b); ``frames`` a
+        list of per-pixel palette-index bytes (row-major, w*h each).
+        LZW data is written degenerately — a CLEAR code before every
+        pixel code — so the code width never grows; ~4 bits/pixel
+        overhead in exchange for a 15-line encoder. Decoders (ours
+        and real ones) accept it: CLEAR simply resets the table."""
+        n = max(2, (len(palette) - 1).bit_length())  # palette bits, >=2
+        table_size = 1 << n
+        gct = b"".join(
+            bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+            for i in range(table_size)
+        )
+        # logical screen descriptor: GCT present, n-bit
+        lsd = struct.pack("<HHBBB", width, height, 0x80 | (n - 1), 0, 0)
+        out = bytearray(b"GIF89a" + lsd + gct)
+        min_code = n
+        clear = 1 << min_code
+        eoi = clear + 1
+        width_bits = min_code + 1
+        for frame in frames:
+            assert len(frame) == width * height
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            out.append(min_code)
+            # bit-pack LSB-first: CLEAR, pixel, CLEAR, pixel, ..., EOI
+            acc = clear
+            nbits = width_bits
+            data = bytearray()
+            for px in frame:
+                acc |= px << nbits
+                nbits += width_bits
+                acc |= clear << nbits
+                nbits += width_bits
+                while nbits >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            acc |= eoi << nbits
+            nbits += width_bits
+            while nbits > 0:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            for i in range(0, len(data), 255):
+                block = data[i : i + 255]
+                out.append(len(block))
+                out += block
+            out.append(0)  # block terminator
+        out.append(0x3B)  # trailer
+        return bytes(out)
+
+    def gif_decode(payload):
+        """Full GIF decode: (width, height, n_frames, frames) where
+        each frame is bytes of RGB pixels (palette-resolved). Standard
+        LZW with growing code width and CLEAR/EOI handling; returns
+        header-only (frames=[]) on any malformed body so the kernel
+        can degrade to dimensions."""
+        hdr = gif_header(payload)
+        if hdr is None:
+            return None
+        w, h = hdr
+        try:
+            flags = payload[10]
+            pos = 13
+            gct = b""
+            if flags & 0x80:
+                size = 3 * (2 << (flags & 0x07))
+                gct = payload[pos : pos + size]
+                pos += size
+            frames = []
+            while pos < len(payload):
+                block = payload[pos]
+                if block == 0x3B:  # trailer
+                    break
+                if block == 0x21:  # extension: skip sub-blocks
+                    pos += 2
+                    while payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                    continue
+                if block != 0x2C:
+                    return (w, h, len(frames), [])
+                fx, fy, fw, fh, iflags = struct.unpack(
+                    "<HHHHB", payload[pos + 1 : pos + 10]
+                )
+                pos += 10
+                pal = gct
+                if iflags & 0x80:
+                    size = 3 * (2 << (iflags & 0x07))
+                    pal = payload[pos : pos + size]
+                    pos += size
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                # --- LZW decode ---
+                clear = 1 << min_code
+                eoi = clear + 1
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width_bits = min_code + 1
+                acc = nbits = 0
+                prev = None
+                idx = bytearray()
+                done = False
+                for byte in data:
+                    if done:
+                        break
+                    acc |= byte << nbits
+                    nbits += 8
+                    while nbits >= width_bits:
+                        code = acc & ((1 << width_bits) - 1)
+                        acc >>= width_bits
+                        nbits -= width_bits
+                        if code == clear:
+                            table = table[: clear + 2]
+                            width_bits = min_code + 1
+                            prev = None
+                            continue
+                        if code == eoi:
+                            done = True
+                            break
+                        if code < len(table):
+                            entry = table[code]
+                            if prev is not None:
+                                table.append(prev + entry[:1])
+                        elif code == len(table) and prev is not None:
+                            entry = prev + prev[:1]
+                            table.append(entry)
+                        else:
+                            return (w, h, len(frames), [])
+                        idx += entry
+                        prev = entry
+                        if (
+                            len(table) == (1 << width_bits)
+                            and width_bits < 12
+                        ):
+                            width_bits += 1
+                rgb = bytes(
+                    b
+                    for i in idx[: fw * fh]
+                    for b in pal[3 * i : 3 * i + 3]
+                )
+                frames.append(rgb)
+            return (w, h, len(frames), frames)
+        except (IndexError, struct.error):
+            return (w, h, 0, [])
+
     return {
         "png_encode": png_encode,
         "png_decode": png_decode,
         "wav_encode": wav_encode,
         "wav_decode": wav_decode,
+        "gif_encode": gif_encode,
+        "gif_decode": gif_decode,
         "gif_header": gif_header,
         "bmp_header": bmp_header,
         "jpeg_header": jpeg_header,
@@ -339,13 +493,15 @@ def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mt = "audio"
                 else:
                     w, h = 16 + doc_id % 9, 9 + doc_id % 7
-                    payload = (
-                        b"GIF87a"
-                        + struct.pack("<HH", w, h)
-                        + b"\x00\x00\x00"
-                        + tb[:64]
-                        + b"\x3b"
-                    )
+                    n_frames = 2 + doc_id % 3
+                    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+                    frames = [
+                        bytes(
+                            tb[(f + i) % len(tb)] % 4 for i in range(w * h)
+                        )
+                        for f in range(n_frames)
+                    ]
+                    payload = codecs["gif_encode"](w, h, palette, frames)
                     mt = "video"
                 ids.append(doc_id)
                 types.append(mt)
@@ -426,10 +582,22 @@ def decode_features(media: DataFrame) -> DataFrame:
                 else:
                     stats = [0.0, 0.0, 0.0, 0.0]
                 return ("wav", rate // 1000, ch, ch, [float(rate), float(ch), float(bits)] + stats + [0.0])
-            gif = codecs["gif_header"](payload)
+            gif = codecs["gif_decode"](payload)
             if gif is not None:
-                w, h = gif
-                return ("gif", w, h, 3, [float(w), float(h), 3.0] + byte_features(payload)[:5])
+                w, h, n_frames, frames = gif
+                if frames:
+                    first = frames[0]
+                    stats = [
+                        float(sum(first)) / max(1, len(first)),
+                        float(max(first)),
+                        float(len(first)),
+                    ]
+                else:
+                    stats = [0.0, 0.0, 0.0]
+                return (
+                    "gif", w, h, 3,
+                    [float(w), float(h), 3.0, float(n_frames)] + stats + [0.0],
+                )
             bmp = codecs["bmp_header"](payload)
             if bmp is not None:
                 w, h, bpp = bmp

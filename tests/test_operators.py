@@ -208,6 +208,11 @@ def test_decode_features_plumbing(spark, sf_dir):
         elif r["format"] == "gif":
             assert r["width"] == 16 + r["doc_id"] % 9, r
             assert r["height"] == 9 + r["doc_id"] % 7, r
+            # features[3] is the LZW-decoded frame count — proves the
+            # kernel walked and decompressed every image block
+            assert r["features"][3] == 2 + r["doc_id"] % 3, r
+            # features[6] is len(first frame RGB) = w*h*3
+            assert r["features"][6] == r["width"] * r["height"] * 3, r
     # deterministic: same input -> same features
     again = feats.limit(60).collect()
     assert [r["features"] for r in rows] == [r["features"] for r in again]
@@ -312,6 +317,71 @@ def test_media_codecs_roundtrip_and_headers():
     assert c["jpeg_header"](b"\xff\xd8" + app0 + sof0) == (44, 33, 3, 8)
     # --- GIF header ---
     assert c["gif_header"](b"GIF89a" + struct.pack("<HH", 7, 11) + b"\x00") == (7, 11)
+    # --- GIF LZW round trip: 2 frames of known palette indices ---
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    f0 = bytes([0, 1, 2, 3, 3, 2])
+    f1 = bytes([3, 3, 0, 0, 1, 1])
+    gif = c["gif_encode"](3, 2, palette, [f0, f1])
+    gw, gh, n_frames, frames = c["gif_decode"](gif)
+    assert (gw, gh, n_frames) == (3, 2, 2)
+    expect0 = b"".join(bytes(palette[i]) for i in f0)
+    expect1 = b"".join(bytes(palette[i]) for i in f1)
+    assert frames[0] == expect0 and frames[1] == expect1
+    # --- decoder vs a REAL (string-table, growing-code-width) LZW
+    # encoder, the form third-party GIF writers emit; our shipping
+    # encoder's CLEAR-per-pixel stream never grows the table, so this
+    # covers the growth path the fixture can't ---
+    w3, h3 = 16, 8
+    pix = bytes((i * 7 + (i // w3) * 3) % 4 for i in range(w3 * h3))
+    min_code = 2
+    clear_c, eoi_c = 4, 5
+    codes = [clear_c]
+    tbl = {bytes([i]): i for i in range(4)}
+    nxt = 6
+    width = 3
+    widths = []
+    cur = b""
+    for b in pix:
+        cand = cur + bytes([b])
+        if cand in tbl:
+            cur = cand
+            continue
+        codes.append(tbl[cur])
+        widths.append(width)
+        tbl[cand] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width):  # decoder grows at table==2^width
+            width += 1
+        cur = bytes([b])
+    codes.append(tbl[cur])
+    widths.append(width)
+    codes.append(eoi_c)
+    widths = [3] + widths + [width]  # CLEAR at 3 bits; EOI at final width
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in zip(codes, widths):
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    gct = b"".join(bytes(p) for p in palette)
+    blob3 = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", w3, h3, 0x80 | 1, 0, 0) + gct
+    )
+    blob3 += b"\x2c" + struct.pack("<HHHHB", 0, 0, w3, h3, 0)
+    blob3.append(min_code)
+    for i in range(0, len(packed), 255):
+        chunk_b = packed[i : i + 255]
+        blob3.append(len(chunk_b))
+        blob3 += chunk_b
+    blob3 += b"\x00\x3b"
+    gw3, gh3, nf3, frames3 = c["gif_decode"](bytes(blob3))
+    assert (gw3, gh3, nf3) == (w3, h3, 1)
+    assert frames3[0] == b"".join(bytes(palette[i]) for i in pix)
     # --- garbage in -> None, not an exception ---
     assert c["png_decode"](b"not a png") is None
     assert c["wav_decode"](b"RIFFxxxx") is None
