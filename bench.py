@@ -102,6 +102,9 @@ HEADLINE = [
     "sequence_match_counts",
     "uniq_up_to_types_per_user",
     "media_resize",
+    # round-5 new operators
+    "repeated_span_stats",
+    "hybrid_retrieval_rrf",
 ]
 
 

@@ -900,3 +900,103 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+# of the dense cosine ranking with the lexical BM25 ranking — the
+# standard two-tower + keyword fusion every RAG/retrieval pipeline
+# ships. The BM25 list here is query-independent (the catalog's global
+# BM25_TERMS ranking), so it plays the role of a static lexical prior
+# fused into each dense query's list; swapping in per-query BM25 lists
+# changes the join key, not the plan. Scale shape: both input lists
+# are top-k (bounded), the fusion is a join of two <=k*|Q| frames, and
+# the final per-query window runs over <=k+k rows — nothing touches
+# the corpus after the two retrievers have run.
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the standard reciprocal-rank damping constant
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=None,  # composed below after both component oracles exist
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TOP_K fused (query_id, doc_id, rrf_score, rank) per dense
+    query: rrf_score = 1/(RRF_K + cos_rank) + 1/(RRF_K + bm25_rank),
+    missing-list membership contributing 0. Pure rational arithmetic
+    in a fixed expression order — exact in both engines, no rounding
+    needed."""
+    from clickhouse_batcher_spark.operators.corpus import bm25_retrieval_topk
+
+    cos = similarity_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("cos_rank"),
+    )
+    bm = bm25_retrieval_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    qids = cos.select("query_id").distinct()
+    cand = (
+        cos.select("query_id", "doc_id")
+        .unionByName(qids.crossJoin(F.broadcast(bm.select("doc_id"))))
+        .distinct()
+    )
+    scored = (
+        cand.join(cos, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(bm), "doc_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _hybrid_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    cos_sql = ORACLES["similarity_topk"]
+    bm_sql = ORACLES["bm25_retrieval_topk"]
+    return f"""
+    WITH cosr AS ({cos_sql}), bm AS ({bm_sql}),
+    qids AS (SELECT DISTINCT query_id FROM cosr),
+    cand AS (
+      SELECT query_id, neighbor_id AS doc_id FROM cosr
+      UNION
+      SELECT q.query_id, b.doc_id FROM qids q CROSS JOIN bm b
+    ), scored AS (
+      SELECT c.query_id, c.doc_id,
+             COALESCE(1.0/({RRF_K} + cr.rank), 0)
+               + COALESCE(1.0/({RRF_K} + b.rank), 0) AS rrf_score
+      FROM cand c
+      LEFT JOIN cosr cr ON cr.query_id = c.query_id
+                       AND cr.neighbor_id = c.doc_id
+      LEFT JOIN bm b ON b.doc_id = c.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["hybrid_retrieval_rrf"] = " ".join(_hybrid_oracle().split())

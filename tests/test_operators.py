@@ -51,6 +51,7 @@ ORACLED = [
     "orders_quality_constraints",
     "orders_snapshot_diff",
     "repeated_span_stats",
+    "hybrid_retrieval_rrf",
 ]
 
 

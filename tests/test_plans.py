@@ -172,6 +172,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "distinct_users_type_overlap",  # event-type vocab self-pairing
         "orders_ntile_quartiles",    # 1-row total-count frame
         "tpch_q22_idle_customers",   # 1-row global-average frame
+        "hybrid_retrieval_rrf",      # N_QUERY_VECS x BM25_TOP_K (10x50)
+                                     # candidate spine + the inherited
+                                     # query-vector broadcast
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
