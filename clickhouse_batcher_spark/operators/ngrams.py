@@ -206,3 +206,83 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "pair", "cnt", F.row_number().over(w).cast("bigint").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (round-5): the actual tokenizer-training
+# loop, not just one round of pair statistics. Each round: (1) count
+# adjacent symbol pairs globally (explode -> map-side-combined groupBy),
+# (2) pick the argmax pair — ONE row to the driver, the k-means/PageRank
+# bounded-driver-traffic pattern, (3) greedily merge its left-to-right
+# non-overlapping occurrences inside every document's symbol array with
+# a JVM-side aggregate fold (no Python in the loop), (4) repeat. The
+# evolving symbol state stays distributed; only the k chosen pairs ever
+# reach the driver. At 100 TB a BPE trainer runs on a corpus SAMPLE by
+# construction (the statistic converges long before the corpus ends) —
+# bound the input with .limit/sample upstream, same plan.
+#
+# No DuckDB oracle: the greedy in-array merge fold needs a typed
+# accumulator DuckDB's list_reduce lacks, and k chained rounds are not
+# expressible as one SQL statement — the correctness check is an exact
+# sequential recompute in pytest (the coactivity_pagerank pattern).
+# ---------------------------------------------------------------------------
+BPE_MERGE_ROUNDS = 4
+
+
+@query("bpe_learn_merges", oracle=None)  # rows-only: iterative algorithm
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (round, sym_a, sym_b, cnt) for
+    BPE_MERGE_ROUNDS greedy merges over the word-level symbol corpus.
+    Ties break (cnt desc, sym_a asc, sym_b asc), so the sequence is
+    total-ordered and engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    sym = docs.select(F.col("doc_id"), tokens("text").alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    prev = None
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        sym = sym.cache()
+        pairs = sym.select(
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    " slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                    " slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                    " (a, b) -> struct(a, b))"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["cnt"])
+        merged = f"{a} {b}"
+        merges.append((rnd, a, b, cnt))
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = sym.select("doc_id", fold.alias("syms"))
+        if prev is not None:
+            prev.unpersist()
+        prev = sym
+        sym = nxt
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges, "round INT, sym_a STRING, sym_b STRING, cnt BIGINT"
+    )

@@ -1209,3 +1209,54 @@ def test_overlap_sketch_accuracy(spark, sf_dir):
             true,
         )
         assert r["bits_union"] <= r["bits_a"] + r["bits_b"]
+
+
+def test_bpe_learn_merges_matches_sequential_recompute(spark, sf_dir):
+    """The distributed iterative merge loop must equal an exact
+    sequential recompute (greedy left-to-right non-overlapping merges,
+    ties cnt desc then pair asc) — the coactivity_pagerank pattern for
+    iterative ops with no SQL oracle."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark.operators.ngrams import BPE_MERGE_ROUNDS
+    from clickhouse_batcher_spark.functions import tokens as _tokens
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(_tokens("text").alias("t"))
+        .collect()
+    )
+    corpus = [list(r["t"]) for r in docs]
+    expected = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        counts = Counter()
+        for syms in corpus:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        expected.append((rnd, a, b, cnt))
+        merged = f"{a} {b}"
+        new_corpus = []
+        for syms in corpus:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            new_corpus.append(out)
+        corpus = new_corpus
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["cnt"])
+        for r in catalog.QUERIES["bpe_learn_merges"](spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
