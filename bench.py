@@ -105,6 +105,7 @@ HEADLINE = [
     # round-5 new operators
     "repeated_span_stats",
     "hybrid_retrieval_rrf",
+    "hll_distinct_users",
 ]
 
 

@@ -507,3 +507,145 @@ def distinct_users_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_i.alias("est_intersection"),
         est_j.alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (round-5): the industry-standard
+# cardinality estimator (ClickHouse uniq/uniqHLL12 family), built so
+# the ENTIRE sketch is engine-portable and the oracle is hash-exact —
+# unlike `approx_distinct_parts`, which uses Spark's internal HLL++
+# and can only be rows-only checked.
+#
+# Portability recipe (same spirit as the Count-Min sketch above):
+# - item hash = 60-bit SHA-prefix integer (portable_hash64 semantics);
+# - register = low 8 bits, rho = leading-zero rank of the remaining
+#   52 bits computed via the exact string length of bin(w) — integer/
+#   string ops only, no log2;
+# - the harmonic sum is kept in INTEGERS: sum of 2^(53 - Mj) scaled
+#   terms (each a power of two <= 2^52, total <= 2^61 — fits BIGINT
+#   exactly in both engines), missing registers contributing 2^53;
+# - the only doubles are one cast of that exact integer and one
+#   division by an embedded literal constant (alpha * m^2 * 2^53
+#   precomputed in Python so neither engine's decimal-literal
+#   arithmetic can diverge), plus the standard small-range
+#   linear-counting branch whose ln() is rounded to 6 (the repo's
+#   transcendental convention).
+#
+# Scale shape: groupBy (group, register) max(rho) IS the mergeable
+# sketch — map-side partials are per-partition HLLs, the reduce is
+# register-wise max, and the final estimate reads 256 rows per group.
+# The exact countDistinct column exists for the accuracy contract at
+# test scale; a 100-TB deployment drops it and keeps the sketch.
+# ---------------------------------------------------------------------------
+HLL_REGISTERS = 256  # m = 2^8
+_HLL_ALPHA_M2_2P53 = "4.2399330249068963e+20"  # alpha_256 * 256^2 * 2^53
+_HLL_SMALL_RANGE = 2.5 * HLL_REGISTERS
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(sha256('hll:' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hash
+      FROM events
+    ), regs AS (
+      SELECT event_type, hash % {HLL_REGISTERS} AS register,
+             MAX(CASE WHEN hash // {HLL_REGISTERS} = 0 THEN 53
+                      ELSE 53 - length(bin(hash // {HLL_REGISTERS})) END)
+               AS mj
+      FROM h GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS registers_hit,
+             CAST(SUM(1::BIGINT << (53 - mj)) AS BIGINT) AS s_obs
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, registers_hit,
+             s_obs + ({HLL_REGISTERS} - registers_hit)
+                     * (1::BIGINT << 53) AS s_scaled
+      FROM agg
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.registers_hit, e.s_scaled,
+           CASE WHEN {_HLL_ALPHA_M2_2P53} / CAST(e.s_scaled AS DOUBLE)
+                     <= {_HLL_SMALL_RANGE}
+                 AND e.registers_hit < {HLL_REGISTERS}
+                THEN round({HLL_REGISTERS}.0
+                           * ln({HLL_REGISTERS}.0
+                                / ({HLL_REGISTERS} - e.registers_hit)), 6)
+                ELSE {_HLL_ALPHA_M2_2P53} / CAST(e.s_scaled AS DOUBLE)
+           END AS hll_estimate,
+           ex.exact_distinct
+    FROM est e JOIN ex USING (event_type)
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL cardinality estimate next to the exact
+    count: (event_type, registers_hit, s_scaled, hll_estimate,
+    exact_distinct)."""
+    events = load_table(spark, sf_dir, "events")
+    m = HLL_REGISTERS
+    h = events.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("hll:"), F.col("user_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hash"),
+    )
+    regs = (
+        h.select(
+            "event_type",
+            (F.col("hash") % m).alias("register"),
+            F.expr(
+                "CASE WHEN hash div 256 = 0 THEN 53 "
+                "ELSE 53 - length(bin(hash div 256)) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("mj"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+        F.sum(F.expr("shiftleft(1L, cast(53 - mj AS INT))"))
+        .cast("bigint")
+        .alias("s_obs"),
+    )
+    est = agg.select(
+        "event_type",
+        "registers_hit",
+        (
+            F.col("s_obs")
+            + (F.lit(m) - F.col("registers_hit")) * F.lit(1 << 53)
+        ).alias("s_scaled"),
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    raw = F.lit(float(_HLL_ALPHA_M2_2P53)) / F.col("s_scaled").cast("double")
+    small = (raw <= F.lit(_HLL_SMALL_RANGE)) & (
+        F.col("registers_hit") < F.lit(m)
+    )
+    lin = F.round(
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("registers_hit"))),
+        6,
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        "registers_hit",
+        "s_scaled",
+        F.when(small, lin).otherwise(raw).alias("hll_estimate"),
+        "exact_distinct",
+    )

@@ -52,6 +52,7 @@ ORACLED = [
     "orders_snapshot_diff",
     "repeated_span_stats",
     "hybrid_retrieval_rrf",
+    "hll_distinct_users",
 ]
 
 
@@ -1260,3 +1261,17 @@ def test_bpe_learn_merges_matches_sequential_recompute(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hll_accuracy_vs_exact(spark, fixture_dir):
+    """HLL contract: with m=256 registers the standard error is
+    ~1.04/sqrt(m) ~= 6.5%; assert every group estimates within 20%
+    (small-range linear counting included) at both fixture sizes."""
+    rows = catalog.QUERIES["hll_distinct_users"](spark, fixture_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel <= 0.20, (r["event_type"], r["hll_estimate"], r["exact_distinct"])
