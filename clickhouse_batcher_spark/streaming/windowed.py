@@ -104,3 +104,45 @@ def ohlc_stream(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def hll_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    m: int = 256,
+) -> DataFrame:
+    """Streaming HyperLogLog state: per group, the per-register max-rho
+    table of ``operators.sketch.hll_distinct_users`` maintained by
+    Structured Streaming.
+
+    MAX is a mergeable aggregate, so each micro-batch folds its rows
+    into at most ``m`` state entries per group and the finalized
+    registers equal a batch recompute over the same data exactly (the
+    batch-equivalence test asserts this; the estimate is then pure
+    arithmetic over the registers). State is m rows per group forever —
+    the sketch's whole point: streaming COUNT(DISTINCT) at 100 TB/day
+    costs m*groups state instead of one entry per key ever seen.
+    """
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("hll:"), F.col(key_col).cast("string")), 256),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        events.select(*group_cols, h.alias("hash"))
+        .select(
+            *group_cols,
+            (F.col("hash") % m).alias("register"),
+            F.expr(
+                f"CASE WHEN hash div {m} = 0 THEN 53 "
+                f"ELSE 53 - length(bin(hash div {m})) END"
+            ).alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("mj"))
+    )

@@ -430,3 +430,40 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_root):
         for r in catalog.QUERIES["events_ohlc_hourly"](spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_root):
+    """The streaming HLL register table == the batch sketch: MAX state
+    merges across micro-batches without drift, so the streamed
+    registers (and therefore the estimate, which is pure arithmetic
+    over them) are exactly the batch recompute."""
+    from clickhouse_batcher_spark.streaming.windowed import hll_stream
+
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 4)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    regs = hll_stream(stream)
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_out")
+        .option("checkpointLocation", f"{tmp_root}/hll_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_type"], r["register"]): r["mj"]
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    from clickhouse_batcher_spark.tables import load_table
+
+    batch = {
+        (r["event_type"], r["register"]): r["mj"]
+        for r in hll_stream(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert streamed == batch
