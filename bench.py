@@ -106,6 +106,7 @@ HEADLINE = [
     "repeated_span_stats",
     "hybrid_retrieval_rrf",
     "hll_distinct_users",
+    "topk_heavy_hitters",
 ]
 
 

@@ -649,3 +649,55 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(small, lin).otherwise(raw).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters from the sketch (ClickHouse topK() analogue): rank by
+# CMS estimate instead of an exact full-cardinality groupBy. In this
+# oracled form the exact histogram still exists (it feeds the
+# estimate-vs-exact columns); the 100-TB deployment keeps only the
+# d x w counter sketch + a per-partition candidate heap, which is the
+# SpaceSaving/topK trade: estimates may overcount (est >= exact), so
+# ranking by estimate can only promote a light item, never drop a
+# heavy one below its true rank bound.
+# ---------------------------------------------------------------------------
+TOPK_HEAVY = 20
+
+
+@query("topk_heavy_hitters", oracle=None)  # composed below
+def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TOPK_HEAVY tokens by CMS estimate: (tok, cms_estimate,
+    exact_cnt, rank), ties broken by token."""
+    from pyspark.sql import Window
+
+    est = token_count_min_sketch(spark, sf_dir)
+    top = est.orderBy(
+        F.desc("cms_estimate"), F.asc("tok")
+    ).limit(TOPK_HEAVY)
+    w = Window.orderBy(F.desc("cms_estimate"), F.asc("tok"))
+    return top.select(
+        "tok",
+        "cms_estimate",
+        "exact_cnt",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+def _topk_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    cms = ORACLES["token_count_min_sketch"]
+    return (
+        f"WITH cms AS ({cms}) "
+        f"SELECT tok, cms_estimate, exact_cnt, rank FROM ("
+        f"  SELECT tok, cms_estimate, exact_cnt,"
+        f"         CAST(ROW_NUMBER() OVER (ORDER BY cms_estimate DESC, tok)"
+        f"              AS BIGINT) AS rank"
+        f"  FROM cms"
+        f") WHERE rank <= {TOPK_HEAVY}"
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _SK_ORACLES  # noqa: E402
+
+_SK_ORACLES["topk_heavy_hitters"] = " ".join(_topk_oracle().split())

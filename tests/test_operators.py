@@ -53,6 +53,7 @@ ORACLED = [
     "repeated_span_stats",
     "hybrid_retrieval_rrf",
     "hll_distinct_users",
+    "topk_heavy_hitters",
 ]
 
 
@@ -1275,3 +1276,22 @@ def test_hll_accuracy_vs_exact(spark, fixture_dir):
     for r in rows:
         rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel <= 0.20, (r["event_type"], r["hll_estimate"], r["exact_distinct"])
+
+
+def test_topk_heavy_hitters_contains_true_heavies(spark, sf_dir):
+    """CMS estimates only overcount (est >= exact), so ranking by
+    estimate can demote a heavy item only if lighter items were
+    inflated ABOVE it — assert the true top-3 tokens survive into the
+    sketch-ranked top-K on this corpus, and every estimate bounds its
+    exact count from above."""
+    rows = catalog.QUERIES["topk_heavy_hitters"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"], r["tok"]
+    exact = catalog.QUERIES["token_count_min_sketch"](spark, sf_dir).collect()
+    true_top3 = [
+        r["tok"]
+        for r in sorted(exact, key=lambda r: (-r["exact_cnt"], r["tok"]))[:3]
+    ]
+    picked = {r["tok"] for r in rows}
+    assert set(true_top3) <= picked, (true_top3, picked)
