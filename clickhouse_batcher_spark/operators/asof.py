@@ -38,19 +38,33 @@ def asof_join(
     right_ts: str,
     right_tiebreak: str,
     right_cols: list[str],
+    direction: str = "backward",
+    strict: bool = False,
 ) -> DataFrame:
-    """For each left row: the right row with the greatest ``right_ts``
-    <= ``left_ts`` on the same key (ties broken by ``right_tiebreak``
-    descending — a unique column, making the result deterministic).
-    Left rows with no match are kept with nulls (left join)."""
+    """For each left row: the closest right row on the same key in the
+    given direction (ClickHouse ASOF JOIN's four inequalities):
+
+    - ``backward`` (default): greatest ``right_ts`` <= ``left_ts``
+      (``<`` when ``strict``) — "latest state at event time";
+    - ``forward``: smallest ``right_ts`` >= ``left_ts`` (``>`` when
+      ``strict``) — "next action after event time".
+
+    Ties break by ``right_tiebreak`` (a unique column) toward the same
+    extreme, making the result deterministic. Left rows with no match
+    are kept with nulls (left join)."""
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    if direction == "backward":
+        range_pred = rt < lt if strict else rt <= lt
+        order = [rt.desc(), F.col(right_tiebreak).desc()]
+    elif direction == "forward":
+        range_pred = rt > lt if strict else rt >= lt
+        order = [rt.asc(), F.col(right_tiebreak).asc()]
+    else:
+        raise ValueError(f"unknown asof direction: {direction!r}")
     matched = left.join(
-        right,
-        (F.col(left_key) == F.col(right_key)) & (F.col(right_ts) <= F.col(left_ts)),
-        "left",
+        right, (F.col(left_key) == F.col(right_key)) & range_pred, "left"
     )
-    w = Window.partitionBy(*left.columns).orderBy(
-        F.col(right_ts).desc(), F.col(right_tiebreak).desc()
-    )
+    w = Window.partitionBy(*left.columns).orderBy(*order)
     return (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -140,3 +154,45 @@ def asof_join_pandas(
         .cogroup(right.groupBy(right_key))
         .applyInPandas(lambda lg, rg: merge(lg, rg), schema=out_schema)
     )
+
+
+@query(
+    "asof_forward_events_orders",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC)
+               AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_id < 1000) e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    ) t WHERE rn = 1
+    """,
+)
+def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (ClickHouse ASOF JOIN with >=): each event joined
+    to the customer's FIRST order at or after event time — the
+    "next conversion after touchpoint" shape attribution pipelines
+    need alongside the backward "state at event time" join."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")

@@ -24,6 +24,7 @@ ORACLED = [
     "media_metadata",
     "media_frame_sample",
     "asof_events_orders",
+    "asof_forward_events_orders",
     "chunk_documents",
     "docs_rare_token_ratio",
     "embedding_quantize_int8",
