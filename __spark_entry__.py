@@ -165,13 +165,30 @@ _PRIORITY: list[str] = [
 # After this round every one of the 120 oracled catalog queries has at
 # least one driver CORRECTNESS row.
 #
-# ROUND 6 rotation plan: re-promote the single-green r2 demotions for
-# second greens (ROADMAP item 2b: text_stats, langid_predict,
-# redact_docs, doc_fingerprint, retrieval_topk_docs, merge_upsert_orders,
-# range_join_orders_window, profile_events, token_count_min_sketch,
-# token_histogram, token_count_bpeish, media_frame_sample,
-# events_rollup_hierarchy, winnow_fingerprints), demoting this round's
-# first-green TPC-H/export/CH-aggregate promotions.
+# ROUND 6 rotation plan — staged swap (execute once CORRECTNESS_r5
+# lands green; counts guarded by the window pin test):
+# promote (20): the 14 single-green r2 demotions for second greens
+#   (ROADMAP item 2b: text_stats, langid_predict, redact_docs,
+#   doc_fingerprint, retrieval_topk_docs, merge_upsert_orders,
+#   range_join_orders_window, profile_events, token_count_min_sketch,
+#   token_histogram, token_count_bpeish, media_frame_sample,
+#   events_rollup_hierarchy, winnow_fingerprints) plus the six new
+#   round-5 oracled operators for their FIRST driver rows
+#   (repeated_span_stats, hybrid_retrieval_rrf, hll_distinct_users,
+#   topk_heavy_hitters, asof_forward_events_orders, and one slot for
+#   whatever round 6 adds — else re-promote dedup_ngram_jaccard).
+# demote candidates (20, all first-green r5 with family anchors
+#   remaining in-window): tpch_q3_unshipped, tpch_q5_regional_share,
+#   tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+#   tpch_q8_market_share, tpch_q10_returned_items,
+#   tpch_q13_order_distribution, tpch_q14_promo_revenue,
+#   tpch_q17_small_qty_revenue, tpch_q19_bracket_revenue,
+#   shard_documents_for_training, pack_sequences_budget,
+#   events_ohlc_hourly, user_event_sequences, sequence_match_counts,
+#   events_ema_hourly_counts, uniq_up_to_types_per_user,
+#   user_retention_flags, orders_transfer_checksum,
+#   tpch_q22_idle_customers (keep tpch_q15_top_supplier +
+#   tpch_q18_big_orders as the TPC-H in-window anchors).
 
 
 def _ordered(mapping: dict) -> dict:

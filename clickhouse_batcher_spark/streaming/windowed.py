@@ -146,3 +146,31 @@ def hll_stream(
         .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...] = ("event_type",), m: int = 256) -> DataFrame:
+    """Finish a register table (streamed or batch) into cardinality
+    estimates — the same integer-exact harmonic-sum arithmetic as
+    ``operators.sketch.hll_distinct_users``, so a streamed sketch and
+    the batch query agree wherever their registers agree."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+        F.sum(F.expr("shiftleft(1L, cast(53 - mj AS INT))"))
+        .cast("bigint")
+        .alias("s_obs"),
+    )
+    s_scaled = (
+        F.col("s_obs") + (F.lit(m) - F.col("registers_hit")) * F.lit(1 << 53)
+    )
+    raw = F.lit(4.2399330249068963e20) / s_scaled.cast("double")
+    small = (raw <= F.lit(2.5 * m)) & (F.col("registers_hit") < F.lit(m))
+    lin = F.round(
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("registers_hit"))),
+        6,
+    )
+    return agg.select(
+        *group_cols,
+        "registers_hit",
+        F.when(small, lin).otherwise(raw).alias("hll_estimate"),
+    )

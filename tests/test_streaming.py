@@ -467,3 +467,42 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_root):
         for r in hll_stream(load_table(spark, sf_dir, "events")).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_hll_estimate_matches_batch_query(spark, sf_dir, tmp_root):
+    """Registers streamed through hll_stream, finished with
+    hll_estimate, must equal the batch hll_distinct_users estimates
+    exactly (same integer-exact arithmetic over equal registers)."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.streaming.windowed import (
+        hll_estimate,
+        hll_stream,
+    )
+
+    catalog.load_all()
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 3)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        hll_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_est_out")
+        .option("checkpointLocation", f"{tmp_root}/hll_est_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_type"]): (r["registers_hit"], r["hll_estimate"])
+        for r in hll_estimate(spark.sql("SELECT * FROM hll_est_out")).collect()
+    }
+    batch = {
+        (r["event_type"]): (r["registers_hit"], r["hll_estimate"])
+        for r in catalog.QUERIES["hll_distinct_users"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
