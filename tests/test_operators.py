@@ -1296,3 +1296,32 @@ def test_topk_heavy_hitters_contains_true_heavies(spark, sf_dir):
     ]
     picked = {r["tok"] for r in rows}
     assert set(true_top3) <= picked, (true_top3, picked)
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """Freeze the round-4 one-off determinism verification as CI: the
+    queries whose arithmetic could in principle depend on partition
+    merge order (moment sums, EMA recurrence, correlation, sketches,
+    fusion scores, iterative merges) must produce bit-identical rows
+    under different shuffle-partition counts — this is what the
+    decimal routing / integer-exact-internals conventions buy."""
+    risk_set = [
+        "value_moments_by_type",
+        "events_ema_hourly_counts",
+        "event_type_value_correlation",
+        "hll_distinct_users",
+        "hybrid_retrieval_rrf",
+        "repeated_span_stats",
+        "topk_heavy_hitters",
+        "bpe_learn_merges",
+    ]
+    for name in risk_set:
+        res = {}
+        for n in ("5", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            try:
+                rows = catalog.QUERIES[name](spark, sf_dir).collect()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+            res[n] = sorted(tuple(r) for r in rows)
+        assert res["5"] == res["17"], f"{name}: partition-dependent result"
