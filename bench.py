@@ -107,6 +107,8 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "hll_distinct_users",
     "topk_heavy_hitters",
+    "weighted_sample_docs",
+    "asof_forward_events_orders",
 ]
 
 

@@ -145,3 +145,72 @@ def docs_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-ES, round-5): a
+# without-replacement sample of k docs where inclusion probability is
+# proportional to a weight column — the quality-weighted subset
+# selection a training-mix pipeline runs after scoring. Priority
+# key = ln(u)/w with u a deterministic uniform from the portable
+# 60-bit SHA hash, so the "random" sample is reproducible and
+# oracle-checkable; take the k LARGEST keys (keys are negative;
+# ln(u)/w -> 0 as u -> 1 or w -> inf). One TakeOrdered top-k — no
+# shuffle beyond it, any corpus size. ln is rounded to 6 on both
+# engines (the repo's transcendental convention); ranks tie-break on
+# doc_id.
+# ---------------------------------------------------------------------------
+WRS_K = 100
+_WRS_U_DENOM = float(1 << 60)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(('0x' || substr(sha256('wrs:' || doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) / {_WRS_U_DENOM} AS u
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, weight, round(ln(u) / weight, 6) AS priority FROM w
+    )
+    SELECT doc_id, weight, priority,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, weight, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= {WRS_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-WRS_K docs by Efraimidis-Spirakis priority with weight =
+    n_chars: (doc_id, weight, priority, rank)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")), 256),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_WRS_U_DENOM)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars").cast("double"), 6).alias("priority"),
+    )
+    top = keyed.orderBy(F.desc("priority"), F.asc("doc_id")).limit(WRS_K)
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "weight",
+        "priority",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

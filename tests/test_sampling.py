@@ -19,6 +19,7 @@ SAMPLING = [
     "events_deterministic_sample",
     "docs_lang_quota_sample",
     "redact_docs",
+    "weighted_sample_docs",
 ]
 
 
@@ -65,3 +66,26 @@ def test_sample_fraction_approximates_pct(spark, sf_dir):
     assert 0.12 < s / n < 0.28
     # idempotent: same sample twice
     assert deterministic_sample(events, "event_id", 20).count() == s
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """The A-ES property: inclusion probability grows with weight, so
+    the sampled mean weight must exceed the corpus mean (deterministic
+    corpus + deterministic hash -> a stable, assertable bias)."""
+    from clickhouse_batcher_spark.operators.sampling import WRS_K
+
+    sampled = catalog.QUERIES["weighted_sample_docs"](spark, sf_dir).collect()
+    assert len(sampled) == min(
+        WRS_K,
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0).count(),
+    )
+    ranks = [r["rank"] for r in sampled]
+    assert ranks == list(range(1, len(sampled) + 1))
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in sampled) / len(sampled)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
