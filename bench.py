@@ -109,6 +109,7 @@ HEADLINE = [
     "topk_heavy_hitters",
     "weighted_sample_docs",
     "asof_forward_events_orders",
+    "dedup_keep_canonical",
 ]
 
 

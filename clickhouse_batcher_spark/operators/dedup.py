@@ -664,3 +664,95 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection (round-5): the finishing policy of a
+# near-dup pipeline — from every detected near-dup PAIR, keep the
+# better document and drop the dominated one. "Better" is a total
+# order (more tokens, then lower doc_id), so the kept set is unique
+# and engine-independent. Pairwise domination (not transitive-closure
+# clustering) keeps the operator fully relational and oracle-exact:
+# the pair list is the (bounded) LSH output, dropping is one
+# both-directions join + anti-join — no iteration, no driver state.
+# The clustering variant (one survivor per connected component) lives
+# in operators/cluster.py as the rows-only iterative op.
+# ---------------------------------------------------------------------------
+
+
+def _keep_canonical_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    mh = ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH mh AS ({mh}), {SQL_CORPUS},
+    nt AS (SELECT doc_id, len(tokens) AS n_tokens FROM corpus),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM mh
+      UNION ALL
+      SELECT doc_b AS x, doc_a AS y FROM mh
+    ), dominated AS (
+      SELECT DISTINCT e.x AS doc_id
+      FROM edges e
+      JOIN nt ax ON ax.doc_id = e.x
+      JOIN nt ay ON ay.doc_id = e.y
+      WHERE ay.n_tokens > ax.n_tokens
+         OR (ay.n_tokens = ax.n_tokens AND e.y < e.x)
+    ), partners AS (
+      SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners
+      FROM edges GROUP BY 1
+    )
+    SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(p.n_partners, 0) AS n_partners
+    FROM nt n
+    LEFT JOIN partners p ON p.doc_id = n.doc_id
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM dominated)
+    """
+
+
+@query("dedup_keep_canonical", oracle=None)  # composed below
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept (canonical) corpus after pairwise near-dup domination:
+    (doc_id, n_tokens, n_partners) for every corpus entry not
+    dominated by a longer / lower-id near-dup partner."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    nt = tokenized_corpus(docs).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y"))
+    )
+    ax = nt.select(F.col("doc_id").alias("x"), F.col("n_tokens").alias("nx"))
+    ay = nt.select(F.col("doc_id").alias("y"), F.col("n_tokens").alias("ny"))
+    dominated = (
+        edges.join(ax, "x")
+        .join(ay, "y")
+        .filter(
+            (F.col("ny") > F.col("nx"))
+            | ((F.col("ny") == F.col("nx")) & (F.col("y") < F.col("x")))
+        )
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    partners = edges.groupBy(F.col("x").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_partners")
+    )
+    return (
+        nt.join(dominated, "doc_id", "left_anti")
+        .join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_partners"), F.lit(0))
+            .cast("bigint")
+            .alias("n_partners"),
+        )
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _DD_ORACLES  # noqa: E402
+
+_DD_ORACLES["dedup_keep_canonical"] = " ".join(_keep_canonical_oracle().split())

@@ -55,6 +55,7 @@ ORACLED = [
     "hybrid_retrieval_rrf",
     "hll_distinct_users",
     "topk_heavy_hitters",
+    "dedup_keep_canonical",
 ]
 
 
@@ -1325,3 +1326,26 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
             res[n] = sorted(tuple(r) for r in rows)
         assert res["5"] == res["17"], f"{name}: partition-dependent result"
+
+
+def test_keep_canonical_drops_one_side_of_every_pair(spark, sf_dir):
+    """The dedup guarantee: within any detected near-dup pair the
+    worse member is dominated, so no pair survives intact in the kept
+    set — and the truncated twins lose to their originals."""
+    kept = {
+        r["doc_id"]
+        for r in catalog.QUERIES["dedup_keep_canonical"](spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in catalog.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    assert pairs
+    both_kept = [(a, b) for a, b in pairs if a in kept and b in kept]
+    assert not both_kept, both_kept[:5]
+    # detected twin pairs: the truncated twin (doc + 100000) has
+    # strictly fewer tokens, so it is always dominated and dropped
+    # (its original may still lose to a third, longer near-dup)
+    twin_pairs = [(a, b) for a, b in pairs if b == a + 100_000]
+    assert twin_pairs
+    assert all(b not in kept for _a, b in twin_pairs)
