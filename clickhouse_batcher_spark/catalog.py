@@ -46,6 +46,7 @@ def load_all() -> None:
         queries_ext3,
         queries_ext4,
         queries_ext5,
+        queries_ext6,
     )
     from clickhouse_batcher_spark.operators import (  # noqa: F401
         asof,

@@ -7,6 +7,8 @@ refactor that silently breaks pushdown fails here, not at 100 TB.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark import catalog
@@ -82,9 +84,16 @@ def test_ingest_metrics_listener(spark, sf_dir, tmp_path):
         batcher.run_until_drained(
             batcher.file_source(spark, src, events.schema), str(tmp_path / "ckpt")
         )
+        # Listener events ride Spark's async listener bus; the last
+        # batch's progress event can land AFTER run_until_drained
+        # returns. Wait (bounded) for delivery before asserting.
+        expected = events.count()
+        deadline = time.time() + 30
+        while listener.total_rows < expected and time.time() < deadline:
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(listener)
-    assert listener.total_rows == events.count()
+    assert listener.total_rows == expected
     assert len([b for b in listener.batches if b["num_input_rows"] > 0]) >= 3
 
 
@@ -172,6 +181,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "distinct_users_type_overlap",  # event-type vocab self-pairing
         "orders_ntile_quartiles",    # 1-row total-count frame
         "tpch_q22_idle_customers",   # 1-row global-average frame
+        "tpch_q11_important_parts",  # 1-row global-total threshold frame
         "hybrid_retrieval_rrf",      # N_QUERY_VECS x BM25_TOP_K (10x50)
                                      # candidate spine + the inherited
                                      # query-vector broadcast

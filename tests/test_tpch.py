@@ -30,6 +30,15 @@ TPCH = [
     "tpch_q8_market_share",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_bracket_revenue",
+    # queries_ext6: the final eight, completing the 22-query family
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_status",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
