@@ -167,17 +167,24 @@ _PRIORITY: list[str] = [
 #
 # ROUND 6 rotation plan — staged swap (execute once CORRECTNESS_r5
 # lands green; counts guarded by the window pin test):
-# promote (20): the 14 single-green r2 demotions for second greens
-#   (ROADMAP item 2b: text_stats, langid_predict, redact_docs,
-#   doc_fingerprint, retrieval_topk_docs, merge_upsert_orders,
-#   range_join_orders_window, profile_events, token_count_min_sketch,
-#   token_histogram, token_count_bpeish, media_frame_sample,
-#   events_rollup_hierarchy, winnow_fingerprints) plus the six new
-#   round-5 oracled operators for their FIRST driver rows
-#   (repeated_span_stats, hybrid_retrieval_rrf, hll_distinct_users,
-#   topk_heavy_hitters, asof_forward_events_orders, and one slot for
-#   whatever round 6 adds — else re-promote dedup_ngram_jaccard).
-# demote candidates (20, all first-green r5 with family anchors
+# promote, in priority order (first rows beat second greens):
+#   (a) the 10 never-driver-checked round-5 oracled operators:
+#       repeated_span_stats, hybrid_retrieval_rrf, hll_distinct_users,
+#       topk_heavy_hitters, asof_forward_events_orders,
+#       weighted_sample_docs, dedup_keep_canonical, bpe_learn_merges*
+#       (*rows-only), and the family-completing TPC-H adaptations
+#       tpch_q2_min_cost_supplier, tpch_q4_order_priority,
+#       tpch_q9_profit_by_nation, tpch_q11_important_parts,
+#       tpch_q12_late_lines_by_status, tpch_q16_supplier_cnt,
+#       tpch_q20_promo_suppliers, tpch_q21_waiting_suppliers;
+#   (b) as slots remain, the 14 single-green r2 demotions for second
+#       greens (ROADMAP item 2b: text_stats, langid_predict,
+#       redact_docs, doc_fingerprint, retrieval_topk_docs,
+#       merge_upsert_orders, range_join_orders_window, profile_events,
+#       token_count_min_sketch, token_histogram, token_count_bpeish,
+#       media_frame_sample, events_rollup_hierarchy,
+#       winnow_fingerprints).
+# demote candidates (all first-green r5 with family anchors
 #   remaining in-window): tpch_q3_unshipped, tpch_q5_regional_share,
 #   tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
 #   tpch_q8_market_share, tpch_q10_returned_items,

@@ -110,6 +110,15 @@ HEADLINE = [
     "weighted_sample_docs",
     "asof_forward_events_orders",
     "dedup_keep_canonical",
+    # round-5 second session: the family-completing TPC-H adaptations
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_status",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

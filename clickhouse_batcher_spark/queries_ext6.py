@@ -130,16 +130,20 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(_disc_price()).alias("cost"))
     )
-    best = supply.groupBy("partkey").agg(F.min("cost").alias("best_cost"))
+    best = (
+        supply.groupBy(F.col("partkey").alias("best_partkey"))
+        .agg(F.min("cost").alias("best_cost"))
+    )
     parts = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") < _Q2_MAX_SIZE)
     )
     return (
         supply.join(
             best,
-            (supply.partkey == best.partkey) & (supply.cost == best.best_cost),
+            (F.col("partkey") == F.col("best_partkey"))
+            & (F.col("cost") == F.col("best_cost")),
         )
-        .drop(best.partkey)
+        .drop("best_partkey")
         .join(F.broadcast(rs), F.col("suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
         .select(
