@@ -119,6 +119,8 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_suppliers",
+    "user_active_interval_sum",
+    "perplexity_bucket_sample",
 ]
 
 

@@ -17,7 +17,7 @@ partition-order-dependent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
@@ -295,4 +295,90 @@ def events_ema_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return series.select(
         "event_type", "n_hours", fold.cast("bigint").alias("ema_fixed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# intervalLengthSum analogue: union-length of per-user activity windows
+# ---------------------------------------------------------------------------
+
+ACTIVE_WINDOW_SECONDS = 300  # each event opens a [ts, ts+300s) window
+
+
+@query(
+    "user_active_interval_sum",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL {ACTIVE_WINDOW_SECONDS} SECOND AS e,
+             event_id
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e, event_id,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_max
+      FROM iv
+    ), g AS (
+      SELECT user_id, s, e,
+        SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ), isl AS (
+      SELECT user_id, grp, MIN(s) AS s0, MAX(e) AS e1
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(date_diff('second', s0, e1)) AS BIGINT) AS active_seconds,
+           COUNT(*) AS n_islands
+    FROM isl GROUP BY user_id
+    """,
+)
+def user_active_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` analog: total length of the
+    UNION of per-user activity intervals (each event opens a 5-minute
+    window; overlaps must not double-count).
+
+    The union is the classic gaps-and-islands reduction: within each
+    user's (start, end, event_id) total order, an island starts where
+    the start exceeds the running max of all previous ends; a running
+    conditional sum labels islands; min(start)/max(end) per island and
+    two bigint aggregates finish it. One shuffle on user_id, two
+    partition-local window passes, exact integer second arithmetic —
+    no self-join, no interval pair explosion (an interval-overlap
+    self-join would be quadratic per dense user at 100 TB).
+    """
+    w_order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {ACTIVE_WINDOW_SECONDS} SECONDS")).alias("e"),
+        "event_id",
+    )
+    flagged = iv.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_island").over(w_run))
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum(
+            F.unix_timestamp("e1") - F.unix_timestamp("s0")
+        ).cast("bigint").alias("active_seconds"),
+        F.count(F.lit(1)).alias("n_islands"),
     )

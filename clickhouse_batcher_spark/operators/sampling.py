@@ -214,3 +214,112 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucketed mixture sampling: decile docs by unigram logprob,
+# keep a per-decile quota — the standard "prefer mid-perplexity text"
+# curriculum shaping step of a pretraining data pipeline.
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 10
+# Keep-rate (percent) per logprob decile, lowest avg logprob (= highest
+# perplexity, noisiest text) first. Mid-perplexity text is kept at the
+# highest rate; both tails (boilerplate at one end, garbage at the
+# other) are downsampled.
+PPL_KEEP_PCT = [5, 15, 30, 60, 90, 90, 60, 30, 15, 5]
+_PPL_SALT = "ppl"
+
+
+def _ppl_rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN {r}" for b, r in enumerate(PPL_KEEP_PCT)
+    )
+    return f"CASE bucket {whens} END"
+
+
+def _ppl_oracle() -> str:
+    # Compose the already-oracled unigram-logprob query (the oracle IS
+    # the shared contract for the metric) with ranking + quota logic.
+    from clickhouse_batcher_spark.catalog import ORACLES
+    from clickhouse_batcher_spark.operators import corpus  # noqa: F401 (registers)
+
+    lp = ORACLES["docs_unigram_logprob"]
+    return f"""
+    WITH lp AS ({lp}),
+    n AS (SELECT COUNT(*) AS n_total FROM lp),
+    ranked AS (
+      SELECT lp.*,
+             row_number() OVER (ORDER BY avg_logprob, doc_id) - 1 AS idx
+      FROM lp
+    ),
+    b AS (
+      SELECT ranked.*, (idx * {PPL_BUCKETS}) // n.n_total AS bucket
+      FROM ranked CROSS JOIN n
+    ),
+    s AS (
+      SELECT b.*, {_ppl_rate_case_sql()} AS rate,
+             {_sql_bucket('doc_id', 100, _PPL_SALT)} AS hb
+      FROM b
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN hb < rate THEN n_tokens ELSE 0 END) AS kept_tokens
+    FROM s GROUP BY bucket
+    """
+
+
+@query("perplexity_bucket_sample", oracle=_ppl_oracle())
+def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile documents by unigram avg-logprob (a cheap perplexity
+    proxy) and keep a deterministic hash quota per decile.
+
+    Scale shape: the logprob metric is the existing shuffle-minimal
+    aggregate; the decile assignment uses the exact distributed global
+    index (``with_global_index`` — range shuffle + per-partition
+    row_number, NEVER a single-partition global window), so ranking
+    100 TB of docs stays fully parallel. The total count joins in as a
+    broadcast 1-row frame, the keep decision is a pure column hash
+    (reproducible across runs and engines), and the result aggregates
+    to PPL_BUCKETS rows map-side.
+    """
+    from clickhouse_batcher_spark.functions import with_global_index
+    from clickhouse_batcher_spark.operators.corpus import docs_unigram_logprob
+
+    scored = docs_unigram_logprob(spark, sf_dir)
+    ranked = with_global_index(
+        scored, [F.col("avg_logprob"), F.col("doc_id")], index_name="idx"
+    )
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in PPL_KEEP_PCT]), F.col("bucket").cast("int") + 1
+    )
+    hb = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(_PPL_SALT), F.col("doc_id").cast("string")), 256
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    tagged = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            F.expr(f"(idx * {PPL_BUCKETS}) div n_total").cast("bigint"),
+        )
+        .withColumn("kept", hb < rate)
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )

@@ -21,6 +21,7 @@ from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
         "user_retention_flags",
         "sequence_match_counts",
         "uniq_up_to_types_per_user",
+        "user_active_interval_sum",
     ],
 )
 def test_chagg_parity(spark, sf_dir, name):

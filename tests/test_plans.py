@@ -182,6 +182,8 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "orders_ntile_quartiles",    # 1-row total-count frame
         "tpch_q22_idle_customers",   # 1-row global-average frame
         "tpch_q11_important_parts",  # 1-row global-total threshold frame
+        "perplexity_bucket_sample",  # 1-row doc-count frame (+ inherited
+                                     # 1-row vocab total from logprob)
         "hybrid_retrieval_rrf",      # N_QUERY_VECS x BM25_TOP_K (10x50)
                                      # candidate spine + the inherited
                                      # query-vector broadcast

@@ -20,6 +20,7 @@ SAMPLING = [
     "docs_lang_quota_sample",
     "redact_docs",
     "weighted_sample_docs",
+    "perplexity_bucket_sample",
 ]
 
 

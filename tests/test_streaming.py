@@ -506,3 +506,40 @@ def test_streaming_hll_estimate_matches_batch_query(spark, sf_dir, tmp_root):
         for r in catalog.QUERIES["hll_distinct_users"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, sf_dir, tmp_root):
+    """dropDuplicatesWithinWatermark over a duplicated feed == batch
+    dropDuplicates, when the watermark delay covers the full replay
+    window (here: every duplicate redelivered one batch later, delay
+    longer than the fixture's time span)."""
+    from clickhouse_batcher_spark.streaming.windowed import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").limit(2000)
+    src = f"{tmp_root}/dedup_src"
+    # file 1: the original sample; file 2: a full replay of it (the
+    # at-least-once redelivery scenario the reference's batcher guards
+    # against with its ledger, hashes_test.go:78-134).
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, keys=("event_id",), watermark="3650 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{tmp_root}/dedup_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    assert got.count() == got.distinct().count()  # no dupes emitted
+    expected_ids = {r.event_id for r in events.select("event_id").collect()}
+    assert {r.event_id for r in got.collect()} == expected_ids
