@@ -177,7 +177,8 @@ _PRIORITY: list[str] = [
 #       tpch_q9_profit_by_nation, tpch_q11_important_parts,
 #       tpch_q12_late_lines_by_status, tpch_q16_supplier_cnt,
 #       tpch_q20_promo_suppliers, tpch_q21_waiting_suppliers,
-#       user_active_interval_sum, perplexity_bucket_sample;
+#       user_active_interval_sum, perplexity_bucket_sample,
+#       delta_sum_by_type, bounding_ratio_by_user;
 #   (b) as slots remain, the 14 single-green r2 demotions for second
 #       greens (ROADMAP item 2b: text_stats, langid_predict,
 #       redact_docs, doc_fingerprint, retrieval_topk_docs,

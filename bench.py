@@ -121,6 +121,8 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "user_active_interval_sum",
     "perplexity_bucket_sample",
+    "delta_sum_by_type",
+    "bounding_ratio_by_user",
 ]
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import dec
 from clickhouse_batcher_spark.tables import load_table
 
 SEQ_LEN = 5
@@ -381,4 +382,113 @@ def user_active_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("e1") - F.unix_timestamp("s0")
         ).cast("bigint").alias("active_seconds"),
         F.count(F.lit(1)).alias("n_islands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deltaSum / boundingRatio analogues
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_sum_by_type",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+        CAST(value AS DECIMAL(27,6))
+          - lag(CAST(value AS DECIMAL(27,6))) OVER (
+              PARTITION BY event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS diff
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COALESCE(SUM(CASE WHEN diff > 0 THEN diff END), 0)
+                AS DOUBLE) AS delta_sum,
+           COUNT(CASE WHEN diff > 0 THEN 1 END) AS n_increases
+    FROM d GROUP BY event_type
+    """,
+)
+def delta_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` analog: per type, the sum of POSITIVE
+    consecutive-value increments in event-time order — the standard
+    counter-reset-tolerant rate aggregate (a reset shows as a negative
+    diff and is skipped, so monotonic-counter totals survive restarts).
+
+    One shuffle on event_type, a partition-local lag, decimal-exact
+    increments (order fixed by the unique event_id tiebreak), map-side
+    combined final sums.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", dec("value").alias("v"))
+        .withColumn("diff", F.col("v") - F.lag("v").over(w))
+    )
+    return d.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("diff") > 0, F.col("diff"))), F.lit(0)
+        ).cast("double").alias("delta_sum"),
+        F.count(F.when(F.col("diff") > 0, F.lit(1))).alias("n_increases"),
+    )
+
+
+@query(
+    "bounding_ratio_by_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(value AS DECIMAL(27,6)) AS v,
+        CAST(ts AS TIMESTAMP) AS t,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    ), b AS (
+      SELECT user_id,
+        MIN(CASE WHEN rf = 1 THEN v END) AS v_first,
+        MIN(CASE WHEN rl = 1 THEN v END) AS v_last,
+        MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n
+      FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, n,
+      CAST(v_last - v_first AS DOUBLE)
+        / CAST(date_diff('second', t0, t1) AS DOUBLE) AS bounding_ratio
+    FROM b
+    WHERE n >= 2 AND date_diff('second', t0, t1) > 0
+    """,
+)
+def bounding_ratio_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio`` analog: per user, (last value -
+    first value) / (time span in seconds) — the coarse slope of the
+    series.
+
+    Pure single-pass aggregate: min_by/max_by keyed by the total order
+    (ts, event_id) pick the endpoint values without any window or
+    sort; the ratio is ONE IEEE division of a decimal-exact numerator
+    by an integer-exact second count, so it is bit-identical across
+    engines and partitionings.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    b = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by(dec("value"), key).alias("v_first"),
+            F.max_by(dec("value"), key).alias("v_last"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    span = F.unix_timestamp("t1") - F.unix_timestamp("t0")
+    return (
+        b.filter((F.col("n") >= 2) & (span > 0))
+        .select(
+            "user_id",
+            "n",
+            (
+                (F.col("v_last") - F.col("v_first")).cast("double")
+                / span.cast("double")
+            ).alias("bounding_ratio"),
+        )
     )

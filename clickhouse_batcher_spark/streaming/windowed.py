@@ -200,3 +200,41 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def cms_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming Count-Min Sketch state: the (hash_row, bucket) counter
+    table of ``operators.sketch`` maintained by Structured Streaming.
+
+    SUM is a mergeable aggregate, so each micro-batch folds its rows
+    into at most CMS_DEPTH x CMS_WIDTH state entries and the finalized
+    counters equal a batch recompute exactly (asserted by the
+    batch-equivalence test). Point estimates (min over the depth rows
+    of a key's bucket counters) never undercount — the CMS guarantee —
+    and state is a fixed 4x64 grid forever: streaming frequency
+    tracking at 100 TB/day costs O(1) state, not one counter per key.
+
+    The per-event fan-out is CMS_DEPTH rows BEFORE the aggregation,
+    but map-side partial aggregation collapses them to the grid within
+    each task, so only ≤ DEPTH*WIDTH rows per partition cross the wire.
+    """
+    from clickhouse_batcher_spark.operators.sketch import CMS_DEPTH, _bucket
+
+    rows = events.select(
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("row_id"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    bucketed = rows.select(
+        "row_id",
+        F.when(F.col("row_id") == 0, _bucket(F.col("k"), "cms0|"))
+        .when(F.col("row_id") == 1, _bucket(F.col("k"), "cms1|"))
+        .when(F.col("row_id") == 2, _bucket(F.col("k"), "cms2|"))
+        .otherwise(_bucket(F.col("k"), "cms3|"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

@@ -22,6 +22,8 @@ from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
         "sequence_match_counts",
         "uniq_up_to_types_per_user",
         "user_active_interval_sum",
+        "delta_sum_by_type",
+        "bounding_ratio_by_user",
     ],
 )
 def test_chagg_parity(spark, sf_dir, name):

@@ -543,3 +543,61 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, sf_dir, tmp_root)
     assert got.count() == got.distinct().count()  # no dupes emitted
     expected_ids = {r.event_id for r in events.select("event_id").collect()}
     assert {r.event_id for r in got.collect()} == expected_ids
+
+
+def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_root):
+    """The streaming CMS counter grid == the batch sketch: SUM state
+    merges across micro-batches without drift. Also pins the CMS
+    guarantee on the finalized grid: every user's point estimate
+    (min over depth rows) >= the exact count."""
+    from clickhouse_batcher_spark.streaming.windowed import cms_stream
+
+    src = f"{tmp_root}/src"
+    schema, _ = _write_source_files(spark, sf_dir, src, 4)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        cms_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_out")
+        .option("checkpointLocation", f"{tmp_root}/cms_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_stream(events).collect()
+    }
+    assert streamed == batch
+
+    # CMS never undercounts: check the 20 most active users.
+    from clickhouse_batcher_spark.operators.sketch import CMS_DEPTH, _bucket
+
+    top = (
+        events.groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "k")
+        .limit(20)
+        .select(
+            "k",
+            "exact",
+            *[
+                _bucket(F.col("k"), f"cms{i}|").alias(f"b{i}")
+                for i in range(CMS_DEPTH)
+            ],
+        )
+        .collect()
+    )
+    for r in top:
+        est = min(streamed[(i, r[f"b{i}"])] for i in range(CMS_DEPTH))
+        assert est >= r["exact"]
