@@ -6,6 +6,7 @@ Usage::
     python -m clickhouse_batcher_spark query tpch_q1 --sf-dir /root/testdata/sf0.01 [--limit 20]
     python -m clickhouse_batcher_spark ingest SRC_DIR SINK_DIR [--max-files-per-trigger N]
     python -m clickhouse_batcher_spark count SINK_DIR
+    python -m clickhouse_batcher_spark sql "SELECT count() FROM events" --dialect clickhouse
 """
 
 from __future__ import annotations
@@ -33,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
 
     cnt = sub.add_parser("count", help="count rows in an engine sink")
     cnt.add_argument("sink")
+
+    sq = sub.add_parser("sql", help="run SQL over the registered tables")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--dialect", choices=("spark", "clickhouse"), default="spark")
+    sq.add_argument("--limit", type=int, default=20)
 
     args = parser.parse_args(argv)
 
@@ -81,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"ingested; sink now holds {sink.count(spark)} rows "
               f"in batches {sink.committed_batches()}")
+        return 0
+
+    if args.cmd == "sql":
+        from clickhouse_batcher_spark.tables import run_sql
+
+        df = run_sql(spark, args.query, args.sf_dir, dialect=args.dialect)
+        df.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "count":

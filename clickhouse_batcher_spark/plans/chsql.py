@@ -1,0 +1,246 @@
+"""ClickHouse-SQL compatibility: a scoped, tested translation of the
+ClickHouse dialect constructs the reference's workload actually uses
+into Spark SQL.
+
+The reference delegates every query to a ClickHouse server, so its
+users' existing queries are written in the ClickHouse dialect (e.g.
+``SELECT count() FROM limits_hashes WHERE ...``, the exact shape of
+`hashes_test.go:191-233`). This module is the switching path: paste
+the ClickHouse query, run it on Spark.
+
+Scope (deliberately small and fully covered by tests — anything
+outside it passes through unchanged and fails loudly in Spark's
+parser rather than silently misbehaving):
+
+- ``count()``                    -> ``count(*)``
+- ``uniq(x)`` / ``uniqHLL12(x)`` -> ``approx_count_distinct(x)``
+- ``uniqExact(x)``               -> ``count(DISTINCT x)``
+- ``argMax(a, b)``/``argMin``    -> ``max_by(a, b)`` / ``min_by``
+- ``countIf(c)``                 -> ``count_if(c)``
+- ``sumIf(x, c)``/``avgIf``/``minIf``/``maxIf``
+                                 -> ``sum(CASE WHEN c THEN x END)`` etc.
+- ``quantile(p)(x)`` and ``quantileExact(p)(x)``
+                                 -> ``percentile_approx(x, p)`` /
+                                    ``percentile(x, p)``
+- ``median(x)``                  -> ``percentile(x, 0.5)``
+- ``toStartOfMinute/Hour/Day/Week/Month/Year(x)``
+                                 -> ``date_trunc('<unit>', x)``
+- ``toYYYYMM(x)``                -> ``date_format(x, 'yyyyMM')``
+- ``toDate(x)`` / ``toDateTime(x)`` -> ``CAST(x AS DATE/TIMESTAMP)``
+- ``toUInt32(x)``/``toInt64(x)`` etc. -> ``CAST(x AS BIGINT)``
+- ``now()`` / ``today()``        -> ``current_timestamp()`` /
+                                    ``current_date()``
+- ``empty(x)`` / ``notEmpty(x)`` -> ``(length(x) = 0)`` / ``> 0``
+
+The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
+splitter, not a regex over the whole call), so nested calls like
+``sumIf(value, event_type = concat('a', 'b'))`` translate correctly.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+__all__ = ["translate"]
+
+
+def _find_matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ')' matching sql[open_idx] == '(', honoring
+    single-quoted SQL strings (with '' escapes)."""
+    depth = 0
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"unbalanced parentheses after index {open_idx}")
+
+
+def _split_top_level(args: str) -> list[str]:
+    """Split an argument string on top-level commas (quote/paren aware)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i = 0
+    n = len(args)
+    while i < n:
+        c = args[i]
+        if c == "'":
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(args[i])
+                if args[i] == "'":
+                    if i + 1 < n and args[i + 1] == "'":
+                        cur.append(args[i + 1])
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _in_string(sql: str, idx: int) -> bool:
+    """True if sql[idx] falls inside a single-quoted literal."""
+    quotes = 0
+    i = 0
+    while i < idx:
+        if sql[i] == "'":
+            if i + 1 < idx and sql[i + 1] == "'" and quotes % 2 == 1:
+                i += 2
+                continue
+            quotes += 1
+        i += 1
+    return quotes % 2 == 1
+
+
+def _rewrite_calls(
+    sql: str, fname: str, handler: Callable[[list[str]], str]
+) -> str:
+    """Replace every top-level call ``fname(...)`` via handler(args)."""
+    pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        open_idx = out.index("(", m.start())
+        close_idx = _find_matching_paren(out, open_idx)
+        inner = out[open_idx + 1 : close_idx]
+        args = _split_top_level(inner) if inner.strip() else []
+        repl = handler(args)
+        out = out[: m.start()] + repl + out[close_idx + 1 :]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_curried(sql: str, fname: str, spark_fn: str) -> str:
+    """``fname(p)(x)`` -> ``spark_fn(x, p)`` (ClickHouse's parametric
+    aggregate syntax)."""
+    pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        p_open = out.index("(", m.start())
+        p_close = _find_matching_paren(out, p_open)
+        rest = out[p_close + 1 :].lstrip()
+        if not rest.startswith("("):
+            pos = p_close
+            continue
+        x_open = out.index("(", p_close + 1)
+        x_close = _find_matching_paren(out, x_open)
+        p = out[p_open + 1 : p_close].strip()
+        x = out[x_open + 1 : x_close].strip()
+        repl = f"{spark_fn}({x}, {p})"
+        out = out[: m.start()] + repl + out[x_close + 1 :]
+        pos = m.start() + len(repl)
+
+
+_TRUNC_UNITS = {
+    "toStartOfMinute": "minute",
+    "toStartOfHour": "hour",
+    "toStartOfDay": "day",
+    "toStartOfWeek": "week",
+    "toStartOfMonth": "month",
+    "toStartOfYear": "year",
+}
+
+_INT_CASTS = {
+    "toUInt8": "INT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "BIGINT",
+    "toInt8": "INT",
+    "toInt16": "INT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+_COND_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+
+
+def translate(sql: str) -> str:
+    """Translate the supported ClickHouse-dialect subset to Spark SQL."""
+    out = sql
+
+    out = _rewrite_calls(
+        out, "count", lambda a: "count(*)" if not a else f"count({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
+    )
+    for fn in ("uniqHLL12", "uniqCombined", "uniq"):
+        out = _rewrite_calls(
+            out, fn, lambda a: f"approx_count_distinct({', '.join(a)})"
+        )
+    out = _rewrite_calls(out, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "countIf", lambda a: f"count_if({a[0]})")
+    for ch, sp in _COND_AGGS.items():
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, sp=sp: f"{sp}(CASE WHEN {a[1]} THEN {a[0]} END)",
+        )
+    out = _rewrite_curried(out, "quantileExact", "percentile")
+    out = _rewrite_curried(out, "quantile", "percentile_approx")
+    out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")
+    for ch, unit in _TRUNC_UNITS.items():
+        out = _rewrite_calls(
+            out, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})"
+        )
+    out = _rewrite_calls(
+        out, "toYYYYMM", lambda a: f"date_format({a[0]}, 'yyyyMM')"
+    )
+    out = _rewrite_calls(out, "toDateTime", lambda a: f"CAST({a[0]} AS TIMESTAMP)")
+    out = _rewrite_calls(out, "toDate", lambda a: f"CAST({a[0]} AS DATE)")
+    for ch, sp in _INT_CASTS.items():
+        out = _rewrite_calls(out, ch, lambda a, t=sp: f"CAST({a[0]} AS {t})")
+    out = _rewrite_calls(out, "now", lambda a: "current_timestamp()")
+    out = _rewrite_calls(out, "today", lambda a: "current_date()")
+    out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
+    out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
+    return out

@@ -92,3 +92,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def run_sql(
+    spark: SparkSession, sql: str, sf_dir: str, dialect: str = "spark"
+) -> DataFrame:
+    """The SQL switching path: register the tables as views and run a
+    query against them — ``dialect="clickhouse"`` first translates the
+    supported ClickHouse-dialect subset (``plans.chsql``), so a user of
+    the reference's ClickHouse backend can paste their existing
+    queries. Catalyst plans the registered parquet views exactly like
+    the DataFrame API (pushdown, pruning, AQE all apply)."""
+    register_views(spark, sf_dir)
+    if dialect == "clickhouse":
+        from clickhouse_batcher_spark.plans.chsql import translate
+
+        sql = translate(sql)
+    elif dialect != "spark":
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    return spark.sql(sql)
