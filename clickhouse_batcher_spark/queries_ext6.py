@@ -430,6 +430,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > _Q20_MIN_QTY)
         .select("l_suppkey")
+        .distinct()
     )
     return (
         load_table(spark, sf_dir, "supplier")
@@ -437,7 +438,11 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(load_table(spark, sf_dir, "nation")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # distinct movers is bounded by the supplier key set — always
+        # broadcastable, so the semi-join never shuffles supplier.
+        .join(
+            F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
         .select("s_suppkey", "s_name", "n_name")
     )
 

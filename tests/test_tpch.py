@@ -93,3 +93,36 @@ def test_q7_dimensions_broadcast(spark, sf_dir):
         catalog.QUERIES["tpch_q7_volume_shipping"](spark, sf_dir)
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a left-semi join (stops at the first
+    matching line per order), never a full join + distinct."""
+    plan = _formatted_plan(catalog.QUERIES["tpch_q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN must plan as a broadcast left-anti join against the
+    handful of complaint suppliers — not a null-aware nested loop."""
+    plan = _formatted_plan(catalog.QUERIES["tpch_q16_supplier_cnt"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_broadcasts_movers(spark, sf_dir):
+    """The decorrelated nested aggregate reduces to a distinct supplier
+    key set (bounded by |supplier|), so the final semi-join must
+    broadcast it rather than shuffling the supplier table."""
+    plan = _formatted_plan(catalog.QUERIES["tpch_q20_promo_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q21_only_orderkey_joins_shuffle(spark, sf_dir):
+    """Q21's decorrelation promise: the only SortMergeJoins are the
+    big-big orderkey joins; every dimension join broadcasts and there
+    is no correlated self-join explosion."""
+    plan = _formatted_plan(catalog.QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
