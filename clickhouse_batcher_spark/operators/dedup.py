@@ -720,29 +720,48 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = tokenized_corpus(docs).select(
         "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
     )
+    # Orient each pair both ways with ONE pass over the pair frame (an
+    # explode, not a union of two plan references). Measured neutral at
+    # sf0.1 (AQE's ReusedExchange already deduplicated the LSH subtree)
+    # but the single-reference shape doesn't DEPEND on exchange reuse
+    # firing — on a plan where the reuse misses (different partitioning
+    # downstream), the union form recomputes the entire LSH pipeline
+    # per branch.
     edges = pairs.select(
-        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("x"), F.col("doc_a").alias("y")
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
     ax = nt.select(F.col("doc_id").alias("x"), F.col("n_tokens").alias("nx"))
     ay = nt.select(F.col("doc_id").alias("y"), F.col("n_tokens").alias("ny"))
-    dominated = (
+    # Single aggregation derives BOTH the domination flag and the
+    # partner count, so the edge frame (and the LSH pipeline feeding
+    # it) is consumed exactly once.
+    per_x = (
         edges.join(ax, "x")
         .join(ay, "y")
-        .filter(
-            (F.col("ny") > F.col("nx"))
-            | ((F.col("ny") == F.col("nx")) & (F.col("y") < F.col("x")))
+        .groupBy(F.col("x").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_partners"),
+            F.max(
+                F.when(
+                    (F.col("ny") > F.col("nx"))
+                    | ((F.col("ny") == F.col("nx")) & (F.col("y") < F.col("x"))),
+                    1,
+                ).otherwise(0)
+            ).alias("dominated"),
         )
-        .select(F.col("x").alias("doc_id"))
-        .distinct()
-    )
-    partners = edges.groupBy(F.col("x").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_partners")
     )
     return (
-        nt.join(dominated, "doc_id", "left_anti")
-        .join(partners, "doc_id", "left")
+        nt.join(per_x, "doc_id", "left")
+        .filter(F.coalesce(F.col("dominated"), F.lit(0)) == 0)
         .select(
             "doc_id",
             "n_tokens",
