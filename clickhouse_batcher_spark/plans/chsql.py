@@ -202,9 +202,87 @@ _INT_CASTS = {
 _COND_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
 
+_UNSUPPORTED = (
+    # (pattern, construct, hint)
+    (r"\bFINAL\b", "FINAL", "deduplicate explicitly (see operators.merge)"),
+    (r"\bLIMIT\s+\d+\s+BY\b", "LIMIT n BY", "use a row_number() window"),
+    (r"\bSAMPLE\s+[\d.]", "SAMPLE", "use operators.sampling (deterministic)"),
+    (r"\bGLOBAL\s+(IN|JOIN)\b", "GLOBAL IN/JOIN", "plain IN/JOIN distributes on Spark"),
+)
+
+
+def _clauses(sql: str) -> str:
+    """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
+    loud errors for recognized-but-untranslatable constructs."""
+    out = sql
+    for pat, construct, hint in _UNSUPPORTED:
+        if re.search(pat, out, re.IGNORECASE) and not _in_string(
+            out, re.search(pat, out, re.IGNORECASE).start()
+        ):
+            raise ValueError(
+                f"ClickHouse {construct} has no Spark translation — {hint}"
+            )
+    # Execution hints carry no semantics: strip a trailing SETTINGS
+    # clause and a trailing FORMAT clause (output shaping is the
+    # caller's job here).
+    out = re.sub(r"\s+SETTINGS\s+[^;]*$", "", out, flags=re.IGNORECASE)
+    out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    # PREWHERE is ClickHouse's manual pushdown staging; Catalyst pushes
+    # predicates itself, so it is semantically just WHERE. Merge with
+    # an existing WHERE when both appear (PREWHERE precedes WHERE in
+    # the CH grammar).
+    m = re.search(r"\bPREWHERE\b", out, flags=re.IGNORECASE)
+    if m and not _in_string(out, m.start()):
+        w = re.search(r"\bWHERE\b", out[m.end() :], flags=re.IGNORECASE)
+        if w:
+            pre_cond = out[m.end() : m.end() + w.start()].strip()
+            rest = out[m.end() + w.end() :].lstrip()
+            # Parenthesize the WHERE condition too (it may contain OR);
+            # its end is the next top-level clause keyword.
+            end = _next_clause(rest)
+            cond2 = rest[:end].strip()
+            tail = rest[end:]
+            out = (
+                f"{out[: m.start()]}WHERE ({pre_cond}) AND ({cond2}) {tail}"
+            ).rstrip()
+        else:
+            out = out[: m.start()] + "WHERE" + out[m.end() :]
+    return out
+
+
+_CLAUSE_KW = re.compile(
+    r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|WINDOW|UNION|EXCEPT|INTERSECT|QUALIFY)\b",
+    re.IGNORECASE,
+)
+
+
+def _next_clause(sql: str) -> int:
+    """Index of the first top-level clause keyword (len(sql) if none),
+    skipping quoted strings and parenthesized subexpressions."""
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+            i += 1
+            continue
+        if c == "(":
+            i = _find_matching_paren(sql, i) + 1
+            continue
+        m = _CLAUSE_KW.match(sql, i)
+        if m:
+            return i
+        i += 1
+    return n
+
+
 def translate(sql: str) -> str:
     """Translate the supported ClickHouse-dialect subset to Spark SQL."""
-    out = sql
+    out = _clauses(sql)
+    out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
 
     out = _rewrite_calls(
         out, "count", lambda a: "count(*)" if not a else f"count({', '.join(a)})"

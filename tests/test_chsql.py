@@ -125,3 +125,63 @@ def test_cli_sql_subcommand(sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "n" in out
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT count() FROM events PREWHERE value > 5",
+            "SELECT count(*) FROM events WHERE value > 5",
+        ),
+        (
+            "SELECT count() FROM events PREWHERE value > 5 WHERE event_type = 'a' OR event_type = 'b' GROUP BY user_id",
+            "SELECT count(*) FROM events WHERE (value > 5) AND (event_type = 'a' OR event_type = 'b') GROUP BY user_id",
+        ),
+        (
+            "SELECT count() FROM events SETTINGS max_threads = 8",
+            "SELECT count(*) FROM events",
+        ),
+        (
+            "SELECT count() FROM events FORMAT JSONEachRow",
+            "SELECT count(*) FROM events",
+        ),
+        (
+            "SELECT arrayJoin(split(text, ' ')) AS tok FROM documents",
+            "SELECT explode(split(text, ' ')) AS tok FROM documents",
+        ),
+    ],
+)
+def test_translate_clauses(ch, expected):
+    assert translate(ch) == expected
+
+
+@pytest.mark.parametrize(
+    "ch",
+    [
+        "SELECT * FROM orders FINAL",
+        "SELECT * FROM events LIMIT 3 BY user_id",
+        "SELECT * FROM events SAMPLE 0.1",
+        "SELECT * FROM events WHERE user_id GLOBAL IN (SELECT user_id FROM events)",
+    ],
+)
+def test_unsupported_constructs_fail_loudly(ch):
+    with pytest.raises(ValueError, match="no Spark translation"):
+        translate(ch)
+
+
+def test_prewhere_merge_runs_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT count() AS n FROM events PREWHERE value > 50"
+        " WHERE event_type = 'view' OR event_type = 'click'",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]["n"]
+    want = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM events WHERE value > 50"
+        " AND event_type IN ('view', 'click')",
+        sf_dir,
+    ).collect()[0]["n"]
+    assert got == want
