@@ -321,4 +321,51 @@ def translate(sql: str) -> str:
     out = _rewrite_calls(out, "today", lambda a: "current_date()")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
+    for ch, sp in _DATE_PARTS.items():
+        out = _rewrite_calls(out, ch, lambda a, s=sp: f"{s}({a[0]})")
+    out = _rewrite_calls(out, "multiIf", _multi_if)
+    out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
+    out = _rewrite_calls(
+        out,
+        "extract",
+        # Only the 2-arg ClickHouse regex form; standard SQL
+        # EXTRACT(unit FROM ts) has one comma-free argument and passes
+        # through untouched.
+        lambda a: (
+            f"regexp_extract({a[0]}, {a[1]}, 1)"
+            if len(a) == 2
+            else f"extract({', '.join(a)})"
+        ),
+    )
+    out = _rewrite_calls(out, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
+    out = _rewrite_calls(
+        out,
+        "splitByChar",
+        # \Q...\E-quote the separator so regex metachars ('.', '|')
+        # split literally, matching ClickHouse's char semantics.
+        lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    )
+    out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
+    out = _rewrite_calls(out, "assumeNotNull", lambda a: a[0])
     return out
+
+
+_DATE_PARTS = {
+    "toYear": "year",
+    "toMonth": "month",
+    "toDayOfMonth": "day",
+    "toDayOfWeek": "dayofweek",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+}
+
+
+def _multi_if(args: list[str]) -> str:
+    """multiIf(c1, v1, c2, v2, ..., else) -> CASE WHEN chain."""
+    if len(args) % 2 == 0 or len(args) < 3:
+        raise ValueError("multiIf needs cond/value pairs plus an else")
+    whens = " ".join(
+        f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    return f"(CASE {whens} ELSE {args[-1]} END)"

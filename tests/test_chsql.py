@@ -185,3 +185,64 @@ def test_prewhere_merge_runs_end_to_end(spark, sf_dir):
         sf_dir,
     ).collect()[0]["n"]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT multiIf(value > 10, 'hi', value > 5, 'mid', 'lo') FROM events",
+            "SELECT (CASE WHEN value > 10 THEN 'hi' WHEN value > 5 THEN 'mid' ELSE 'lo' END) FROM events",
+        ),
+        (
+            "SELECT count() FROM documents WHERE match(text, '^a.*b$')",
+            "SELECT count(*) FROM documents WHERE (text RLIKE '^a.*b$')",
+        ),
+        (
+            "SELECT extract(text, '([0-9]+)') FROM documents",
+            "SELECT regexp_extract(text, '([0-9]+)', 1) FROM documents",
+        ),
+        # standard SQL EXTRACT passes through untouched
+        (
+            "SELECT extract(YEAR FROM ts) FROM events",
+            "SELECT extract(YEAR FROM ts) FROM events",
+        ),
+        (
+            "SELECT toYear(ts), toHour(ts) FROM events",
+            "SELECT year(ts), hour(ts) FROM events",
+        ),
+        (
+            "SELECT ifNull(props, '{}') FROM events",
+            "SELECT coalesce(props, '{}') FROM events",
+        ),
+    ],
+)
+def test_translate_scalar_functions(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_split_by_char_quotes_metachars(spark, sf_dir):
+    rows = run_sql(
+        spark,
+        "SELECT splitByChar('.', 'a.b.c') AS parts FROM events LIMIT 1",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert rows[0]["parts"] == ["a", "b", "c"]
+
+
+def test_multi_if_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT event_type, countIf(multiIf(value > 50, 1, 0) = 1) AS n "
+        "FROM events GROUP BY event_type",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    want = run_sql(
+        spark,
+        "SELECT event_type, count_if(value > 50) AS n "
+        "FROM events GROUP BY event_type",
+        sf_dir,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

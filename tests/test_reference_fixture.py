@@ -109,3 +109,42 @@ def test_sha256sum_reproducible_engine_side(spark):
         (F.sha2(F.col("msg"), 256) == F.col("sha256sum")).alias("match")
     )
     assert derived.collect()[0]["match"] is True
+
+
+def test_reference_queries_run_as_clickhouse_sql(spark, tmp_path):
+    """The reference's verification queries in their ORIGINAL dialect:
+    `SELECT count() FROM limits_hashes ...` (hashes_test.go:191-233,
+    verbatim ClickHouse SQL) must run against the ingested sink through
+    the chsql switching path and return the golden counts."""
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    count = 1000
+    df = limits_rows(spark, count)
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    batcher = MicroBatcher(sink, BatcherConfig(max_files_per_trigger=1))
+    batcher.run_until_drained(
+        batcher.file_source(spark, src, LIMITS_SCHEMA), str(tmp_path / "ckpt")
+    )
+    sink.read(spark).createOrReplaceTempView("limits_hashes")
+
+    # hashes_test.go:227-233 — the full count.
+    q1 = translate("SELECT count() FROM limits_hashes")
+    assert spark.sql(q1).collect()[0][0] == count
+
+    # hashes_test.go:191-203 — per-row conjunctive filtered count == 1.
+    q2 = translate(
+        "SELECT count() FROM limits_hashes "
+        "WHERE user_id = 'test_user_001' AND sha256sum = '42' AND amount = 42"
+    )
+    assert spark.sql(q2).collect()[0][0] == 1
+
+    # A dialect-heavy analytics query over the same sink.
+    q3 = translate(
+        "SELECT uniqExact(user_id), argMax(sha256sum, amount), "
+        "sumIf(amount, amount <= 10) FROM limits_hashes"
+    )
+    row = spark.sql(q3).collect()[0]
+    assert tuple(row) == (1, str(count), 55)
