@@ -123,6 +123,7 @@ HEADLINE = [
     "perplexity_bucket_sample",
     "delta_sum_by_type",
     "bounding_ratio_by_user",
+    "lineitem_weighted_price_median",
 ]
 
 

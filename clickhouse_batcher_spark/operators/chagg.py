@@ -492,3 +492,66 @@ def bounding_ratio_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounding_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantileExactWeighted analogue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_weighted_price_median",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             SUM(CAST(l_quantity AS BIGINT)) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, price, wt,
+        SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(wt) OVER (PARTITION BY flag) AS total
+      FROM agg
+    )
+    SELECT flag, MIN(price) AS weighted_median,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total GROUP BY flag
+    """,
+)
+def lineitem_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)`` analog: the
+    quantity-weighted median extended price per return flag — the
+    smallest price whose cumulative weight reaches half the total.
+
+    Exact weighted quantiles inherently need a per-group ordered pass
+    (ClickHouse's own implementation materializes the value/weight
+    multiset); the pre-aggregation to distinct (group, value) rows
+    bounds the window input, integer weights make every cumulative sum
+    exact, and `cum * 2 >= total` avoids any fractional arithmetic.
+    With only a handful of groups and high value cardinality the
+    ordered pass concentrates on few tasks — at 100 TB use the binned
+    `value_histogram_quantiles` shape instead when approximation is
+    acceptable; this operator is the exact-answer complement.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    c = agg.withColumn("cum", F.sum("wt").over(w_cum)).withColumn(
+        "total", F.sum("wt").over(w_tot)
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -24,6 +24,7 @@ from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
         "user_active_interval_sum",
         "delta_sum_by_type",
         "bounding_ratio_by_user",
+        "lineitem_weighted_price_median",
     ],
 )
 def test_chagg_parity(spark, sf_dir, name):
