@@ -246,3 +246,19 @@ def test_multi_if_end_to_end(spark, sf_dir):
         sf_dir,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_translate_is_idempotent():
+    """Translating already-translated SQL must be a no-op — the guard
+    against double-application corrupting a query that mixes dialects
+    (e.g. a CH query whose subquery was already Spark SQL)."""
+    samples = [
+        "SELECT count() FROM events PREWHERE value > 5 WHERE user_id = 3",
+        "SELECT uniqExact(user_id), argMax(event_type, ts) FROM events",
+        "SELECT quantile(0.9)(value), multiIf(value > 1, 'a', 'b') FROM events",
+        "SELECT toStartOfHour(ts), toYear(ts) FROM events GROUP BY 1, 2",
+        "SELECT splitByChar('.', text) FROM documents",
+    ]
+    for q in samples:
+        once = translate(q)
+        assert translate(once) == once

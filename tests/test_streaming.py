@@ -601,3 +601,47 @@ def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_root):
     for r in top:
         est = min(streamed[(i, r[f"b{i}"])] for i in range(CMS_DEPTH))
         assert est >= r["exact"]
+
+
+def test_streaming_dedup_state_survives_restart(spark, sf_dir, tmp_root):
+    """The dedup state store must recover from the checkpoint: rows
+    replayed AFTER a stop/restart cycle are still recognized as
+    duplicates (the reference's restart scenario, hashes_test.go
+    restart-without-dupes, applied to the watermark-dedup operator)."""
+    from clickhouse_batcher_spark.streaming.windowed import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").limit(1000)
+    src = f"{tmp_root}/rst_src"
+    ckpt = f"{tmp_root}/rst_ckpt"
+    out = f"{tmp_root}/rst_out"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream, keys=("event_id",), watermark="3650 days")
+            .writeStream.outputMode("append")
+            .format("parquet")  # memory sink can't recover a checkpoint
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    # Full replay lands as a new file AFTER the restart; recovered
+    # state must drop every row of it.
+    events.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out).select("event_id")
+    assert first == events.count()
+    assert got.count() == got.distinct().count()
+    assert got.distinct().count() == events.count()
