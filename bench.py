@@ -124,6 +124,7 @@ HEADLINE = [
     "delta_sum_by_type",
     "bounding_ratio_by_user",
     "lineitem_weighted_price_median",
+    "t5_span_corruption",
 ]
 
 

@@ -72,6 +72,7 @@ def load_all() -> None:
         rollup,
         sampling,
         similarity,
+        spancorrupt,
         sketch,
         skew,
         text,

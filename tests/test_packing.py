@@ -60,3 +60,56 @@ def test_pack_ids_match_running_sum(spark, sf_dir):
         for _, row in grp.iterrows():
             assert row["pack_id"] == running // PACK_BUDGET_CHARS
             running += row["n_chars"]
+
+
+def test_span_corruption_parity(spark, sf_dir):
+    assert_parity(spark, "t5_span_corruption", sf_dir)
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """Structural guarantees of the denoising objective: sentinel ids
+    are dense from <X0>; target token count == n_masked + sentinel
+    count; reassembling input with each sentinel's target span restores
+    the original token stream."""
+    import re
+
+    from clickhouse_batcher_spark.functions import tokens as tok_expr
+    from clickhouse_batcher_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r
+        for r in catalog.QUERIES["t5_span_corruption"](spark, sf_dir).collect()
+    }
+    originals = {
+        r["doc_id"]: r["toks"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tok_expr("text").alias("toks"))
+        .collect()
+    }
+    assert set(out) == set(originals)
+    checked_restore = 0
+    for doc_id, r in out.items():
+        sentinels = re.findall(r"<X(\d+)>", r["input_text"])
+        assert [int(s) for s in sentinels] == list(range(len(sentinels)))
+        if not sentinels:
+            assert r["target_text"] == "" and r["n_masked"] == 0
+            continue
+        # Parse the target into sid -> span tokens.
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for t in r["target_text"].split(" "):
+            m = re.fullmatch(r"<X(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        assert sum(len(v) for v in spans.values()) == r["n_masked"]
+        restored = []
+        for t in r["input_text"].split(" "):
+            m = re.fullmatch(r"<X(\d+)>", t)
+            restored.extend(spans[int(m.group(1))] if m else [t])
+        assert restored == originals[doc_id]
+        checked_restore += 1
+    assert checked_restore > 100  # the corpus genuinely exercises masking
