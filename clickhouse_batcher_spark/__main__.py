@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     cnt = sub.add_parser("count", help="count rows in an engine sink")
     cnt.add_argument("sink")
 
+    ex = sub.add_parser("explain", help="print a catalog query's physical plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     sq = sub.add_parser("sql", help="run SQL over the registered tables")
     sq.add_argument("query")
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -88,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"ingested; sink now holds {sink.count(spark)} rows "
               f"in batches {sink.committed_batches()}")
+        return 0
+
+    if args.cmd == "explain":
+        if args.name not in catalog.QUERIES:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = catalog.QUERIES[args.name](spark, args.sf_dir)
+        df.explain("formatted")
         return 0
 
     if args.cmd == "sql":
