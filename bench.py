@@ -125,6 +125,7 @@ HEADLINE = [
     "bounding_ratio_by_user",
     "lineitem_weighted_price_median",
     "t5_span_corruption",
+    "docs_bigram_logprob",
 ]
 
 

@@ -595,3 +595,87 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ent.alias("token_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM log-probability (the stronger perplexity proxy)
+# ---------------------------------------------------------------------------
+@query(
+    "docs_bigram_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair
+      FROM t WHERE len(toks) >= 2
+    ), occ AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM bg
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2
+    ), uni AS (
+      SELECT w1, SUM(c2) AS c1 FROM big GROUP BY 1
+    ), scored AS (
+      SELECT o.doc_id,
+        CAST(round(ln(CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE)), 6)
+             AS DECIMAL(27,6)) AS lp
+      FROM occ o
+      JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+      JOIN uni u ON o.w1 = u.w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean conditional bigram log-probability under the
+    corpus bigram MLE, P(w2|w1) = C(w1,w2)/C(w1, ·) — a sharper
+    perplexity proxy than the unigram score (it penalizes improbable
+    SEQUENCES, not just rare words; shuffled text scores low here but
+    identically to the original under the unigram model).
+
+    Determinism mirrors `docs_unigram_logprob`: each token-pair
+    logprob rounds to 6 decimals and sums exactly as decimal; the only
+    unrounded float op is the final mean. Scale shape: bigram pairs
+    are a same-size explode of the token stream, the LM tables are
+    corpus-bounded aggregates joined back by key (no broadcast of the
+    unbounded bigram table — AQE picks the strategy), and everything
+    combines map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    zipped = t.select(
+        "doc_id",
+        F.arrays_zip(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+        ).alias("pairs"),
+    )
+    occ = zipped.select(
+        "doc_id", F.explode("pairs").alias("pair")
+    ).select(
+        "doc_id",
+        F.col("pair.a").alias("w1"),
+        F.col("pair.b").alias("w2"),
+    )
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lp = F.round(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(27,6)")
+    scored = occ.join(big, ["w1", "w2"]).join(uni, "w1").select(
+        "doc_id", lp.alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_bigram_logprob"
+        ),
+    )

@@ -34,6 +34,7 @@ ORACLED = [
     "salted_join_user_segments",
     "value_histogram_quantiles",
     "docs_unigram_logprob",
+    "docs_bigram_logprob",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
