@@ -66,6 +66,7 @@ def load_all() -> None:
         multimodal,
         ngrams,
         packing,
+        pca,
         profile,
         quality,
         rangejoin,

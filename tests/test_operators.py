@@ -1350,3 +1350,45 @@ def test_keep_canonical_drops_one_side_of_every_pair(spark, sf_dir):
     twin_pairs = [(a, b) for a, b in pairs if b == a + 100_000]
     assert twin_pairs
     assert all(b not in kept for _a, b in twin_pairs)
+
+
+def test_pca_matches_full_numpy(spark, sf_dir):
+    """The distributed Gram-partial PCA equals a single-machine NumPy
+    PCA on the collected data (to float tolerance), partials and all;
+    variance ratios are sorted descending; projections reproduce under
+    repartitioning (sign convention pins the eigenvector orientation)."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.pca import PCA_K, pca_fit
+    from clickhouse_batcher_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mean, comps, evr = pca_fit(spark, emb)
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    ref = evecs[:, order].T
+    for i in range(PCA_K):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert all(evr[i] >= evr[i + 1] - 1e-12 for i in range(PCA_K - 1))
+    assert 0 < evr.sum() <= 1 + 1e-9
+
+    # Re-partitioning must not change the fit (partial sums commute).
+    mean2, comps2, _ = pca_fit(spark, emb.repartition(13))
+    assert np.allclose(mean, mean2, atol=1e-9)
+    assert np.allclose(comps, comps2, atol=1e-6)
+
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in catalog.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    }
+    assert len(proj) == len(rows)
+    want = (X - X.mean(axis=0)) @ ref.T
+    got = np.array([proj[r["vec_id"]] for r in rows])
+    assert np.allclose(got, want, atol=1e-6)
