@@ -179,7 +179,8 @@ _PRIORITY: list[str] = [
 #       tpch_q20_promo_suppliers, tpch_q21_waiting_suppliers,
 #       user_active_interval_sum, perplexity_bucket_sample,
 #       delta_sum_by_type, bounding_ratio_by_user,
-#       lineitem_weighted_price_median, t5_span_corruption;
+#       lineitem_weighted_price_median, t5_span_corruption,
+#       docs_bigram_logprob;
 #   (b) as slots remain, the 14 single-green r2 demotions for second
 #       greens (ROADMAP item 2b: text_stats, langid_predict,
 #       redact_docs, doc_fingerprint, retrieval_topk_docs,
