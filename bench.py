@@ -126,6 +126,7 @@ HEADLINE = [
     "lineitem_weighted_price_median",
     "t5_span_corruption",
     "docs_bigram_logprob",
+    "events_rolling_median_12h",
 ]
 
 

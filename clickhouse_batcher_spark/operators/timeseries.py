@@ -258,3 +258,79 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wt).cast("double")
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (gap-aware trailing window, offset-explosion)
+# ---------------------------------------------------------------------------
+
+MEDIAN_HOURS = 12
+
+
+@query(
+    "events_rolling_median_12h",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL}),
+    fan AS (
+      SELECT event_type, h + r.off * INTERVAL 1 HOUR AS th, tot
+      FROM hourly, range({MEDIAN_HOURS}) r(off)
+    ), w AS (
+      SELECT f.event_type, f.th AS hour, f.tot
+      FROM fan f
+      JOIN hourly t ON t.event_type = f.event_type AND t.h = f.th
+    )
+    SELECT event_type, hour, COUNT(*) AS n_in_window,
+      CAST((list_sort(list(tot)))[CAST(ceil(COUNT(*) / 2.0) AS BIGINT)]
+           AS DOUBLE) AS rolling_median
+    FROM w GROUP BY event_type, hour
+    """,
+)
+def events_rolling_median_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{MEDIAN_HOURS}h exact median of hourly value totals per
+    type — the robust-smoothing counterpart of the WMA (a median
+    ignores a single anomalous hour entirely; the linear smoother only
+    dampens it).
+
+    Same offset-explosion shape as the WMA: each HOURLY AGGREGATE (not
+    each event) contributes to the {MEDIAN_HOURS} windows covering it,
+    so the fan-out input is |types| x |hours| — one equi-shuffle on
+    (type, window-end), no range self-join, no per-window sort of raw
+    events. The median picks the ceil(n/2)-th smallest decimal total
+    explicitly (lower median) — an actual element, chosen identically
+    in both engines, sidestepping engine-specific quantile
+    interpolation semantics. Gap-aware: windows ending in an existing
+    hour see only the hours present (n_in_window < {MEDIAN_HOURS}
+    after a gap), mirroring the WMA's semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = _hourly(events)
+    fan = hourly.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(MEDIAN_HOURS)])
+        ).alias("off"),
+        "h",
+        "tot",
+    ).select(
+        "event_type",
+        (F.col("h") + F.make_dt_interval(hours=F.col("off"))).alias("th"),
+        "tot",
+    )
+    ends = hourly.select(
+        F.col("event_type").alias("e2"), F.col("h").alias("th2")
+    )
+    w = fan.join(
+        ends,
+        (F.col("event_type") == F.col("e2")) & (F.col("th") == F.col("th2")),
+        "left_semi",
+    )
+    n = F.count(F.lit(1))
+    return w.groupBy("event_type", F.col("th").alias("hour")).agg(
+        n.alias("n_in_window"),
+        F.element_at(
+            F.array_sort(F.collect_list("tot")),
+            F.ceil(n / F.lit(2.0)).cast("int"),
+        )
+        .cast("double")
+        .alias("rolling_median"),
+    )

@@ -17,6 +17,7 @@ TS_QUERIES = [
     "events_hourly_wma",
     "events_hourly_anomalies",
     "event_transition_matrix",
+    "events_rolling_median_12h",
 ]
 
 
