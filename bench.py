@@ -127,6 +127,8 @@ HEADLINE = [
     "t5_span_corruption",
     "docs_bigram_logprob",
     "events_rolling_median_12h",
+    "next_event_prediction",
+    "event_type_user_entropy",
 ]
 
 

@@ -555,3 +555,100 @@ def lineitem_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("total").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceNextNode / entropy analogues
+# ---------------------------------------------------------------------------
+
+
+def _next_node_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+    from clickhouse_batcher_spark.operators import timeseries  # noqa: F401
+
+    tm = ORACLES["event_transition_matrix"]
+    return f"""
+    WITH tm AS ({tm}), r AS (
+      SELECT prev_type, next_type, n_transitions,
+        row_number() OVER (PARTITION BY prev_type
+                           ORDER BY n_transitions DESC, next_type DESC) AS rn
+      FROM tm
+    )
+    SELECT prev_type, next_type, n_transitions FROM r WHERE rn = 1
+    """
+
+
+@query("next_event_prediction", oracle=None)  # composed below
+def next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` analog: for each event type, the
+    most frequent immediate successor (ties broken by type name).
+
+    Pure aggregation over the already-oracled transition matrix —
+    max_by with a (count, type) composite key gives the deterministic
+    argmax without a window.
+    """
+    from clickhouse_batcher_spark.operators.timeseries import (
+        event_transition_matrix,
+    )
+
+    tm = event_transition_matrix(spark, sf_dir)
+    key = F.struct(F.col("n_transitions"), F.col("next_type"))
+    return tm.groupBy("prev_type").agg(
+        F.max_by("next_type", key).alias("next_type"),
+        F.max("n_transitions").alias("n_transitions"),
+    )
+
+
+@query(
+    "event_type_user_entropy",
+    oracle="""
+    WITH cu AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cu GROUP BY 1
+    )
+    SELECT cu.event_type, MIN(tot.n_users) AS n_users,
+      CAST(-1.0 * SUM(
+        CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS DECIMAL(27,6))) AS DOUBLE) AS user_entropy
+    FROM cu JOIN tot ON cu.event_type = tot.event_type
+    GROUP BY cu.event_type
+    """,
+)
+def event_type_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy()`` analog: Shannon entropy of the user
+    distribution within each event type — the audience-concentration
+    signal (low entropy = a few users dominate the type).
+
+    Determinism contract as everywhere: each p*ln(p) term rounds to 6
+    decimals and sums exactly as decimal; two map-side-combinable
+    aggregation passes, no windows.
+    """
+    cu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cu.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 6).cast("decimal(27,6)")
+    return (
+        cu.join(F.broadcast(tot), F.col("event_type") == F.col("et"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n_users").alias("n_users"),
+            (F.lit(-1.0) * F.sum(term).cast("double")).alias("user_entropy"),
+        )
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _CH_ORACLES  # noqa: E402
+
+_CH_ORACLES["next_event_prediction"] = " ".join(_next_node_oracle().split())

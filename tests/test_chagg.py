@@ -25,6 +25,8 @@ from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
         "delta_sum_by_type",
         "bounding_ratio_by_user",
         "lineitem_weighted_price_median",
+        "next_event_prediction",
+        "event_type_user_entropy",
     ],
 )
 def test_chagg_parity(spark, sf_dir, name):
