@@ -129,6 +129,7 @@ HEADLINE = [
     "events_rolling_median_12h",
     "next_event_prediction",
     "event_type_user_entropy",
+    "max_concurrent_intervals",
 ]
 
 

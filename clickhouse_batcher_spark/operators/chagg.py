@@ -652,3 +652,69 @@ def event_type_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clickhouse_batcher_spark.catalog import ORACLES as _CH_ORACLES  # noqa: E402
 
 _CH_ORACLES["next_event_prediction"] = " ".join(_next_node_oracle().split())
+
+
+@query(
+    "max_concurrent_intervals",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP)
+               + INTERVAL {ACTIVE_WINDOW_SECONDS} SECOND AS e,
+             event_id
+      FROM events
+    ), pts AS (
+      SELECT event_type, day, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, day, e AS t, -1 AS delta, event_id FROM iv
+    ), c AS (
+      SELECT event_type, day,
+        SUM(delta) OVER (PARTITION BY event_type, day
+                         ORDER BY t, delta, event_id
+                         ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT event_type, day, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY event_type, day
+    """,
+)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` analog: per (type, day-of-start)
+    the PEAK number of simultaneously active 5-minute event windows —
+    the load-spike companion to `user_active_interval_sum`'s total.
+
+    The textbook sweep-line, relationally: +1/-1 boundary points, a
+    partition-local running sum in the (time, delta, event_id) total
+    order (ends sort before coincident starts, so touching intervals
+    never count as overlapping), MAX per group. The explode is exactly
+    2 rows per event and the window partitions by (type, day) — a
+    bounded sweep per partition, no global ordering, no self-join.
+    """
+    iv = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("ts").alias("s"),
+        (
+            F.col("ts") + F.expr(f"INTERVAL {ACTIVE_WINDOW_SECONDS} SECONDS")
+        ).alias("e"),
+        "event_id",
+    )
+    pts = iv.select(
+        "event_type", "day", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "event_type", "day", F.col("e").alias("t"),
+            F.lit(-1).alias("delta"), "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = pts.withColumn("conc", F.sum("delta").over(w))
+    return conc.groupBy("event_type", "day").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent")
+    )

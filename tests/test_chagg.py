@@ -27,6 +27,7 @@ from clickhouse_batcher_spark.operators.chagg import SEQ_LEN
         "lineitem_weighted_price_median",
         "next_event_prediction",
         "event_type_user_entropy",
+        "max_concurrent_intervals",
     ],
 )
 def test_chagg_parity(spark, sf_dir, name):
