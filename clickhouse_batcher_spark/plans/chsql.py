@@ -208,6 +208,7 @@ _UNSUPPORTED = (
     (r"\bLIMIT\s+\d+\s+BY\b", "LIMIT n BY", "use a row_number() window"),
     (r"\bSAMPLE\s+[\d.]", "SAMPLE", "use operators.sampling (deterministic)"),
     (r"\bGLOBAL\s+(IN|JOIN)\b", "GLOBAL IN/JOIN", "plain IN/JOIN distributes on Spark"),
+    (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
 )
 
 
@@ -227,6 +228,20 @@ def _clauses(sql: str) -> str:
     # caller's job here).
     out = re.sub(r"\s+SETTINGS\s+[^;]*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    # GROUP BY a, b WITH TOTALS == one extra all-NULL grand-total row:
+    # exactly GROUPING SETS ((a, b), ()).
+    m = re.search(
+        r"\bGROUP\s+BY\b(?P<cols>.*?)\s+WITH\s+TOTALS\b",
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    if m and not _in_string(out, m.start()):
+        cols = m.group("cols").strip()
+        out = (
+            out[: m.start()]
+            + f"GROUP BY GROUPING SETS (({cols}), ())"
+            + out[m.end() :]
+        )
     # PREWHERE is ClickHouse's manual pushdown staging; Catalyst pushes
     # predicates itself, so it is semantically just WHERE. Merge with
     # an existing WHERE when both appear (PREWHERE precedes WHERE in

@@ -262,3 +262,29 @@ def test_translate_is_idempotent():
     for q in samples:
         once = translate(q)
         assert translate(once) == once
+
+
+def test_with_totals_becomes_grouping_sets():
+    assert translate(
+        "SELECT event_type, count() FROM events GROUP BY event_type WITH TOTALS"
+    ) == (
+        "SELECT event_type, count(*) FROM events"
+        " GROUP BY GROUPING SETS ((event_type), ())"
+    )
+
+
+def test_with_totals_end_to_end(spark, sf_dir):
+    rows = run_sql(
+        spark,
+        "SELECT event_type, count() AS n FROM events GROUP BY event_type WITH TOTALS",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    per_type = {r["event_type"]: r["n"] for r in rows if r["event_type"] is not None}
+    totals = [r["n"] for r in rows if r["event_type"] is None]
+    assert len(totals) == 1 and totals[0] == sum(per_type.values())
+
+
+def test_with_fill_fails_loudly():
+    with pytest.raises(ValueError, match="no Spark translation"):
+        translate("SELECT h FROM events ORDER BY h WITH FILL")
