@@ -182,7 +182,7 @@ _PRIORITY: list[str] = [
 #       lineitem_weighted_price_median, t5_span_corruption,
 #       docs_bigram_logprob, events_rolling_median_12h,
 #       next_event_prediction, event_type_user_entropy,
-#       max_concurrent_intervals;
+#       max_concurrent_intervals, topk_weighted_users;
 #   (b) as slots remain, the 14 single-green r2 demotions for second
 #       greens (ROADMAP item 2b: text_stats, langid_predict,
 #       redact_docs, doc_fingerprint, retrieval_topk_docs,

@@ -130,6 +130,7 @@ HEADLINE = [
     "next_event_prediction",
     "event_type_user_entropy",
     "max_concurrent_intervals",
+    "topk_weighted_users",
 ]
 
 

@@ -701,3 +701,118 @@ def _topk_oracle() -> str:
 from clickhouse_batcher_spark.catalog import ORACLES as _SK_ORACLES  # noqa: E402
 
 _SK_ORACLES["topk_heavy_hitters"] = " ".join(_topk_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# topKWeighted analogue: heavy hitters by total VALUE, ranked by a
+# weight-summing Count-Min estimate (weights integer-quantized to
+# cents so every sketch counter is exact and engine-identical).
+# ---------------------------------------------------------------------------
+
+TOPK_WEIGHTED = 10
+_WSALT = "w"
+WCMS_WIDTH = 1024  # wider than the count CMS: the ranking must be
+                   # collision-clean enough that estimate order tracks
+                   # true-weight order (64 buckets vs 150+ keys would
+                   # make the "top" list collision noise)
+
+
+def _wbucket(col, salt):
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(salt), col), 256), 1, 4), 16, 10
+        ).cast("bigint")
+        % WCMS_WIDTH
+    )
+
+
+def _sql_wbucket(expr: str, salt: str) -> str:
+    h = f"substring(sha256('{salt}' || {expr}), 1, 4)"
+    digit = lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit(i)} * {16 ** (4 - i)}" for i in range(1, 5))
+    return f"(({val}) % {WCMS_WIDTH})"
+
+
+def _weighted_cms_oracle() -> str:
+    wsum = (
+        "SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT))"
+        " AS BIGINT) AS w FROM events GROUP BY user_id"
+    )
+    key = "CAST(a.user_id AS VARCHAR)"
+    bkey = "CAST(b.user_id AS VARCHAR)"
+    ests = ", ".join(
+        f"(SELECT CAST(SUM(b.w) AS BIGINT) FROM ws b"
+        f" WHERE {_sql_wbucket(bkey, f'{_WSALT}{i:02d}|')}"
+        f" = {_sql_wbucket(key, f'{_WSALT}{i:02d}|')})"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH ws AS ({wsum}),
+    est AS (
+      SELECT a.user_id, a.w AS exact_weight, least({ests}) AS cms_estimate
+      FROM ws a
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cms_estimate DESC, user_id) AS rank
+      FROM est
+    )
+    SELECT user_id, cms_estimate, exact_weight, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOPK_WEIGHTED}
+    """
+
+
+@query("topk_weighted_users", oracle=None)  # composed below
+def topk_weighted_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted`` analog: the top users by TOTAL event
+    value, ranked by a weight-summing CMS estimate (exact weight shown
+    beside it; estimate >= exact always).
+
+    Weights quantize to integer cents BEFORE sketching, so counters
+    are exact integers — partition-order independent and hash-stable —
+    and the sketch itself is the same merged (hash-row, bucket) grid
+    as the count CMS: map-side partials ARE the per-partition sketch.
+    Top-k via orderBy().limit() then a <=k-row window for the rank.
+    """
+    from pyspark.sql import Window
+
+    ws = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("w")
+        )
+        .cache()
+    )
+    key = F.col("user_id").cast("string")
+    est = None
+    for i in range(CMS_DEPTH):
+        salt = f"{_WSALT}{i:02d}|"
+        row = ws.groupBy(_wbucket(key, salt).alias("bucket")).agg(
+            F.sum("w").alias(f"row_w_{i}")
+        )
+        part = ws.select(
+            "user_id", _wbucket(key, salt).alias("bucket")
+        ).join(F.broadcast(row), "bucket").select("user_id", f"row_w_{i}")
+        est = part if est is None else est.join(part, "user_id")
+    cms = F.least(*[F.col(f"row_w_{i}") for i in range(CMS_DEPTH)]).cast(
+        "bigint"
+    )
+    scored = ws.join(est, "user_id").select(
+        "user_id", F.col("w").alias("exact_weight"), cms.alias("cms_estimate")
+    )
+    top = scored.orderBy(F.desc("cms_estimate"), "user_id").limit(
+        TOPK_WEIGHTED
+    )
+    w_rank = Window.orderBy(F.desc("cms_estimate"), "user_id")
+    return top.select(
+        "user_id",
+        "cms_estimate",
+        "exact_weight",
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _SK_ORACLES  # noqa: E402
+
+_SK_ORACLES["topk_weighted_users"] = " ".join(_weighted_cms_oracle().split())

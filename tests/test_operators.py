@@ -56,6 +56,7 @@ ORACLED = [
     "hybrid_retrieval_rrf",
     "hll_distinct_users",
     "topk_heavy_hitters",
+    "topk_weighted_users",
     "dedup_keep_canonical",
 ]
 
