@@ -53,6 +53,7 @@ def load_all() -> None:
         attribution,
         bloomjoin,
         chagg,
+        chagg2,
         cluster,
         cohort,
         corr,

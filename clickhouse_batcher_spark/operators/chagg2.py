@@ -1,0 +1,596 @@
+"""ClickHouse statistical-aggregate parity, batch 2: rankCorr,
+cramersV, groupBitAnd/Or/Xor, simpleLinearRegression, sumMap,
+studentTTest/welchTTest, mannWhitneyUTest.
+
+The reference delegates querying to a ClickHouse server
+(`hashes.go:70-83` issues only INSERT/SELECT/DELETE; SURVEY.md §2.2),
+so ClickHouse's statistical aggregate surface is part of what its
+users run today. Each analogue here is a pure relational composition
+— no UDFs — built on the repo-wide determinism contract: integer/rank
+arithmetic stays exact (2×avg-rank is an integer), float terms round
+to fixed decimals before an exact DECIMAL sum, and final doubles come
+from one deterministic conversion, so every query is hash-exact vs
+its DuckDB oracle.
+
+Scale notes (100 TB):
+
+- Rank-based ops (rankCorr, mannWhitneyU) never window over raw rows:
+  ranks are derived on the DISTINCT-value frame (cumulative counts),
+  then equi-joined back — the ordered pass touches |distinct values|
+  rows per group, not |rows|.
+- Contingency/moment ops (cramersV, linreg, t-test) are one or two
+  map-side-combinable groupBys; nothing materializes per-row state.
+- sumMap pre-aggregates (user, key) BEFORE collecting per-user maps,
+  so collect_list holds ≤|key-universe| entries per user, not one per
+  event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.tables import load_table
+
+_DEC38 = "decimal(18,0)"
+_DEC27 = "decimal(27,6)"
+
+_TTEST_A = "click"
+_TTEST_B = "view"
+
+
+def _k_col() -> F.Column:
+    """The numeric payload inside events.props ('{"k": <int>}')."""
+    return F.get_json_object("props", "$.k").cast("bigint")
+
+
+_K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+
+def _rank2_frame(df: DataFrame, part: str, value: str) -> DataFrame:
+    """Per (part, distinct value): twice the pooled average rank.
+
+    avg_rank(v) = (#smaller) + (count(v)+1)/2, so
+    2*avg_rank(v) = 2*cum_before + count(v) + 1 — an exact integer.
+    The window runs over the distinct-value frame only.
+    """
+    agg = df.groupBy(part, value).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy(part)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return agg.select(
+        part,
+        value,
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0)) * 2 + F.col("c") + 1
+        ).alias("r2"),
+    )
+
+
+@query(
+    "events_rank_corr",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value, {_K_SQL} AS k FROM events
+    ), rv AS (
+      SELECT event_type, value,
+        2 * COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1 AS r2
+      FROM (SELECT event_type, value, COUNT(*) AS c
+            FROM base GROUP BY 1, 2)
+    ), rk AS (
+      SELECT event_type, k,
+        2 * COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1 AS r2
+      FROM (SELECT event_type, k, COUNT(*) AS c
+            FROM base GROUP BY 1, 2)
+    ), joined AS (
+      SELECT base.event_type,
+             CAST(rv.r2 AS DECIMAL(18,0)) AS x,
+             CAST(rk.r2 AS DECIMAL(18,0)) AS y
+      FROM base
+      JOIN rv ON rv.event_type = base.event_type AND rv.value = base.value
+      JOIN rk ON rk.event_type = base.event_type AND rk.k = base.k
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(y * y) AS DOUBLE) AS syy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM joined GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        AS spearman_rho
+    FROM s
+    """,
+)
+def events_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` analog: Spearman rank correlation
+    between a row's value and its props payload, per event type — the
+    monotone-association screen (Pearson `event_type_value_correlation`
+    is its linear sibling).
+
+    Ties take the pooled average rank, exactly as rankCorr does; all
+    rank sums stay in DECIMAL(18,0) (2×avg-rank is an integer), and
+    the final Pearson-over-ranks formula is evaluated in DOUBLE from
+    identical decimal inputs on both engines, rounded once.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", _k_col().alias("k")
+    )
+    rv = _rank2_frame(base, "event_type", "value").select(
+        F.col("event_type").alias("et_v"),
+        F.col("value").alias("v_v"),
+        F.col("r2").alias("r2x"),
+    )
+    rk = _rank2_frame(base, "event_type", "k").select(
+        F.col("event_type").alias("et_k"),
+        F.col("k").alias("k_k"),
+        F.col("r2").alias("r2y"),
+    )
+    joined = (
+        base.join(
+            rv,
+            (F.col("event_type") == F.col("et_v"))
+            & (F.col("value") == F.col("v_v")),
+        )
+        .join(
+            rk,
+            (F.col("event_type") == F.col("et_k"))
+            & (F.col("k") == F.col("k_k")),
+        )
+        .select(
+            "event_type",
+            F.col("r2x").cast(_DEC38).alias("x"),
+            F.col("r2y").cast(_DEC38).alias("y"),
+        )
+    )
+    s = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+@query(
+    "events_cramers_v",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS a, {_K_SQL} // 10 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), ra AS (SELECT a, SUM(o) AS ra_tot FROM obs GROUP BY 1),
+    cb AS (SELECT b, SUM(o) AS cb_tot FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT CAST(round(
+          (CAST(o AS DOUBLE)
+             - CAST(ra_tot AS DOUBLE) * CAST(cb_tot AS DOUBLE)
+               / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE)
+             - CAST(ra_tot AS DOUBLE) * CAST(cb_tot AS DOUBLE)
+               / CAST(n AS DOUBLE))
+          / (CAST(ra_tot AS DOUBLE) * CAST(cb_tot AS DOUBLE)
+             / CAST(n AS DOUBLE)), 6) AS DECIMAL(27,6)) AS t
+      FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+      CAST((SELECT COUNT(*) - 1 FROM ra) AS BIGINT)
+        * CAST((SELECT COUNT(*) - 1 FROM cb) AS BIGINT) AS dof,
+      CAST(SUM(t) AS DOUBLE) AS chi2,
+      round(sqrt(CAST(SUM(t) AS DOUBLE)
+                 / (CAST((SELECT n FROM tot) AS DOUBLE)
+                    * least((SELECT COUNT(*) - 1 FROM ra),
+                            (SELECT COUNT(*) - 1 FROM cb)))), 6)
+        AS cramers_v
+    FROM terms
+    """,
+)
+def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` analog: association strength
+    between event type and the props-payload decile — the categorical
+    counterpart of `event_type_value_correlation`.
+
+    One contingency groupBy feeds everything; marginals are two tiny
+    re-aggregations broadcast back, each chi-square term rounds to 6
+    decimals and sums exactly as DECIMAL, and the closing sqrt runs in
+    DOUBLE on identical inputs. The contingency frame is |a|×|b| rows
+    regardless of input size — the 100-TB cost is one map-side
+    combinable shuffle on (a, b).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.floor(_k_col() / 10).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra_tot"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb_tot"))
+    tot = obs.agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).alias("cells")
+    ).crossJoin(ra.agg(F.count(F.lit(1)).alias("n_a"))).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    exp = (
+        F.col("ra_tot").cast("double")
+        * F.col("cb_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - exp
+    term = F.round(d * d / exp, 6).cast(_DEC27)
+    terms = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            term.alias("t"), "n", "n_a", "n_b"
+        )
+    )
+    chi2 = F.sum("t").cast("double")
+    return terms.groupBy("n", "n_a", "n_b").agg(chi2.alias("chi2")).select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "events_bit_aggregates",
+    oracle="""
+    SELECT event_type,
+      CAST(bit_and(user_id) AS BIGINT) AS band,
+      CAST(bit_or(user_id) AS BIGINT) AS bor,
+      CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+      COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd/groupBitOr/groupBitXor`` analogs over
+    the user-id bits per event type (bitmask-rollup pattern: which id
+    bits are universal / present / odd-parity).
+
+    Spark's native bit_and/bit_or/bit_xor aggregates are commutative
+    and associative — map-side combinable, partition-order
+    independent, exact; a single shuffle on the group key.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").cast("bigint").alias("band"),
+            F.bit_or("user_id").cast("bigint").alias("bor"),
+            F.bit_xor("user_id").cast("bigint").alias("bxor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "events_linreg_by_type",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST({_K_SQL} AS DECIMAL(18,0)) AS x,
+             value AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(round(y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(round(CAST(x AS DOUBLE) * y, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS sxy
+      FROM base GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        AS intercept
+    FROM s
+    """,
+)
+def events_linreg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` analog: least-
+    squares slope/intercept of value against the props payload, per
+    event type.
+
+    The moment sums are the whole computation: integer x-moments stay
+    DECIMAL(18,0)-exact, float cross-moments round each term to 6
+    decimals and sum as DECIMAL — so both engines feed IDENTICAL
+    numbers into the closed-form solution, evaluated once in DOUBLE.
+    One map-side-combinable groupBy; nothing else.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        _k_col().cast(_DEC38).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y"), 6).cast(_DEC27)).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y"), 6).cast(_DEC27)
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@query(
+    "user_type_sum_map",
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, event_type,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+      array_to_string(list(event_type ORDER BY event_type), ',') AS keys,
+      array_to_string(
+        list(printf('%.6f', s) ORDER BY event_type), ',') AS sums,
+      COUNT(*) AS n_keys
+    FROM kv GROUP BY user_id
+    """,
+)
+def user_type_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` analog: per user, the key-sorted map of
+    event-type -> exact value sum, emitted as parallel key/sum strings
+    (the repo's array-free hash-compare convention; the map itself is
+    `map_from_entries` away).
+
+    sumMap's semantics are exactly groupBy(user, key) THEN a per-user
+    gather — pre-aggregating first bounds the collected state to the
+    key universe (5 types), not the user's event count. Values render
+    via printf('%.6f') on doubles derived from identical exact
+    decimals, so the strings match cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.round("value", 6).cast(_DEC27)).cast("double").alias("s")
+    )
+    pair = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("event_type"),
+                F.format_string("%.6f", F.col("s")).alias("sv"),
+            )
+        )
+    )
+    return kv.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(pair, lambda p: p["event_type"])).alias(
+            "keys"
+        ),
+        F.concat_ws(",", F.transform(pair, lambda p: p["sv"])).alias("sums"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS sq
+      FROM events WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')
+      GROUP BY 1
+    ), m AS (
+      SELECT event_type, n, sv / n AS mean,
+             (sq - sv * sv / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.event_type AS variant_a, b.event_type AS variant_b,
+      CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      round(a.mean - b.mean, 6) AS mean_diff,
+      round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+        AS t_stat,
+      round((a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+            / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+               + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6)
+        AS welch_df
+    FROM m a JOIN m b
+      ON a.event_type = '{_TTEST_A}' AND b.event_type = '{_TTEST_B}'
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest(x, g)`` analog (``studentTTest``'s
+    unequal-variance form): Welch's t statistic and degrees of freedom
+    comparing the value distributions of two event-type variants — the
+    A/B-test primitive.
+
+    Everything reduces to per-variant (n, Σv, Σv²) from one filtered
+    groupBy with rounded-decimal-exact sums; the 2×2 join of the
+    2-row moment frame and the closed-form t/df are driver-trivial.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TTEST_A, _TTEST_B)
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round("value", 6).cast(_DEC27)).cast("double").alias("sv"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast(_DEC27))
+        .cast("double")
+        .alias("sq"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        (
+            (F.col("sq") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == _TTEST_A).select(
+        F.col("event_type").alias("variant_a"),
+        F.col("n").alias("n_a_d"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("event_type") == _TTEST_B).select(
+        F.col("event_type").alias("variant_b"),
+        F.col("n").alias("n_b_d"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a_d")
+    se_b = F.col("var_b") / F.col("n_b_d")
+    return a.crossJoin(b).select(
+        "variant_a",
+        "variant_b",
+        F.col("n_a_d").cast("bigint").alias("n_a"),
+        F.col("n_b_d").cast("bigint").alias("n_b"),
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se_a + se_b, F.lit(2))
+            / (
+                F.pow(se_a, F.lit(2)) / (F.col("n_a_d") - 1)
+                + F.pow(se_b, F.lit(2)) / (F.col("n_b_d") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "ab_mann_whitney_u",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')
+    ), rv AS (
+      SELECT value,
+        2 * COALESCE(SUM(c) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c + 1 AS r2
+      FROM (SELECT value, COUNT(*) AS c FROM base GROUP BY 1)
+    ), s AS (
+      SELECT base.event_type,
+        CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+        SUM(CAST(r2 AS DECIMAL(18,0))) AS r2sum
+      FROM base JOIN rv ON rv.value = base.value
+      GROUP BY 1
+    )
+    SELECT a.event_type AS variant_a, b.event_type AS variant_b,
+      CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      CAST(a.r2sum - a.n * (a.n + 1) AS DOUBLE) / 2 AS u_a,
+      CAST(b.r2sum - b.n * (b.n + 1) AS DOUBLE) / 2 AS u_b,
+      round((CAST(a.r2sum - a.n * (a.n + 1) AS DOUBLE) / 2
+             - CAST(a.n * b.n AS DOUBLE) / 2)
+            / sqrt(CAST(a.n * b.n AS DOUBLE)
+                   * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) + 1)
+                   / 12), 6) AS z_approx
+    FROM s a JOIN s b
+      ON a.event_type = '{_TTEST_A}' AND b.event_type = '{_TTEST_B}'
+    """,
+)
+def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest(x, g)`` analog: the rank-sum U
+    statistics (both directions) and the normal-approximation z score
+    for the two A/B variants — the nonparametric companion to
+    `ab_welch_ttest`.
+
+    Pooled average ranks come from the distinct-value cumulative-count
+    frame (2×avg-rank integers, DECIMAL-exact sums; the same rank
+    machinery as `events_rank_corr`), so U_a + U_b = n_a*n_b exactly.
+    The z denominator omits the tie correction — documented
+    approximation, identical on both engines.
+    """
+    base = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TTEST_A, _TTEST_B)
+    ).select("event_type", "value")
+    agg = base.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    rv = agg.select(
+        F.col("value").alias("v"),
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0)) * 2 + F.col("c") + 1
+        ).alias("r2"),
+    )
+    s = (
+        base.join(rv, F.col("value") == F.col("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC38).alias("n"),
+            F.sum(F.col("r2").cast(_DEC38)).alias("r2sum"),
+        )
+    )
+    a = s.filter(F.col("event_type") == _TTEST_A).select(
+        F.col("event_type").alias("variant_a"),
+        F.col("n").alias("na"),
+        F.col("r2sum").alias("ra"),
+    )
+    b = s.filter(F.col("event_type") == _TTEST_B).select(
+        F.col("event_type").alias("variant_b"),
+        F.col("n").alias("nb"),
+        F.col("r2sum").alias("rb"),
+    )
+    u_a = (
+        F.col("ra") - F.col("na") * (F.col("na") + 1)
+    ).cast("double") / 2
+    u_b = (
+        F.col("rb") - F.col("nb") * (F.col("nb") + 1)
+    ).cast("double") / 2
+    nab = (F.col("na") * F.col("nb")).cast("double")
+    return a.crossJoin(b).select(
+        "variant_a",
+        "variant_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        F.round(
+            (u_a - nab / 2)
+            / F.sqrt(
+                nab
+                * (F.col("na").cast("double") + F.col("nb").cast("double") + 1)
+                / 12
+            ),
+            6,
+        ).alias("z_approx"),
+    )

@@ -58,6 +58,13 @@ ORACLED = [
     "topk_heavy_hitters",
     "topk_weighted_users",
     "dedup_keep_canonical",
+    "events_rank_corr",
+    "events_cramers_v",
+    "events_bit_aggregates",
+    "events_linreg_by_type",
+    "user_type_sum_map",
+    "ab_welch_ttest",
+    "ab_mann_whitney_u",
 ]
 
 
