@@ -63,6 +63,7 @@ def load_all() -> None:
         fuzzy,
         graph,
         invindex,
+        lttb,
         merge,
         multimodal,
         ngrams,
