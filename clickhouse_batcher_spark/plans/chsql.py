@@ -31,6 +31,9 @@ parser rather than silently misbehaving):
 - ``now()`` / ``today()``        -> ``current_timestamp()`` /
                                     ``current_date()``
 - ``empty(x)`` / ``notEmpty(x)`` -> ``(length(x) = 0)`` / ``> 0``
+- ``ORDER BY o LIMIT n BY a, b``  -> ``row_number()`` window rewrite
+                                    (requires a top-level ORDER BY;
+                                    the offset form stays a loud error)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -205,16 +208,104 @@ _COND_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 _UNSUPPORTED = (
     # (pattern, construct, hint)
     (r"\bFINAL\b", "FINAL", "deduplicate explicitly (see operators.merge)"),
-    (r"\bLIMIT\s+\d+\s+BY\b", "LIMIT n BY", "use a row_number() window"),
+    (
+        r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b",
+        "LIMIT n, m BY (offset form)",
+        "only LIMIT n BY translates; page with a row_number() window",
+    ),
     (r"\bSAMPLE\s+[\d.]", "SAMPLE", "use operators.sampling (deterministic)"),
     (r"\bGLOBAL\s+(IN|JOIN)\b", "GLOBAL IN/JOIN", "plain IN/JOIN distributes on Spark"),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
 )
 
 
+def _depth_at(sql: str, idx: int) -> int:
+    """Paren nesting depth at index (quote-aware)."""
+    depth = 0
+    i = 0
+    while i < idx:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < idx and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
+def _top_level_search(sql: str, pattern: str) -> re.Match | None:
+    """First match of pattern outside strings and parentheses."""
+    for m in re.finditer(pattern, sql, flags=re.IGNORECASE):
+        if not _in_string(sql, m.start()) and _depth_at(sql, m.start()) == 0:
+            return m
+    return None
+
+
+def _limit_by(sql: str) -> str:
+    """Translate ClickHouse ``ORDER BY o LIMIT n BY a, b [LIMIT m]``.
+
+    LIMIT BY keeps the first n rows per distinct by-tuple in ORDER BY
+    order — exactly a row_number() window:
+
+        SELECT * EXCEPT (__limit_by_rn) FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY a, b ORDER BY o) AS __limit_by_rn
+          FROM (<body>) __limit_by_src
+        ) WHERE __limit_by_rn <= n ORDER BY o [LIMIT m]
+
+    Scoped translation: requires a top-level ORDER BY (without one the
+    per-group pick is nondeterministic on BOTH engines — loud error),
+    a single SELECT (no top-level set operations), and order
+    expressions drawn from the select output (they must survive into
+    the outer sort). At scale the window partitions on the by-tuple —
+    one hash shuffle, per-group state of one counter.
+    """
+    m = _top_level_search(sql, r"\bLIMIT\s+(\d+)\s+BY\b")
+    if not m:
+        return sql
+    n = int(m.group(1))
+    om = None
+    for cand in re.finditer(r"\bORDER\s+BY\b", sql[: m.start()], re.IGNORECASE):
+        if not _in_string(sql, cand.start()) and _depth_at(sql, cand.start()) == 0:
+            om = cand
+    if om is None:
+        raise ValueError(
+            "ClickHouse LIMIT BY without a top-level ORDER BY is "
+            "nondeterministic — add an ORDER BY to make the per-group "
+            "selection well-defined"
+        )
+    body = sql[: om.start()].strip()
+    if _top_level_search(body, r"\b(UNION|EXCEPT|INTERSECT)\b"):
+        raise ValueError(
+            "LIMIT BY over a set operation is outside the translation "
+            "scope — wrap the union in a subquery"
+        )
+    order = sql[om.end() : m.start()].strip()
+    rest = sql[m.end() :].strip()
+    cut = _next_clause(rest)
+    by = rest[:cut].strip().rstrip(";").strip()
+    tail = rest[cut:].strip()
+    if not by:
+        raise ValueError("LIMIT BY needs at least one expression")
+    out = (
+        f"SELECT * EXCEPT (__limit_by_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {by} ORDER BY {order})"
+        f" AS __limit_by_rn FROM ({body}) __limit_by_src"
+        f") WHERE __limit_by_rn <= {n} ORDER BY {order}"
+    )
+    if tail:
+        out = f"{out} {tail}"
+    return out
+
+
 def _clauses(sql: str) -> str:
     """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
-    loud errors for recognized-but-untranslatable constructs."""
+    LIMIT BY, loud errors for recognized-but-untranslatable
+    constructs."""
     out = sql
     for pat, construct, hint in _UNSUPPORTED:
         if re.search(pat, out, re.IGNORECASE) and not _in_string(
@@ -262,7 +353,7 @@ def _clauses(sql: str) -> str:
             ).rstrip()
         else:
             out = out[: m.start()] + "WHERE" + out[m.end() :]
-    return out
+    return _limit_by(out)
 
 
 _CLAUSE_KW = re.compile(

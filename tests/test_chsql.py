@@ -160,7 +160,7 @@ def test_translate_clauses(ch, expected):
     "ch",
     [
         "SELECT * FROM orders FINAL",
-        "SELECT * FROM events LIMIT 3 BY user_id",
+        "SELECT * FROM events ORDER BY ts LIMIT 2, 3 BY user_id",
         "SELECT * FROM events SAMPLE 0.1",
         "SELECT * FROM events WHERE user_id GLOBAL IN (SELECT user_id FROM events)",
     ],
@@ -288,3 +288,71 @@ def test_with_totals_end_to_end(spark, sf_dir):
 def test_with_fill_fails_loudly():
     with pytest.raises(ValueError, match="no Spark translation"):
         translate("SELECT h FROM events ORDER BY h WITH FILL")
+
+
+def test_limit_by_translates_to_window():
+    out = translate(
+        "SELECT user_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 2 BY user_id"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__limit_by_rn) FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY value DESC, event_id) AS __limit_by_rn "
+        "FROM (SELECT user_id, value FROM events) __limit_by_src"
+        ") WHERE __limit_by_rn <= 2 ORDER BY value DESC, event_id"
+    )
+
+
+def test_limit_by_keeps_trailing_limit():
+    out = translate(
+        "SELECT event_type, value, event_id FROM events "
+        "ORDER BY value DESC, event_id LIMIT 3 BY event_type LIMIT 8"
+    )
+    assert out.endswith("ORDER BY value DESC, event_id LIMIT 8")
+    assert "__limit_by_rn <= 3" in out
+
+
+def test_limit_by_without_order_by_fails_loudly():
+    with pytest.raises(ValueError, match="nondeterministic"):
+        translate("SELECT * FROM events LIMIT 3 BY user_id")
+
+
+def test_limit_by_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT event_type, value, event_id FROM events "
+        "ORDER BY value DESC, event_id LIMIT 3 BY event_type LIMIT 8",
+        sf_dir,
+        dialect="clickhouse",
+    )
+    want = run_sql(
+        spark,
+        """SELECT event_type, value, event_id FROM (
+             SELECT event_type, value, event_id,
+                    row_number() OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id) AS rn
+             FROM events) WHERE rn <= 3
+           ORDER BY value DESC, event_id LIMIT 8""",
+        sf_dir,
+        dialect="spark",
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_limit_by_composes_with_dialect_functions(spark, sf_dir):
+    # count()/toStartOfDay inside the body still translate after the
+    # LIMIT BY restructuring.
+    got = run_sql(
+        spark,
+        "SELECT toStartOfDay(ts) AS d, event_type, count() AS n "
+        "FROM events GROUP BY d, event_type "
+        "ORDER BY n DESC, d, event_type LIMIT 1 BY event_type",
+        sf_dir,
+        dialect="clickhouse",
+    )
+    rows = got.collect()
+    # one busiest day per event type
+    assert len(rows) == len({r["event_type"] for r in rows})
