@@ -34,6 +34,17 @@ parser rather than silently misbehaving):
 - ``ORDER BY o LIMIT n BY a, b``  -> ``row_number()`` window rewrite
                                     (requires a top-level ORDER BY;
                                     the offset form stays a loud error)
+- ``FROM t SAMPLE f``            -> deterministic hash filter on the
+                                    caller-declared sampling key
+                                    (``sample_keys=``; keyless = loud)
+- String/JSON/date/array scalars: ``lengthUTF8 position startsWith
+  endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
+  toStartOfQuarter toQuarter toDayOfYear toUnixTimestamp
+  fromUnixTimestamp intDiv modulo isNull isNotNull arrayElement
+  indexOf arrayMap arrayFilter arrayExists arrayAll arrayCount
+  arrayStringConcat arraySort arrayReverse arrayDistinct arrayUniq
+  arraySlice leftPad rightPad trimBoth substringUTF8
+  formatDateTime`` (literal formats; unknown % codes are loud errors)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -213,7 +224,6 @@ _UNSUPPORTED = (
         "LIMIT n, m BY (offset form)",
         "only LIMIT n BY translates; page with a row_number() window",
     ),
-    (r"\bSAMPLE\s+[\d.]", "SAMPLE", "use operators.sampling (deterministic)"),
     (r"\bGLOBAL\s+(IN|JOIN)\b", "GLOBAL IN/JOIN", "plain IN/JOIN distributes on Spark"),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
 )
@@ -302,11 +312,71 @@ def _limit_by(sql: str) -> str:
     return out
 
 
-def _clauses(sql: str) -> str:
-    """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
-    LIMIT BY, loud errors for recognized-but-untranslatable
-    constructs."""
+_SAMPLE_PAT = re.compile(
+    r"\b(\w+)\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+)", re.IGNORECASE
+)
+_SAMPLE_SPACE = 65536  # 16^4: the sha2 hex-prefix value space
+
+
+def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
+    """Translate ``FROM t SAMPLE f`` (fractional form) into a
+    deterministic hash filter on the table's declared sampling key.
+
+    ClickHouse samples by a DDL-declared sampling expression; there is
+    no way to infer that key from the query text, so the caller passes
+    ``sample_keys={"events": "user_id"}`` — mirroring the DDL — and
+    the table reference becomes::
+
+        (SELECT * FROM t WHERE
+           (conv(substring(sha2(CAST(key AS STRING), 256), 1, 4), 16,
+                 10) % 65536) < round(f * 65536)) t
+
+    Same hash family as ``operators.sampling.hash_bucket``: stable
+    across runs/engines, key-consistent (all rows of one key are kept
+    or dropped together, matching ClickHouse's coordinated-subsample
+    semantics). Without a key for the sampled table the construct
+    stays a loud error; the row-count form (``SAMPLE 1000000``) is
+    untranslatable (needs table statistics) and always errors.
+    """
     out = sql
+    pos = 0
+    while True:
+        m = _SAMPLE_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        tbl, frac_s = m.group(1), m.group(2)
+        frac = float(frac_s)
+        if not 0 < frac <= 1:
+            raise ValueError(
+                "ClickHouse SAMPLE row-count form has no Spark "
+                "translation — use the fractional form (0 < f <= 1)"
+            )
+        if not sample_keys or tbl not in sample_keys:
+            raise ValueError(
+                f"ClickHouse SAMPLE has no Spark translation without a "
+                f"sampling key for table {tbl!r} — pass "
+                f"sample_keys={{{tbl!r}: '<column>'}} (the table DDL's "
+                f"SAMPLE BY expression)"
+            )
+        key = sample_keys[tbl]
+        thresh = round(frac * _SAMPLE_SPACE)
+        pred = (
+            f"(conv(substring(sha2(CAST({key} AS STRING), 256), 1, 4), "
+            f"16, 10) % {_SAMPLE_SPACE}) < {thresh}"
+        )
+        repl = f"(SELECT * FROM {tbl} WHERE {pred}) {tbl}"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
+def _clauses(sql: str, sample_keys: dict[str, str] | None = None) -> str:
+    """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
+    LIMIT BY, SAMPLE, loud errors for recognized-but-untranslatable
+    constructs."""
+    out = _sample(sql, sample_keys)
     for pat, construct, hint in _UNSUPPORTED:
         if re.search(pat, out, re.IGNORECASE) and not _in_string(
             out, re.search(pat, out, re.IGNORECASE).start()
@@ -385,9 +455,13 @@ def _next_clause(sql: str) -> int:
     return n
 
 
-def translate(sql: str) -> str:
-    """Translate the supported ClickHouse-dialect subset to Spark SQL."""
-    out = _clauses(sql)
+def translate(sql: str, sample_keys: dict[str, str] | None = None) -> str:
+    """Translate the supported ClickHouse-dialect subset to Spark SQL.
+
+    ``sample_keys`` maps table name -> sampling-key column (the table
+    DDL's ``SAMPLE BY`` expression), enabling ``SAMPLE f`` translation.
+    """
+    out = _clauses(sql, sample_keys)
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
 
     out = _rewrite_calls(
@@ -453,7 +527,180 @@ def translate(sql: str) -> str:
     )
     out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "assumeNotNull", lambda a: a[0])
+    out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "position",
+        # ClickHouse position(haystack, needle); standard SQL
+        # POSITION(a IN b) has one comma-free arg and passes through.
+        lambda a: (
+            f"position({a[1]}, {a[0]})"
+            if len(a) == 2
+            else f"position({', '.join(a)})"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "startsWith", lambda a: f"startswith({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "endsWith", lambda a: f"endswith({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
+    )
+    for ch, cast_to in (
+        ("JSONExtractString", None),
+        ("JSONExtractRaw", None),
+        ("JSONExtractInt", "BIGINT"),
+        ("JSONExtractFloat", "DOUBLE"),
+        ("JSONExtractBool", "BOOLEAN"),
+    ):
+        out = _rewrite_calls(
+            out, ch, lambda a, t=cast_to, n=ch: _json_extract(n, a, t)
+        )
+    out = _rewrite_calls(
+        out, "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"
+    )
+    out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
+    out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
+    out = _rewrite_calls(
+        out, "toUnixTimestamp", lambda a: f"unix_timestamp({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "fromUnixTimestamp",
+        # timestamp_seconds keeps the DateTime type (from_unixtime
+        # would return a formatted string).
+        lambda a: f"timestamp_seconds({a[0]})",
+    )
+    out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} DIV {a[1]})")
+    out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
+    out = _rewrite_calls(out, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)")
+    out = _rewrite_calls(out, "isNull", lambda a: f"({a[0]} IS NULL)")
+    out = _rewrite_calls(
+        out, "arrayElement", lambda a: f"element_at({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})"
+    )
+    # Higher-order functions: ClickHouse puts the lambda FIRST, Spark
+    # puts the array first; `x -> expr` lambda syntax is shared.
+    out = _rewrite_calls(
+        out, "arrayMap", lambda a: f"transform({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "arrayFilter", lambda a: f"filter({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(out, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
+    out = _rewrite_calls(
+        out, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayStringConcat",
+        lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})",
+    )
+    out = _rewrite_calls(out, "arraySort", lambda a: f"sort_array({a[0]})")
+    out = _rewrite_calls(out, "arrayReverse", lambda a: f"reverse({a[0]})")
+    out = _rewrite_calls(
+        out, "arrayDistinct", lambda a: f"array_distinct({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "arrayUniq", lambda a: f"size(array_distinct({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out, "arraySlice", lambda a: f"slice({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "leftPad", lambda a: f"lpad({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "rightPad", lambda a: f"rpad({', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "trimBoth", lambda a: f"trim({a[0]})")
+    out = _rewrite_calls(
+        out, "substringUTF8", lambda a: f"substring({', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "formatDateTime", _format_datetime)
     return out
+
+
+def _json_extract(name: str, args: list[str], cast_to: str | None) -> str:
+    """JSONExtract*(json, 'key') -> get_json_object(json, '$.key').
+
+    Only the literal-key, top-level form translates (the path must be
+    baked into get_json_object's JSONPath literal); non-literal keys
+    pass through unchanged and fail loudly in Spark's parser.
+    """
+    if len(args) != 2 or not (
+        args[1].startswith("'") and args[1].endswith("'")
+    ):
+        return f"{name}({', '.join(args)})"
+    key = args[1][1:-1]
+    expr = f"get_json_object({args[0]}, '$.{key}')"
+    return f"CAST({expr} AS {cast_to})" if cast_to else expr
+
+
+_FMT_CODES = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(ts, '%Y-%m-%d') -> date_format(ts, 'yyyy-MM-dd').
+
+    Literal formats only; an unrecognized % code is a loud error
+    (silently emitting the wrong Java pattern would corrupt output).
+    Literal letters in the format are quoted for Java's pattern syntax.
+    """
+    if len(args) != 2 or not (
+        args[1].startswith("'") and args[1].endswith("'")
+    ):
+        raise ValueError(
+            "formatDateTime translates only with a literal format string"
+        )
+    fmt = args[1][1:-1]
+    parts: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            code = fmt[i : i + 2]
+            if code not in _FMT_CODES:
+                raise ValueError(
+                    f"formatDateTime: no translation for format code "
+                    f"{code!r}"
+                )
+            parts.append(_FMT_CODES[code])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            # Java date patterns treat letters as pattern codes; quote
+            # any literal run containing letters or quotes.
+            if any(c.isalpha() or c == "'" for c in lit):
+                parts.append("'" + lit.replace("'", "''") + "'")
+            else:
+                parts.append(lit)
+            i = j
+    # Double any quote for embedding in the SQL string literal (Java
+    # sees the un-doubled pattern after SQL parsing).
+    pattern = "".join(parts).replace("'", "''")
+    return f"date_format({args[0]}, '{pattern}')"
 
 
 _DATE_PARTS = {

@@ -95,7 +95,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def run_sql(
-    spark: SparkSession, sql: str, sf_dir: str, dialect: str = "spark"
+    spark: SparkSession,
+    sql: str,
+    sf_dir: str,
+    dialect: str = "spark",
+    sample_keys: dict[str, str] | None = None,
 ) -> DataFrame:
     """The SQL switching path: register the tables as views and run a
     query against them — ``dialect="clickhouse"`` first translates the
@@ -107,7 +111,7 @@ def run_sql(
     if dialect == "clickhouse":
         from clickhouse_batcher_spark.plans.chsql import translate
 
-        sql = translate(sql)
+        sql = translate(sql, sample_keys=sample_keys)
     elif dialect != "spark":
         raise ValueError(f"unknown dialect: {dialect!r}")
     return spark.sql(sql)

@@ -356,3 +356,144 @@ def test_limit_by_composes_with_dialect_functions(spark, sf_dir):
     rows = got.collect()
     # one busiest day per event type
     assert len(rows) == len({r["event_type"] for r in rows})
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT lengthUTF8(text), position(text, 'ab') FROM documents",
+            "SELECT char_length(text), position('ab', text) FROM documents",
+        ),
+        (
+            "SELECT startsWith(text, 'a'), endsWith(text, 'z') FROM documents",
+            "SELECT startswith(text, 'a'), endswith(text, 'z') FROM documents",
+        ),
+        (
+            "SELECT replaceAll(text, 'a', 'b') FROM documents",
+            "SELECT replace(text, 'a', 'b') FROM documents",
+        ),
+        (
+            "SELECT JSONExtractInt(props, 'k') FROM events",
+            "SELECT CAST(get_json_object(props, '$.k') AS BIGINT) FROM events",
+        ),
+        (
+            "SELECT JSONExtractString(props, 'k') FROM events",
+            "SELECT get_json_object(props, '$.k') FROM events",
+        ),
+        (
+            "SELECT toQuarter(ts), toDayOfYear(ts), toUnixTimestamp(ts) FROM events",
+            "SELECT quarter(ts), dayofyear(ts), unix_timestamp(ts) FROM events",
+        ),
+        (
+            "SELECT fromUnixTimestamp(1700000000)",
+            "SELECT timestamp_seconds(1700000000)",
+        ),
+        (
+            "SELECT intDiv(user_id, 7), modulo(user_id, 7) FROM events",
+            "SELECT (user_id DIV 7), (user_id % 7) FROM events",
+        ),
+        (
+            "SELECT isNull(props), isNotNull(props) FROM events",
+            "SELECT (props IS NULL), (props IS NOT NULL) FROM events",
+        ),
+        (
+            "SELECT arrayMap(x -> x * 2, embedding) FROM embeddings",
+            "SELECT transform(embedding, x -> x * 2) FROM embeddings",
+        ),
+        (
+            "SELECT arrayFilter(x -> x > 0, embedding), arrayCount(x -> x > 0, embedding) FROM embeddings",
+            "SELECT filter(embedding, x -> x > 0), size(filter(embedding, x -> x > 0)) FROM embeddings",
+        ),
+        (
+            "SELECT arrayElement(embedding, 1), indexOf(embedding, 0.5) FROM embeddings",
+            "SELECT element_at(embedding, 1), array_position(embedding, 0.5) FROM embeddings",
+        ),
+        (
+            "SELECT arraySort(embedding), arrayUniq(embedding) FROM embeddings",
+            "SELECT sort_array(embedding), size(array_distinct(embedding)) FROM embeddings",
+        ),
+        (
+            "SELECT arrayStringConcat(arr, '-') FROM t",
+            "SELECT array_join(arr, '-') FROM t",
+        ),
+        (
+            "SELECT leftPad(lang, 5, ' '), trimBoth(lang) FROM documents",
+            "SELECT lpad(lang, 5, ' '), trim(lang) FROM documents",
+        ),
+        (
+            "SELECT formatDateTime(ts, '%Y-%m-%d %H:%M:%S') FROM events",
+            "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM events",
+        ),
+        (
+            "SELECT formatDateTime(ts, '%Y at %H') FROM events",
+            "SELECT date_format(ts, 'yyyy'' at ''HH') FROM events",
+        ),
+    ],
+)
+def test_translate_scalar_functions_batch2(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_format_datetime_unknown_code_fails_loudly():
+    with pytest.raises(ValueError, match="no translation for format code"):
+        translate("SELECT formatDateTime(ts, '%Q') FROM events")
+
+
+def test_scalar_batch2_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT event_id, JSONExtractInt(props, 'k') AS k, "
+        "formatDateTime(ts, '%Y-%m-%d') AS d, intDiv(user_id, 10) AS ub "
+        "FROM events ORDER BY event_id LIMIT 20",
+        sf_dir,
+        dialect="clickhouse",
+    )
+    want = run_sql(
+        spark,
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k, "
+        "date_format(ts, 'yyyy-MM-dd') AS d, user_id DIV 10 AS ub "
+        "FROM events ORDER BY event_id LIMIT 20",
+        sf_dir,
+        dialect="spark",
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_sample_requires_key():
+    with pytest.raises(ValueError, match="sampling key"):
+        translate("SELECT count() FROM events SAMPLE 0.1")
+
+
+def test_sample_rowcount_form_fails_loudly():
+    with pytest.raises(ValueError, match="row-count form"):
+        translate(
+            "SELECT count() FROM events SAMPLE 100000",
+            sample_keys={"events": "user_id"},
+        )
+
+
+def test_sample_translates_with_key(spark, sf_dir):
+    # Deterministic: same result twice; key-coordinated: every kept
+    # user keeps ALL their rows; fraction lands near 25%.
+    ch = "SELECT user_id, count() AS n FROM events SAMPLE 0.25 GROUP BY user_id"
+    a = run_sql(
+        spark, ch, sf_dir, dialect="clickhouse",
+        sample_keys={"events": "user_id"},
+    ).toPandas()
+    b = run_sql(
+        spark, ch, sf_dir, dialect="clickhouse",
+        sample_keys={"events": "user_id"},
+    ).toPandas()
+    assert sorted(a["user_id"]) == sorted(b["user_id"])
+    full = run_sql(
+        spark,
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+        sf_dir,
+    ).toPandas()
+    frac = len(a) / len(full)
+    assert 0.10 < frac < 0.45, frac
+    merged = a.merge(full, on="user_id", suffixes=("", "_full"))
+    assert (merged["n"] == merged["n_full"]).all()
