@@ -37,6 +37,9 @@ parser rather than silently misbehaving):
 - ``FROM t SAMPLE f``            -> deterministic hash filter on the
                                     caller-declared sampling key
                                     (``sample_keys=``; keyless = loud)
+- ``FROM t FINAL``               -> latest-row-per-key window using the
+                                    caller-declared (keys, version)
+                                    (``final_keys=``; keyless = loud)
 - String/JSON/date/array scalars: ``lengthUTF8 position startsWith
   endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
   toStartOfQuarter toQuarter toDayOfYear toUnixTimestamp
@@ -218,7 +221,6 @@ _COND_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
 _UNSUPPORTED = (
     # (pattern, construct, hint)
-    (r"\bFINAL\b", "FINAL", "deduplicate explicitly (see operators.merge)"),
     (
         r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b",
         "LIMIT n, m BY (offset form)",
@@ -372,11 +374,69 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
         pos = m.start() + len(repl)
 
 
-def _clauses(sql: str, sample_keys: dict[str, str] | None = None) -> str:
+_FINAL_PAT = re.compile(r"\b(\w+)\s+FINAL\b", re.IGNORECASE)
+
+
+def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
+    """Translate ``FROM t FINAL`` (ReplacingMergeTree collapse-on-read).
+
+    FINAL returns one fully-merged row per ORDER BY key — the row with
+    the greatest version. That metadata lives in the table DDL, not
+    the query, so the caller passes
+    ``final_keys={"orders": (("o_orderkey",), "o_version")}`` — (key
+    columns, version column) — and the reference becomes the standard
+    latest-row window::
+
+        (SELECT * EXCEPT (__final_rn) FROM (
+           SELECT *, row_number() OVER (PARTITION BY <keys>
+             ORDER BY <version> DESC) AS __final_rn FROM t)
+         WHERE __final_rn = 1) t
+
+    A tie on (key, version) is nondeterministic in ClickHouse too
+    (which dup survives a merge is undefined); declare a
+    higher-resolution version column if that matters. Without an entry
+    for the table the construct stays a loud error. At scale this is
+    one hash shuffle on the key — the same cost ClickHouse pays in
+    its merge, paid at read time.
+    """
+    out = sql
+    pos = 0
+    while True:
+        m = _FINAL_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        tbl = m.group(1)
+        if not final_keys or tbl not in final_keys:
+            raise ValueError(
+                f"ClickHouse FINAL has no Spark translation without the "
+                f"table's ORDER BY key and version column — pass "
+                f"final_keys={{{tbl!r}: (('<key>',), '<version>')}} "
+                f"(or deduplicate explicitly: operators.merge)"
+            )
+        keys, version = final_keys[tbl]
+        part = ", ".join(keys)
+        repl = (
+            f"(SELECT * EXCEPT (__final_rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {part} "
+            f"ORDER BY {version} DESC) AS __final_rn FROM {tbl}"
+            f") WHERE __final_rn = 1) {tbl}"
+        )
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
+def _clauses(
+    sql: str,
+    sample_keys: dict[str, str] | None = None,
+    final_keys: dict[str, tuple] | None = None,
+) -> str:
     """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
-    LIMIT BY, SAMPLE, loud errors for recognized-but-untranslatable
-    constructs."""
-    out = _sample(sql, sample_keys)
+    LIMIT BY, SAMPLE, FINAL, loud errors for
+    recognized-but-untranslatable constructs."""
+    out = _final(_sample(sql, sample_keys), final_keys)
     for pat, construct, hint in _UNSUPPORTED:
         if re.search(pat, out, re.IGNORECASE) and not _in_string(
             out, re.search(pat, out, re.IGNORECASE).start()
@@ -455,13 +515,19 @@ def _next_clause(sql: str) -> int:
     return n
 
 
-def translate(sql: str, sample_keys: dict[str, str] | None = None) -> str:
+def translate(
+    sql: str,
+    sample_keys: dict[str, str] | None = None,
+    final_keys: dict[str, tuple] | None = None,
+) -> str:
     """Translate the supported ClickHouse-dialect subset to Spark SQL.
 
     ``sample_keys`` maps table name -> sampling-key column (the table
     DDL's ``SAMPLE BY`` expression), enabling ``SAMPLE f`` translation.
+    ``final_keys`` maps table name -> (key columns, version column)
+    (the DDL's ORDER BY key + version), enabling ``FINAL`` translation.
     """
-    out = _clauses(sql, sample_keys)
+    out = _clauses(sql, sample_keys, final_keys)
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
 
     out = _rewrite_calls(

@@ -100,6 +100,7 @@ def run_sql(
     sf_dir: str,
     dialect: str = "spark",
     sample_keys: dict[str, str] | None = None,
+    final_keys: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The SQL switching path: register the tables as views and run a
     query against them — ``dialect="clickhouse"`` first translates the
@@ -111,7 +112,7 @@ def run_sql(
     if dialect == "clickhouse":
         from clickhouse_batcher_spark.plans.chsql import translate
 
-        sql = translate(sql, sample_keys=sample_keys)
+        sql = translate(sql, sample_keys=sample_keys, final_keys=final_keys)
     elif dialect != "spark":
         raise ValueError(f"unknown dialect: {dialect!r}")
     return spark.sql(sql)

@@ -497,3 +497,49 @@ def test_sample_translates_with_key(spark, sf_dir):
     assert 0.10 < frac < 0.45, frac
     merged = a.merge(full, on="user_id", suffixes=("", "_full"))
     assert (merged["n"] == merged["n_full"]).all()
+
+
+def test_final_requires_keys():
+    with pytest.raises(ValueError, match="no Spark translation without"):
+        translate("SELECT * FROM orders FINAL")
+
+
+def test_final_translates_to_latest_row_window():
+    out = translate(
+        "SELECT count() FROM orders FINAL",
+        final_keys={"orders": (("o_orderkey",), "o_version")},
+    )
+    assert out == (
+        "SELECT count(*) FROM (SELECT * EXCEPT (__final_rn) FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+        "ORDER BY o_version DESC) AS __final_rn FROM orders"
+        ") WHERE __final_rn = 1) orders"
+    )
+
+
+def test_final_end_to_end(spark, sf_dir):
+    # Use orders with a synthetic version: two 'versions' of each order
+    # via UNION; FINAL must collapse back to one row per key keeping
+    # the higher version.
+    from clickhouse_batcher_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """SELECT o_orderkey, o_totalprice, 1 AS v FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS v
+           FROM orders WHERE o_orderkey % 3 = 0"""
+    ).createOrReplaceTempView("orders_versions")
+    got = run_sql(
+        spark,
+        "SELECT count() AS n, countIf(v = 2) AS n_v2 FROM orders_versions FINAL",
+        sf_dir,
+        dialect="clickhouse",
+        final_keys={"orders_versions": (("o_orderkey",), "v")},
+    ).collect()[0]
+    base = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    upd = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0"
+    ).collect()[0]["n"]
+    assert got["n"] == base          # one row per key
+    assert got["n_v2"] == upd        # updated keys surface version 2
