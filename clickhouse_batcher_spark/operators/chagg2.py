@@ -594,3 +594,145 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+@query(
+    "events_skew_kurt_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS s2,
+        CAST(SUM(CAST(round(value * value * value, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS s3,
+        CAST(SUM(CAST(round(value * value * value * value, 6)
+                      AS DECIMAL(27,6))) AS DOUBLE) AS s4
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT event_type, n, s1 / n AS mu,
+        s2 / n - (s1 / n) * (s1 / n) AS m2,
+        s3 / n - 3 * (s1 / n) * (s2 / n)
+          + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        s4 / n - 4 * (s1 / n) * (s3 / n)
+          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      round(m3 / sqrt(m2 * m2 * m2), 6) AS skew_pop,
+      round(m4 / (m2 * m2), 6) AS kurt_pop
+    FROM m
+    """,
+)
+def events_skew_kurt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` analogs: population
+    skewness and kurtosis of value per event type — the distribution-
+    shape screens (symmetric? heavy-tailed?) beyond
+    `value_moments_by_type`'s mean/stddev.
+
+    Spark's built-in skewness()/kurtosis() use a different running
+    formulation than DuckDB's, so for hash parity the moments come
+    from rounded-decimal-exact power sums (S1..S4) and the SAME
+    closed-form expansion is evaluated in DOUBLE on both engines —
+    one map-side-combinable groupBy either way.
+    """
+    v = F.col("value")
+    s = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round(v, 6).cast(_DEC27)).cast("double").alias("s1"),
+        F.sum(F.round(v * v, 6).cast(_DEC27)).cast("double").alias("s2"),
+        F.sum(F.round(v * v * v, 6).cast(_DEC27)).cast("double").alias("s3"),
+        F.sum(F.round(v * v * v * v, 6).cast(_DEC27))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
+    )
+
+
+@query(
+    "events_theils_u",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS a, {_K_SQL} // 10 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), ra AS (SELECT a, SUM(o) AS ra_tot FROM obs GROUP BY 1),
+    cb AS (SELECT b, SUM(o) AS cb_tot FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    ha AS (
+      SELECT CAST(SUM(CAST(round(
+          -1.0 * (CAST(ra_tot AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(ra_tot AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(27,6))) AS DOUBLE) AS h_a
+      FROM ra CROSS JOIN tot
+    ), hab AS (
+      SELECT CAST(SUM(CAST(round(
+          -1.0 * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(o AS DOUBLE) / CAST(cb_tot AS DOUBLE)), 6)
+        AS DECIMAL(27,6))) AS DOUBLE) AS h_ab
+      FROM obs JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+      round(h_a, 6) AS h_a, round(h_ab, 6) AS h_a_given_b,
+      round((h_a - h_ab) / h_a, 6) AS theils_u
+    FROM ha CROSS JOIN hab
+    """,
+)
+def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU(a, b)`` analog: the uncertainty
+    coefficient U(event_type | props-decile) — how much knowing the
+    payload bucket reduces event-type entropy. Asymmetric, unlike
+    `events_cramers_v`, and shares its contingency frame.
+
+    H(A) and H(A|B) are rounded-decimal-exact entropy sums over the
+    marginal / joint count frames; the ratio is one double division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.floor(_k_col() / 10).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra_tot"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    pa = F.col("ra_tot").cast("double") / F.col("n").cast("double")
+    ha = (
+        ra.crossJoin(F.broadcast(tot))
+        .select(F.round(F.lit(-1.0) * pa * F.log(pa), 6).cast(_DEC27).alias("t"))
+        .agg(F.sum("t").cast("double").alias("h_a"))
+    )
+    po = F.col("o").cast("double") / F.col("n").cast("double")
+    pc = F.col("o").cast("double") / F.col("cb_tot").cast("double")
+    hab = (
+        obs.join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(F.round(F.lit(-1.0) * po * F.log(pc), 6).cast(_DEC27).alias("t"))
+        .agg(F.sum("t").cast("double").alias("h_ab"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hab))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("h_a"), 6).alias("h_a"),
+            F.round(F.col("h_ab"), 6).alias("h_a_given_b"),
+            F.round(
+                (F.col("h_a") - F.col("h_ab")) / F.col("h_a"), 6
+            ).alias("theils_u"),
+        )
+    )

@@ -65,6 +65,8 @@ ORACLED = [
     "user_type_sum_map",
     "ab_welch_ttest",
     "ab_mann_whitney_u",
+    "events_skew_kurt_by_type",
+    "events_theils_u",
 ]
 
 
