@@ -182,7 +182,12 @@ _PRIORITY: list[str] = [
 #       lineitem_weighted_price_median, t5_span_corruption,
 #       docs_bigram_logprob, events_rolling_median_12h,
 #       next_event_prediction, event_type_user_entropy,
-#       max_concurrent_intervals, topk_weighted_users;
+#       max_concurrent_intervals, topk_weighted_users, and the
+#       third-session statistical batch: events_rank_corr,
+#       events_cramers_v, events_bit_aggregates,
+#       events_linreg_by_type, user_type_sum_map, ab_welch_ttest,
+#       ab_mann_whitney_u, events_skew_kurt_by_type, events_theils_u,
+#       events_lttb_downsample* (*rows-only);
 #   (b) as slots remain, the 14 single-green r2 demotions for second
 #       greens (ROADMAP item 2b: text_stats, langid_predict,
 #       redact_docs, doc_fingerprint, retrieval_topk_docs,

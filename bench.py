@@ -131,6 +131,16 @@ HEADLINE = [
     "event_type_user_entropy",
     "max_concurrent_intervals",
     "topk_weighted_users",
+    "events_rank_corr",
+    "events_cramers_v",
+    "events_bit_aggregates",
+    "events_linreg_by_type",
+    "user_type_sum_map",
+    "ab_welch_ttest",
+    "ab_mann_whitney_u",
+    "events_skew_kurt_by_type",
+    "events_theils_u",
+    "events_lttb_downsample",
 ]
 
 
