@@ -141,6 +141,7 @@ HEADLINE = [
     "events_skew_kurt_by_type",
     "events_theils_u",
     "events_lttb_downsample",
+    "sequence_count_per_user",
 ]
 
 

@@ -736,3 +736,68 @@ def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theils_u"),
         )
     )
+
+
+_SEQ_A = "click"
+_SEQ_B = "purchase"
+
+
+@query(
+    "sequence_count_per_user",
+    oracle=f"""
+    WITH ab AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN event_type = '{_SEQ_A}' THEN 1 ELSE 0 END AS is_a,
+        CASE WHEN event_type = '{_SEQ_B}' THEN 1 ELSE 0 END AS is_b
+      FROM events
+      WHERE event_type IN ('{_SEQ_A}', '{_SEQ_B}')
+    ), c AS (
+      SELECT user_id, is_a, is_b,
+        SUM(is_b - is_a) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS excess
+      FROM ab
+    )
+    SELECT user_id,
+      CAST(SUM(is_a) AS BIGINT) AS n_a,
+      CAST(SUM(is_b) AS BIGINT) AS n_b,
+      CAST(SUM(is_b) - GREATEST(MAX(excess), 0) AS BIGINT) AS n_matches
+    FROM c GROUP BY user_id
+    """,
+)
+def sequence_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')(ts, A, B)`` analog: the
+    number of NON-OVERLAPPING '{_SEQ_A}' -> '{_SEQ_B}' occurrences per
+    user (each event consumed by at most one match), the repeatable-
+    funnel counter beyond `sequence_match_counts`' existence bit.
+
+    Greedy earliest-match counting is sequential, but the matched
+    count has a closed relational form — the parenthesis-matching
+    identity: matched = total_B - max(0, max over prefixes of
+    (cum_B - cum_A)) in (ts, event_id) order. One filtered scan, one
+    per-user window over just the A/B events, one aggregate; exact
+    integers throughout.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_SEQ_A, _SEQ_B)
+    )
+    is_a = F.when(F.col("event_type") == _SEQ_A, 1).otherwise(0)
+    is_b = F.when(F.col("event_type") == _SEQ_B, 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.select(
+        "user_id",
+        is_a.alias("is_a"),
+        is_b.alias("is_b"),
+        F.sum(is_b - is_a).over(w).alias("excess"),
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum("is_b").cast("bigint").alias("n_b"),
+        (F.sum("is_b") - F.greatest(F.max("excess"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matches"),
+    )

@@ -67,6 +67,7 @@ ORACLED = [
     "ab_mann_whitney_u",
     "events_skew_kurt_by_type",
     "events_theils_u",
+    "sequence_count_per_user",
 ]
 
 
@@ -1402,3 +1403,42 @@ def test_pca_matches_full_numpy(spark, sf_dir):
     want = (X - X.mean(axis=0)) @ ref.T
     got = np.array([proj[r["vec_id"]] for r in rows])
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_sequence_count_matches_greedy_simulation(spark, sf_dir):
+    """The closed-form (total_B - max prefix excess) must equal an
+    explicit greedy earliest-match simulation of sequenceCount."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from clickhouse_batcher_spark.operators.chagg2 import _SEQ_A, _SEQ_B
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    rows = con.execute(
+        f"""SELECT user_id, event_type FROM events
+            WHERE event_type IN ('{_SEQ_A}', '{_SEQ_B}')
+            ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    con.close()
+    seq = defaultdict(list)
+    for u, t in rows:
+        seq[u].append(t)
+    greedy = {}
+    for u, types in seq.items():
+        avail = matched = 0
+        for t in types:
+            if t == _SEQ_A:
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                matched += 1
+        greedy[u] = matched
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in catalog.QUERIES["sequence_count_per_user"](spark, sf_dir).collect()
+    }
+    assert got == greedy
