@@ -142,6 +142,7 @@ HEADLINE = [
     "events_theils_u",
     "events_lttb_downsample",
     "sequence_count_per_user",
+    "window_funnel_levels",
 ]
 
 

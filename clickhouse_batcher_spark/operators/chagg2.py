@@ -801,3 +801,116 @@ def sequence_count_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matches"),
     )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@query(
+    "window_funnel_levels",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+        CASE event_type WHEN '{_FUNNEL_STAGES[0]}' THEN 1
+                        WHEN '{_FUNNEL_STAGES[1]}' THEN 2
+                        ELSE 3 END AS stage
+      FROM events
+      WHERE event_type IN ('{_FUNNEL_STAGES[0]}', '{_FUNNEL_STAGES[1]}',
+                           '{_FUNNEL_STAGES[2]}')
+    ), nxt AS (
+      SELECT user_id, tsm, stage,
+        MIN(CASE WHEN stage = 2 THEN tsm END) OVER (
+          PARTITION BY user_id ORDER BY tsm
+          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n2,
+        MIN(CASE WHEN stage = 3 THEN tsm END) OVER (
+          PARTITION BY user_id ORDER BY tsm
+          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n3
+      FROM ev
+    ), s2map AS (
+      SELECT user_id, tsm, MIN(n3) AS n3
+      FROM nxt WHERE stage = 2 GROUP BY 1, 2
+    ), levels AS (
+      SELECT s.user_id,
+        CASE
+          WHEN s.n2 IS NOT NULL
+               AND s.n2 - s.tsm <= {_FUNNEL_WINDOW_US}
+               AND m.n3 IS NOT NULL
+               AND m.n3 - s.tsm <= {_FUNNEL_WINDOW_US} THEN 3
+          WHEN s.n2 IS NOT NULL
+               AND s.n2 - s.tsm <= {_FUNNEL_WINDOW_US} THEN 2
+          ELSE 1
+        END AS lvl
+      FROM (SELECT * FROM nxt WHERE stage = 1) s
+      LEFT JOIN s2map m ON m.user_id = s.user_id AND m.tsm = s.n2
+    ), per_user AS (
+      SELECT user_id, MAX(lvl) AS level FROM levels GROUP BY 1
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY level
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(W, 'strict_increase')(ts, c1, c2,
+    c3)`` analog: per user, the deepest view -> click -> purchase
+    chain with strictly increasing timestamps completing within a
+    6-hour window, reported as users per max level.
+
+    The greedy chain step "first stage-k event strictly after t" is a
+    RANGE window (1 FOLLOWING .. UNBOUNDED on epoch-micros), not a
+    self-join: each event learns its next-stage successor in one pass,
+    starts join their matched stage-2 row's successor for the third
+    hop. Per-user windows are bounded; no per-row Python anywhere.
+    `funnel_conversion` keeps the unwindowed distinct-stage funnel;
+    this adds ClickHouse's time-boxed chain semantics.
+    """
+    s1, s2, s3 = _FUNNEL_STAGES
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tsm"),
+            F.when(F.col("event_type") == s1, 1)
+            .when(F.col("event_type") == s2, 2)
+            .otherwise(3)
+            .alias("stage"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsm")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "user_id",
+        "tsm",
+        "stage",
+        F.min(F.when(F.col("stage") == 2, F.col("tsm"))).over(w).alias("n2"),
+        F.min(F.when(F.col("stage") == 3, F.col("tsm"))).over(w).alias("n3"),
+    )
+    s2map = (
+        nxt.filter(F.col("stage") == 2)
+        .groupBy(F.col("user_id").alias("m_user"), F.col("tsm").alias("m_tsm"))
+        .agg(F.min("n3").alias("m_n3"))
+    )
+    starts = nxt.filter(F.col("stage") == 1)
+    joined = starts.join(
+        s2map,
+        (F.col("user_id") == F.col("m_user")) & (F.col("n2") == F.col("m_tsm")),
+        "left",
+    )
+    within = lambda c: c.isNotNull() & (
+        c - F.col("tsm") <= _FUNNEL_WINDOW_US
+    )
+    lvl = (
+        F.when(within(F.col("n2")) & within(F.col("m_n3")), 3)
+        .when(within(F.col("n2")), 2)
+        .otherwise(1)
+    )
+    per_user = joined.select("user_id", lvl.alias("lvl")).groupBy(
+        "user_id"
+    ).agg(F.max("lvl").alias("level"))
+    return per_user.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

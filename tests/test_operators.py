@@ -68,6 +68,7 @@ ORACLED = [
     "events_skew_kurt_by_type",
     "events_theils_u",
     "sequence_count_per_user",
+    "window_funnel_levels",
 ]
 
 
@@ -1442,3 +1443,57 @@ def test_sequence_count_matches_greedy_simulation(spark, sf_dir):
         for r in catalog.QUERIES["sequence_count_per_user"](spark, sf_dir).collect()
     }
     assert got == greedy
+
+
+def test_window_funnel_matches_chain_simulation(spark, sf_dir):
+    """The range-window chain construction must equal an explicit
+    per-user first-successor simulation of windowFunnel
+    (strict_increase)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from clickhouse_batcher_spark.operators.chagg2 import (
+        _FUNNEL_STAGES,
+        _FUNNEL_WINDOW_US,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    rows = con.execute(
+        f"""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+                   event_type
+            FROM events WHERE event_type IN {_FUNNEL_STAGES!r}
+            ORDER BY user_id, tsm"""
+    ).fetchall()
+    con.close()
+    by_user = defaultdict(list)
+    for u, tsm, et in rows:
+        by_user[u].append((tsm, _FUNNEL_STAGES.index(et) + 1))
+    levels = defaultdict(int)
+    for u, evs in by_user.items():
+        best = 0
+        for t1, st in evs:
+            if st != 1:
+                continue
+            lvl = 1
+            n2 = min((t for t, s in evs if s == 2 and t > t1), default=None)
+            if n2 is not None and n2 - t1 <= _FUNNEL_WINDOW_US:
+                lvl = 2
+                n3 = min(
+                    (t for t, s in evs if s == 3 and t > n2), default=None
+                )
+                if n3 is not None and n3 - t1 <= _FUNNEL_WINDOW_US:
+                    lvl = 3
+            best = max(best, lvl)
+        if best:
+            levels[best] += 1
+    got = {
+        r["level"]: r["n_users"]
+        for r in catalog.QUERIES["window_funnel_levels"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == dict(levels)
