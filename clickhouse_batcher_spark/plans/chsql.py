@@ -188,6 +188,11 @@ def _rewrite_curried(sql: str, fname: str, spark_fn: str) -> str:
         x_close = _find_matching_paren(out, x_open)
         p = out[p_open + 1 : p_close].strip()
         x = out[x_open + 1 : x_close].strip()
+        # quantiles(p1, p2, ...)(x): the multi-quantile family takes an
+        # array of percentages on the Spark side.
+        p_parts = _split_top_level(p)
+        if len(p_parts) > 1:
+            p = f"array({', '.join(p_parts)})"
         repl = f"{spark_fn}({x}, {p})"
         out = out[: m.start()] + repl + out[x_close + 1 :]
         pos = m.start() + len(repl)
@@ -543,12 +548,44 @@ def translate(
     out = _rewrite_calls(out, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
     out = _rewrite_calls(out, "countIf", lambda a: f"count_if({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "uniqExactIf",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    out = _rewrite_calls(
+        out,
+        "uniqIf",
+        lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    out = _rewrite_calls(
+        out,
+        "anyIf",
+        # any_value over the NULL-masked column; ignoreNulls so the
+        # masked-out rows can't be picked (arbitrary-pick semantics
+        # match ClickHouse's — any() is nondeterministic there too).
+        lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    )
+    out = _rewrite_calls(out, "anyLast", lambda a: f"any_value({a[0]})")
+    out = _rewrite_calls(out, "any", lambda a: f"any_value({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "avgWeighted",
+        lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "countEqual",
+        lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
+    )
     for ch, sp in _COND_AGGS.items():
         out = _rewrite_calls(
             out,
             ch,
             lambda a, sp=sp: f"{sp}(CASE WHEN {a[1]} THEN {a[0]} END)",
         )
+    out = _rewrite_curried(out, "quantilesExact", "percentile")
+    out = _rewrite_curried(out, "quantiles", "percentile_approx")
     out = _rewrite_curried(out, "quantileExact", "percentile")
     out = _rewrite_curried(out, "quantile", "percentile_approx")
     out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")

@@ -543,3 +543,60 @@ def test_final_end_to_end(spark, sf_dir):
     ).collect()[0]["n"]
     assert got["n"] == base          # one row per key
     assert got["n_v2"] == upd        # updated keys surface version 2
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT quantiles(0.5, 0.9, 0.99)(value) FROM events",
+            "SELECT percentile_approx(value, array(0.5, 0.9, 0.99)) FROM events",
+        ),
+        (
+            "SELECT quantilesExact(0.25, 0.75)(value) FROM events",
+            "SELECT percentile(value, array(0.25, 0.75)) FROM events",
+        ),
+        (
+            "SELECT any(event_type), anyLast(event_type) FROM events",
+            "SELECT any_value(event_type), any_value(event_type) FROM events",
+        ),
+        (
+            "SELECT anyIf(value, event_type = 'click') FROM events",
+            "SELECT any_value(CASE WHEN event_type = 'click' THEN value END, true) FROM events",
+        ),
+        (
+            "SELECT uniqExactIf(user_id, value > 5) FROM events",
+            "SELECT count(DISTINCT CASE WHEN value > 5 THEN user_id END) FROM events",
+        ),
+        (
+            "SELECT avgWeighted(value, user_id) FROM events",
+            "SELECT (sum((value) * (user_id)) / sum(user_id)) FROM events",
+        ),
+        (
+            "SELECT countEqual(embedding, 0.5) FROM embeddings",
+            "SELECT size(filter(embedding, __ce -> __ce = 0.5)) FROM embeddings",
+        ),
+    ],
+)
+def test_translate_aggregate_batch3(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_aggregate_batch3_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT quantilesExact(0.25, 0.75)(value) AS q,"
+        " uniqExactIf(user_id, value > 50) AS u,"
+        " avgWeighted(value, user_id) AS aw FROM events",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    want = run_sql(
+        spark,
+        "SELECT percentile(value, array(0.25, 0.75)) AS q,"
+        " count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS u,"
+        " sum(value * user_id) / sum(user_id) AS aw FROM events",
+        sf_dir,
+    ).collect()[0]
+    assert got["q"] == want["q"] and got["u"] == want["u"]
+    assert abs(got["aw"] - want["aw"]) < 1e-9
