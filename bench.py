@@ -143,6 +143,7 @@ HEADLINE = [
     "events_lttb_downsample",
     "sequence_count_per_user",
     "window_funnel_levels",
+    "temperature_mix_sample",
 ]
 
 

@@ -15,7 +15,7 @@ the split columns prune scans if used as partition keys downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
@@ -322,4 +322,125 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
             "kept_tokens"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round-5): the standard
+# source-rebalancing op for multilingual / multi-source pretraining
+# mixes (sampling probability proportional to n_s^alpha smooths the
+# head-heavy source distribution; alpha=1 keeps natural proportions,
+# alpha->0 approaches uniform). Membership is a pure hash-threshold
+# function per source — reproducible, partitioning-independent, and
+# checkable cross-engine; at 100 TB this is one tiny source-count
+# aggregate broadcast back over a per-row map, no extra shuffle.
+
+TMIX_ALPHA = 0.5          # temperature exponent (sqrt smoothing)
+TMIX_TARGET_FRAC = 0.30   # sampled corpus size vs original
+_TMIX_SPACE = 65536       # sha2 hex-prefix value space (16^4)
+
+
+@query(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), wts AS (
+      SELECT source, n_s,
+        sqrt(CAST(n_s AS DOUBLE)) AS w,
+        SUM(sqrt(CAST(n_s AS DOUBLE))) OVER () AS w_tot,
+        SUM(n_s) OVER () AS n_tot
+      FROM counts
+    ), quota AS (
+      SELECT source, n_s,
+        round({TMIX_TARGET_FRAC} * CAST(n_tot AS DOUBLE) * w / w_tot)
+          AS target_s,
+        CAST(round(least(1.0,
+          {TMIX_TARGET_FRAC} * CAST(n_tot AS DOUBLE) * w
+            / (w_tot * CAST(n_s AS DOUBLE))) * {_TMIX_SPACE}) AS BIGINT)
+          AS thresh
+      FROM wts
+    )
+    SELECT q.source, CAST(q.n_s AS BIGINT) AS n_source,
+      CAST(q.target_s AS BIGINT) AS quota,
+      CAST(COUNT(CASE WHEN
+        ({_sql_bucket("doc_id", buckets=_TMIX_SPACE, salt="tmix")}) < q.thresh
+        THEN 1 END) AS BIGINT) AS kept
+    FROM documents d JOIN quota q ON d.source = q.source
+    GROUP BY q.source, q.n_s, q.target_s
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: natural count, temperature-scaled quota
+    (n_s^{TMIX_ALPHA} weighting toward a {TMIX_TARGET_FRAC:.0%}-size
+    corpus), and the rows actually kept by the deterministic
+    hash-threshold membership test.
+
+    The keep decision is `hash_bucket(doc_id) < round(keep_frac *
+    65536)` with keep_frac = min(1, target_s / n_s) — every engine
+    computing the same SHA prefix selects the SAME documents, so
+    training-set membership survives re-runs, repartitions, and engine
+    swaps. kept ~ quota up to hash granularity; the aggregate output
+    keeps the driver compare row-stable while the same predicate
+    filters the full corpus in a real export.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_all = Window.partitionBy()
+    wts = counts.select(
+        "source",
+        "n_s",
+        F.sqrt(F.col("n_s").cast("double")).alias("w"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).over(w_all).alias("w_tot"),
+        F.sum("n_s").over(w_all).alias("n_tot"),
+    )
+    target = (
+        F.lit(TMIX_TARGET_FRAC)
+        * F.col("n_tot").cast("double")
+        * F.col("w")
+        / F.col("w_tot")
+    )
+    quota = wts.select(
+        F.col("source").alias("q_source"),
+        "n_s",
+        F.round(target).alias("target_s"),
+        F.round(
+            F.least(
+                F.lit(1.0), target / F.col("n_s").cast("double")
+            )
+            * _TMIX_SPACE
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("tmix"), F.col("doc_id").cast("string")), 256),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _TMIX_SPACE
+    )
+    return (
+        docs.join(F.broadcast(quota), docs["source"] == F.col("q_source"))
+        .groupBy(
+            F.col("q_source").alias("source"),
+            F.col("n_s"),
+            F.col("target_s"),
+        )
+        .agg(
+            F.count(F.when(bucket < F.col("thresh"), 1))
+            .cast("bigint")
+            .alias("kept")
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_source"),
+            F.col("target_s").cast("bigint").alias("quota"),
+            "kept",
+        )
     )

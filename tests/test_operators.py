@@ -69,6 +69,7 @@ ORACLED = [
     "events_theils_u",
     "sequence_count_per_user",
     "window_funnel_levels",
+    "temperature_mix_sample",
 ]
 
 
@@ -1497,3 +1498,25 @@ def test_window_funnel_matches_chain_simulation(spark, sf_dir):
         ).collect()
     }
     assert got == dict(levels)
+
+
+def test_temperature_mix_quotas(spark, sf_dir):
+    """Temperature scaling contract: quotas sum to ~target_frac of the
+    corpus, every source keeps <= its size, and smoothing pulls
+    fractions toward uniform (smaller sources keep a LARGER share)."""
+    from clickhouse_batcher_spark.operators.sampling import (
+        TMIX_TARGET_FRAC,
+    )
+
+    rows = catalog.QUERIES["temperature_mix_sample"](spark, sf_dir).collect()
+    n_tot = sum(r["n_source"] for r in rows)
+    q_tot = sum(r["quota"] for r in rows)
+    assert abs(q_tot - TMIX_TARGET_FRAC * n_tot) <= len(rows)  # rounding
+    for r in rows:
+        assert 0 <= r["kept"] <= r["n_source"]
+    shares = sorted(
+        (r["n_source"], r["quota"] / r["n_source"]) for r in rows
+    )
+    # keep-fraction is non-increasing in source size (sqrt smoothing)
+    fracs = [f for _, f in shares]
+    assert all(a >= b - 1e-9 for a, b in zip(fracs, fracs[1:]))
