@@ -144,6 +144,7 @@ HEADLINE = [
     "sequence_count_per_user",
     "window_funnel_levels",
     "temperature_mix_sample",
+    "events_sparkbar_hourly",
 ]
 
 

@@ -201,7 +201,27 @@ def events_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST((SELECT n FROM tot) AS DOUBLE)
                     * least((SELECT COUNT(*) - 1 FROM ra),
                             (SELECT COUNT(*) - 1 FROM cb)))), 6)
-        AS cramers_v
+        AS cramers_v,
+      round(sqrt(CAST(SUM(t) AS DOUBLE)
+                 / (CAST(SUM(t) AS DOUBLE)
+                    + CAST((SELECT n FROM tot) AS DOUBLE))), 6)
+        AS contingency_coeff,
+      round(sqrt(
+        greatest(0.0,
+          CAST(SUM(t) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+          - CAST((SELECT COUNT(*) - 1 FROM ra) AS DOUBLE)
+            * CAST((SELECT COUNT(*) - 1 FROM cb) AS DOUBLE)
+            / (CAST((SELECT n FROM tot) AS DOUBLE) - 1))
+        / least(
+            CAST((SELECT COUNT(*) FROM ra) AS DOUBLE)
+              - (CAST((SELECT COUNT(*) - 1 FROM ra) AS DOUBLE)
+                 * CAST((SELECT COUNT(*) - 1 FROM ra) AS DOUBLE))
+                / (CAST((SELECT n FROM tot) AS DOUBLE) - 1) - 1,
+            CAST((SELECT COUNT(*) FROM cb) AS DOUBLE)
+              - (CAST((SELECT COUNT(*) - 1 FROM cb) AS DOUBLE)
+                 * CAST((SELECT COUNT(*) - 1 FROM cb) AS DOUBLE))
+                / (CAST((SELECT n FROM tot) AS DOUBLE) - 1) - 1)), 6)
+        AS cramers_v_corrected
     FROM terms
     """,
 )
@@ -245,7 +265,18 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     chi2 = F.sum("t").cast("double")
-    return terms.groupBy("n", "n_a", "n_b").agg(chi2.alias("chi2")).select(
+    agg = terms.groupBy("n", "n_a", "n_b").agg(chi2.alias("chi2"))
+    nd = F.col("n").cast("double")
+    ra_d = (F.col("n_a") - 1).cast("double")  # row dof
+    cb_d = (F.col("n_b") - 1).cast("double")  # col dof
+    # Bergsma bias correction: phi2+ = max(0, phi2 - dof_r*dof_c/(n-1)),
+    # category counts shrink the same way.
+    phi2c = F.greatest(
+        F.lit(0.0), F.col("chi2") / nd - ra_d * cb_d / (nd - 1)
+    )
+    r_c = F.col("n_a").cast("double") - ra_d * ra_d / (nd - 1)
+    c_c = F.col("n_b").cast("double") - cb_d * cb_d / (nd - 1)
+    return agg.select(
         F.col("n").cast("bigint").alias("n"),
         ((F.col("n_a") - 1) * (F.col("n_b") - 1))
         .cast("bigint")
@@ -255,12 +286,18 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(
                 F.col("chi2")
                 / (
-                    F.col("n").cast("double")
+                    nd
                     * F.least(F.col("n_a") - 1, F.col("n_b") - 1)
                 )
             ),
             6,
         ).alias("cramers_v"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("chi2") + nd)), 6
+        ).alias("contingency_coeff"),
+        F.round(
+            F.sqrt(phi2c / F.least(r_c - 1, c_c - 1)), 6
+        ).alias("cramers_v_corrected"),
     )
 
 
@@ -913,4 +950,84 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("lvl").alias("level"))
     return per_user.groupBy("level").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+_BARS = (" ", "▁", "▂", "▃", "▄", "▅", "▆",
+         "▇", "█")
+_BARS_SQL = "ARRAY[' ', '▁', '▂', '▃', '▄', '▅', '▆', '▇', '█']"
+
+
+@query(
+    "events_sparkbar_hourly",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, g.h, COALESCE(c.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM c) t
+      CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g
+      LEFT JOIN c ON c.event_type = t.event_type AND c.h = g.h
+    ), lv AS (
+      SELECT event_type, h, n,
+        MAX(n) OVER (PARTITION BY event_type) AS mx
+      FROM grid
+    )
+    SELECT event_type, CAST(MIN(mx) AS BIGINT) AS max_hourly,
+      string_agg({_BARS_SQL}[CAST((n * 8 + mx - 1) // mx AS INT) + 1],
+                 '' ORDER BY h) AS bar
+    FROM lv GROUP BY event_type
+    """,
+)
+def events_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(24)(hour, count)`` analog: the 24-char
+    block-glyph histogram of hour-of-day volume per event type — the
+    at-a-glance diurnal profile.
+
+    Rendering is exact integer arithmetic: level = ceil(8*n/max) via
+    (n*8 + max - 1) div max, glyph via literal array lookup (both
+    engines treat the block glyphs as plain string literals — no
+    codepoint functions, which Spark's chr() caps at 255). Missing
+    hours densify from a 24-row sequence cross join, so the bar is
+    always exactly 24 glyphs.
+    """
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    types = c.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                c.sparkSession.range(24).select(
+                    F.col("id").cast("int").alias("h")
+                )
+            )
+        )
+        .join(c, ["event_type", "h"], "left")
+        .fillna(0, subset=["n"])
+    )
+    mx = Window.partitionBy("event_type")
+    lv = grid.select(
+        "event_type",
+        "h",
+        "n",
+        F.max("n").over(mx).alias("mx"),
+    )
+    idx = ((F.col("n") * 8 + F.col("mx") - 1) / F.col("mx")).cast("int")
+    bars = F.array(*[F.lit(b) for b in _BARS])
+    glyph = F.element_at(bars, idx + 1)
+    bar = F.concat_ws(
+        "",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", glyph.alias("g")))),
+            lambda s: s["g"],
+        ),
+    )
+    return lv.groupBy("event_type").agg(
+        F.min("mx").cast("bigint").alias("max_hourly"),
+        bar.alias("bar"),
     )

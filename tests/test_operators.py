@@ -70,6 +70,7 @@ ORACLED = [
     "sequence_count_per_user",
     "window_funnel_levels",
     "temperature_mix_sample",
+    "events_sparkbar_hourly",
 ]
 
 
