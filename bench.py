@@ -145,6 +145,7 @@ HEADLINE = [
     "window_funnel_levels",
     "temperature_mix_sample",
     "events_sparkbar_hourly",
+    "bpe_encode_docs",
 ]
 
 

@@ -286,3 +286,71 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round INT, sym_a STRING, sym_b STRING, cnt BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE (round-5 third session): apply the learned merge sequence
+# to every document — the other half of the tokenizer loop
+# (bpe_learn_merges trains, this encodes). Each learned merge becomes
+# one JVM-side greedy left-to-right fold over the symbol array, chained
+# in merge order inside a single select — k merges = k folds, zero
+# Python, zero extra shuffles (the whole encode is a map). Un-merging
+# (splitting every symbol on its internal spaces) restores the original
+# token stream exactly, which is the pytest invariant.
+# ---------------------------------------------------------------------------
+
+
+def _merge_fold(syms_col, a: str, b: str):
+    """One greedy non-overlapping left-to-right merge of (a, b)."""
+    merged = f"{a} {b}"
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@query("bpe_encode_docs", oracle=None)  # rows-only: learned-state dependent
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: token count before/after applying the
+    BPE_MERGE_ROUNDS learned merges in order, plus the first 8 encoded
+    symbols (`|`-joined; intra-symbol spaces mark merge boundaries).
+
+    The merge table comes from `bpe_learn_merges` (one driver-side
+    list of ≤4 pairs); application is merge-ordered fold composition —
+    a pure per-row map, so encoding scales with the corpus scan and
+    the chained-fold cost per row, never with corpus size. The pytest
+    contract: splitting every output symbol on spaces restores the
+    original token stream, and a sequential Python re-encode of sample
+    docs matches symbol-for-symbol.
+    """
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_learn_merges(spark, sf_dir)
+        .orderBy("round")
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", tokens("text").alias("syms")).withColumn(
+        "n_tokens", F.size("syms")
+    )
+    enc = F.col("syms")
+    for a, b in merges:
+        enc = _merge_fold(enc, a, b)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size(enc).alias("n_symbols"),
+        F.round(
+            F.size(enc).cast("double") / F.col("n_tokens"), 6
+        ).alias("compression"),
+        F.concat_ws("|", F.slice(enc, 1, 8)).alias("head_symbols"),
+    )

@@ -1521,3 +1521,55 @@ def test_temperature_mix_quotas(spark, sf_dir):
     # keep-fraction is non-increasing in source size (sqrt smoothing)
     fracs = [f for _, f in shares]
     assert all(a >= b - 1e-9 for a, b in zip(fracs, fracs[1:]))
+
+
+def test_bpe_encode_roundtrip_and_sequential_recompute(spark, sf_dir):
+    """Splitting every encoded symbol on its internal spaces must
+    restore the original token stream, and a pure-Python sequential
+    application of the learned merges must agree symbol-for-symbol."""
+    from clickhouse_batcher_spark.operators.ngrams import bpe_learn_merges
+    from clickhouse_batcher_spark.tables import load_table
+
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_learn_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    assert merges  # the corpus yields at least one merge
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    enc_rows = (
+        catalog.QUERIES["bpe_encode_docs"](spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    import re
+
+    def toks(text):
+        return [t for t in re.split(r"\s+", text.lower()) if t]
+
+    def apply_merges(syms):
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = f"{a} {b}"
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    n_compressed = 0
+    for r in enc_rows:
+        ref = apply_merges(toks(docs[r["doc_id"]]))
+        assert r["n_symbols"] == len(ref), r["doc_id"]
+        assert r["head_symbols"] == "|".join(ref[:8]), r["doc_id"]
+        # roundtrip: un-merging restores the token stream
+        restored = [t for s in ref for t in s.split(" ")]
+        assert restored == toks(docs[r["doc_id"]]), r["doc_id"]
+        n_compressed += r["n_symbols"] < r["n_tokens"]
+    assert n_compressed > 0  # the merges actually fire somewhere
