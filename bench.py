@@ -146,6 +146,7 @@ HEADLINE = [
     "temperature_mix_sample",
     "events_sparkbar_hourly",
     "bpe_encode_docs",
+    "events_ols_fit",
 ]
 
 

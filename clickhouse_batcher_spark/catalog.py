@@ -72,6 +72,7 @@ def load_all() -> None:
         profile,
         quality,
         rangejoin,
+        regress,
         rollup,
         sampling,
         similarity,

@@ -1573,3 +1573,33 @@ def test_bpe_encode_roundtrip_and_sequential_recompute(spark, sf_dir):
         assert restored == toks(docs[r["doc_id"]]), r["doc_id"]
         n_compressed += r["n_symbols"] < r["n_tokens"]
     assert n_compressed > 0  # the merges actually fire somewhere
+
+
+def test_ols_fit_matches_numpy_and_is_partition_invariant(spark, sf_dir):
+    """events_ols_fit must equal NumPy lstsq on the collected design
+    matrix, and the integer moment sums make it EXACTLY invariant to
+    repartitioning."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.regress import (
+        _design,
+        ols_fit,
+    )
+
+    pdf = _design(spark, sf_dir).toPandas()
+    X = pdf[["x0", "x1", "x2", "x3"]].to_numpy(dtype=np.float64)
+    y = np.rint(pdf["y"].to_numpy() * 1e6) / 1e6
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    beta, r2, n = ols_fit(spark, sf_dir)
+    assert n == len(pdf)
+    assert np.allclose(beta, ref, rtol=1e-8, atol=1e-10)
+    pred = X @ ref
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(r2 - (1 - ss_res / ss_tot)) < 1e-6
+    assert 0 < r2 < 1 or abs(r2) < 1  # sane range
+
+    rows_a = catalog.QUERIES["events_ols_fit"](spark, sf_dir).collect()
+    rows_b = catalog.QUERIES["events_ols_fit"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, rows_b))
