@@ -46,8 +46,12 @@ parser rather than silently misbehaving):
   fromUnixTimestamp intDiv modulo isNull isNotNull arrayElement
   indexOf arrayMap arrayFilter arrayExists arrayAll arrayCount
   arrayStringConcat arraySort arrayReverse arrayDistinct arrayUniq
-  arraySlice leftPad rightPad trimBoth substringUTF8
-  formatDateTime`` (literal formats; unknown % codes are loud errors)
+  arraySlice leftPad rightPad trimBoth trimLeft trimRight
+  substringUTF8 countSubstrings formatDateTime dateDiff
+  toStartOfInterval add/subtract{Seconds..Years} yesterday
+  bitAnd/Or/Xor/Not/ShiftLeft/ShiftRight`` (literal formats/units;
+  unknown codes and units are loud errors; dateDiff keeps ClickHouse's
+  boundary-crossing semantics via unit truncation)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -728,7 +732,127 @@ def translate(
         out, "substringUTF8", lambda a: f"substring({', '.join(a)})"
     )
     out = _rewrite_calls(out, "formatDateTime", _format_datetime)
+    out = _rewrite_calls(out, "dateDiff", _date_diff)
+    out = _rewrite_calls(out, "toStartOfInterval", _to_start_of_interval)
+    for ch, unit in _ADD_UNITS.items():
+        out = _rewrite_calls(
+            out, ch, lambda a, u=unit: f"timestampadd({u}, {a[1]}, {a[0]})"
+        )
+    for ch, unit in _SUB_UNITS.items():
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, u=unit: f"timestampadd({u}, -({a[1]}), {a[0]})",
+        )
+    out = _rewrite_calls(
+        out, "yesterday", lambda a: "date_sub(current_date(), 1)"
+    )
+    out = _rewrite_calls(out, "trimLeft", lambda a: f"ltrim({a[0]})")
+    out = _rewrite_calls(out, "trimRight", lambda a: f"rtrim({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "countSubstrings",
+        lambda a: (
+            f"((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+            f" DIV length({a[1]}))"
+        ),
+    )
+    for ch, op in _BIT_OPS.items():
+        out = _rewrite_calls(
+            out, ch, lambda a, o=op: f"(({a[0]}) {o} ({a[1]}))"
+        )
+    out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
     return out
+
+
+_ADD_UNITS = {
+    "addSeconds": "SECOND",
+    "addMinutes": "MINUTE",
+    "addHours": "HOUR",
+    "addDays": "DAY",
+    "addWeeks": "WEEK",
+    "addMonths": "MONTH",
+    "addYears": "YEAR",
+}
+_SUB_UNITS = {
+    "subtractSeconds": "SECOND",
+    "subtractMinutes": "MINUTE",
+    "subtractHours": "HOUR",
+    "subtractDays": "DAY",
+    "subtractWeeks": "WEEK",
+    "subtractMonths": "MONTH",
+    "subtractYears": "YEAR",
+}
+_BIT_OPS = {
+    "bitAnd": "&",
+    "bitOr": "|",
+    "bitXor": "^",
+    "bitShiftLeft": "<<",
+    "bitShiftRight": ">>",
+}
+
+_DIFF_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _date_diff(args: list[str]) -> str:
+    """ClickHouse dateDiff('unit', a, b): the number of UNIT BOUNDARIES
+    crossed between a and b (not elapsed time) — so both sides truncate
+    to the unit first, then difference. Literal units only."""
+    if len(args) != 3:
+        raise ValueError("dateDiff needs ('unit', start, end)")
+    unit = args[0].strip().strip("'").lower()
+    a, b = args[1], args[2]
+    if unit in _DIFF_SECONDS:
+        s = _DIFF_SECONDS[unit]
+        return (
+            f"((unix_timestamp(date_trunc('{unit}', {b}))"
+            f" - unix_timestamp(date_trunc('{unit}', {a}))) DIV {s})"
+        )
+    if unit == "week":
+        return (
+            f"(datediff(date_trunc('week', {b}), date_trunc('week', {a}))"
+            f" DIV 7)"
+        )
+    if unit == "month":
+        return (
+            f"((year({b}) * 12 + month({b}))"
+            f" - (year({a}) * 12 + month({a})))"
+        )
+    if unit == "quarter":
+        return (
+            f"((year({b}) * 4 + quarter({b}))"
+            f" - (year({a}) * 4 + quarter({a})))"
+        )
+    if unit == "year":
+        return f"(year({b}) - year({a}))"
+    raise ValueError(f"dateDiff: no translation for unit {unit!r}")
+
+
+_INTERVAL_PAT = re.compile(
+    r"^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?$", re.IGNORECASE
+)
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit) -> epoch-floor bucketing.
+    Literal second/minute/hour/day intervals (the sub-day buckets a
+    date_trunc can't express); anything else is a loud error."""
+    if len(args) != 2:
+        raise ValueError("toStartOfInterval needs (ts, INTERVAL n unit)")
+    m = _INTERVAL_PAT.match(args[1].strip())
+    if not m:
+        raise ValueError(
+            "toStartOfInterval translates only literal "
+            "INTERVAL n SECOND/MINUTE/HOUR/DAY"
+        )
+    n = int(m.group(1))
+    secs = n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        m.group(2).lower()
+    ]
+    return (
+        f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs})"
+        f" * {secs})"
+    )
 
 
 def _json_extract(name: str, args: list[str], cast_to: str | None) -> str:

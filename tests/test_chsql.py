@@ -600,3 +600,62 @@ def test_aggregate_batch3_end_to_end(spark, sf_dir):
     ).collect()[0]
     assert got["q"] == want["q"] and got["u"] == want["u"]
     assert abs(got["aw"] - want["aw"]) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT dateDiff('hour', a, b)",
+            "SELECT ((unix_timestamp(date_trunc('hour', b)) - unix_timestamp(date_trunc('hour', a))) DIV 3600)",
+        ),
+        (
+            "SELECT dateDiff('month', a, b)",
+            "SELECT ((year(b) * 12 + month(b)) - (year(a) * 12 + month(a)))",
+        ),
+        (
+            "SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) FROM events",
+            "SELECT timestamp_seconds((unix_timestamp(ts) DIV 900) * 900) FROM events",
+        ),
+        (
+            "SELECT addDays(ts, 3), subtractHours(ts, 2) FROM events",
+            "SELECT timestampadd(DAY, 3, ts), timestampadd(HOUR, -(2), ts) FROM events",
+        ),
+        (
+            "SELECT bitAnd(user_id, 255), bitShiftRight(user_id, 4), bitNot(user_id) FROM events",
+            "SELECT ((user_id) & (255)), ((user_id) >> (4)), (~(user_id)) FROM events",
+        ),
+        (
+            "SELECT countSubstrings(text, 'ab') FROM documents",
+            "SELECT ((length(text) - length(replace(text, 'ab', ''))) DIV length('ab')) FROM documents",
+        ),
+        (
+            "SELECT trimLeft(lang), trimRight(lang), yesterday()",
+            "SELECT ltrim(lang), rtrim(lang), date_sub(current_date(), 1)",
+        ),
+    ],
+)
+def test_translate_datetime_bit_batch(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_date_diff_unknown_unit_fails_loudly():
+    with pytest.raises(ValueError, match="no translation for unit"):
+        translate("SELECT dateDiff('fortnight', a, b)")
+
+
+def test_datetime_batch_end_to_end(spark, sf_dir):
+    # boundary-crossing semantics: 23:59 -> next day 00:01 is 1 'day'
+    got = run_sql(
+        spark,
+        "SELECT dateDiff('day', toDateTime('2024-03-01 23:59:00'),"
+        " toDateTime('2024-03-02 00:01:00')) AS d,"
+        " toStartOfInterval(toDateTime('2024-03-01 10:47:00'),"
+        " INTERVAL 15 MINUTE) AS b,"
+        " addDays(toDateTime('2024-02-28 12:00:00'), 2) AS leap",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["d"] == 1
+    assert str(got["b"]) == "2024-03-01 10:45:00"
+    assert str(got["leap"]).startswith("2024-03-01 12:00:00")
