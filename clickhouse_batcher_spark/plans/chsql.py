@@ -235,7 +235,6 @@ _UNSUPPORTED = (
         "LIMIT n, m BY (offset form)",
         "only LIMIT n BY translates; page with a row_number() window",
     ),
-    (r"\bGLOBAL\s+(IN|JOIN)\b", "GLOBAL IN/JOIN", "plain IN/JOIN distributes on Spark"),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
 )
 
@@ -458,6 +457,11 @@ def _clauses(
     # caller's job here).
     out = re.sub(r"\s+SETTINGS\s+[^;]*$", "", out, flags=re.IGNORECASE)
     out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    # GLOBAL IN / GLOBAL JOIN ask the cluster to broadcast the right
+    # side to every shard — which is precisely how Spark already
+    # distributes IN-subqueries and (small-side) joins. The keyword
+    # carries no extra semantics here: drop it.
+    out = re.sub(r"\bGLOBAL\s+(?=(IN|ANY\s+JOIN|ALL\s+JOIN|JOIN|LEFT|RIGHT|INNER|FULL)\b)", "", out, flags=re.IGNORECASE)
     # GROUP BY a, b WITH TOTALS == one extra all-NULL grand-total row:
     # exactly GROUPING SETS ((a, b), ()).
     m = re.search(

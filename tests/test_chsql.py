@@ -162,7 +162,6 @@ def test_translate_clauses(ch, expected):
         "SELECT * FROM orders FINAL",
         "SELECT * FROM events ORDER BY ts LIMIT 2, 3 BY user_id",
         "SELECT * FROM events SAMPLE 0.1",
-        "SELECT * FROM events WHERE user_id GLOBAL IN (SELECT user_id FROM events)",
     ],
 )
 def test_unsupported_constructs_fail_loudly(ch):
@@ -659,3 +658,32 @@ def test_datetime_batch_end_to_end(spark, sf_dir):
     assert got["d"] == 1
     assert str(got["b"]) == "2024-03-01 10:45:00"
     assert str(got["leap"]).startswith("2024-03-01 12:00:00")
+
+
+def test_global_in_and_join_strip(spark, sf_dir):
+    assert translate(
+        "SELECT count() FROM events WHERE user_id GLOBAL IN "
+        "(SELECT user_id FROM events)"
+    ) == (
+        "SELECT count(*) FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events)"
+    )
+    assert translate(
+        "SELECT count() FROM events GLOBAL JOIN customer ON user_id = c_custkey"
+    ) == (
+        "SELECT count(*) FROM events JOIN customer ON user_id = c_custkey"
+    )
+    got = run_sql(
+        spark,
+        "SELECT count() AS n FROM orders WHERE o_custkey GLOBAL IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]["n"]
+    want = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        sf_dir,
+    ).collect()[0]["n"]
+    assert got == want and got > 0
