@@ -642,10 +642,15 @@ def translate(
     out = _rewrite_calls(
         out,
         "position",
-        # ClickHouse position(haystack, needle); standard SQL
-        # POSITION(a IN b) has one comma-free arg and passes through.
+        # ClickHouse position(haystack, needle) -> locate(needle,
+        # haystack). Emitting locate (not a re-ordered position) keeps
+        # translate idempotent: position's arg roles are reversed
+        # between the dialects and indistinguishable textually, so a
+        # second pass over a swapped position() would swap it back.
+        # Standard SQL POSITION(a IN b) has one comma-free arg and
+        # passes through.
         lambda a: (
-            f"position({a[1]}, {a[0]})"
+            f"locate({a[1]}, {a[0]})"
             if len(a) == 2
             else f"position({', '.join(a)})"
         ),

@@ -257,6 +257,13 @@ def test_translate_is_idempotent():
         "SELECT quantile(0.9)(value), multiIf(value > 1, 'a', 'b') FROM events",
         "SELECT toStartOfHour(ts), toYear(ts) FROM events GROUP BY 1, 2",
         "SELECT splitByChar('.', text) FROM documents",
+        # round-5 session-3 surface: every rewrite must reach a fixpoint
+        "SELECT position(text, 'ab'), startsWith(text, 'a') FROM documents",
+        "SELECT arrayMap(x -> x * 2, embedding), arrayCount(x -> x > 0, embedding) FROM embeddings",
+        "SELECT quantiles(0.5, 0.9)(value), anyIf(value, user_id = 1), any(event_type) FROM events",
+        "SELECT dateDiff('hour', ts, now()), addDays(ts, 1), bitAnd(user_id, 7) FROM events",
+        "SELECT formatDateTime(ts, '%Y at %H'), JSONExtractInt(props, 'k') FROM events",
+        "SELECT user_id FROM events ORDER BY value DESC, event_id LIMIT 2 BY user_id",
     ]
     for q in samples:
         once = translate(q)
@@ -362,7 +369,7 @@ def test_limit_by_composes_with_dialect_functions(spark, sf_dir):
     [
         (
             "SELECT lengthUTF8(text), position(text, 'ab') FROM documents",
-            "SELECT char_length(text), position('ab', text) FROM documents",
+            "SELECT char_length(text), locate('ab', text) FROM documents",
         ),
         (
             "SELECT startsWith(text, 'a'), endsWith(text, 'z') FROM documents",
