@@ -244,10 +244,10 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("o"))
     ra = obs.groupBy("a").agg(F.sum("o").alias("ra_tot"))
     cb = obs.groupBy("b").agg(F.sum("o").alias("cb_tot"))
-    tot = obs.agg(
-        F.sum("o").alias("n"), F.count(F.lit(1)).alias("cells")
-    ).crossJoin(ra.agg(F.count(F.lit(1)).alias("n_a"))).crossJoin(
-        cb.agg(F.count(F.lit(1)).alias("n_b"))
+    tot = (
+        obs.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("cells"))
+        .crossJoin(F.broadcast(ra.agg(F.count(F.lit(1)).alias("n_a"))))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).alias("n_b"))))
     )
     exp = (
         F.col("ra_tot").cast("double")
@@ -514,7 +514,7 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     se_a = F.col("var_a") / F.col("n_a_d")
     se_b = F.col("var_b") / F.col("n_b_d")
-    return a.crossJoin(b).select(
+    return a.crossJoin(F.broadcast(b)).select(
         "variant_a",
         "variant_b",
         F.col("n_a_d").cast("bigint").alias("n_a"),
@@ -614,7 +614,7 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rb") - F.col("nb") * (F.col("nb") + 1)
     ).cast("double") / 2
     nab = (F.col("na") * F.col("nb")).cast("double")
-    return a.crossJoin(b).select(
+    return a.crossJoin(F.broadcast(b)).select(
         "variant_a",
         "variant_b",
         F.col("na").cast("bigint").alias("n_a"),

@@ -187,6 +187,11 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "hybrid_retrieval_rrf",      # N_QUERY_VECS x BM25_TOP_K (10x50)
                                      # candidate spine + the inherited
                                      # query-vector broadcast
+        "ab_welch_ttest",            # two 1-row variant-moment frames
+        "ab_mann_whitney_u",         # two 1-row rank-sum frames
+        "events_cramers_v",          # 1-row total + marginal-count frames
+        "events_theils_u",           # 1-row entropy/total frames
+        "events_sparkbar_hourly",    # 24-row hour spine x type dims
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
