@@ -44,6 +44,22 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sq.add_argument("--dialect", choices=("spark", "clickhouse"), default="spark")
     sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument(
+        "--sample-key",
+        action="append",
+        default=[],
+        metavar="TABLE=COLUMN",
+        help="sampling key for ClickHouse SAMPLE translation "
+        "(repeatable; mirrors the table DDL's SAMPLE BY)",
+    )
+    sq.add_argument(
+        "--final-key",
+        action="append",
+        default=[],
+        metavar="TABLE=KEY[,KEY...]:VERSION",
+        help="merge key(s) + version column for ClickHouse FINAL "
+        "translation (repeatable; mirrors the ReplacingMergeTree DDL)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -105,7 +121,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sql":
         from clickhouse_batcher_spark.tables import run_sql
 
-        df = run_sql(spark, args.query, args.sf_dir, dialect=args.dialect)
+        sample_keys = dict(kv.split("=", 1) for kv in args.sample_key)
+        final_keys = {}
+        for kv in args.final_key:
+            tbl, spec = kv.split("=", 1)
+            keys, version = spec.rsplit(":", 1)
+            final_keys[tbl] = (tuple(keys.split(",")), version)
+        df = run_sql(
+            spark,
+            args.query,
+            args.sf_dir,
+            dialect=args.dialect,
+            sample_keys=sample_keys or None,
+            final_keys=final_keys or None,
+        )
         df.show(args.limit, truncate=False)
         return 0
 

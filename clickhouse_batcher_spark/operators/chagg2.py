@@ -577,6 +577,13 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as `events_rank_corr`), so U_a + U_b = n_a*n_b exactly.
     The z denominator omits the tie correction — documented
     approximation, identical on both engines.
+
+    Scale note: the pooled rank window has no partition key (one
+    global ordered pass over DISTINCT values). Bounded here by value
+    cardinality; at 100 TB with near-continuous values, bin values
+    first (`value_histogram_quantiles` shape) or add the two-level
+    cumulative trick (per-range partials + prefix offsets) — the U
+    formula is unchanged.
     """
     base = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_TTEST_A, _TTEST_B)

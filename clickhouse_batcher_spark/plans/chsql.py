@@ -771,7 +771,39 @@ def translate(
             out, ch, lambda a, o=op: f"(({a[0]}) {o} ({a[1]}))"
         )
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
+    out = _rewrite_calls(out, "arrayReduce", _array_reduce)
     return out
+
+
+_ARRAY_REDUCE = {
+    "max": lambda a: f"array_max({a})",
+    "min": lambda a: f"array_min({a})",
+    "count": lambda a: f"size({a})",
+    "sum": lambda a: (
+        f"aggregate({a}, CAST(0 AS DOUBLE), (__ar_s, __ar_x) ->"
+        f" __ar_s + __ar_x)"
+    ),
+    "avg": lambda a: (
+        f"(aggregate({a}, CAST(0 AS DOUBLE), (__ar_s, __ar_x) ->"
+        f" __ar_s + __ar_x) / size({a}))"
+    ),
+}
+
+
+def _array_reduce(args: list[str]) -> str:
+    """arrayReduce('agg', arr) for the common literal aggregates
+    (max/min/count/sum/avg — sum/avg accumulate in DOUBLE). Unknown
+    aggregate names are loud errors."""
+    if len(args) != 2 or not (
+        args[0].startswith("'") and args[0].endswith("'")
+    ):
+        raise ValueError("arrayReduce translates only literal aggregate names")
+    name = args[0][1:-1].lower()
+    if name not in _ARRAY_REDUCE:
+        raise ValueError(
+            f"arrayReduce: no translation for aggregate {name!r}"
+        )
+    return _ARRAY_REDUCE[name](args[1])
 
 
 _ADD_UNITS = {

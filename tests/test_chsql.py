@@ -694,3 +694,62 @@ def test_global_in_and_join_strip(spark, sf_dir):
         sf_dir,
     ).collect()[0]["n"]
     assert got == want and got > 0
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT arrayReduce('max', embedding) FROM embeddings",
+            "SELECT array_max(embedding) FROM embeddings",
+        ),
+        (
+            "SELECT arrayReduce('sum', embedding) FROM embeddings",
+            "SELECT aggregate(embedding, CAST(0 AS DOUBLE), (__ar_s, __ar_x) -> __ar_s + __ar_x) FROM embeddings",
+        ),
+        (
+            "SELECT arrayReduce('count', embedding) FROM embeddings",
+            "SELECT size(embedding) FROM embeddings",
+        ),
+    ],
+)
+def test_translate_array_reduce(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_array_reduce_unknown_agg_fails_loudly():
+    with pytest.raises(ValueError, match="no translation for aggregate"):
+        translate("SELECT arrayReduce('median', embedding) FROM embeddings")
+
+
+def test_cli_sql_final_and_sample_keys(sf_dir, capsys):
+    from clickhouse_batcher_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT count() AS n FROM orders FINAL",
+            "--sf-dir",
+            sf_dir,
+            "--dialect",
+            "clickhouse",
+            "--final-key",
+            "orders=o_orderkey:o_orderdate",
+        ]
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out
+    rc = main(
+        [
+            "sql",
+            "SELECT count() AS n FROM events SAMPLE 0.5",
+            "--sf-dir",
+            sf_dir,
+            "--dialect",
+            "clickhouse",
+            "--sample-key",
+            "events=user_id",
+        ]
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out
