@@ -147,6 +147,8 @@ HEADLINE = [
     "events_sparkbar_hourly",
     "bpe_encode_docs",
     "events_ols_fit",
+    "kmv_distinct_users",
+    "props_information_value",
 ]
 
 

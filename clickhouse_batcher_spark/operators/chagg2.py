@@ -1038,3 +1038,65 @@ def events_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mx").cast("bigint").alias("max_hourly"),
         bar.alias("bar"),
     )
+
+
+_IV_TARGET = "purchase"
+
+
+@query(
+    "props_information_value",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_K_SQL} // 10 AS bucket,
+        COUNT(CASE WHEN event_type = '{_IV_TARGET}' THEN 1 END) AS good,
+        COUNT(CASE WHEN event_type <> '{_IV_TARGET}' THEN 1 END) AS bad
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT bucket, good, bad,
+        SUM(good) OVER () AS g_tot, SUM(bad) OVER () AS b_tot
+      FROM c
+    )
+    SELECT bucket, CAST(good AS BIGINT) AS good, CAST(bad AS BIGINT) AS bad,
+      round(ln((CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE))
+               / (CAST(bad AS DOUBLE) / CAST(b_tot AS DOUBLE))), 6) AS woe,
+      round((CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE)
+             - CAST(bad AS DOUBLE) / CAST(b_tot AS DOUBLE))
+            * ln((CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE))
+                 / (CAST(bad AS DOUBLE) / CAST(b_tot AS DOUBLE))), 6)
+        AS iv_term
+    FROM t WHERE good > 0 AND bad > 0
+    """,
+)
+def props_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue`` analog: per
+    props-decile, the weight of evidence and information-value term
+    for predicting the '{_IV_TARGET}' event — the classical feature-
+    screening statistic (sum iv_term for the feature's total IV).
+
+    One contingency groupBy + window totals; WoE/IV evaluate in DOUBLE
+    on identical integer counts, rounded once. Zero-good/zero-bad
+    buckets drop (their WoE is infinite in ANY engine — same rule both
+    sides).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(F.floor(_k_col() / 10).alias("bucket")).agg(
+        F.count(F.when(F.col("event_type") == _IV_TARGET, 1)).alias("good"),
+        F.count(F.when(F.col("event_type") != _IV_TARGET, 1)).alias("bad"),
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bucket",
+        "good",
+        "bad",
+        F.sum("good").over(w).alias("g_tot"),
+        F.sum("bad").over(w).alias("b_tot"),
+    ).filter((F.col("good") > 0) & (F.col("bad") > 0))
+    pg = F.col("good").cast("double") / F.col("g_tot").cast("double")
+    pb = F.col("bad").cast("double") / F.col("b_tot").cast("double")
+    return t.select(
+        "bucket",
+        F.col("good").cast("bigint").alias("good"),
+        F.col("bad").cast("bigint").alias("bad"),
+        F.round(F.log(pg / pb), 6).alias("woe"),
+        F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
+    )

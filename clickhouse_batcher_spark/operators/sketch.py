@@ -16,7 +16,7 @@ estimates are deterministic integers, not approximations-with-noise.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
@@ -816,3 +816,89 @@ def topk_weighted_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clickhouse_batcher_spark.catalog import ORACLES as _SK_ORACLES  # noqa: E402
 
 _SK_ORACLES["topk_weighted_users"] = " ".join(_weighted_cms_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — the ClickHouse
+# ``uniqTheta`` family's core estimator (theta sketches ARE KMV with
+# adaptive theta). Keep the k smallest DISTINCT 60-bit hashes per
+# group; if the k-th smallest is h_k, the space "density" k/h_k
+# extrapolates to (k-1) * 2^60 / h_k distinct values (the -1 makes the
+# estimator unbiased). Everything is integer hashes + one bounded
+# top-k per group — fully mergeable (union = merge the min-sets), and
+# the oracle replicates it exactly, so unlike a library sketch this
+# one is hash-exact checkable.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(sha256('kmv:' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hash
+      FROM events
+    ), r AS (
+      SELECT event_type, hash,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hash) AS rn
+      FROM h
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(hash) AS BIGINT) AS kth_hash
+      FROM r WHERE rn <= {KMV_K} GROUP BY 1
+    )
+    SELECT event_type, k_used, kth_hash,
+      CASE WHEN k_used < {KMV_K} THEN k_used
+           ELSE CAST(floor(({KMV_K} - 1) * {_KMV_SPACE!r}
+                           / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+      END AS est_distinct
+    FROM s
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct users per event type via a k=64 KMV sketch
+    (uniqTheta analogue) — the mergeable alternative to
+    `hll_distinct_users` with direct set-operation support (theta
+    sketches intersect/difference; HLL cannot).
+
+    The per-group state is k 64-bit integers; a distributed top-k of
+    distinct hashes is one partial-aggregating shuffle. The estimate
+    arithmetic runs on identical integers in both engines, so the
+    driver compare is hash-exact despite this being an approximate
+    sketch.
+    """
+    from clickhouse_batcher_spark.functions import portable_hash64
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            portable_hash64(
+                F.col("user_id").cast("string"), salt="kmv:"
+            ).alias("hash"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hash")
+    s = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.max("hash").cast("bigint").alias("kth_hash"),
+        )
+    )
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.floor(
+            (KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double")
+        ).cast("bigint")
+    )
+    return s.select(
+        "event_type", "k_used", "kth_hash", est.alias("est_distinct")
+    )

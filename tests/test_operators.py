@@ -70,6 +70,8 @@ ORACLED = [
     "sequence_count_per_user",
     "window_funnel_levels",
     "temperature_mix_sample",
+    "kmv_distinct_users",
+    "props_information_value",
     "events_sparkbar_hourly",
 ]
 
@@ -1603,3 +1605,25 @@ def test_ols_fit_matches_numpy_and_is_partition_invariant(spark, sf_dir):
     rows_a = catalog.QUERIES["events_ols_fit"](spark, sf_dir).collect()
     rows_b = catalog.QUERIES["events_ols_fit"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows_a)) == sorted(map(tuple, rows_b))
+
+
+def test_kmv_estimator_accuracy(spark):
+    """At sf0.01 distinct users (~150) exceed k=64, so the estimator
+    path engages; KMV with k=64 has sigma ~ 1/sqrt(62) ~ 13%, so 35%
+    is a generous-but-meaningful accuracy floor."""
+    sf = "/root/testdata/sf0.01"
+    from clickhouse_batcher_spark.tables import load_table
+
+    true = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    est_engaged = 0
+    for r in catalog.QUERIES["kmv_distinct_users"](spark, sf).collect():
+        t = true[r["event_type"]]
+        assert abs(r["est_distinct"] - t) / t < 0.35, (r, t)
+        est_engaged += r["k_used"] == 64
+    assert est_engaged > 0  # at least one group actually estimated
