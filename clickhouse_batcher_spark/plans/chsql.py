@@ -40,6 +40,7 @@ parser rather than silently misbehaving):
 - ``FROM t FINAL``               -> latest-row-per-key window using the
                                     caller-declared (keys, version)
                                     (``final_keys=``; keyless = loud)
+- ``ORDER BY o LIMIT n WITH TIES`` -> ``rank()`` window rewrite
 - String/JSON/date/array scalars: ``lengthUTF8 position startsWith
   endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
   toStartOfQuarter toQuarter toDayOfYear toUnixTimestamp
@@ -436,6 +437,50 @@ def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
         pos = m.start() + len(repl)
 
 
+def _with_ties(sql: str) -> str:
+    """Translate ``ORDER BY o LIMIT n WITH TIES``.
+
+    WITH TIES extends the cut to every row tied (under the sort key)
+    with the n-th row — which is exactly the rows whose ``rank()`` over
+    the same ordering is <= n (the last included row's rank is <= n and
+    ties share ranks):
+
+        SELECT * EXCEPT (__ties_rank) FROM (
+          SELECT *, rank() OVER (ORDER BY o) AS __ties_rank
+          FROM (<body>)
+        ) WHERE __ties_rank <= n ORDER BY o
+
+    Requires a top-level ORDER BY (ties are undefined without one —
+    loud error, matching ClickHouse which also rejects it). The rank
+    window is as global as the ORDER BY the query already pays for.
+    """
+    m = _top_level_search(sql, r"\bLIMIT\s+(\d+)\s+WITH\s+TIES\b")
+    if not m:
+        return sql
+    n = int(m.group(1))
+    om = None
+    for cand in re.finditer(r"\bORDER\s+BY\b", sql[: m.start()], re.IGNORECASE):
+        if not _in_string(sql, cand.start()) and _depth_at(sql, cand.start()) == 0:
+            om = cand
+    if om is None:
+        raise ValueError(
+            "LIMIT WITH TIES requires a top-level ORDER BY (ClickHouse "
+            "rejects it too)"
+        )
+    body = sql[: om.start()].strip()
+    order = sql[om.end() : m.start()].strip()
+    tail = sql[m.end() :].strip()
+    out = (
+        f"SELECT * EXCEPT (__ties_rank) FROM ("
+        f"SELECT *, rank() OVER (ORDER BY {order}) AS __ties_rank"
+        f" FROM ({body}) __ties_src"
+        f") WHERE __ties_rank <= {n} ORDER BY {order}"
+    )
+    if tail:
+        out = f"{out} {tail}"
+    return out
+
+
 def _clauses(
     sql: str,
     sample_keys: dict[str, str] | None = None,
@@ -496,7 +541,7 @@ def _clauses(
             ).rstrip()
         else:
             out = out[: m.start()] + "WHERE" + out[m.end() :]
-    return _limit_by(out)
+    return _with_ties(_limit_by(out))
 
 
 _CLAUSE_KW = re.compile(

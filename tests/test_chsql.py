@@ -753,3 +753,43 @@ def test_cli_sql_final_and_sample_keys(sf_dir, capsys):
     )
     assert rc == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_limit_with_ties_translates_to_rank():
+    out = translate(
+        "SELECT event_type, value FROM events "
+        "ORDER BY value DESC LIMIT 3 WITH TIES"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__ties_rank) FROM ("
+        "SELECT *, rank() OVER (ORDER BY value DESC) AS __ties_rank"
+        " FROM (SELECT event_type, value FROM events) __ties_src"
+        ") WHERE __ties_rank <= 3 ORDER BY value DESC"
+    )
+
+
+def test_limit_with_ties_requires_order_by():
+    with pytest.raises(ValueError, match="WITH TIES requires"):
+        translate("SELECT * FROM events LIMIT 3 WITH TIES")
+
+
+def test_limit_with_ties_end_to_end(spark, sf_dir):
+    # Tie-heavy column: floor(value) has duplicates; the cut must
+    # include every row tied with the 5th.
+    got = run_sql(
+        spark,
+        "SELECT floor(value) AS fv, event_id FROM events "
+        "ORDER BY fv DESC LIMIT 5 WITH TIES",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    want = run_sql(
+        spark,
+        """SELECT fv, event_id FROM (
+             SELECT fv, event_id, rank() OVER (ORDER BY fv DESC) AS r
+             FROM (SELECT floor(value) AS fv, event_id FROM events))
+           WHERE r <= 5 ORDER BY fv DESC""",
+        sf_dir,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) >= 5
