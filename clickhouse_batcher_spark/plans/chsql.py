@@ -41,6 +41,9 @@ parser rather than silently misbehaving):
                                     caller-declared (keys, version)
                                     (``final_keys=``; keyless = loud)
 - ``ORDER BY o LIMIT n WITH TIES`` -> ``rank()`` window rewrite
+- ``{name:Type}`` params         -> Spark named markers ``:name``
+                                    (bind via ``run_sql(params=...)``;
+                                    positional ``?`` needs no rewrite)
 - String/JSON/date/array scalars: ``lengthUTF8 position startsWith
   endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
   toStartOfQuarter toQuarter toDayOfYear toUnixTimestamp
@@ -481,6 +484,32 @@ def _with_ties(sql: str) -> str:
     return out
 
 
+_CH_PARAM = re.compile(r"\{(\w+)\s*:\s*[A-Za-z0-9()]+\}")
+
+
+def _named_params(sql: str) -> str:
+    """ClickHouse server-side parameter syntax ``{name:Type}`` ->
+    Spark's named parameter marker ``:name``.
+
+    The declared ClickHouse type is dropped: Spark's parameterized-sql
+    API types the value from the bound Python object, and binding
+    stays engine-side (values never enter the SQL text — the same
+    injection-safety the reference gets from its driver's ``?``
+    placeholders, `hashes.go:25`, `hashes_test.go:191-196`; plain
+    ``?`` markers need no translation at all).
+    """
+    out = []
+    last = 0
+    for m in _CH_PARAM.finditer(sql):
+        if _in_string(sql, m.start()):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f":{m.group(1)}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _clauses(
     sql: str,
     sample_keys: dict[str, str] | None = None,
@@ -541,7 +570,7 @@ def _clauses(
             ).rstrip()
         else:
             out = out[: m.start()] + "WHERE" + out[m.end() :]
-    return _with_ties(_limit_by(out))
+    return _with_ties(_limit_by(_named_params(out)))
 
 
 _CLAUSE_KW = re.compile(

@@ -101,13 +101,19 @@ def run_sql(
     dialect: str = "spark",
     sample_keys: dict[str, str] | None = None,
     final_keys: dict[str, tuple] | None = None,
+    params: list | dict | None = None,
 ) -> DataFrame:
     """The SQL switching path: register the tables as views and run a
     query against them — ``dialect="clickhouse"`` first translates the
     supported ClickHouse-dialect subset (``plans.chsql``), so a user of
     the reference's ClickHouse backend can paste their existing
     queries. Catalyst plans the registered parquet views exactly like
-    the DataFrame API (pushdown, pruning, AQE all apply)."""
+    the DataFrame API (pushdown, pruning, AQE all apply).
+
+    ``params`` binds placeholders engine-side (never string-spliced):
+    a list for positional ``?`` markers — the reference's exact query
+    shape (`hashes_test.go:191-196`) — or a dict for named ``:name`` /
+    ClickHouse ``{name:Type}`` parameters."""
     register_views(spark, sf_dir)
     if dialect == "clickhouse":
         from clickhouse_batcher_spark.plans.chsql import translate
@@ -115,4 +121,6 @@ def run_sql(
         sql = translate(sql, sample_keys=sample_keys, final_keys=final_keys)
     elif dialect != "spark":
         raise ValueError(f"unknown dialect: {dialect!r}")
+    if params is not None:
+        return spark.sql(sql, args=params)
     return spark.sql(sql)

@@ -793,3 +793,53 @@ def test_limit_with_ties_end_to_end(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) >= 5
+
+
+def test_positional_params_reference_shape(spark, sf_dir):
+    """The reference's exact parameterized-count shape
+    (hashes_test.go:191-196) with ?-placeholders, bound engine-side."""
+    got = run_sql(
+        spark,
+        "SELECT count() AS n FROM events "
+        "WHERE user_id = ? AND event_type = ?",
+        sf_dir,
+        dialect="clickhouse",
+        params=[7, "click"],
+    ).collect()[0]["n"]
+    want = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM events "
+        "WHERE user_id = 7 AND event_type = 'click'",
+        sf_dir,
+    ).collect()[0]["n"]
+    assert got == want
+
+
+def test_clickhouse_named_params(spark, sf_dir):
+    assert translate(
+        "SELECT count() FROM events WHERE user_id = {uid:UInt64}"
+        " AND event_type = {et:String}"
+    ) == (
+        "SELECT count(*) FROM events WHERE user_id = :uid"
+        " AND event_type = :et"
+    )
+    got = run_sql(
+        spark,
+        "SELECT count() AS n FROM events WHERE user_id = {uid:UInt64}"
+        " AND event_type = {et:String}",
+        sf_dir,
+        dialect="clickhouse",
+        params={"uid": 7, "et": "click"},
+    ).collect()[0]["n"]
+    want = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM events WHERE user_id = 7"
+        " AND event_type = 'click'",
+        sf_dir,
+    ).collect()[0]["n"]
+    assert got == want
+
+
+def test_param_braces_inside_strings_untouched():
+    q = "SELECT '{not:AParam}' FROM events"
+    assert translate(q) == q
