@@ -41,6 +41,10 @@ parser rather than silently misbehaving):
                                     caller-declared (keys, version)
                                     (``final_keys=``; keyless = loud)
 - ``ORDER BY o LIMIT n WITH TIES`` -> ``rank()`` window rewrite
+- ``[LEFT] ARRAY JOIN e AS x``   -> ``LATERAL VIEW [OUTER]
+                                    explode(e) .. AS x`` (single
+                                    array; the multi-array zip form
+                                    is a loud error)
 - ``{name:Type}`` params         -> Spark named markers ``:name``
                                     (bind via ``run_sql(params=...)``;
                                     positional ``?`` needs no rewrite)
@@ -510,15 +514,70 @@ def _named_params(sql: str) -> str:
     return "".join(out)
 
 
+_ARRAY_JOIN_PAT = re.compile(
+    r"\b(LEFT\s+)?ARRAY\s+JOIN\b", re.IGNORECASE
+)
+
+
+def _array_join(sql: str) -> str:
+    """ClickHouse ``[LEFT] ARRAY JOIN expr AS alias`` -> Spark
+    ``LATERAL VIEW [OUTER] explode(expr) __aj AS alias``.
+
+    Identical semantics for a single array: one output row per
+    element, LEFT keeping empty/NULL-array rows (with a NULL element)
+    exactly as LATERAL VIEW OUTER does. The multi-array form
+    (``ARRAY JOIN a AS x, b AS y``) iterates arrays IN PARALLEL in
+    ClickHouse — that zip needs an arrays_zip restructuring of the
+    select list, so it stays a loud error rather than silently
+    cross-producting.
+    """
+    out = sql
+    pos = 0
+    while True:
+        m = _ARRAY_JOIN_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        outer = "OUTER " if m.group(1) else ""
+        rest = out[m.end() :]
+        cut = _next_clause(rest)
+        # The joined expression ends at the next clause keyword, a
+        # top-level WHERE, or end-of-text.
+        wm = re.search(r"\bWHERE\b", rest[:cut], re.IGNORECASE)
+        if wm and not _in_string(rest, wm.start()):
+            cut = wm.start()
+        spec = rest[:cut].strip().rstrip(";").strip()
+        tail = rest[cut:]
+        if len(_split_top_level(spec)) > 1:
+            raise ValueError(
+                "multi-array ARRAY JOIN iterates arrays in parallel "
+                "(a zip, not a product) — restructure with arrays_zip "
+                "explicitly; only the single-array form translates"
+            )
+        am = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)$", spec, re.IGNORECASE)
+        if not am:
+            raise ValueError(
+                "ARRAY JOIN translates only the aliased form: "
+                "ARRAY JOIN <expr> AS <alias>"
+            )
+        expr, alias = am.group(1).strip(), am.group(2)
+        repl = f"LATERAL VIEW {outer}explode({expr}) __aj AS {alias}"
+        tail = tail.lstrip()
+        out = out[: m.start()] + repl + (f" {tail}" if tail else "")
+        pos = m.start() + len(repl)
+
+
 def _clauses(
     sql: str,
     sample_keys: dict[str, str] | None = None,
     final_keys: dict[str, tuple] | None = None,
 ) -> str:
     """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
-    LIMIT BY, SAMPLE, FINAL, loud errors for
+    LIMIT BY, SAMPLE, FINAL, ARRAY JOIN, loud errors for
     recognized-but-untranslatable constructs."""
-    out = _final(_sample(sql, sample_keys), final_keys)
+    out = _array_join(_final(_sample(sql, sample_keys), final_keys))
     for pat, construct, hint in _UNSUPPORTED:
         if re.search(pat, out, re.IGNORECASE) and not _in_string(
             out, re.search(pat, out, re.IGNORECASE).start()

@@ -843,3 +843,52 @@ def test_clickhouse_named_params(spark, sf_dir):
 def test_param_braces_inside_strings_untouched():
     q = "SELECT '{not:AParam}' FROM events"
     assert translate(q) == q
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT doc_id, tok FROM documents "
+            "ARRAY JOIN splitByChar(' ', text) AS tok",
+            "SELECT doc_id, tok FROM documents LATERAL VIEW "
+            "explode(split(text, concat('\\\\Q', ' ', '\\\\E'))) __aj AS tok",
+        ),
+        (
+            "SELECT vec_id, e FROM embeddings "
+            "LEFT ARRAY JOIN embedding AS e WHERE e > 0",
+            "SELECT vec_id, e FROM embeddings LATERAL VIEW OUTER "
+            "explode(embedding) __aj AS e WHERE e > 0",
+        ),
+    ],
+)
+def test_array_join_clause(ch, expected):
+    assert translate(ch) == expected
+
+
+def test_multi_array_join_fails_loudly():
+    with pytest.raises(ValueError, match="in parallel"):
+        translate("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y")
+
+
+def test_unaliased_array_join_fails_loudly():
+    with pytest.raises(ValueError, match="aliased form"):
+        translate("SELECT x FROM t ARRAY JOIN arr")
+
+
+def test_array_join_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT doc_id, count() AS n_toks FROM documents "
+        "ARRAY JOIN splitByChar(' ', text) AS tok "
+        "GROUP BY doc_id ORDER BY doc_id",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    want = run_sql(
+        spark,
+        "SELECT doc_id, size(split(text, ' ')) AS n_toks "
+        "FROM documents ORDER BY doc_id",
+        sf_dir,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
