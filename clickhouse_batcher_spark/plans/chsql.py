@@ -905,7 +905,23 @@ def translate(
         )
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
     out = _rewrite_calls(out, "arrayReduce", _array_reduce)
+    for ch, sp in _MOMENT_AGGS.items():
+        out = _rewrite_calls(
+            out, ch, lambda a, s=sp: f"{s}({', '.join(a)})"
+        )
+    out = _rewrite_calls(out, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
     return out
+
+
+_MOMENT_AGGS = {
+    # ClickHouse camelCase -> Spark snake_case, identical semantics
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+}
 
 
 _ARRAY_REDUCE = {

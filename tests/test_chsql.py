@@ -892,3 +892,13 @@ def test_array_join_end_to_end(spark, sf_dir):
         sf_dir,
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_translate_moment_aggregates():
+    assert translate(
+        "SELECT stddevPop(value), varSamp(value), covarPop(value, user_id),"
+        " medianExact(value) FROM events"
+    ) == (
+        "SELECT stddev_pop(value), var_samp(value),"
+        " covar_pop(value, user_id), percentile(value, 0.5) FROM events"
+    )
