@@ -1,0 +1,121 @@
+"""Property-based tests for the ClickHouse-SQL transpiler: random
+queries composed from the supported dialect surface must (1) translate
+to a fixpoint (idempotence — the mixed-dialect safety guard), (2) stay
+untouched inside string literals, and (3) actually parse and run on
+Spark after translation."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_batcher_spark.plans.chsql import translate
+from clickhouse_batcher_spark.tables import run_sql
+
+_NUM_COLS = ("value", "user_id")
+_SCALARS = (
+    lambda c: f"toYear(ts)",
+    lambda c: f"toStartOfHour(ts)",
+    lambda c: f"lengthUTF8(event_type)",
+    lambda c: f"intDiv({c}, 7)",
+    lambda c: f"modulo({c}, 5)",
+    lambda c: f"bitAnd(user_id, 255)",
+    lambda c: f"JSONExtractInt(props, 'k')",
+    lambda c: f"multiIf({c} > 10, 'hi', {c} > 5, 'mid', 'lo')",
+    lambda c: f"ifNull(props, '{{}}')",
+    lambda c: f"formatDateTime(ts, '%Y-%m')",
+    lambda c: f"dateDiff('hour', ts, now())",
+    lambda c: f"addDays(ts, 2)",
+    lambda c: f"startsWith(event_type, 'c')",
+)
+_AGGS = (
+    lambda c: "count()",
+    lambda c: f"sum({c})",
+    lambda c: f"uniq({c})",
+    lambda c: f"uniqExact({c})",
+    lambda c: f"countIf({c} > 3)",
+    lambda c: f"sumIf({c}, event_type = 'click')",
+    lambda c: f"anyIf({c}, {c} > 0)",
+    lambda c: f"quantile(0.9)({c})",
+    lambda c: f"quantilesExact(0.25, 0.75)({c})",
+    lambda c: f"argMax(event_type, ts)",
+    lambda c: f"stddevPop({c})",
+    lambda c: f"medianExact({c})",
+)
+_CONDS = (
+    "value > 12",
+    "event_type = 'view'",
+    "isNotNull(props)",
+    "notEmpty(event_type)",
+    "modulo(user_id, 3) = 1",
+)
+
+
+@st.composite
+def ch_query(draw):
+    col = draw(st.sampled_from(_NUM_COLS))
+    agg_mode = draw(st.booleans())
+    if agg_mode:
+        items = [
+            f(col)
+            for f in draw(
+                st.lists(st.sampled_from(_AGGS), min_size=1, max_size=3)
+            )
+        ]
+        sel = ", ".join(
+            f"{e} AS c{i}" for i, e in enumerate(items)
+        )
+        q = f"SELECT event_type, {sel} FROM events"
+        if draw(st.booleans()):
+            q += f" WHERE {draw(st.sampled_from(_CONDS))}"
+        q += " GROUP BY event_type"
+    else:
+        items = [
+            f(col)
+            for f in draw(
+                st.lists(st.sampled_from(_SCALARS), min_size=1, max_size=4)
+            )
+        ]
+        sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(items))
+        q = f"SELECT {sel} FROM events"
+        if draw(st.booleans()):
+            q += f" WHERE {draw(st.sampled_from(_CONDS))}"
+    return q
+
+
+@given(q=ch_query())
+@settings(max_examples=60, deadline=None)
+def test_translate_reaches_fixpoint(q):
+    once = translate(q)
+    assert translate(once) == once
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            list("abc ()%,.*'")
+            + ["count(", "sumIf(", "FINAL", "SAMPLE ", "LIMIT 2 BY "]
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_literals_never_rewritten(parts):
+    """Whatever dialect-looking text sits inside a string literal, it
+    must come out byte-identical (quote-doubled on the way in)."""
+    sql_lit = "'" + "".join(parts).replace("'", "''") + "'"
+    q = f"SELECT count() FROM events WHERE event_type = {sql_lit}"
+    out = translate(q)
+    assert out == f"SELECT count(*) FROM events WHERE event_type = {sql_lit}"
+
+
+@given(q=ch_query())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_translated_queries_run_on_spark(spark, sf_dir, q):
+    rows = run_sql(spark, q, sf_dir, dialect="clickhouse").limit(3).collect()
+    assert rows is not None
