@@ -149,6 +149,7 @@ HEADLINE = [
     "events_ols_fit",
     "kmv_distinct_users",
     "props_information_value",
+    "hll_state_merge_daily",
 ]
 
 

@@ -902,3 +902,149 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type", "k_used", "kth_hash", est.alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL STATE MERGE (round-5 third session): ClickHouse's
+# ``uniqState`` / ``uniqMerge`` AggregatingMergeTree workflow — store
+# per-day sketch STATES, answer total-period questions by merging
+# states without touching raw data. The register frame IS the
+# mergeable state (merge = MAX per register), so the day->total
+# rollup is a groupBy over |days| x m rows; the query emits the
+# merged estimate NEXT TO the direct-from-raw estimate, which must
+# agree exactly (MAX is associative) — self-checking mergeability.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_state_merge_daily",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        CAST(('0x' || substr(sha256('hll:' || user_id::VARCHAR), 1, 15))
+             AS BIGINT) AS hash
+      FROM events
+    ), day_regs AS (
+      SELECT event_type, day, hash % {HLL_REGISTERS} AS register,
+        MAX(CASE WHEN hash // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hash // 256)) END) AS mj
+      FROM h GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, register, MAX(mj) AS mj
+      FROM day_regs GROUP BY 1, 2
+    ), direct AS (
+      SELECT event_type, hash % {HLL_REGISTERS} AS register,
+        MAX(CASE WHEN hash // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hash // 256)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ), est_m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS registers_hit,
+        SUM(1::BIGINT << (53 - mj))
+          + ({HLL_REGISTERS} - COUNT(*)) * (1::BIGINT << 53) AS s_scaled
+      FROM merged GROUP BY 1
+    ), est_d AS (
+      SELECT event_type,
+        SUM(1::BIGINT << (53 - mj))
+          + ({HLL_REGISTERS} - COUNT(*)) * (1::BIGINT << 53) AS s_scaled
+      FROM direct GROUP BY 1
+    ), days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM h GROUP BY 1
+    )
+    SELECT m.event_type, days.n_days, m.registers_hit,
+      round({_HLL_ALPHA_M2_2P53} / CAST(m.s_scaled AS DOUBLE), 2)
+        AS est_merged,
+      round({_HLL_ALPHA_M2_2P53} / CAST(d.s_scaled AS DOUBLE), 2)
+        AS est_direct,
+      (m.s_scaled = d.s_scaled) AS states_equal
+    FROM est_m m
+    JOIN est_d d ON d.event_type = m.event_type
+    JOIN days ON days.event_type = m.event_type
+    """,
+)
+def hll_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqState/uniqMerge analog: per-day HLL register states MAX-
+    merged into a total-period estimate, emitted next to the
+    direct-from-raw estimate — ``states_equal`` is TRUE for every row
+    because register MAX is associative, which is the whole point:
+    a year of dailies answers any-period distinct counts without
+    rescanning raw events.
+
+    (The raw harmonic estimate is used on both paths — the bias
+    corrections live in `hll_distinct_users`; this query isolates
+    state mergeability.) At 100 TB the day-state table is
+    |days| x m rows per group key — the continuous-aggregate pattern
+    `incremental_rollup_events` uses for sums, extended to sketches.
+    """
+    m = HLL_REGISTERS
+    h = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("hll:"), F.col("user_id").cast("string")),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hash"),
+    )
+    rho = F.expr(
+        "CASE WHEN hash div 256 = 0 THEN 53 "
+        "ELSE 53 - length(bin(hash div 256)) END"
+    )
+    day_regs = (
+        h.select("event_type", "day", (F.col("hash") % m).alias("register"), rho.alias("rho"))
+        .groupBy("event_type", "day", "register")
+        .agg(F.max("rho").alias("mj"))
+    )
+    merged = day_regs.groupBy("event_type", "register").agg(
+        F.max("mj").alias("mj")
+    )
+    direct = (
+        h.select("event_type", (F.col("hash") % m).alias("register"), rho.alias("rho"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+    def _scaled(regs: DataFrame) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("registers_hit"),
+            (
+                F.sum(F.expr("shiftleft(1L, cast(53 - mj AS INT))"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 53)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+        )
+
+    est_m = _scaled(merged)
+    est_d = _scaled(direct).select(
+        F.col("event_type").alias("et_d"), F.col("s_scaled").alias("s_d")
+    )
+    days = h.groupBy(F.col("event_type").alias("et_days")).agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    alpha = F.lit(float(_HLL_ALPHA_M2_2P53))
+    return (
+        est_m.join(est_d, F.col("event_type") == F.col("et_d"))
+        .join(F.broadcast(days), F.col("event_type") == F.col("et_days"))
+        .select(
+            "event_type",
+            "n_days",
+            "registers_hit",
+            F.round(alpha / F.col("s_scaled").cast("double"), 2).alias(
+                "est_merged"
+            ),
+            F.round(alpha / F.col("s_d").cast("double"), 2).alias(
+                "est_direct"
+            ),
+            (F.col("s_scaled") == F.col("s_d")).alias("states_equal"),
+        )
+    )

@@ -72,6 +72,7 @@ ORACLED = [
     "temperature_mix_sample",
     "kmv_distinct_users",
     "props_information_value",
+    "hll_state_merge_daily",
     "events_sparkbar_hourly",
 ]
 
@@ -1627,3 +1628,24 @@ def test_kmv_estimator_accuracy(spark):
         assert abs(r["est_distinct"] - t) / t < 0.35, (r, t)
         est_engaged += r["k_used"] == 64
     assert est_engaged > 0  # at least one group actually estimated
+
+
+def test_hll_state_merge_is_lossless(spark, sf_dir):
+    """Merged day-states must equal the direct sketch for EVERY group
+    (register MAX associativity) and track exact distincts within HLL
+    error at this register count."""
+    rows = catalog.QUERIES["hll_state_merge_daily"](spark, sf_dir).collect()
+    assert rows
+    from clickhouse_batcher_spark.tables import load_table
+
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for r in rows:
+        assert r["states_equal"] is True, r
+        assert r["est_merged"] == r["est_direct"], r
+        assert r["n_days"] > 1  # the rollup actually merged something
