@@ -910,6 +910,28 @@ def translate(
             out, ch, lambda a, s=sp: f"{s}({', '.join(a)})"
         )
     out = _rewrite_calls(out, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
+    # -Array combinators: aggregate over every element of every row's
+    # array. sum/avg flatten via an explicit fold; min/max compose the
+    # per-row array extreme with the row aggregate.
+    out = _rewrite_calls(
+        out,
+        "sumArray",
+        lambda a: (
+            f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(__sa_s, __sa_x) -> __sa_s + __sa_x))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "avgArray",
+        lambda a: (
+            f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(__sa_s, __sa_x) -> __sa_s + __sa_x)) / sum(size({a[0]})))"
+        ),
+    )
+    out = _rewrite_calls(out, "minArray", lambda a: f"min(array_min({a[0]}))")
+    out = _rewrite_calls(out, "maxArray", lambda a: f"max(array_max({a[0]}))")
+    out = _rewrite_calls(out, "countArray", lambda a: f"sum(size({a[0]}))")
     return out
 
 

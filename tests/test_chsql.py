@@ -902,3 +902,26 @@ def test_translate_moment_aggregates():
         "SELECT stddev_pop(value), var_samp(value),"
         " covar_pop(value, user_id), percentile(value, 0.5) FROM events"
     )
+
+
+def test_translate_array_combinators(spark, sf_dir):
+    assert translate("SELECT minArray(embedding), countArray(embedding) FROM embeddings") == (
+        "SELECT min(array_min(embedding)), sum(size(embedding)) FROM embeddings"
+    )
+    got = run_sql(
+        spark,
+        "SELECT sumArray(embedding) AS s, avgArray(embedding) AS a,"
+        " maxArray(embedding) AS mx FROM embeddings",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    want = run_sql(
+        spark,
+        "SELECT sum(aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (s, x) -> s + x)) AS s,"
+        " sum(aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + x))"
+        " / sum(size(embedding)) AS a,"
+        " max(array_max(embedding)) AS mx FROM embeddings",
+        sf_dir,
+    ).collect()[0]
+    assert got == want

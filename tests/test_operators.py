@@ -1333,6 +1333,16 @@ def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
         "repeated_span_stats",
         "topk_heavy_hitters",
         "bpe_learn_merges",
+        # round-5 third session: rank sums, chi-square terms, moment
+        # sums, KMV min-sets, OLS integer moments, funnel windows
+        "events_rank_corr",
+        "events_cramers_v",
+        "ab_mann_whitney_u",
+        "events_skew_kurt_by_type",
+        "kmv_distinct_users",
+        "events_ols_fit",
+        "window_funnel_levels",
+        "hll_state_merge_daily",
     ]
     for name in risk_set:
         res = {}
