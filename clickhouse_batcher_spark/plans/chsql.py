@@ -244,6 +244,29 @@ _UNSUPPORTED = (
         "only LIMIT n BY translates; page with a row_number() window",
     ),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
+    # ClickHouse DDL/DML lands on this engine's write-path modules, not
+    # spark.sql — recognize the statements and point at the analogue
+    # instead of letting Spark's parser produce an unrelated error.
+    (
+        r"\bALTER\s+TABLE\s+\w+\s+UPDATE\b",
+        "ALTER TABLE ... UPDATE (mutation)",
+        "use operators.merge.merge_upsert (read-modify-write)",
+    ),
+    (
+        r"\bALTER\s+TABLE\s+\w+\s+DELETE\b",
+        "ALTER TABLE ... DELETE (mutation)",
+        "use sinks.delete (anti-filter rewrite, count-verified)",
+    ),
+    (
+        r"\bOPTIMIZE\s+TABLE\b",
+        "OPTIMIZE TABLE",
+        "use sources.layout.compact_parquet (small-file compaction)",
+    ),
+    (
+        r"\bENGINE\s*=\s*\w*MergeTree",
+        "CREATE TABLE ... ENGINE=MergeTree",
+        "use plans.migrations (versioned DDL runner, goose analogue)",
+    ),
 )
 
 
@@ -577,14 +600,15 @@ def _clauses(
     """Clause-level rewrites: PREWHERE, trailing SETTINGS / FORMAT,
     LIMIT BY, SAMPLE, FINAL, ARRAY JOIN, loud errors for
     recognized-but-untranslatable constructs."""
-    out = _array_join(_final(_sample(sql, sample_keys), final_keys))
+    # Loud errors FIRST: a DDL/DML statement must hit its hint before
+    # a clause rewriter (e.g. FINAL inside OPTIMIZE TABLE) munches it.
     for pat, construct, hint in _UNSUPPORTED:
-        if re.search(pat, out, re.IGNORECASE) and not _in_string(
-            out, re.search(pat, out, re.IGNORECASE).start()
-        ):
+        m0 = re.search(pat, sql, re.IGNORECASE)
+        if m0 and not _in_string(sql, m0.start()):
             raise ValueError(
                 f"ClickHouse {construct} has no Spark translation — {hint}"
             )
+    out = _array_join(_final(_sample(sql, sample_keys), final_keys))
     # Execution hints carry no semantics: strip a trailing SETTINGS
     # clause and a trailing FORMAT clause (output shaping is the
     # caller's job here).

@@ -925,3 +925,19 @@ def test_translate_array_combinators(spark, sf_dir):
         sf_dir,
     ).collect()[0]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "ch,hint",
+    [
+        ("ALTER TABLE orders UPDATE o_totalprice = 0 WHERE o_orderkey = 1",
+         "merge_upsert"),
+        ("ALTER TABLE orders DELETE WHERE o_orderkey = 1", "sinks.delete"),
+        ("OPTIMIZE TABLE orders FINAL", "compact_parquet"),
+        ("CREATE TABLE t (x UInt64) ENGINE = ReplacingMergeTree ORDER BY x",
+         "plans.migrations"),
+    ],
+)
+def test_ddl_dml_point_at_write_path_modules(ch, hint):
+    with pytest.raises(ValueError, match=hint):
+        translate(ch)
