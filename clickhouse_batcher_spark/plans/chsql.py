@@ -42,9 +42,10 @@ parser rather than silently misbehaving):
                                     (``final_keys=``; keyless = loud)
 - ``ORDER BY o LIMIT n WITH TIES`` -> ``rank()`` window rewrite
 - ``[LEFT] ARRAY JOIN e AS x``   -> ``LATERAL VIEW [OUTER]
-                                    explode(e) .. AS x`` (single
-                                    array; the multi-array zip form
-                                    is a loud error)
+                                    explode(e) .. AS x``; the
+                                    two-array parallel form zips via
+                                    ``zip_with`` + alias rewrite
+                                    (3+ arrays: loud error)
 - ``{name:Type}`` params         -> Spark named markers ``:name``
                                     (bind via ``run_sql(params=...)``;
                                     positional ``?`` needs no rewrite)
@@ -548,11 +549,15 @@ def _array_join(sql: str) -> str:
 
     Identical semantics for a single array: one output row per
     element, LEFT keeping empty/NULL-array rows (with a NULL element)
-    exactly as LATERAL VIEW OUTER does. The multi-array form
-    (``ARRAY JOIN a AS x, b AS y``) iterates arrays IN PARALLEL in
-    ClickHouse — that zip needs an arrays_zip restructuring of the
-    select list, so it stays a loud error rather than silently
-    cross-producting.
+    exactly as LATERAL VIEW OUTER does.
+
+    The two-array form (``ARRAY JOIN a AS x, b AS y``) iterates the
+    arrays IN PARALLEL — a zip, not a product — and translates to
+    ``explode(zip_with(a, b, named_struct(...)))`` with the aliases
+    rewritten to struct-field accesses throughout the query (CH's
+    aliases shadow any same-named columns, so a whole-query
+    word-boundary rewrite matches its scoping). Three or more arrays
+    stay a loud error.
     """
     out = sql
     pos = 0
@@ -573,23 +578,55 @@ def _array_join(sql: str) -> str:
             cut = wm.start()
         spec = rest[:cut].strip().rstrip(";").strip()
         tail = rest[cut:]
-        if len(_split_top_level(spec)) > 1:
+        parts = _split_top_level(spec)
+        if len(parts) > 2:
             raise ValueError(
-                "multi-array ARRAY JOIN iterates arrays in parallel "
-                "(a zip, not a product) — restructure with arrays_zip "
-                "explicitly; only the single-array form translates"
+                "ARRAY JOIN over 3+ parallel arrays is outside the "
+                "translation scope — nest zip_with explicitly"
             )
-        am = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)$", spec, re.IGNORECASE)
-        if not am:
-            raise ValueError(
-                "ARRAY JOIN translates only the aliased form: "
-                "ARRAY JOIN <expr> AS <alias>"
-            )
-        expr, alias = am.group(1).strip(), am.group(2)
-        repl = f"LATERAL VIEW {outer}explode({expr}) __aj AS {alias}"
+        parsed = []
+        for p in parts:
+            am = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)$", p, re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    "ARRAY JOIN translates only the aliased form: "
+                    "ARRAY JOIN <expr> AS <alias>"
+                )
+            parsed.append((am.group(1).strip(), am.group(2)))
         tail = tail.lstrip()
-        out = out[: m.start()] + repl + (f" {tail}" if tail else "")
-        pos = m.start() + len(repl)
+        if len(parsed) == 1:
+            expr, alias = parsed[0]
+            repl = f"LATERAL VIEW {outer}explode({expr}) __aj AS {alias}"
+            out = out[: m.start()] + repl + (f" {tail}" if tail else "")
+            pos = m.start() + len(repl)
+            continue
+        (e1, a1), (e2, a2) = parsed
+        zipped = (
+            f"zip_with({e1}, {e2}, (__zl, __zr) -> "
+            f"named_struct('{a1}', __zl, '{a2}', __zr))"
+        )
+        repl = f"LATERAL VIEW {outer}explode({zipped}) __aj AS __zip"
+        head = out[: m.start()]
+        rebuilt = head + repl + (f" {tail}" if tail else "")
+        # CH aliases shadow columns query-wide; rewrite every
+        # word-boundary use outside strings to the struct field.
+        for alias in (a1, a2):
+            pat = re.compile(rf"\b{re.escape(alias)}\b")
+            res = []
+            last = 0
+            for am2 in pat.finditer(rebuilt):
+                if _in_string(rebuilt, am2.start()) or rebuilt[
+                    max(0, am2.start() - 1)
+                ] in "'.":
+                    continue
+                # leave the named_struct('<alias>', ...) literals alone
+                res.append(rebuilt[last : am2.start()])
+                res.append(f"__zip.{alias}")
+                last = am2.end()
+            res.append(rebuilt[last:])
+            rebuilt = "".join(res)
+        out = rebuilt
+        pos = len(head) + 1  # rescan conservatively after the head
 
 
 def _clauses(
