@@ -1100,3 +1100,58 @@ def props_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(pg / pb), 6).alias("woe"),
         F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term"),
     )
+
+
+@query(
+    "user_type_minmax_map",
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, event_type,
+        MIN(round(value, 6)) AS lo, MAX(round(value, 6)) AS hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+      array_to_string(list(event_type ORDER BY event_type), ',') AS keys,
+      array_to_string(
+        list(printf('%.6f', lo) ORDER BY event_type), ',') AS mins,
+      array_to_string(
+        list(printf('%.6f', hi) ORDER BY event_type), ',') AS maxs,
+      COUNT(*) AS n_keys
+    FROM kv GROUP BY user_id
+    """,
+)
+def user_type_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` analogs: per user, the
+    key-sorted maps of event-type -> min / max value, completing the
+    Map-combinator family next to `user_type_sum_map`.
+
+    Same shape: pre-aggregate (user, key) extremes (bounded collected
+    state), printf-render on both engines, string-join in key order.
+    MIN/MAX over rounded values are partition-order independent by
+    nature — no decimal routing needed.
+    """
+    kv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.round("value", 6)).alias("lo"),
+            F.max(F.round("value", 6)).alias("hi"),
+        )
+    )
+    pair = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("event_type"),
+                F.format_string("%.6f", F.col("lo")).alias("lo_s"),
+                F.format_string("%.6f", F.col("hi")).alias("hi_s"),
+            )
+        )
+    )
+    return kv.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(pair, lambda p: p["event_type"])).alias(
+            "keys"
+        ),
+        F.concat_ws(",", F.transform(pair, lambda p: p["lo_s"])).alias("mins"),
+        F.concat_ws(",", F.transform(pair, lambda p: p["hi_s"])).alias("maxs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )

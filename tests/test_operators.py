@@ -73,6 +73,7 @@ ORACLED = [
     "kmv_distinct_users",
     "props_information_value",
     "hll_state_merge_daily",
+    "user_type_minmax_map",
     "events_sparkbar_hourly",
 ]
 
