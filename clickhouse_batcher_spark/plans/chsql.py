@@ -268,6 +268,24 @@ _UNSUPPORTED = (
         "CREATE TABLE ... ENGINE=MergeTree",
         "use plans.migrations (versioned DDL runner, goose analogue)",
     ),
+    (
+        r"\bCREATE\s+MATERIALIZED\s+VIEW\b",
+        "CREATE MATERIALIZED VIEW",
+        "use streaming.windowed / operators.rollup.incremental_rollup "
+        "(continuous aggregates with mergeable state)",
+    ),
+    (
+        r"\bINSERT\s+INTO\b",
+        "INSERT INTO",
+        "use sinks (IdempotentParquetSink / ClickHouseJdbcSink) — the "
+        "write path is batch-ledgered, not statement-based",
+    ),
+    (
+        r"\bdictGet\w*\s*\(",
+        "dictGet*",
+        "model the dictionary as a broadcast dimension join "
+        "(tables.SMALL_DIMS pattern)",
+    ),
 )
 
 

@@ -975,3 +975,18 @@ def test_translate_array_combinators(spark, sf_dir):
 def test_ddl_dml_point_at_write_path_modules(ch, hint):
     with pytest.raises(ValueError, match=hint):
         translate(ch)
+
+
+@pytest.mark.parametrize(
+    "ch,hint",
+    [
+        ("CREATE MATERIALIZED VIEW mv AS SELECT count() FROM events",
+         "incremental_rollup"),
+        ("INSERT INTO events SELECT * FROM events", "batch-ledgered"),
+        ("SELECT dictGetString('d', 'name', user_id) FROM events",
+         "broadcast dimension join"),
+    ],
+)
+def test_server_side_constructs_hint_engine_modules(ch, hint):
+    with pytest.raises(ValueError, match=hint):
+        translate(ch)
