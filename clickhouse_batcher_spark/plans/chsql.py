@@ -798,6 +798,42 @@ def translate(
         "countEqual",
         lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
     )
+    out = _rewrite_calls(
+        out,
+        "arrayCumSum",
+        # running-sum scan as an array-accumulating fold
+        lambda a: (
+            f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__cs_acc, __cs_x) -> __cs_acc || array(coalesce("
+            f"try_element_at(__cs_acc, -1), CAST(0 AS DOUBLE)) + __cs_x))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayDifference",
+        # [0, a2-a1, a3-a2, ...] — ClickHouse's leading-zero convention
+        lambda a: (
+            f"concat(array(CAST(0 AS DOUBLE)), zip_with("
+            f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
+            f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0)), "
+            f"(__df_x, __df_y) -> CAST(__df_x AS DOUBLE) - __df_y))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out,
+        "hasAll",
+        lambda a: f"forall({a[1]}, __ha -> array_contains({a[0]}, __ha))",
+    )
+    out = _rewrite_calls(
+        out, "hasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(out, "arrayFlatten", lambda a: f"flatten({a[0]})")
+    out = _rewrite_calls(
+        out, "arrayZip", lambda a: f"arrays_zip({', '.join(a)})"
+    )
     for ch, sp in _COND_AGGS.items():
         out = _rewrite_calls(
             out,

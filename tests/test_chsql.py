@@ -990,3 +990,22 @@ def test_ddl_dml_point_at_write_path_modules(ch, hint):
 def test_server_side_constructs_hint_engine_modules(ch, hint):
     with pytest.raises(ValueError, match=hint):
         translate(ch)
+
+
+def test_array_scan_functions_end_to_end(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT arrayCumSum(array(1.0, 2.0, 3.0)) AS cs,"
+        " arrayDifference(array(5.0, 9.0, 4.0)) AS dif,"
+        " arrayEnumerate(array('a', 'b', 'c')) AS en,"
+        " hasAll(array(1, 2, 3), array(2, 3)) AS ha,"
+        " hasAny(array(1, 2), array(9, 2)) AS hy,"
+        " arrayFlatten(array(array(1), array(2, 3))) AS fl",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["cs"] == [1.0, 3.0, 6.0]
+    assert got["dif"] == [0.0, 4.0, -5.0]
+    assert got["en"] == [1, 2, 3]
+    assert got["ha"] is True and got["hy"] is True
+    assert got["fl"] == [1, 2, 3]
