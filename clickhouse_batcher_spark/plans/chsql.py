@@ -989,6 +989,19 @@ def translate(
         out, "substringUTF8", lambda a: f"substring({', '.join(a)})"
     )
     out = _rewrite_calls(out, "formatDateTime", _format_datetime)
+    for ch, secs in (
+        ("toStartOfFiveMinutes", 300),
+        ("toStartOfTenMinutes", 600),
+        ("toStartOfFifteenMinutes", 900),
+    ):
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, sc=secs: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) DIV {sc})"
+                f" * {sc})"
+            ),
+        )
     out = _rewrite_calls(out, "dateDiff", _date_diff)
     out = _rewrite_calls(out, "toStartOfInterval", _to_start_of_interval)
     for ch, unit in _ADD_UNITS.items():

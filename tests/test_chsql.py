@@ -1009,3 +1009,17 @@ def test_array_scan_functions_end_to_end(spark, sf_dir):
     assert got["en"] == [1, 2, 3]
     assert got["ha"] is True and got["hy"] is True
     assert got["fl"] == [1, 2, 3]
+
+
+def test_fixed_interval_truncations(spark, sf_dir):
+    assert translate("SELECT toStartOfFifteenMinutes(ts) FROM events") == (
+        "SELECT timestamp_seconds((unix_timestamp(ts) DIV 900) * 900)"
+        " FROM events"
+    )
+    got = run_sql(
+        spark,
+        "SELECT toStartOfFiveMinutes(toDateTime('2024-03-01 10:47:21')) AS b",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert str(got["b"]) == "2024-03-01 10:45:00"
