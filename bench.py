@@ -150,6 +150,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "props_information_value",
     "hll_state_merge_daily",
+    "user_type_minmax_map",
+    "kmv_union_intersection",
 ]
 
 

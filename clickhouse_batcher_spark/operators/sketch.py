@@ -1048,3 +1048,139 @@ def hll_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_scaled") == F.col("s_d")).alias("states_equal"),
         )
     )
+
+
+@query(
+    "kmv_union_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(sha256('kmv:' || user_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hash
+      FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+      SELECT event_type, hash,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hash) AS rn
+      FROM h
+    ), per_est AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used,
+             MAX(hash) AS kth
+      FROM per WHERE rn <= {KMV_K} GROUP BY 1
+    ), uh AS (
+      SELECT DISTINCT hash FROM h
+    ), ur AS (
+      SELECT hash, ROW_NUMBER() OVER (ORDER BY hash) AS rn FROM uh
+    ), u_est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(hash) AS kth
+      FROM ur WHERE rn <= {KMV_K}
+    ), ests AS (
+      SELECT
+        (SELECT CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE floor(({KMV_K} - 1) * {_KMV_SPACE!r}
+                           / CAST(kth AS DOUBLE)) END
+         FROM per_est WHERE event_type = 'click') AS est_a,
+        (SELECT CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE floor(({KMV_K} - 1) * {_KMV_SPACE!r}
+                           / CAST(kth AS DOUBLE)) END
+         FROM per_est WHERE event_type = 'view') AS est_b,
+        (SELECT CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE floor(({KMV_K} - 1) * {_KMV_SPACE!r}
+                           / CAST(kth AS DOUBLE)) END
+         FROM u_est) AS est_union
+    )
+    SELECT CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+      CAST(est_union AS BIGINT) AS est_union,
+      CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT)
+        AS est_intersection
+    FROM ests
+    """,
+)
+def kmv_union_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra — the capability HLL registers lack and the
+    reason theta sketches exist: the union sketch is just KMV over the
+    merged min-sets (here recomputed over the union of hash streams —
+    identical by construction), and intersection follows by
+    inclusion-exclusion. One row: est_a (click users), est_b (view
+    users), est_union, est_intersection.
+
+    All estimates run the same integer-hash arithmetic on both
+    engines (hash-exact oracle); `distinct_users_type_overlap` holds
+    the exact answers this approximates.
+    """
+    h = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.lit("kmv:"), F.col("user_id").cast("string")
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hash"),
+        )
+        .distinct()
+    )
+
+    def _est(frame: DataFrame, part_cols: list[str]) -> F.Column:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("hash")
+            if part_cols
+            else Window.partitionBy().orderBy("hash")
+        )
+        top = frame.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= KMV_K
+        )
+        agg = top.groupBy(*part_cols) if part_cols else top.groupBy()
+        return agg.agg(
+            F.count(F.lit(1)).alias("k_used"), F.max("hash").alias("kth")
+        ).select(
+            *part_cols,
+            F.when(
+                F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+            )
+            .otherwise(
+                F.floor(
+                    (KMV_K - 1)
+                    * F.lit(_KMV_SPACE)
+                    / F.col("kth").cast("double")
+                )
+            )
+            .alias("est"),
+        )
+
+    per = _est(h, ["event_type"])
+    a = per.filter(F.col("event_type") == "click").select(
+        F.col("est").alias("est_a")
+    )
+    b = per.filter(F.col("event_type") == "view").select(
+        F.col("est").alias("est_b")
+    )
+    u = _est(h.select("hash").distinct(), []).select(
+        F.col("est").alias("est_union")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            F.col("est_a").cast("bigint").alias("est_a"),
+            F.col("est_b").cast("bigint").alias("est_b"),
+            F.col("est_union").cast("bigint").alias("est_union"),
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0.0),
+            )
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )

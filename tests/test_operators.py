@@ -74,6 +74,7 @@ ORACLED = [
     "props_information_value",
     "hll_state_merge_daily",
     "user_type_minmax_map",
+    "kmv_union_intersection",
     "events_sparkbar_hourly",
 ]
 
@@ -1660,3 +1661,21 @@ def test_hll_state_merge_is_lossless(spark, sf_dir):
         assert r["states_equal"] is True, r
         assert r["est_merged"] == r["est_direct"], r
         assert r["n_days"] > 1  # the rollup actually merged something
+
+
+def test_kmv_set_algebra_accuracy(spark):
+    """Union/intersection estimates must land within KMV error of the
+    exact overlap at sf0.01 (where the estimator path engages)."""
+    sf = "/root/testdata/sf0.01"
+    from clickhouse_batcher_spark.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    a = {r["user_id"] for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    b = {r["user_id"] for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    row = catalog.QUERIES["kmv_union_intersection"](spark, sf).collect()[0]
+    assert abs(row["est_union"] - len(a | b)) / len(a | b) < 0.35
+    # intersection inherits three estimates' error; generous floor
+    assert abs(row["est_intersection"] - len(a & b)) <= max(
+        0.6 * len(a & b), 25
+    )
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
