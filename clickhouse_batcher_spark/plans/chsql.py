@@ -832,6 +832,16 @@ def translate(
     )
     out = _rewrite_calls(out, "arrayFlatten", lambda a: f"flatten({a[0]})")
     out = _rewrite_calls(
+        out,
+        "splitByString",
+        # literal-quote the separator like splitByChar
+        lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+    )
+    out = _rewrite_calls(out, "reverseUTF8", lambda a: f"reverse({a[0]})")
+    out = _rewrite_calls(
+        out, "concatAssumeInjective", lambda a: f"concat({', '.join(a)})"
+    )
+    out = _rewrite_calls(
         out, "arrayZip", lambda a: f"arrays_zip({', '.join(a)})"
     )
     for ch, sp in _COND_AGGS.items():

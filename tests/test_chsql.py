@@ -1023,3 +1023,16 @@ def test_fixed_interval_truncations(spark, sf_dir):
         dialect="clickhouse",
     ).collect()[0]
     assert str(got["b"]) == "2024-03-01 10:45:00"
+
+
+def test_split_by_string_and_friends(spark, sf_dir):
+    assert translate("SELECT reverseUTF8(lang), concatAssumeInjective(lang, source) FROM documents") == (
+        "SELECT reverse(lang), concat(lang, source) FROM documents"
+    )
+    got = run_sql(
+        spark,
+        "SELECT splitByString('--', 'a--b--c') AS parts",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["parts"] == ["a", "b", "c"]
