@@ -192,6 +192,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "events_cramers_v",          # 1-row total + marginal-count frames
         "events_theils_u",           # 1-row entropy/total frames
         "events_sparkbar_hourly",    # 24-row hour spine x type dims
+        "kmv_union_intersection",    # three 1-row estimate frames
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
