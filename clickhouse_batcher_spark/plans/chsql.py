@@ -178,9 +178,12 @@ def _rewrite_calls(
         pos = m.start() + len(repl)
 
 
-def _rewrite_curried(sql: str, fname: str, spark_fn: str) -> str:
+def _rewrite_curried(
+    sql: str, fname: str, spark_fn: str | None, fmt: str | None = None
+) -> str:
     """``fname(p)(x)`` -> ``spark_fn(x, p)`` (ClickHouse's parametric
-    aggregate syntax)."""
+    aggregate syntax); pass ``fmt`` with ``{x}``/``{p}`` placeholders
+    for non-positional templates."""
     pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
     out = sql
     pos = 0
@@ -206,7 +209,11 @@ def _rewrite_curried(sql: str, fname: str, spark_fn: str) -> str:
         p_parts = _split_top_level(p)
         if len(p_parts) > 1:
             p = f"array({', '.join(p_parts)})"
-        repl = f"{spark_fn}({x}, {p})"
+        repl = (
+            fmt.format(x=x, p=p)
+            if fmt is not None
+            else f"{spark_fn}({x}, {p})"
+        )
         out = out[: m.start()] + repl + out[x_close + 1 :]
         pos = m.start() + len(repl)
 
@@ -850,6 +857,19 @@ def translate(
             ch,
             lambda a, sp=sp: f"{sp}(CASE WHEN {a[1]} THEN {a[0]} END)",
         )
+    out = _rewrite_curried(
+        out,
+        "groupArraySorted",
+        None,
+        fmt="slice(sort_array(collect_list({x})), 1, {p})",
+    )
+    out = _rewrite_calls(
+        out,
+        "sumCount",
+        lambda a: (
+            f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+        ),
+    )
     out = _rewrite_curried(out, "quantilesExact", "percentile")
     out = _rewrite_curried(out, "quantiles", "percentile_approx")
     out = _rewrite_curried(out, "quantileExact", "percentile")

@@ -1036,3 +1036,24 @@ def test_split_by_string_and_friends(spark, sf_dir):
         dialect="clickhouse",
     ).collect()[0]
     assert got["parts"] == ["a", "b", "c"]
+
+
+def test_group_array_sorted_and_sum_count(spark, sf_dir):
+    assert translate("SELECT groupArraySorted(3)(value) FROM events") == (
+        "SELECT slice(sort_array(collect_list(value)), 1, 3) FROM events"
+    )
+    got = run_sql(
+        spark,
+        "SELECT event_type, groupArraySorted(2)(value) AS lo2,"
+        " sumCount(value) AS sc FROM events GROUP BY event_type",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    want = run_sql(
+        spark,
+        "SELECT event_type, slice(sort_array(collect_list(value)), 1, 2)"
+        " AS lo2, named_struct('sum', sum(value), 'count', count(value))"
+        " AS sc FROM events GROUP BY event_type",
+        sf_dir,
+    ).collect()
+    assert sorted(map(str, got)) == sorted(map(str, want))
