@@ -152,6 +152,7 @@ HEADLINE = [
     "hll_state_merge_daily",
     "user_type_minmax_map",
     "kmv_union_intersection",
+    "concat_block_packing",
 ]
 
 

@@ -142,3 +142,105 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "subshard", "pack_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Concat-then-chunk block packing (round-5 third session): the
+# GPT-pretraining layout — concatenate documents in a deterministic
+# order into one token stream, cut fixed BLOCK_TOKENS blocks, and
+# account for which documents each block spans (crossing a boundary
+# means attention masks / loss masks need the doc split points).
+# Complements `pack_sequences_budget` (first-fit bins that never split
+# a doc): blocks here have ZERO padding by construction and documents
+# DO straddle block boundaries. Pure relational: one global ordered
+# cumulative sum over per-doc token counts, then each doc explodes to
+# exactly the blocks it overlaps.
+# ---------------------------------------------------------------------------
+
+BLOCK_TOKENS = 512
+
+
+@query(
+    "concat_block_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) AS n_toks
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, n_toks,
+        SUM(n_toks) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_toks AS c_start,
+        SUM(n_toks) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS c_end
+      FROM toks WHERE n_toks > 0
+    ), spans AS (
+      SELECT doc_id, n_toks, c_start, c_end,
+        unnest(range(CAST(c_start // {BLOCK_TOKENS} AS BIGINT),
+                     CAST((c_end - 1) // {BLOCK_TOKENS} AS BIGINT) + 1))
+          AS block_id
+      FROM offs
+    )
+    SELECT block_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+      CAST(SUM(least(c_end, (block_id + 1) * {BLOCK_TOKENS})
+               - greatest(c_start, block_id * {BLOCK_TOKENS}))
+           AS BIGINT) AS n_tokens
+    FROM spans GROUP BY block_id
+    """,
+)
+def concat_block_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per fixed-size training block: how many documents it spans,
+    the first/last doc ids, and its token fill (= BLOCK_TOKENS
+    everywhere except the final block — zero padding by
+    construction).
+
+    Offsets come from one global ordered cumulative sum over per-doc
+    token counts (|docs| rows, not tokens); each doc then explodes to
+    exactly the ceil(n/B)-ish blocks it overlaps. At 100 TB the
+    global cumsum becomes the standard two-level pass (per-partition
+    partials + prefix offsets — the `with_global_index` machinery);
+    the plan shape is otherwise unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+            )
+        ).alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    offs = toks.select(
+        "doc_id",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("c_start"),
+        F.sum("n_toks").over(w).alias("c_end"),
+    )
+    b = BLOCK_TOKENS
+    spans = offs.select(
+        "doc_id",
+        "c_start",
+        "c_end",
+        F.explode(
+            F.sequence(
+                (F.col("c_start") / b).cast("bigint"),
+                ((F.col("c_end") - 1) / b).cast("bigint"),
+            )
+        ).alias("block_id"),
+    )
+    return spans.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.sum(
+            F.least(F.col("c_end"), (F.col("block_id") + 1) * b)
+            - F.greatest(F.col("c_start"), F.col("block_id") * b)
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

@@ -75,6 +75,7 @@ ORACLED = [
     "hll_state_merge_daily",
     "user_type_minmax_map",
     "kmv_union_intersection",
+    "concat_block_packing",
     "events_sparkbar_hourly",
 ]
 
@@ -1679,3 +1680,37 @@ def test_kmv_set_algebra_accuracy(spark):
         0.6 * len(a & b), 25
     )
     assert row["est_union"] <= row["est_a"] + row["est_b"]
+
+
+def test_concat_block_packing_invariants(spark, sf_dir):
+    """Zero padding: every block except the last holds exactly
+    BLOCK_TOKENS tokens; block ids are contiguous from 0; doc spans
+    are monotone; per-block token accounting sums to the corpus
+    total."""
+    from clickhouse_batcher_spark.operators.packing import BLOCK_TOKENS
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = sorted(
+        catalog.QUERIES["concat_block_packing"](spark, sf_dir).collect(),
+        key=lambda r: r["block_id"],
+    )
+    assert rows[0]["block_id"] == 0
+    assert [r["block_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == BLOCK_TOKENS, r
+    assert 0 < rows[-1]["n_tokens"] <= BLOCK_TOKENS
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    # doc spans never go backwards between consecutive blocks
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] <= b["first_doc"] or a["last_doc"] == b["first_doc"]
+        assert a["first_doc"] <= b["first_doc"]
