@@ -153,6 +153,7 @@ HEADLINE = [
     "user_type_minmax_map",
     "kmv_union_intersection",
     "concat_block_packing",
+    "duplicate_line_ratio",
 ]
 
 

@@ -775,3 +775,105 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clickhouse_batcher_spark.catalog import ORACLES as _DD_ORACLES  # noqa: E402
 
 _DD_ORACLES["dedup_keep_canonical"] = " ".join(_keep_canonical_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (round-5 third session): the C4-style span
+# cleanup at a fixed-granularity unit — non-overlapping 10-token
+# "lines" (this corpus has no sentence punctuation, so the span unit
+# is token-count-defined; a punctuated corpus would split on
+# sentences with the same plan). Finer than doc-level
+# `dedup_exact_docs`, coarser and cheaper than the sliding
+# token-k-gram `repeated_span_stats`: one explode of |tokens|/10 rows
+# per doc, one span-frequency groupBy, one per-doc rollup.
+# ---------------------------------------------------------------------------
+
+SPAN_LINE_TOKENS = 10
+
+
+@query(
+    "duplicate_line_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+        array_to_string(
+          ts[i * {SPAN_LINE_TOKENS} + 1 : i * {SPAN_LINE_TOKENS}
+             + {SPAN_LINE_TOKENS}], ' ') AS span
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(ts) / {SPAN_LINE_TOKENS}.0)
+                              AS BIGINT))) AS t(i)
+    ), nonempty AS (
+      SELECT doc_id, span FROM spans WHERE span <> ''
+    ), freq AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM nonempty GROUP BY span
+    )
+    SELECT nonempty.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(COUNT(CASE WHEN n_docs_with > 1 THEN 1 END) AS BIGINT)
+        AS n_shared,
+      round(CAST(COUNT(CASE WHEN n_docs_with > 1 THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS shared_ratio
+    FROM nonempty JOIN freq ON freq.span = nonempty.span
+    GROUP BY nonempty.doc_id
+    """,
+)
+def duplicate_line_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: total 10-token lines, lines shared verbatim with
+    at least one OTHER document, and the shared ratio — the span-level
+    dedup signal real corpus cleanups act on (drop or trim documents
+    whose content is mostly syndicated boilerplate).
+
+    The frequency side counts DISTINCT docs per line so within-doc
+    repetition (`docs_repetition_signals`' domain) does not count as
+    cross-doc sharing. The line-hash shuffle is the only wide stage;
+    the shingle pipeline's document-frequency cap applies unchanged at
+    100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = SPAN_LINE_TOKENS
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
+            "ts"
+        ),
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / k).cast("bigint") - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("ts"), F.col("i") * k + 1, k)
+            ).alias("span"),
+        )
+        .filter(F.col("span") != "")
+    )
+    freq = spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    shared = F.count(F.when(F.col("n_docs_with") > 1, 1))
+    return (
+        spans.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_ratio"),
+        )
+    )

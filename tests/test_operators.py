@@ -76,6 +76,7 @@ ORACLED = [
     "user_type_minmax_map",
     "kmv_union_intersection",
     "concat_block_packing",
+    "duplicate_line_ratio",
     "events_sparkbar_hourly",
 ]
 
@@ -1714,3 +1715,19 @@ def test_concat_block_packing_invariants(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a["last_doc"] <= b["first_doc"] or a["last_doc"] == b["first_doc"]
         assert a["first_doc"] <= b["first_doc"]
+
+
+def test_duplicate_line_ratio_finds_real_sharing(spark, sf_dir):
+    """The corpus has ~160 repeated 10-token lines at sf0.001, so
+    cross-doc sharing must surface; bounds and ratio arithmetic hold
+    for every doc."""
+    rows = catalog.QUERIES["duplicate_line_ratio"](spark, sf_dir).collect()
+    assert rows
+    n_with_sharing = 0
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_spans"], r
+        assert abs(
+            r["shared_ratio"] - round(r["n_shared"] / r["n_spans"], 6)
+        ) < 1e-9
+        n_with_sharing += r["n_shared"] > 0
+    assert n_with_sharing > 10  # real cross-doc sharing exists
