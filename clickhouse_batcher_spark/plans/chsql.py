@@ -846,6 +846,26 @@ def translate(
     )
     out = _rewrite_calls(out, "reverseUTF8", lambda a: f"reverse({a[0]})")
     out = _rewrite_calls(
+        out, "extractAll", lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)"
+    )
+    out = _rewrite_calls(out, "multiSearchAny", _multi_search_any)
+    out = _rewrite_calls(
+        out, "toInt64OrNull", lambda a: f"try_cast({a[0]} AS BIGINT)"
+    )
+    out = _rewrite_calls(
+        out, "toFloat64OrNull", lambda a: f"try_cast({a[0]} AS DOUBLE)"
+    )
+    out = _rewrite_calls(
+        out,
+        "toInt64OrZero",
+        lambda a: f"coalesce(try_cast({a[0]} AS BIGINT), CAST(0 AS BIGINT))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toFloat64OrZero",
+        lambda a: f"coalesce(try_cast({a[0]} AS DOUBLE), CAST(0 AS DOUBLE))",
+    )
+    out = _rewrite_calls(
         out, "concatAssumeInjective", lambda a: f"concat({', '.join(a)})"
     )
     out = _rewrite_calls(
@@ -1319,3 +1339,18 @@ def _multi_if(args: list[str]) -> str:
         f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
     )
     return f"(CASE {whens} ELSE {args[-1]} END)"
+
+
+def _multi_search_any(args: list[str]) -> str:
+    """multiSearchAny(h, [n1, n2, ...]) -> any-needle containment.
+    The needle list must be a bracket literal (ClickHouse's array
+    syntax), converted to Spark's array(...) constructor."""
+    if len(args) != 2 or not (
+        args[1].startswith("[") and args[1].endswith("]")
+    ):
+        raise ValueError(
+            "multiSearchAny translates only with a [..] needle-array "
+            "literal"
+        )
+    needles = args[1][1:-1]
+    return f"exists(array({needles}), __ms -> contains({args[0]}, __ms))"

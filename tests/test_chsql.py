@@ -1057,3 +1057,28 @@ def test_group_array_sorted_and_sum_count(spark, sf_dir):
         sf_dir,
     ).collect()
     assert sorted(map(str, got)) == sorted(map(str, want))
+
+
+def test_search_and_trycast_batch(spark, sf_dir):
+    assert translate(
+        "SELECT extractAll(text, '([0-9]+)'), toInt64OrNull(lang) FROM documents"
+    ) == (
+        "SELECT regexp_extract_all(text, '([0-9]+)', 1),"
+        " try_cast(lang AS BIGINT) FROM documents"
+    )
+    got = run_sql(
+        spark,
+        "SELECT countIf(multiSearchAny(text, ['spark', 'scan'])) AS n,"
+        " toInt64OrZero('12x') AS z, toFloat64OrNull('3.5') AS f"
+        " FROM documents",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    want = run_sql(
+        spark,
+        "SELECT count_if(text LIKE '%spark%' OR text LIKE '%scan%') AS n"
+        " FROM documents",
+        sf_dir,
+    ).collect()[0]["n"]
+    assert got["n"] == want and got["n"] > 0
+    assert got["z"] == 0 and got["f"] == 3.5
