@@ -846,6 +846,12 @@ def translate(
     )
     out = _rewrite_calls(out, "reverseUTF8", lambda a: f"reverse({a[0]})")
     out = _rewrite_calls(
+        out,
+        "toDecimal64",
+        # literal scale only: the precision is part of the target type
+        lambda a: f"CAST({a[0]} AS DECIMAL(18, {int(a[1])}))",
+    )
+    out = _rewrite_calls(
         out, "extractAll", lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)"
     )
     out = _rewrite_calls(out, "multiSearchAny", _multi_search_any)

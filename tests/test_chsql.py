@@ -1082,3 +1082,16 @@ def test_search_and_trycast_batch(spark, sf_dir):
     ).collect()[0]["n"]
     assert got["n"] == want and got["n"] > 0
     assert got["z"] == 0 and got["f"] == 3.5
+
+
+def test_to_decimal64(spark, sf_dir):
+    assert translate("SELECT toDecimal64(value, 4) FROM events") == (
+        "SELECT CAST(value AS DECIMAL(18, 4)) FROM events"
+    )
+    got = run_sql(
+        spark,
+        "SELECT toDecimal64('12.34567', 2) AS d",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]["d"]
+    assert str(got) == "12.35"
