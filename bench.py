@@ -154,6 +154,8 @@ HEADLINE = [
     "kmv_union_intersection",
     "concat_block_packing",
     "duplicate_line_ratio",
+    "conversion_latency_quantiles",
+    "customer_rfm_segments",
 ]
 
 

@@ -18,7 +18,7 @@ weeks²-tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
@@ -72,4 +72,89 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double")
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round-5 third session): the classic
+# recency/frequency/monetary customer quartiles. One orders aggregate
+# per customer, then three deterministic quartile assignments via
+# row_number over (metric, custkey) — the unique tiebreak makes the
+# segments hash-stable, unlike ntile over bare metrics. The quartile
+# windows are global over |customers| rows (two-level rank partials
+# at extreme scale, same as every global ranking in this repo).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+        MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        COUNT(*) AS freq,
+        CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(27,6)))
+             AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT custkey, last_order, freq, monetary,
+        ((ROW_NUMBER() OVER (ORDER BY last_order, custkey) - 1) * 4)
+          // COUNT(*) OVER () + 1 AS r_q,
+        ((ROW_NUMBER() OVER (ORDER BY freq, custkey) - 1) * 4)
+          // COUNT(*) OVER () + 1 AS f_q,
+        ((ROW_NUMBER() OVER (ORDER BY monetary, custkey) - 1) * 4)
+          // COUNT(*) OVER () + 1 AS m_q
+      FROM base
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+      CAST(m_q AS INT) AS m_q,
+      CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+        || CAST(m_q AS VARCHAR) AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(MIN(custkey) AS BIGINT) AS sample_custkey
+    FROM ranked GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into 4x4x4 recency/frequency/monetary
+    quartile segments (the classical CRM slicing), reported as segment
+    sizes. Quartile = ((row_number - 1) * 4) div n + 1 over
+    (metric, custkey) — balanced quartiles with a deterministic
+    tiebreak, so the assignment is engine-independent; monetary sums
+    are decimal-exact first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+
+    def quartile(col: str):
+        rn = F.row_number().over(Window.orderBy(col, "custkey"))
+        return (((rn - 1) * 4) / n).cast("int") + 1
+
+    ranked = base.select(
+        "custkey",
+        quartile("last_order").alias("r_q"),
+        quartile("freq").alias("f_q"),
+        quartile("monetary").alias("m_q"),
+    )
+    return ranked.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("custkey").cast("bigint").alias("sample_custkey"),
+    ).select(
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+        "n_customers",
+        "sample_custkey",
     )

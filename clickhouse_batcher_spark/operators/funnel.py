@@ -150,3 +150,72 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_conv.alias("click_conversion"),
         buy_conv.alias("purchase_conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (round-5 third session): the funnel-metric
+# companion to `funnel_conversion` / `window_funnel_levels` — not
+# WHETHER users convert but HOW FAST. Per event type pair
+# (first 'view' -> first 'purchase'), the per-user latency reduces to
+# two conditional MINs in ONE aggregate pass (no window, no join);
+# the distribution summary is exact interpolated percentiles over the
+# converted users' latencies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+        MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_buy
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT (t_buy - t_view) / 1000000.0 AS latency_s
+      FROM per_user
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+      round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+      round(MIN(latency_s), 6) AS min_s,
+      round(MAX(latency_s), 6) AS max_s
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from a user's FIRST view to their FIRST purchase (when it
+    follows): converted-user count and the latency distribution
+    (median / p90 / extremes, seconds).
+
+    One conditional-MIN aggregate per user (map-side combinable),
+    then exact interpolated percentiles over the |converted users|
+    latencies — the same percentile/quantile_cont parity convention
+    as `quantity_percentiles`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_buy"),
+    )
+    lat = per_user.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        ((F.col("t_buy") - F.col("t_view")) / 1_000_000.0).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.min("latency_s"), 6).alias("min_s"),
+        F.round(F.max("latency_s"), 6).alias("max_s"),
+    )

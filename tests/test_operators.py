@@ -77,6 +77,8 @@ ORACLED = [
     "kmv_union_intersection",
     "concat_block_packing",
     "duplicate_line_ratio",
+    "conversion_latency_quantiles",
+    "customer_rfm_segments",
     "events_sparkbar_hourly",
 ]
 
@@ -1731,3 +1733,23 @@ def test_duplicate_line_ratio_finds_real_sharing(spark, sf_dir):
         ) < 1e-9
         n_with_sharing += r["n_shared"] > 0
     assert n_with_sharing > 10  # real cross-doc sharing exists
+
+
+def test_rfm_quartiles_are_balanced(spark, sf_dir):
+    """Quartile assignment contract: every axis splits customers into
+    four groups whose sizes differ by at most one."""
+    from collections import Counter
+
+    rows = catalog.QUERIES["customer_rfm_segments"](spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    for axis in ("r_q", "f_q", "m_q"):
+        sizes = Counter()
+        for r in rows:
+            sizes[r[axis]] += r["n_customers"]
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (axis, sizes)
+    assert total == sum(
+        Counter(
+            {r["segment"]: r["n_customers"] for r in rows}
+        ).values()
+    )
