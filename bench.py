@@ -156,6 +156,7 @@ HEADLINE = [
     "duplicate_line_ratio",
     "conversion_latency_quantiles",
     "customer_rfm_segments",
+    "part_copurchase_lift",
 ]
 
 

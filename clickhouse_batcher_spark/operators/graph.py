@@ -326,3 +326,109 @@ def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("pr_score").desc(), F.col("node"))
     return top.withColumn("pos", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association mining (round-5 third session): support /
+# confidence / lift for part pairs co-occurring in an order — the
+# classic retail association rule surface. The pair generation is a
+# per-order self-join; its blowup is bounded by the lineitem count
+# per order (TPC-H: <= 7, so <= 21 pairs/order) — the same
+# bounded-pairing argument as the coactivity graph, no density cap
+# needed. Marginals broadcast back; only pairs above MIN_PAIR_SUPPORT
+# survive to the lift ranking.
+# ---------------------------------------------------------------------------
+
+MIN_PAIR_SUPPORT = 3
+BASKET_TOP_K = 20
+
+
+@query(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT okey) AS n FROM items
+    ), marg AS (
+      SELECT part, COUNT(*) AS cnt FROM items GROUP BY part
+    ), pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS together
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ), scored AS (
+      SELECT part_a, part_b, together,
+        CAST(ma.cnt AS BIGINT) AS cnt_a, CAST(mb.cnt AS BIGINT) AS cnt_b,
+        round(CAST(together AS DOUBLE) * n
+              / (CAST(ma.cnt AS DOUBLE) * mb.cnt), 6) AS lift,
+        round(CAST(together AS DOUBLE) / ma.cnt, 6) AS conf_a_to_b
+      FROM pairs
+      JOIN marg ma ON ma.part = part_a
+      JOIN marg mb ON mb.part = part_b
+      CROSS JOIN n_orders
+    )
+    SELECT * FROM scored
+    ORDER BY lift DESC, together DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BASKET_TOP_K} part pairs by lift (co-purchase rate vs the
+    independence baseline), with support and A->B confidence — the
+    association-rule primitive behind "frequently bought together".
+
+    DISTINCT (order, part) first so line-level duplicates don't
+    inflate support; the pair self-join is per-order-bounded; the
+    total-order sort key (lift, together, part_a, part_b) makes the
+    top-k hash-stable.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    n_orders = items.select("okey").distinct().count()
+    marg = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(F.col("okey"), F.col("part").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("part").alias("part_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("okey") == F.col("okey_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= MIN_PAIR_SUPPORT)
+    )
+    ma = marg.select(F.col("part").alias("pa"), F.col("cnt").alias("cnt_a"))
+    mb = marg.select(F.col("part").alias("pb"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pairs.join(ma, F.col("part_a") == F.col("pa"))
+        .join(mb, F.col("part_b") == F.col("pb"))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.col("cnt_a").cast("bigint").alias("cnt_a"),
+            F.col("cnt_b").cast("bigint").alias("cnt_b"),
+            F.round(
+                F.col("together").cast("double")
+                * n_orders
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("together").cast("double") / F.col("cnt_a"), 6
+            ).alias("conf_a_to_b"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.desc("together"), "part_a", "part_b"
+    ).limit(BASKET_TOP_K)

@@ -79,6 +79,7 @@ ORACLED = [
     "duplicate_line_ratio",
     "conversion_latency_quantiles",
     "customer_rfm_segments",
+    "part_copurchase_lift",
     "events_sparkbar_hourly",
 ]
 
@@ -1753,3 +1754,27 @@ def test_rfm_quartiles_are_balanced(spark, sf_dir):
             {r["segment"]: r["n_customers"] for r in rows}
         ).values()
     )
+
+
+def test_copurchase_lift_consistency(spark, sf_dir):
+    """Association-rule arithmetic: lift == confidence / baseline rate
+    and support never exceeds either marginal."""
+    from clickhouse_batcher_spark.operators.graph import MIN_PAIR_SUPPORT
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = catalog.QUERIES["part_copurchase_lift"](spark, sf_dir).collect()
+    assert rows
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["together"] >= MIN_PAIR_SUPPORT
+        assert r["together"] <= min(r["cnt_a"], r["cnt_b"])
+        assert r["part_a"] < r["part_b"]
+        lift = r["together"] * n_orders / (r["cnt_a"] * r["cnt_b"])
+        assert abs(r["lift"] - round(lift, 6)) < 1e-9
+        conf = r["together"] / r["cnt_a"]
+        assert abs(r["conf_a_to_b"] - round(conf, 6)) < 1e-9
