@@ -157,6 +157,7 @@ HEADLINE = [
     "conversion_latency_quantiles",
     "customer_rfm_segments",
     "part_copurchase_lift",
+    "user_sequence_logprob",
 ]
 
 

@@ -1155,3 +1155,90 @@ def user_type_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform(pair, lambda p: p["hi_s"])).alias("maxs"),
         F.count(F.lit(1)).alias("n_keys"),
     )
+
+
+@query(
+    "user_sequence_logprob",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT user_id, prev_type, event_type AS next_type
+      FROM ordered WHERE prev_type IS NOT NULL
+    ), pair_cnt AS (
+      SELECT prev_type, next_type, COUNT(*) AS c_pair
+      FROM trans GROUP BY 1, 2
+    ), prev_cnt AS (
+      SELECT prev_type, SUM(c_pair) AS c_prev FROM pair_cnt GROUP BY 1
+    ), scored AS (
+      SELECT t.user_id,
+        CAST(round(ln(CAST(c_pair AS DOUBLE) / CAST(c_prev AS DOUBLE)), 6)
+             AS DECIMAL(27,6)) AS term
+      FROM trans t
+      JOIN pair_cnt p ON p.prev_type = t.prev_type
+                     AND p.next_type = t.next_type
+      JOIN prev_cnt q ON q.prev_type = t.prev_type
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY user_id
+    """,
+)
+def user_sequence_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the average log-likelihood of their event-type
+    sequence under the corpus-wide MLE transition matrix — the
+    behavioral-anomaly score (users whose journeys the global Markov
+    model finds improbable). `event_transition_matrix` holds the
+    model; this scores every sequence against it, the events-side
+    sibling of `docs_bigram_logprob`.
+
+    Per-transition log terms round to 6 decimals and sum as DECIMAL
+    (the transcendental convention); the model tables join back BY
+    KEY, never broadcast-unbounded. Windows partition per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    pair_cnt = trans.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c_pair")
+    )
+    prev_cnt = pair_cnt.groupBy(
+        F.col("prev_type").alias("q_prev")
+    ).agg(F.sum("c_pair").alias("c_prev"))
+    pc = pair_cnt.select(
+        F.col("prev_type").alias("p_prev"),
+        F.col("next_type").alias("p_next"),
+        "c_pair",
+    )
+    term = F.round(
+        F.log(
+            F.col("c_pair").cast("double") / F.col("c_prev").cast("double")
+        ),
+        6,
+    ).cast(_DEC27)
+    return (
+        trans.join(
+            pc,
+            (F.col("prev_type") == F.col("p_prev"))
+            & (F.col("next_type") == F.col("p_next")),
+        )
+        .join(prev_cnt, F.col("prev_type") == F.col("q_prev"))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum("term").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

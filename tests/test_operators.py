@@ -80,6 +80,7 @@ ORACLED = [
     "conversion_latency_quantiles",
     "customer_rfm_segments",
     "part_copurchase_lift",
+    "user_sequence_logprob",
     "events_sparkbar_hourly",
 ]
 
