@@ -1242,3 +1242,138 @@ def user_sequence_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey AS nation, l_suppkey AS supp,
+        SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(27,6))) AS r
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ), sq AS (
+      SELECT nation, COUNT(*) AS n_supp,
+        SUM(CAST(r AS DECIMAL(19,6)) * CAST(r AS DECIMAL(19,6)))
+          AS r_sq_sum,
+        SUM(r) AS r_tot
+      FROM rev GROUP BY 1
+    )
+    SELECT nation, CAST(n_supp AS BIGINT) AS n_suppliers,
+      round(CAST(r_sq_sum AS DOUBLE)
+            / (CAST(r_tot AS DOUBLE) * CAST(r_tot AS DOUBLE)), 9) AS hhi
+    FROM sq
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (1/n = perfectly even, 1.0 = single supplier) — the
+    market-concentration screen over the supply side.
+
+    Revenue pre-aggregates decimal-exact per (nation, supplier) as
+    integer cents; HHI = sum(r^2) / (sum r)^2 with the squared sum
+    kept EXACT in decimal, so the only float op is one identical
+    double division per nation — no per-term rounding, no tie risk.
+    Two map-side-combinable groupBys, nothing else.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(_DEC27)
+            ).alias("r")
+        )
+    )
+    # Scale-6 identity rescale: casting (27,6) down to (x,6) never
+    # rounds, sidestepping the engines' different decimal-rounding
+    # rules (Spark HALF_UP vs DuckDB truncation). Widths differ so
+    # the SQUARE stays exact on each engine: (18,6) keeps Spark's
+    # product at 37 digits (its 38 cap silently reduces scale above
+    # that); (19,6) gives DuckDB int128 storage (int64 overflows).
+    r2 = F.col("r").cast("decimal(18,6)")
+    sq = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(r2 * r2).alias("r_sq_sum"),
+        F.sum("r").alias("r_tot"),
+    )
+    return sq.select(
+        "nation",
+        "n_suppliers",
+        # the two engines' decimal->double conversions can differ by
+        # one ulp on the ~28-digit squared sum; one final rounding of
+        # the quotient absorbs it.
+        F.round(
+            F.col("r_sq_sum").cast("double")
+            / (
+                F.col("r_tot").cast("double")
+                * F.col("r_tot").cast("double")
+            ),
+            9,
+        ).alias("hhi"),
+    )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+    WITH act AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rk,
+        COUNT(*) OVER () AS n, SUM(c) OVER () AS c_tot
+      FROM act
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_users,
+      CAST(MIN(c_tot) AS BIGINT) AS n_events,
+      round(2.0 * SUM(CAST(rk AS DOUBLE) * c)
+              / (CAST(MIN(n) AS DOUBLE) * MIN(c_tot))
+            - (CAST(MIN(n) AS DOUBLE) + 1) / MIN(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts (0 = perfectly even
+    activity, ->1 = one user dominates) — the inequality summary of
+    the engagement distribution, computed by the exact rank formula
+    G = 2*Σ(rank*x)/(n*Σx) - (n+1)/n with a user_id tiebreak so the
+    rank assignment (and hence the statistic) is engine-independent.
+
+    The ordered pass runs over |users| aggregate rows, not raw events
+    (two-level ranks at extreme scale, as everywhere).
+    """
+    act = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy("c", "user_id")
+    w_all = Window.partitionBy()
+    ranked = act.select(
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("c").over(w_all).alias("c_tot"),
+    )
+    n_d = F.min("n").cast("double")
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_users"),
+        F.min("c_tot").cast("bigint").alias("n_events"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rk").cast("double") * F.col("c"))
+            / (n_d * F.min("c_tot"))
+            - (n_d + 1) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )
