@@ -194,7 +194,8 @@ _PRIORITY: list[str] = [
 #       kmv_union_intersection, concat_block_packing,
 #       duplicate_line_ratio, conversion_latency_quantiles,
 #       customer_rfm_segments, part_copurchase_lift,
-#       user_sequence_logprob,
+#       user_sequence_logprob, supplier_hhi_by_nation,
+#       user_activity_gini,
 #       bpe_encode_docs* and events_ols_fit* (*rows-only),
 #       events_lttb_downsample* (*rows-only);
 #   (b) as slots remain, the 14 single-green r2 demotions for second

@@ -158,6 +158,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "part_copurchase_lift",
     "user_sequence_logprob",
+    "supplier_hhi_by_nation",
+    "user_activity_gini",
 ]
 
 

@@ -81,6 +81,8 @@ ORACLED = [
     "customer_rfm_segments",
     "part_copurchase_lift",
     "user_sequence_logprob",
+    "supplier_hhi_by_nation",
+    "user_activity_gini",
     "events_sparkbar_hourly",
 ]
 
