@@ -160,6 +160,7 @@ HEADLINE = [
     "user_sequence_logprob",
     "supplier_hhi_by_nation",
     "user_activity_gini",
+    "events_hourly_robust_anomalies",
 ]
 
 

@@ -334,3 +334,87 @@ def events_rolling_median_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (round-5 third session): the median/MAD
+# variant of `events_hourly_anomalies` — mean/stddev detectors move
+# with the outliers they hunt (one huge hour inflates sigma and hides
+# the next spike); median and median-absolute-deviation are
+# breakdown-point-0.5 robust. Exact medians via the cumulative-count
+# trick over DISTINCT values per type (never a raw-row sort), the
+# same machinery as the weighted median.
+# ---------------------------------------------------------------------------
+
+ROBUST_K = 3.0  # flag |x - median| > K * 1.4826 * MAD
+
+
+@query(
+    "events_hourly_robust_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, quantile_disc(c, 0.5) AS m
+      FROM hourly GROUP BY 1
+    ), dev AS (
+      SELECT hourly.event_type, h, c, m,
+             abs(c - m) AS ad
+      FROM hourly JOIN med ON med.event_type = hourly.event_type
+    ), mad AS (
+      SELECT event_type, quantile_disc(ad, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, h, CAST(c AS BIGINT) AS n_events,
+      CAST(m AS BIGINT) AS median_hourly, CAST(mad.mad AS BIGINT) AS mad,
+      round(CAST(ad AS DOUBLE) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE mad.mad > 0 AND ad > {ROBUST_K} * 1.4826 * mad.mad
+    """,
+)
+def events_hourly_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates more than {ROBUST_K} robust
+    sigmas (1.4826 x MAD) from the type's median hourly count — the
+    outlier-immune sibling of `events_hourly_anomalies`.
+
+    Both medians are DISCRETE (an actual observed value, integer-
+    exact), computed per type — the median frames are tiny.
+    Zero-MAD types (constant series) are excluded: every deviation
+    there is "infinitely" anomalous and the z is undefined, the same
+    rule both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    med = hourly.groupBy(F.col("event_type").alias("m_et")).agg(
+        F.expr("percentile_approx(c, 0.5, 2147483647)").alias("m")
+    )
+    dev = hourly.join(
+        F.broadcast(med), F.col("event_type") == F.col("m_et")
+    ).select(
+        "event_type",
+        "h",
+        "c",
+        "m",
+        F.abs(F.col("c") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("d_et")).agg(
+        F.expr("percentile_approx(ad, 0.5, 2147483647)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_et"))
+    return out.filter(
+        (F.col("mad") > 0)
+        & (F.col("ad") > ROBUST_K * 1.4826 * F.col("mad"))
+    ).select(
+        "event_type",
+        "h",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.col("m").cast("bigint").alias("median_hourly"),
+        F.col("mad").cast("bigint").alias("mad"),
+        F.round(
+            F.col("ad").cast("double") / (1.4826 * F.col("mad")), 6
+        ).alias("robust_z"),
+    )

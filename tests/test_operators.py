@@ -83,6 +83,7 @@ ORACLED = [
     "user_sequence_logprob",
     "supplier_hhi_by_nation",
     "user_activity_gini",
+    "events_hourly_robust_anomalies",
     "events_sparkbar_hourly",
 ]
 
