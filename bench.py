@@ -161,6 +161,7 @@ HEADLINE = [
     "supplier_hhi_by_nation",
     "user_activity_gini",
     "events_hourly_robust_anomalies",
+    "events_hour_anova",
 ]
 
 

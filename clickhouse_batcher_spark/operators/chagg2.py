@@ -1377,3 +1377,83 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_hour_anova",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+             value FROM events
+    ), cell AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS DOUBLE) AS n_g,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS s_g
+      FROM base GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS sq,
+        CAST(COUNT(DISTINCT hod) AS DOUBLE) AS k
+      FROM base GROUP BY 1
+    ), ssb AS (
+      SELECT cell.event_type,
+        CAST(SUM(CAST(round(s_g * s_g / n_g, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS sum_gsq
+      FROM cell GROUP BY 1
+    )
+    SELECT tot.event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      round((sum_gsq - s * s / n) / (sq - s * s / n), 6) AS eta_sq,
+      round(((sum_gsq - s * s / n) / (k - 1))
+            / ((sq - sum_gsq) / (n - k)), 6) AS f_stat
+    FROM tot JOIN ssb ON ssb.event_type = tot.event_type
+    """,
+)
+def events_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across hour-of-day groups per event
+    type: eta-squared (the share of variance explained by the hour —
+    the seasonality-strength statistic) and the F statistic.
+
+    Everything reduces to decimal-exact moment sums: per-cell
+    (n, Σv), per-type (n, Σv, Σv²), between-group SS via the
+    Σ(S_g²/n_g) identity with each cell term rounded-decimal-summed —
+    two map-side-combinable groupBys, closed forms in DOUBLE.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    cell = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum(F.round("value", 6).cast(_DEC27)).cast("double").alias("s_g"),
+    )
+    tot = base.groupBy(F.col("event_type").alias("t_et")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round("value", 6).cast(_DEC27)).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast(_DEC27))
+        .cast("double")
+        .alias("sq"),
+        F.countDistinct("hod").cast("double").alias("k"),
+    )
+    ssb = cell.groupBy("event_type").agg(
+        F.sum(
+            F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast(
+                _DEC27
+            )
+        )
+        .cast("double")
+        .alias("sum_gsq")
+    )
+    j = ssb.join(F.broadcast(tot), F.col("event_type") == F.col("t_et"))
+    ss_between = F.col("sum_gsq") - F.col("s") * F.col("s") / F.col("n")
+    ss_total = F.col("sq") - F.col("s") * F.col("s") / F.col("n")
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(ss_between / ss_total, 6).alias("eta_sq"),
+        F.round(
+            (ss_between / (F.col("k") - 1))
+            / ((F.col("sq") - F.col("sum_gsq")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

@@ -84,6 +84,7 @@ ORACLED = [
     "supplier_hhi_by_nation",
     "user_activity_gini",
     "events_hourly_robust_anomalies",
+    "events_hour_anova",
     "events_sparkbar_hourly",
 ]
 
@@ -1782,3 +1783,35 @@ def test_copurchase_lift_consistency(spark, sf_dir):
         assert abs(r["lift"] - round(lift, 6)) < 1e-9
         conf = r["together"] / r["cnt_a"]
         assert abs(r["conf_a_to_b"] - round(conf, 6)) < 1e-9
+
+
+def test_anova_matches_scipy_style_recompute(spark, sf_dir):
+    """eta^2 and F must match a direct NumPy group-mean recompute."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("hod"), F.round("value", 6).alias("v"))
+        .toPandas()
+    )
+    got = {
+        r["event_type"]: r
+        for r in catalog.QUERIES["events_hour_anova"](spark, sf_dir).collect()
+    }
+    for et, g in pdf.groupby("event_type"):
+        y = g["v"].to_numpy()
+        n, k = len(y), g["hod"].nunique()
+        grand = y.mean()
+        ssb = sum(
+            len(sub) * (sub["v"].mean() - grand) ** 2
+            for _, sub in g.groupby("hod")
+        )
+        sst = ((y - grand) ** 2).sum()
+        eta = ssb / sst
+        f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+        r = got[et]
+        assert r["n"] == n and r["k"] == k
+        assert abs(r["eta_sq"] - eta) < 1e-4, (et, r["eta_sq"], eta)
+        assert abs(r["f_stat"] - f) / max(abs(f), 1) < 1e-3, (et, r["f_stat"], f)
