@@ -162,6 +162,7 @@ HEADLINE = [
     "user_activity_gini",
     "events_hourly_robust_anomalies",
     "events_hour_anova",
+    "langid_confusion",
 ]
 
 

@@ -339,3 +339,74 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (round-5 third session): the confusion matrix
+# of the n-gram-marker classifier against the corpus labels, with
+# per-cell recall and precision shares — the eval harness every
+# classifier in the pipeline should ship with. Reuses langid_predict
+# verbatim (Spark frame AND oracle SQL composed as a CTE), so the
+# two stay in lockstep by construction.
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    return f"""
+    WITH preds AS ({ORACLES["langid_predict"]}),
+    cells AS (
+      SELECT labeled_lang, pred_lang, COUNT(*) AS n
+      FROM preds GROUP BY 1, 2
+    ), lab AS (
+      SELECT labeled_lang, SUM(n) AS n_label FROM cells GROUP BY 1
+    ), prd AS (
+      SELECT pred_lang, SUM(n) AS n_pred FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+      round(CAST(c.n AS DOUBLE) / n_label, 6) AS recall_share,
+      round(CAST(c.n AS DOUBLE) / n_pred, 6) AS precision_share
+    FROM cells c
+    JOIN lab ON lab.labeled_lang = c.labeled_lang
+    JOIN prd ON prd.pred_lang = c.pred_lang
+    """
+
+
+@query("langid_confusion", oracle=None)  # composed below
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic vs corpus labels:
+    per (labeled, predicted) cell the document count, its share of
+    the labeled row (recall contribution) and of the predicted column
+    (precision contribution). Diagonal cells ARE per-language
+    recall/precision."""
+    preds = langid_predict(spark, sf_dir)
+    cells = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lab = cells.groupBy(F.col("labeled_lang").alias("l_lab")).agg(
+        F.sum("n").alias("n_label")
+    )
+    prd = cells.groupBy(F.col("pred_lang").alias("p_prd")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(lab), F.col("labeled_lang") == F.col("l_lab"))
+        .join(F.broadcast(prd), F.col("pred_lang") == F.col("p_prd"))
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_label"), 6
+            ).alias("recall_share"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_pred"), 6
+            ).alias("precision_share"),
+        )
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _TXT_ORACLES  # noqa: E402
+
+_TXT_ORACLES["langid_confusion"] = " ".join(_langid_confusion_oracle().split())

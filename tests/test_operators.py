@@ -85,6 +85,7 @@ ORACLED = [
     "user_activity_gini",
     "events_hourly_robust_anomalies",
     "events_hour_anova",
+    "langid_confusion",
     "events_sparkbar_hourly",
 ]
 
@@ -1815,3 +1816,20 @@ def test_anova_matches_scipy_style_recompute(spark, sf_dir):
         assert r["n"] == n and r["k"] == k
         assert abs(r["eta_sq"] - eta) < 1e-4, (et, r["eta_sq"], eta)
         assert abs(r["f_stat"] - f) / max(abs(f), 1) < 1e-3, (et, r["f_stat"], f)
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    """Row recall shares and column precision shares each sum to 1,
+    and cell counts reconcile with langid_predict."""
+    from collections import defaultdict
+
+    rows = catalog.QUERIES["langid_confusion"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    n_docs = catalog.QUERIES["langid_predict"](spark, sf_dir).count()
+    assert total == n_docs
+    by_label, by_pred = defaultdict(float), defaultdict(float)
+    for r in rows:
+        by_label[r["labeled_lang"]] += r["recall_share"]
+        by_pred[r["pred_lang"]] += r["precision_share"]
+    for v in list(by_label.values()) + list(by_pred.values()):
+        assert abs(v - 1.0) < 1e-4, v
