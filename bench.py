@@ -163,6 +163,7 @@ HEADLINE = [
     "events_hourly_robust_anomalies",
     "events_hour_anova",
     "langid_confusion",
+    "asof_nearest_events_orders",
 ]
 
 

@@ -196,3 +196,103 @@ def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@query(
+    "asof_nearest_events_orders",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate, gap_us FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+            - epoch_us(e.ts)) AS gap_us,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                       - epoch_us(e.ts)) ASC,
+                   (CAST(o.o_orderdate AS TIMESTAMP) <= e.ts) DESC,
+                   CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                        THEN -o.o_orderkey ELSE o.o_orderkey END ASC)
+            AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_id < 1000) e
+      JOIN orders o ON o.o_custkey = e.user_id
+    ) t WHERE rn = 1
+    """,
+)
+def asof_nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each event joined to the customer's CLOSEST
+    order in time, either direction — completing the as-of trio
+    (backward `asof_events_orders`, forward
+    `asof_forward_events_orders`). Tie break: smaller gap, then
+    earlier date, then key — a total order, so the pick is
+    hash-stable.
+
+    Tie semantics: smaller gap wins; on a gap tie the backward side
+    wins, and each side resolves same-date ties with its own as-of
+    tiebreak (backward: max key — "latest state"; forward: min key —
+    "first next"). Implementation composes the two directional as-of
+    passes (each a per-key sorted merge, no all-pairs join) and keeps
+    the nearer candidate per event — the oracle's
+    |events|x|orders-of-user| ranking join is the SEMANTIC statement,
+    not the plan; the composed plan touches each side once per
+    direction.
+    """
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    common = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    back = asof_join(events, orders, direction="backward", **common).select(
+        "event_id",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+    )
+    fwd = asof_join(events, orders, direction="forward", **common).select(
+        F.col("event_id").alias("f_eid"),
+        F.col("o_orderkey").alias("f_key"),
+        F.col("o_orderdate").alias("f_date"),
+    )
+    j = (
+        events.join(back, "event_id", "left")
+        .join(fwd, F.col("event_id") == F.col("f_eid"), "left")
+    )
+    b_gap = F.abs(
+        F.unix_micros(F.col("b_date").cast("timestamp"))
+        - F.unix_micros("ts")
+    )
+    f_gap = F.abs(
+        F.unix_micros(F.col("f_date").cast("timestamp"))
+        - F.unix_micros("ts")
+    )
+    # prefer the smaller gap; on a gap tie the BACKWARD side wins
+    # (each side already resolved its internal date ties with its own
+    # as-of tiebreak: backward keeps the max key, forward the min —
+    # the oracle mirrors exactly this ordering). NULL side loses.
+    take_back = F.when(F.col("b_date").isNull(), F.lit(False)).otherwise(
+        F.when(F.col("f_date").isNull(), F.lit(True)).otherwise(
+            b_gap <= f_gap
+        )
+    )
+    return j.filter(
+        F.col("b_date").isNotNull() | F.col("f_date").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("b_key"))
+        .otherwise(F.col("f_key"))
+        .alias("o_orderkey"),
+        F.when(take_back, F.col("b_date"))
+        .otherwise(F.col("f_date"))
+        .alias("o_orderdate"),
+        F.when(take_back, b_gap).otherwise(f_gap).alias("gap_us"),
+    )

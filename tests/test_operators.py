@@ -25,6 +25,7 @@ ORACLED = [
     "media_frame_sample",
     "asof_events_orders",
     "asof_forward_events_orders",
+    "asof_nearest_events_orders",
     "chunk_documents",
     "docs_rare_token_ratio",
     "embedding_quantize_int8",
