@@ -164,6 +164,7 @@ HEADLINE = [
     "events_hour_anova",
     "langid_confusion",
     "asof_nearest_events_orders",
+    "dedup_containment_pairs",
 ]
 
 

@@ -877,3 +877,111 @@ def duplicate_line_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (round-5 third session): the asymmetric
+# near-dup measure — containment(A in B) = |A∩B| / |A| — which
+# catches a SMALL document quoted wholesale inside a big one, the
+# case symmetric Jaccard structurally misses (a 50-shingle doc inside
+# a 5000-shingle doc has Jaccard <= 0.01 but containment 1.0). Same
+# rare-shingle candidate machinery and DF cap as the Jaccard pass;
+# only the normalization differs, and each unordered candidate pair
+# emits up to two directed rows.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {SQL_SHINGLES}, {SQL_SIZES},
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS shared
+      FROM shingles s1
+      JOIN rare r ON s1.shingle = r.shingle
+      JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT doc_a AS contained, doc_b AS container, shared,
+             sa.n AS n_contained
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS contained, doc_a AS container, shared,
+             sb.n AS n_contained
+      FROM cand JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT contained, container,
+      CAST(shared AS BIGINT) AS shared,
+      CAST(n_contained AS BIGINT) AS n_contained,
+      round(CAST(shared AS DOUBLE) / n_contained, 6) AS containment
+    FROM directed
+    WHERE CAST(shared AS DOUBLE) / n_contained >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-dup pairs by shingle containment >=
+    {CONTAINMENT_THRESHOLD}: (contained, container) where the
+    contained doc's shingles are mostly inside the container's — the
+    quote/excerpt detector symmetric Jaccard misses.
+
+    Candidates come from the same rare-shingle pair generation as
+    `dedup_ngram_jaccard` (in-row combinations, DF-capped fan-out);
+    each unordered pair then normalizes by EITHER side's size,
+    emitting up to two directed rows.
+    """
+    shingles = _shingles_cached(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    doc_lists = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    pairs = doc_lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs) - i - 1),"
+                "           y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    cand = (
+        pairs.select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = cand.join(
+        sizes.select(F.col("doc_id").alias("k_a"), F.col("n").alias("n_a")),
+        F.col("doc_a") == F.col("k_a"),
+    ).select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "shared",
+        F.col("n_a").alias("n_contained"),
+    )
+    d2 = cand.join(
+        sizes.select(F.col("doc_id").alias("k_b"), F.col("n").alias("n_b")),
+        F.col("doc_b") == F.col("k_b"),
+    ).select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        "shared",
+        F.col("n_b").alias("n_contained"),
+    )
+    directed = d1.unionByName(d2)
+    c = F.col("shared").cast("double") / F.col("n_contained")
+    return directed.filter(c >= CONTAINMENT_THRESHOLD).select(
+        "contained",
+        "container",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("n_contained").cast("bigint").alias("n_contained"),
+        F.round(c, 6).alias("containment"),
+    )

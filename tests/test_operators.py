@@ -16,6 +16,7 @@ ORACLED = [
     "doc_fingerprint",
     "dedup_content_hash",
     "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
     "dedup_minhash_lsh",
     "simhash_signatures",
     "dedup_simhash",
@@ -1834,3 +1835,21 @@ def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
         by_pred[r["pred_lang"]] += r["precision_share"]
     for v in list(by_label.values()) + list(by_pred.values()):
         assert abs(v - 1.0) < 1e-4, v
+
+
+def test_containment_catches_truncated_twins(spark, sf_dir):
+    """The fixture's truncated twins are PREFIXES of their originals,
+    so containment(twin in original) must be high for most twins —
+    the asymmetric signal — and every row respects its bounds."""
+    rows = catalog.QUERIES["dedup_containment_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["shared"] <= r["n_contained"], r
+        assert r["containment"] >= 0.8
+    twin_rows = [
+        r
+        for r in rows
+        if r["container"] == r["contained"] - 100_000
+        or r["contained"] == r["container"] + 100_000
+    ]
+    assert len(twin_rows) > 50  # twins surface as containments
