@@ -198,6 +198,7 @@ _PRIORITY: list[str] = [
 #       user_activity_gini, events_hourly_robust_anomalies,
 #       events_hour_anova, langid_confusion,
 #       asof_nearest_events_orders, dedup_containment_pairs,
+#       event_type_pmi,
 #       bpe_encode_docs* and events_ols_fit* (*rows-only),
 #       events_lttb_downsample* (*rows-only);
 #   (b) as slots remain, the 14 single-green r2 demotions for second

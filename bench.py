@@ -165,6 +165,7 @@ HEADLINE = [
     "langid_confusion",
     "asof_nearest_events_orders",
     "dedup_containment_pairs",
+    "event_type_pmi",
 ]
 
 

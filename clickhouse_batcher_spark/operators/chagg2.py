@@ -1457,3 +1457,99 @@ def events_hour_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@query(
+    "event_type_pmi",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM pres
+    ), marg AS (
+      SELECT event_type, COUNT(*) AS c FROM pres GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM pres a JOIN pres b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS n_both,
+      CAST(ma.c AS BIGINT) AS n_a, CAST(mb.c AS BIGINT) AS n_b,
+      round(ln(CAST(c_ab AS DOUBLE) * n
+               / (CAST(ma.c AS DOUBLE) * mb.c)), 6) AS pmi,
+      CASE WHEN c_ab = n THEN 0.0
+           ELSE round(-ln(CAST(c_ab AS DOUBLE) * n
+                          / (CAST(ma.c AS DOUBLE) * mb.c))
+                      / ln(CAST(c_ab AS DOUBLE) / n), 6) END AS npmi
+    FROM pairs
+    JOIN marg ma ON ma.event_type = type_a
+    JOIN marg mb ON mb.event_type = type_b
+    CROSS JOIN n_users
+    """,
+)
+def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs over
+    user presence sets (does engaging with A make engaging with B
+    more likely than independence?), plus the [-1, 1]-normalized
+    NPMI — the information-theoretic association measure next to
+    `part_copurchase_lift`'s ratio form and
+    `distinct_users_type_overlap`'s raw counts.
+
+    Presence sets dedupe first (|users| x |types| rows max); the pair
+    join is per-user-bounded by the 5-type universe; marginals
+    broadcast. Log terms evaluate in DOUBLE on identical integer
+    ratios, rounded once.
+    """
+    pres = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = pres.select("user_id").distinct().count()
+    marg = pres.groupBy(F.col("event_type").alias("m_et")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = pres.select("user_id", F.col("event_type").alias("type_a"))
+    b = pres.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ma = marg.select(F.col("m_et").alias("ka"), F.col("c").alias("n_a"))
+    mb = marg.select(F.col("m_et").alias("kb"), F.col("c").alias("n_b"))
+    j = pairs.join(F.broadcast(ma), F.col("type_a") == F.col("ka")).join(
+        F.broadcast(mb), F.col("type_b") == F.col("kb")
+    )
+    ratio = (
+        F.col("c_ab").cast("double")
+        * n_users
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("c_ab").cast("bigint").alias("n_both"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.log(ratio), 6).alias("pmi"),
+        # c_ab = n forces both marginals to n too: pmi is 0 and the
+        # -ln p(ab) normalizer is 0 — take the continuous limit 0.
+        F.when(F.col("c_ab") == n_users, F.lit(0.0))
+        .otherwise(
+            F.round(
+                -F.log(ratio)
+                / F.log(F.col("c_ab").cast("double") / n_users),
+                6,
+            )
+        )
+        .alias("npmi"),
+    )

@@ -88,6 +88,7 @@ ORACLED = [
     "events_hourly_robust_anomalies",
     "events_hour_anova",
     "langid_confusion",
+    "event_type_pmi",
     "events_sparkbar_hourly",
 ]
 
