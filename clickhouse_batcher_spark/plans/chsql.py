@@ -993,7 +993,14 @@ def translate(
         # would return a formatted string).
         lambda a: f"timestamp_seconds({a[0]})",
     )
-    out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} DIV {a[1]})")
+    out = _rewrite_calls(
+        out,
+        "intDiv",
+        # ClickHouse intDiv accepts floats; Spark's DIV needs integral
+        # operands. Casting first is faithful: trunc(a) DIV b equals
+        # the truncated quotient of a/b for any integral divisor.
+        lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))",
+    )
     out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
     out = _rewrite_calls(out, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)")
     out = _rewrite_calls(out, "isNull", lambda a: f"({a[0]} IS NULL)")

@@ -397,7 +397,7 @@ def test_limit_by_composes_with_dialect_functions(spark, sf_dir):
         ),
         (
             "SELECT intDiv(user_id, 7), modulo(user_id, 7) FROM events",
-            "SELECT (user_id DIV 7), (user_id % 7) FROM events",
+            "SELECT (CAST(user_id AS BIGINT) DIV CAST(7 AS BIGINT)), (user_id % 7) FROM events",
         ),
         (
             "SELECT isNull(props), isNotNull(props) FROM events",
@@ -458,7 +458,7 @@ def test_scalar_batch2_end_to_end(spark, sf_dir):
     want = run_sql(
         spark,
         "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k, "
-        "date_format(ts, 'yyyy-MM-dd') AS d, user_id DIV 10 AS ub "
+        "date_format(ts, 'yyyy-MM-dd') AS d, CAST(user_id AS BIGINT) DIV CAST(10 AS BIGINT) AS ub "
         "FROM events ORDER BY event_id LIMIT 20",
         sf_dir,
         dialect="spark",
