@@ -669,19 +669,28 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hex -> int without any engine-specific cast: 15 pure-BIGINT terms,
+# one per hex digit of the 60-bit prefix.  Portable across DuckDB
+# versions (the former ``'0x' || hex -> BIGINT`` cast and
+# ``CAST(ROUND(double) AS VARCHAR)`` rendering both proved
+# version-sensitive at the round-5 gate).
+_HEX15 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
 @query(
     "orders_transfer_checksum",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(SUM(
-        (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 72057594037927936
-        + CAST(('0x' || substring(h, 2, 14)) AS BIGINT)
-      ) AS HUGEINT) % 9223372036854775807 AS checksum
+      CAST(CAST(SUM({_HEX15}) AS HUGEINT)
+           % 9223372036854775807 AS BIGINT) AS checksum
     FROM (
       SELECT o_orderstatus,
         sha256(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-               || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+               || '|' || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)) AS h
       FROM orders
     )
     GROUP BY o_orderstatus
@@ -705,7 +714,10 @@ def orders_transfer_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
-        F.round(F.col("o_totalprice"), 2).cast("string"),
+        # decimal(15,2) -> string renders identically in Spark and
+        # DuckDB ("123.40", scale always shown); double -> string does
+        # not, which is what turned the round-5 gate row red.
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
     )
     row_hash = F.conv(
         F.substring(F.sha2(canonical, 256), 1, 15), 16, 10
