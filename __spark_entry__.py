@@ -51,60 +51,65 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
-    # --- ROUND 5 promotions: the only oracled queries that have never
-    #     had a driver CORRECTNESS row (judge pre-verified all of them
-    #     against the sf0.01 sweep in VERDICT r4) ---
-    "tpch_q3_unshipped",
-    "tpch_q5_regional_share",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_big_orders",
-    "tpch_q19_bracket_revenue",
-    "tpch_q22_idle_customers",
-    "shard_documents_for_training",
-    "pack_sequences_budget",
-    "events_ohlc_hourly",
-    "user_event_sequences",
-    "user_retention_flags",
-    "sequence_match_counts",
-    "uniq_up_to_types_per_user",
-    "events_ema_hourly_counts",
+    # --- round-5's one red row, re-checked after the decimal-exact
+    #     canonical-string fix (VERDICT r5 task 1) ---
     "orders_transfer_checksum",
-    # --- first green in r4; kept for a second green row (family
-    #     anchors: graph, timeseries, attribution, sketches, dedup,
-    #     joins, windows, retrieval, quality, streaming-adjacent) ---
-    "purchase_attribution",
-    "coactivity_pagerank",
-    "distinct_users_type_overlap",
-    "events_hourly_wma",
-    "events_hourly_anomalies",
-    "event_transition_matrix",
-    "dedup_content_hash",
-    "orders_by_region",
-    "orders_ntile_quartiles",
-    "simhash_signatures",
-    "sliding_distinct_users",
-    "orders_quality_constraints",
-    "orders_snapshot_diff",
-    "decontaminate_docs",
-    "embedding_quantize_int8",
-    "bm25_retrieval_topk",
-    "quality_filter_gopher",
-    "salted_join_user_segments",
-    "funnel_conversion",
-    "incremental_rollup_events",
-    "bloom_semi_join_orders",
-    "distinct_users_linear_count",
-    "event_type_value_correlation",
-    "cohort_retention_weekly",
-    "events_zorder_bucket_stats",
-    "coactivity_triangle_stats",
+    # --- ROUND 6 promotions: 47 of the 59 oracled queries that have
+    #     never had a driver CORRECTNESS row (VERDICT r5 task 2).
+    #     TPC-H family completions first (most user-visible): ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_status",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # --- the statistical-aggregate batch ---
+    "events_rank_corr",
+    "events_cramers_v",
+    "events_bit_aggregates",
+    "events_linreg_by_type",
+    "user_type_sum_map",
+    "ab_welch_ttest",
+    "ab_mann_whitney_u",
+    "events_skew_kurt_by_type",
+    "events_theils_u",
+    "events_hour_anova",
+    # --- ClickHouse-aggregate / sequence / interval family ---
+    "sequence_count_per_user",
+    "window_funnel_levels",
+    "user_active_interval_sum",
+    "max_concurrent_intervals",
+    "lineitem_weighted_price_median",
+    "events_rolling_median_12h",
+    "events_hourly_robust_anomalies",
+    "next_event_prediction",
+    "event_type_user_entropy",
+    "user_activity_gini",
+    "supplier_hhi_by_nation",
+    "event_type_pmi",
+    "customer_rfm_segments",
+    "conversion_latency_quantiles",
+    "props_information_value",
+    # --- as-of join variants ---
+    "asof_forward_events_orders",
+    "asof_nearest_events_orders",
+    # --- dedup / text ---
+    "repeated_span_stats",
+    "dedup_keep_canonical",
+    "dedup_containment_pairs",
+    "langid_confusion",
+    # --- retrieval / sketches ---
+    "hybrid_retrieval_rrf",
+    "hll_distinct_users",
+    "topk_heavy_hitters",
+    "kmv_distinct_users",
+    "hll_state_merge_daily",
+    # --- packing / graph ---
+    "concat_block_packing",
+    "t5_span_corruption",
+    "part_copurchase_lift",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
 # (green in BOTH r1+r2), similarity_topk, embedding_neardup,
@@ -165,61 +170,23 @@ _PRIORITY: list[str] = [
 # After this round every one of the 120 oracled catalog queries has at
 # least one driver CORRECTNESS row.
 #
-# ROUND 6 rotation plan — staged swap (execute once CORRECTNESS_r5
-# lands green; counts guarded by the window pin test):
-# promote, in priority order (first rows beat second greens):
-#   (a) the 10 never-driver-checked round-5 oracled operators:
-#       repeated_span_stats, hybrid_retrieval_rrf, hll_distinct_users,
-#       topk_heavy_hitters, asof_forward_events_orders,
-#       weighted_sample_docs, dedup_keep_canonical, bpe_learn_merges*
-#       (*rows-only), and the family-completing TPC-H adaptations
-#       tpch_q2_min_cost_supplier, tpch_q4_order_priority,
-#       tpch_q9_profit_by_nation, tpch_q11_important_parts,
-#       tpch_q12_late_lines_by_status, tpch_q16_supplier_cnt,
-#       tpch_q20_promo_suppliers, tpch_q21_waiting_suppliers,
-#       user_active_interval_sum, perplexity_bucket_sample,
-#       delta_sum_by_type, bounding_ratio_by_user,
-#       lineitem_weighted_price_median, t5_span_corruption,
-#       docs_bigram_logprob, events_rolling_median_12h,
-#       next_event_prediction, event_type_user_entropy,
-#       max_concurrent_intervals, topk_weighted_users, and the
-#       third-session statistical batch: events_rank_corr,
-#       events_cramers_v, events_bit_aggregates,
-#       events_linreg_by_type, user_type_sum_map, ab_welch_ttest,
-#       ab_mann_whitney_u, events_skew_kurt_by_type, events_theils_u,
-#       sequence_count_per_user, window_funnel_levels,
-#       temperature_mix_sample, events_sparkbar_hourly,
-#       kmv_distinct_users, props_information_value,
-#       hll_state_merge_daily, user_type_minmax_map,
-#       kmv_union_intersection, concat_block_packing,
-#       duplicate_line_ratio, conversion_latency_quantiles,
-#       customer_rfm_segments, part_copurchase_lift,
-#       user_sequence_logprob, supplier_hhi_by_nation,
-#       user_activity_gini, events_hourly_robust_anomalies,
-#       events_hour_anova, langid_confusion,
-#       asof_nearest_events_orders, dedup_containment_pairs,
-#       event_type_pmi,
-#       bpe_encode_docs* and events_ols_fit* (*rows-only),
-#       events_lttb_downsample* (*rows-only);
-#   (b) as slots remain, the 14 single-green r2 demotions for second
-#       greens (ROADMAP item 2b: text_stats, langid_predict,
-#       redact_docs, doc_fingerprint, retrieval_topk_docs,
-#       merge_upsert_orders, range_join_orders_window, profile_events,
-#       token_count_min_sketch, token_histogram, token_count_bpeish,
-#       media_frame_sample, events_rollup_hierarchy,
-#       winnow_fingerprints).
-# demote candidates (all first-green r5 with family anchors
-#   remaining in-window): tpch_q3_unshipped, tpch_q5_regional_share,
-#   tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
-#   tpch_q8_market_share, tpch_q10_returned_items,
-#   tpch_q13_order_distribution, tpch_q14_promo_revenue,
-#   tpch_q17_small_qty_revenue, tpch_q19_bracket_revenue,
-#   shard_documents_for_training, pack_sequences_budget,
-#   events_ohlc_hourly, user_event_sequences, sequence_match_counts,
-#   events_ema_hourly_counts, uniq_up_to_types_per_user,
-#   user_retention_flags, orders_transfer_checksum,
-#   tpch_q22_idle_customers (keep tpch_q15_top_supplier +
-#   tpch_q18_big_orders as the TPC-H in-window anchors).
+# ROUND 6 rotation EXECUTED (VERDICT r5 task 2): the 50 round-5
+# entries (49 green; orders_transfer_checksum red on oracle float
+# rendering, fixed and re-windowed) rotate out in favor of 47 of the
+# 59 never-driver-checked oracled queries, prioritized TPC-H family
+# completions > statistical batch > CH-aggregate/sequence family >
+# as-of/dedup/retrieval/sketch/packing. All 50 demoted round-5
+# entries keep their green driver row and pytest parity.
+#
+# ROUND 7 rotation plan — the 12 remaining never-checked oracled
+# queries (each deferred because a same-family relative is in the
+# round-6 window or already green): kmv_union_intersection,
+# topk_weighted_users, user_type_minmax_map, events_sparkbar_hourly,
+# docs_bigram_logprob, perplexity_bucket_sample, weighted_sample_docs,
+# temperature_mix_sample, delta_sum_by_type, bounding_ratio_by_user,
+# user_sequence_logprob, duplicate_line_ratio. Promote all 12 plus
+# second-green candidates from the single-green pool. After round 7
+# every oracled query in the catalog has >=1 driver CORRECTNESS row.
 
 
 def _ordered(mapping: dict) -> dict:

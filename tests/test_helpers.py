@@ -171,7 +171,7 @@ def test_transfer_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
-        F.round(F.col("o_totalprice"), 2).cast("string"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
     )
     row_hash = F.conv(F.substring(F.sha2(canonical, 256), 1, 15), 16, 10).cast(
         "decimal(38,0)"
@@ -202,7 +202,7 @@ def test_transfer_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
         "|",
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
-        F.round(F.col("o_totalprice"), 2).cast("string"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
     )
     row_hash2 = F.conv(F.substring(F.sha2(canonical2, 256), 1, 15), 16, 10).cast(
         "decimal(38,0)"
