@@ -61,10 +61,15 @@ def asof_join(
         order = [rt.asc(), F.col(right_tiebreak).asc()]
     else:
         raise ValueError(f"unknown asof direction: {direction!r}")
-    matched = left.join(
+    # Partition the match-dedup window on a synthetic per-row id, not
+    # on left.columns: two fully identical left rows would otherwise
+    # share one window partition and collapse to a single output row
+    # (ADVICE r5). ClickHouse ASOF JOIN keeps both.
+    tagged = left.withColumn("_asof_lid", F.monotonically_increasing_id())
+    matched = tagged.join(
         right, (F.col(left_key) == F.col(right_key)) & range_pred, "left"
     )
-    w = Window.partitionBy(*left.columns).orderBy(*order)
+    w = Window.partitionBy("_asof_lid").orderBy(*order)
     return (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -155,6 +155,28 @@ def _in_string(sql: str, idx: int) -> bool:
     return quotes % 2 == 1
 
 
+_SETTINGS_PAT = re.compile(r"\s+SETTINGS\s+[^;]*$", re.IGNORECASE)
+_FORMAT_PAT = re.compile(r"\s+FORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
+_GLOBAL_PAT = re.compile(
+    r"\bGLOBAL\s+(?=(IN|ANY\s+JOIN|ALL\s+JOIN|JOIN|LEFT|RIGHT|INNER|FULL)\b)",
+    re.IGNORECASE,
+)
+
+
+def _sub_unquoted(pattern: re.Pattern, repl: str, out: str) -> str:
+    """re.sub that skips matches inside single-quoted literals."""
+    pos = 0
+    while True:
+        m = pattern.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_calls(
     sql: str, fname: str, handler: Callable[[list[str]], str]
 ) -> str:
@@ -380,7 +402,9 @@ def _limit_by(sql: str) -> str:
 
 
 _SAMPLE_PAT = re.compile(
-    r"\b(\w+)\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+)", re.IGNORECASE
+    r"\b(FROM|JOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+)",
+    re.IGNORECASE,
 )
 _SAMPLE_SPACE = 65536  # 16^4: the sha2 hex-prefix value space
 
@@ -414,32 +438,44 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
         if _in_string(out, m.start()):
             pos = m.end()
             continue
-        tbl, frac_s = m.group(1), m.group(2)
+        prefix, tbl, alias, frac_s = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
         frac = float(frac_s)
         if not 0 < frac <= 1:
             raise ValueError(
                 "ClickHouse SAMPLE row-count form has no Spark "
                 "translation — use the fractional form (0 < f <= 1)"
             )
-        if not sample_keys or tbl not in sample_keys:
+        # Key lookup is on the underlying TABLE name (aliased
+        # references — FROM events AS e SAMPLE 0.1 — used to resolve
+        # to the alias, and the suggested sample_keys={'e': ...} then
+        # generated SQL selecting from the non-existent table 'e').
+        bare = tbl.rsplit(".", 1)[-1]
+        key = (sample_keys or {}).get(tbl) or (sample_keys or {}).get(bare)
+        if key is None:
             raise ValueError(
                 f"ClickHouse SAMPLE has no Spark translation without a "
                 f"sampling key for table {tbl!r} — pass "
-                f"sample_keys={{{tbl!r}: '<column>'}} (the table DDL's "
+                f"sample_keys={{{bare!r}: '<column>'}} (the table DDL's "
                 f"SAMPLE BY expression)"
             )
-        key = sample_keys[tbl]
         thresh = round(frac * _SAMPLE_SPACE)
         pred = (
             f"(conv(substring(sha2(CAST({key} AS STRING), 256), 1, 4), "
             f"16, 10) % {_SAMPLE_SPACE}) < {thresh}"
         )
-        repl = f"(SELECT * FROM {tbl} WHERE {pred}) {tbl}"
+        repl = (
+            f"{prefix} (SELECT * FROM {tbl} WHERE {pred}) {alias or bare}"
+        )
         out = out[: m.start()] + repl + out[m.end() :]
         pos = m.start() + len(repl)
 
 
-_FINAL_PAT = re.compile(r"\b(\w+)\s+FINAL\b", re.IGNORECASE)
+_FINAL_PAT = re.compile(
+    r"\b(FROM|JOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+FINAL\b",
+    re.IGNORECASE,
+)
 
 
 def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
@@ -473,21 +509,23 @@ def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
         if _in_string(out, m.start()):
             pos = m.end()
             continue
-        tbl = m.group(1)
-        if not final_keys or tbl not in final_keys:
+        prefix, tbl, alias = m.group(1), m.group(2), m.group(3)
+        bare = tbl.rsplit(".", 1)[-1]
+        entry = (final_keys or {}).get(tbl) or (final_keys or {}).get(bare)
+        if entry is None:
             raise ValueError(
                 f"ClickHouse FINAL has no Spark translation without the "
                 f"table's ORDER BY key and version column — pass "
-                f"final_keys={{{tbl!r}: (('<key>',), '<version>')}} "
+                f"final_keys={{{bare!r}: (('<key>',), '<version>')}} "
                 f"(or deduplicate explicitly: operators.merge)"
             )
-        keys, version = final_keys[tbl]
+        keys, version = entry
         part = ", ".join(keys)
         repl = (
-            f"(SELECT * EXCEPT (__final_rn) FROM ("
+            f"{prefix} (SELECT * EXCEPT (__final_rn) FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY {part} "
             f"ORDER BY {version} DESC) AS __final_rn FROM {tbl}"
-            f") WHERE __final_rn = 1) {tbl}"
+            f") WHERE __final_rn = 1) {alias or bare}"
         )
         out = out[: m.start()] + repl + out[m.end() :]
         pos = m.start() + len(repl)
@@ -673,14 +711,15 @@ def _clauses(
     out = _array_join(_final(_sample(sql, sample_keys), final_keys))
     # Execution hints carry no semantics: strip a trailing SETTINGS
     # clause and a trailing FORMAT clause (output shaping is the
-    # caller's job here).
-    out = re.sub(r"\s+SETTINGS\s+[^;]*$", "", out, flags=re.IGNORECASE)
-    out = re.sub(r"\s+FORMAT\s+\w+\s*;?\s*$", "", out, flags=re.IGNORECASE)
+    # caller's job here). String-literal occurrences are left alone,
+    # like every other rewrite in this module.
+    out = _sub_unquoted(_SETTINGS_PAT, "", out)
+    out = _sub_unquoted(_FORMAT_PAT, "", out)
     # GLOBAL IN / GLOBAL JOIN ask the cluster to broadcast the right
     # side to every shard — which is precisely how Spark already
     # distributes IN-subqueries and (small-side) joins. The keyword
     # carries no extra semantics here: drop it.
-    out = re.sub(r"\bGLOBAL\s+(?=(IN|ANY\s+JOIN|ALL\s+JOIN|JOIN|LEFT|RIGHT|INNER|FULL)\b)", "", out, flags=re.IGNORECASE)
+    out = _sub_unquoted(_GLOBAL_PAT, "", out)
     # GROUP BY a, b WITH TOTALS == one extra all-NULL grand-total row:
     # exactly GROUPING SETS ((a, b), ()).
     m = re.search(
@@ -827,7 +866,12 @@ def translate(
         ),
     )
     out = _rewrite_calls(
-        out, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))"
+        out,
+        "arrayEnumerate",
+        # NOT sequence(1, size(x)): Spark's sequence defaults to step
+        # -1 when start > stop, so an empty array would yield [1, 0]
+        # where ClickHouse yields [].
+        lambda a: f"transform({a[0]}, (__ae_x, __ae_i) -> __ae_i + 1)",
     )
     out = _rewrite_calls(
         out,

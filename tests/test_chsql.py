@@ -1095,3 +1095,67 @@ def test_to_decimal64(spark, sf_dir):
         dialect="clickhouse",
     ).collect()[0]["d"]
     assert str(got) == "12.35"
+
+
+def test_global_keyword_in_string_literal_preserved():
+    # ADVICE r5: the GLOBAL strip used a bare re.sub, corrupting
+    # string literals ('prefer GLOBAL IN here' -> 'prefer IN here').
+    out = translate("SELECT 'prefer GLOBAL IN here' FROM events")
+    assert "'prefer GLOBAL IN here'" in out
+    # ... while a real GLOBAL IN outside a literal is still stripped
+    out2 = translate(
+        "SELECT 'keep GLOBAL IN', count() FROM events "
+        "WHERE user_id GLOBAL IN (SELECT user_id FROM events)"
+    )
+    assert "'keep GLOBAL IN'" in out2
+    assert "WHERE user_id IN" in out2
+
+
+def test_settings_format_inside_string_preserved():
+    out = translate("SELECT 'tune SETTINGS max_threads' FROM events")
+    assert "SETTINGS max_threads'" in out
+    out2 = translate("SELECT 'as FORMAT JSON' FROM events")
+    assert "FORMAT JSON'" in out2
+
+
+def test_array_enumerate_empty_array(spark, sf_dir):
+    # ADVICE r5: sequence(1, size(x)) yields [1, 0] for an empty
+    # array (Spark's sequence steps -1 when start > stop); ClickHouse
+    # yields []. The transform((x, i) -> i + 1) form is empty-safe.
+    got = run_sql(
+        spark,
+        "SELECT arrayEnumerate(array()) AS e0, "
+        "arrayEnumerate(array(10, 20, 30)) AS e3",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(got["e0"]) == []
+    assert list(got["e3"]) == [1, 2, 3]
+
+
+def test_sample_final_aliased_table_resolves_underlying_name(spark, sf_dir):
+    # ADVICE r5: 'FROM events AS e SAMPLE 0.1' resolved the alias,
+    # and the suggested sample_keys={'e': ...} then generated SQL
+    # reading from the non-existent table 'e'. The lookup now keys on
+    # the underlying table; the alias survives as the reference name.
+    out = translate(
+        "SELECT e.user_id FROM events AS e SAMPLE 0.5",
+        sample_keys={"events": "user_id"},
+    )
+    assert "FROM events WHERE" in out and ") e" in out
+    n = run_sql(
+        spark,
+        "SELECT count() AS n FROM events e SAMPLE 0.5",
+        sf_dir,
+        dialect="clickhouse",
+        sample_keys={"events": "user_id"},
+    ).collect()[0]["n"]
+    total = run_sql(
+        spark, "SELECT count(*) AS n FROM events", sf_dir
+    ).collect()[0]["n"]
+    assert 0 < n < total
+    out_final = translate(
+        "SELECT count() FROM orders o FINAL",
+        final_keys={"orders": (("o_orderkey",), "o_version")},
+    )
+    assert "FROM orders" in out_final and ") o" in out_final

@@ -1854,3 +1854,32 @@ def test_containment_catches_truncated_twins(spark, sf_dir):
         or r["contained"] == r["container"] + 100_000
     ]
     assert len(twin_rows) > 50  # twins surface as containments
+
+
+def test_asof_join_keeps_duplicate_left_rows(spark, sf_dir):
+    """ADVICE r5: partitioning the dedup window on left.columns
+    collapsed fully identical left rows into one output row; the
+    generic API must keep both (ClickHouse ASOF JOIN does)."""
+    from clickhouse_batcher_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 100), (7, 100), (7, 50)], "k BIGINT, t BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(7, 90, 1), (7, 40, 2)], "k BIGINT, rt BIGINT, rid BIGINT"
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("k", "rk"),
+        left_key="k",
+        right_key="rk",
+        left_ts="t",
+        right_ts="rt",
+        right_tiebreak="rid",
+        right_cols=["rt", "rid"],
+    ).collect()
+    assert len(out) == 3
+    matched_90 = [r for r in out if r["t"] == 100]
+    assert len(matched_90) == 2
+    assert all(r["rt"] == 90 for r in matched_90)
+    assert [r["rt"] for r in out if r["t"] == 50] == [40]
