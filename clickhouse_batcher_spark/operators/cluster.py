@@ -13,9 +13,10 @@ This is the standard Spark formulation of CC at scale (a large-star/
 small-star variant would cut iterations on pathological chains; the
 propagation loop is the right tradeoff for clique-like dedup graphs).
 
-Genuinely iterative => no single-statement SQL oracle; correctness is
-pinned by a driver-side union-find cross-check in tests (rows-only
-check at the driver gate).
+The execution path is genuinely iterative, but the RESULT is
+single-statement-SQL-expressible (recursive-CTE reachability closure,
+registered at module bottom), so the driver gate gets a hash-exact
+oracle; a union-find cross-check in tests pins it independently.
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def connected_components(
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 
-@query("dedup_clusters")  # rows-only: iterative; union-find checked in tests
+@query("dedup_clusters")  # oracle: recursive-CTE closure, see below
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the MinHash-verified near-dup pairs; output one row per
     clustered doc with its component id and the deterministic survivor
@@ -99,3 +100,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle (VERDICT r5 task 6): deterministic min-label connected
+# components ARE single-statement-SQL-expressible via a recursive CTE
+# — reachability closure over the undirected edge set, then MIN over
+# the reachable vertices. That closure is O(sum of component sizes^2)
+# rows, fine at oracle scale because near-dup clusters are tiny
+# cliques; the iterative propagation above remains the 100 TB
+# execution path. Importing dedup first guarantees the minhash oracle
+# this one composes is already registered, whatever load_all's order.
+from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
+from clickhouse_batcher_spark.operators import dedup as _dedup  # noqa: E402,F401
+
+
+def _clusters_oracle() -> str:
+    mh = _ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH RECURSIVE mh AS ({mh}),
+    adj AS (
+      SELECT doc_a AS v, doc_b AS u FROM mh
+      UNION
+      SELECT doc_b AS v, doc_a AS u FROM mh
+    ),
+    reach(v, u) AS (
+      SELECT v, v FROM adj
+      UNION
+      SELECT r.v, a.u FROM reach r JOIN adj a ON a.v = r.u
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id,
+           CAST(MIN(u) AS BIGINT) AS cluster_id,
+           (MIN(u) = v) AS is_survivor
+    FROM reach GROUP BY v
+    """
+
+
+_ORACLES["dedup_clusters"] = " ".join(_clusters_oracle().split())

@@ -512,9 +512,9 @@ def distinct_users_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct sketch (round-5): the industry-standard
 # cardinality estimator (ClickHouse uniq/uniqHLL12 family), built so
-# the ENTIRE sketch is engine-portable and the oracle is hash-exact —
-# unlike `approx_distinct_parts`, which uses Spark's internal HLL++
-# and can only be rows-only checked.
+# the ENTIRE sketch is engine-portable and the oracle is hash-exact
+# (a Spark-internal HLL++ estimate could only be rows-only checked;
+# such a query was superseded by this one and deleted in round 6).
 #
 # Portability recipe (same spirit as the Count-Min sketch above):
 # - item hash = 60-bit SHA-prefix integer (portable_hash64 semantics);

@@ -175,15 +175,3 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Approximate distinct (HLL++): rows-only — sketches are engine-specific
-# by nature; tests assert the estimate lands within rated error of the
-# exact count.
-# ---------------------------------------------------------------------------
-@query("approx_distinct_parts")
-def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
