@@ -84,7 +84,10 @@ def ch_query(draw):
 
 
 @given(q=ch_query())
-@settings(max_examples=60, deadline=None)
+# Pure-python suites run at 500 examples (VERDICT r5 task 8): the
+# round-5 run at this depth caught a real intDiv-on-float bug, so the
+# depth is part of the regression net, not ceremony.
+@settings(max_examples=500, deadline=None)
 def test_translate_reaches_fixpoint(q):
     once = translate(q)
     assert translate(once) == once
@@ -100,7 +103,7 @@ def test_translate_reaches_fixpoint(q):
         max_size=6,
     )
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=500, deadline=None)
 def test_literals_never_rewritten(parts):
     """Whatever dialect-looking text sits inside a string literal, it
     must come out byte-identical (quote-doubled on the way in)."""
