@@ -273,6 +273,12 @@ _UNSUPPORTED = (
         "LIMIT n, m BY (offset form)",
         "only LIMIT n BY translates; page with a row_number() window",
     ),
+    (
+        r"\btopK\s*\(",
+        "topK(k)(x) (approximate heavy hitters)",
+        "use operators.sketch.topk_heavy_hitters (space-saving, "
+        "mergeable) or an exact count+row_number window",
+    ),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
     # ClickHouse DDL/DML lands on this engine's write-path modules, not
     # spark.sql — recognize the statements and point at the analogue
@@ -921,6 +927,90 @@ def translate(
     out = _rewrite_calls(
         out, "arrayZip", lambda a: f"arrays_zip({', '.join(a)})"
     )
+    out = _rewrite_calls(
+        out,
+        "arrayCompact",
+        # drop CONSECUTIVE duplicates (not a distinct): keep element i
+        # unless it null-safe-equals its predecessor
+        lambda a: (
+            f"filter({a[0]}, (__ac_x, __ac_i) -> __ac_i = 0 OR NOT "
+            f"(__ac_x <=> element_at({a[0]}, __ac_i)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "range",
+        # NOT sequence(): Spark's sequence steps -1 when start > stop,
+        # so range(0) would yield [0, -1] where ClickHouse yields [].
+        # transform over array_repeat is empty-safe for any bound.
+        lambda a: (
+            f"transform(array_repeat(0, CAST({a[0]} AS INT)), "
+            f"(__rg_x, __rg_i) -> __rg_i)"
+            if len(a) == 1
+            else (
+                f"transform(array_repeat(0, CAST(({a[1]}) - ({a[0]}) AS INT)), "
+                f"(__rg_x, __rg_i) -> __rg_i + ({a[0]}))"
+            )
+        ),
+    )
+    # groupArray(n)(x) (curried cap) BEFORE the plain form; both keep
+    # Spark's collect_list non-determinism, matching ClickHouse's own
+    # "values in any order" caveat for groupArray.
+    out = _rewrite_curried(
+        out, "groupArray", None, fmt="slice(collect_list({x}), 1, {p})"
+    )
+    out = _rewrite_calls(
+        out, "groupArray", lambda a: f"collect_list({a[0]})"
+    )
+    out = _rewrite_calls(out, "groupUniqArray", lambda a: f"collect_set({a[0]})")
+    out = _rewrite_calls(
+        out, "roundBankers", lambda a: f"bround({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toMonday",
+        lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
+    )
+    out = _rewrite_calls(
+        out,
+        "timeSlot",
+        # floor to the half-hour grid
+        lambda a: (
+            f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "positionCaseInsensitive",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "replaceRegexpAll",
+        # caveat: backreference syntax differs (ClickHouse \\1 vs
+        # Spark $1); plain patterns translate exactly
+        lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    )
+    out = _rewrite_calls(
+        out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
+    )
+    out = _rewrite_calls(out, "age", _age)
     for ch, sp in _COND_AGGS.items():
         out = _rewrite_calls(
             out,
@@ -1239,6 +1329,31 @@ _BIT_OPS = {
 }
 
 _DIFF_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+_AGE_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _age(args: list[str]) -> str:
+    """ClickHouse age('unit', a, b): COMPLETE units elapsed between a
+    and b — unlike dateDiff, which counts unit boundaries crossed.
+    Literal units only, like dateDiff."""
+    if len(args) != 3:
+        raise ValueError("age needs ('unit', start, end)")
+    unit = args[0].strip().strip("'").lower()
+    a, b = args[1], args[2]
+    if unit in _AGE_SECONDS:
+        s = _AGE_SECONDS[unit]
+        return f"((unix_timestamp({b}) - unix_timestamp({a})) DIV {s})"
+    if unit == "week":
+        return f"((unix_timestamp({b}) - unix_timestamp({a})) DIV 604800)"
+    if unit == "month":
+        return f"CAST(floor(months_between({b}, {a})) AS BIGINT)"
+    if unit == "quarter":
+        return f"(CAST(floor(months_between({b}, {a})) AS BIGINT) DIV 3)"
+    if unit == "year":
+        return f"(CAST(floor(months_between({b}, {a})) AS BIGINT) DIV 12)"
+    raise ValueError(f"age: unsupported unit {unit!r}")
 
 
 def _date_diff(args: list[str]) -> str:

@@ -1159,3 +1159,101 @@ def test_sample_final_aliased_table_resolves_underlying_name(spark, sf_dir):
         final_keys={"orders": (("o_orderkey",), "o_version")},
     )
     assert "FROM orders" in out_final and ") o" in out_final
+
+
+def test_array_mutators_and_range(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT arrayCompact(array(1, 1, 2, 2, 1)) AS ac, "
+        "arrayPushBack(array(1, 2), 9) AS pb, "
+        "arrayPushFront(array(1, 2), 9) AS pf, "
+        "arrayPopBack(array(1, 2, 3)) AS ob, "
+        "arrayPopFront(array(1, 2, 3)) AS of, "
+        "arrayPopBack(array()) AS obe, "
+        "range(4) AS r4, range(0) AS r0, range(2, 5) AS r25",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(got["ac"]) == [1, 2, 1]
+    assert list(got["pb"]) == [1, 2, 9]
+    assert list(got["pf"]) == [9, 1, 2]
+    assert list(got["ob"]) == [1, 2]
+    assert list(got["of"]) == [2, 3]
+    assert list(got["obe"]) == []
+    assert list(got["r4"]) == [0, 1, 2, 3]
+    assert list(got["r0"]) == []
+    assert list(got["r25"]) == [2, 3, 4]
+
+
+def test_group_array_forms(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT user_id, groupArray(event_type) AS ga, "
+        "groupArray(2)(event_type) AS ga2, "
+        "groupUniqArray(event_type) AS gu "
+        "FROM events WHERE user_id = 1 GROUP BY user_id",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert len(got["ga2"]) <= 2
+    assert set(got["ga2"]) <= set(got["ga"])
+    assert sorted(set(got["ga"])) == sorted(got["gu"])
+
+
+def test_round_bankers_monday_timeslot(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT roundBankers(2.5) AS rb1, roundBankers(3.5) AS rb2, "
+        "roundBankers(2.345, 2) AS rb3, "
+        "toMonday(toDateTime('2024-03-07 15:00:00')) AS mon, "
+        "timeSlot(toDateTime('2024-03-07 15:44:59')) AS slot",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["rb1"] == 2.0 and got["rb2"] == 4.0  # half-even
+    assert float(got["rb3"]) == 2.34
+    assert str(got["mon"]) == "2024-03-04"  # Thursday -> that Monday
+    assert str(got["slot"]) == "2024-03-07 15:30:00"
+
+
+def test_age_vs_datediff_semantics(spark, sf_dir):
+    # age counts COMPLETE units elapsed; dateDiff counts boundaries
+    # crossed: 23:30 -> 00:30 next day is 1 boundary but 0 full days.
+    got = run_sql(
+        spark,
+        "SELECT age('day', toDateTime('2024-03-01 23:30:00'), "
+        "toDateTime('2024-03-02 00:30:00')) AS a, "
+        "dateDiff('day', toDateTime('2024-03-01 23:30:00'), "
+        "toDateTime('2024-03-02 00:30:00')) AS d, "
+        "age('hour', toDateTime('2024-03-01 10:00:00'), "
+        "toDateTime('2024-03-01 13:59:00')) AS h, "
+        "age('month', toDateTime('2024-01-15 00:00:00'), "
+        "toDateTime('2024-03-14 00:00:00')) AS m, "
+        "age('year', toDateTime('2020-06-01 00:00:00'), "
+        "toDateTime('2024-05-30 00:00:00')) AS y",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a"] == 0 and got["d"] == 1
+    assert got["h"] == 3
+    assert got["m"] == 1  # Jan 15 -> Mar 14 is one complete month
+    assert got["y"] == 3
+
+
+def test_string_search_and_replace_fns(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT positionCaseInsensitive('Hello World', 'WORLD') AS p, "
+        "replaceRegexpAll('a1b2c3', '[0-9]', '_') AS rr, "
+        "replaceAll('a.b.c', '.', '-') AS ra",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["p"] == 7
+    assert got["rr"] == "a_b_c_"
+    assert got["ra"] == "a-b-c"
+
+
+def test_topk_is_a_loud_error():
+    with pytest.raises(ValueError, match="topk_heavy_hitters"):
+        translate("SELECT topK(5)(event_type) FROM events")
