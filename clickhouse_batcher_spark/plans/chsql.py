@@ -58,9 +58,13 @@ parser rather than silently misbehaving):
   arraySlice leftPad rightPad trimBoth trimLeft trimRight
   substringUTF8 countSubstrings formatDateTime dateDiff
   toStartOfInterval add/subtract{Seconds..Years} yesterday
-  bitAnd/Or/Xor/Not/ShiftLeft/ShiftRight`` (literal formats/units;
+  bitAnd/Or/Xor/Not/ShiftLeft/ShiftRight arrayCompact
+  arrayPush{Back,Front} arrayPop{Back,Front} range groupArray
+  groupArray(n)() groupUniqArray roundBankers toMonday timeSlot age
+  positionCaseInsensitive replaceRegexpAll`` (literal formats/units;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
-  boundary-crossing semantics via unit truncation)
+  boundary-crossing semantics via unit truncation, while age counts
+  complete units elapsed)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
