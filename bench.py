@@ -166,6 +166,11 @@ HEADLINE = [
     "asof_nearest_events_orders",
     "dedup_containment_pairs",
     "event_type_pmi",
+    # round-6 additions
+    "dsir_importance_weights",
+    "token_fertility_by_lang",
+    "source_overlap_matrix",
+    "dedup_clusters",
 ]
 
 

@@ -679,3 +679,172 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bigram_logprob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw
+# document by how much more likely its hashed-feature profile is
+# under a TARGET corpus' distribution than under the RAW corpus' own:
+#
+#   log w(doc) = sum over tokens of ln(p_target(bucket) / p_raw(bucket))
+#
+# with features hashed into a FIXED bucket space, so both models stay
+# constant-size vectors no matter how large the corpus grows. Target
+# here = the English slice (the "looks like my target domain" proxy
+# available on this synthetic corpus); features = unigrams hashed into
+# DSIR_BUCKETS buckets with the repo's portable sha-bucket; +1
+# Laplace smoothing on both distributions.
+#
+# Determinism: each bucket's log-ratio is rounded to 6 decimals and
+# summed as DECIMAL(27,6) per document (the docs_unigram_logprob
+# discipline) — shuffle-order independent, engine-exact.
+#
+# Scale: the two distributions are DSIR_BUCKETS-row aggregates
+# broadcast back to the token stream; the per-doc sum is the one
+# data-sized shuffle (map-side combinable). DSIR's published setting
+# uses ~1e4-1e6 hashed bigram buckets — still broadcast-sized.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 256
+_DSIR_SALT = "dsir"
+
+
+def _dsir_bucket_sql(expr: str) -> str:
+    from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+
+    return _sql_bucket(expr, buckets=DSIR_BUCKETS, salt=_DSIR_SALT)
+
+
+def _dsir_oracle() -> str:
+    b = _dsir_bucket_sql("token")
+    n = DSIR_BUCKETS
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, lang, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    bk AS (SELECT doc_id, lang, {b} AS bucket FROM occ),
+    raw AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS c FROM bk WHERE lang = 'en' GROUP BY bucket),
+    tots AS (SELECT (SELECT SUM(c) FROM raw) AS rt,
+                    (SELECT COALESCE(SUM(c), 0) FROM tgt) AS tt),
+    lr AS (
+      SELECT raw.bucket,
+        CAST(round(ln(
+          ((CAST(COALESCE(tgt.c, 0) AS DOUBLE) + 1) / (CAST(tt AS DOUBLE) + {n}))
+          / ((CAST(raw.c AS DOUBLE) + 1) / (CAST(rt AS DOUBLE) + {n}))
+        ), 6) AS DECIMAL(27,6)) AS lr
+      FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tots
+    )
+    SELECT bk.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(lr.lr) AS DOUBLE) AS dsir_logweight
+    FROM bk JOIN lr ON lr.bucket = bk.bucket
+    GROUP BY bk.doc_id
+    """
+
+
+@query("dsir_importance_weights", oracle=None)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance weight of the raw corpus against the
+    English-slice target (higher = resample this doc more)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(_DSIR_SALT), F.col("token")), 256), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    bk = occ.select("doc_id", "lang", bucket.alias("bucket"))
+    raw = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        bk.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tots = raw.join(tgt, "bucket", "left").agg(
+        F.sum("c_raw").alias("rt"),
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("tt"),
+    )
+    n = float(DSIR_BUCKETS)
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + 1)
+                        / (F.col("tt").cast("double") + n)
+                    )
+                    / (
+                        (F.col("c_raw").cast("double") + 1)
+                        / (F.col("rt").cast("double") + n)
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("lr"),
+        )
+    )
+    return (
+        bk.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr").cast("double").alias("dsir_logweight"),
+        )
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES2  # noqa: E402
+
+_ORACLES2["dsir_importance_weights"] = " ".join(_dsir_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens produced per character —
+# the standard multilingual-tokenizer health metric (a tokenizer
+# trained on English "over-segments" other scripts; fertility spikes
+# flag languages that need vocab budget). One aggregate, zero joins.
+# ---------------------------------------------------------------------------
+@query(
+    "token_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars, len({SQL_TOKENS}) AS n_toks FROM documents
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(n_toks) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+        AS tokens_per_char
+    FROM t GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-character by language (single exact division at the
+    end — no float accumulation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", F.size(tokens("text")).alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            (
+                F.sum("n_toks").cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("tokens_per_char"),
+        )
+    )

@@ -985,3 +985,61 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contained").cast("bigint").alias("n_contained"),
         F.round(c, 6).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources syndicate each other?
+# Near-dup pairs (MinHash-verified) labeled with each side's source,
+# normalized to an unordered (source_a <= source_b) cell, counted.
+# The standard corpus-curation report for deciding which feeds to
+# drop or down-weight before training. Composes the minhash oracle
+# verbatim, so the gate checks the WHOLE pipeline end-to-end.
+#
+# Scale: two equi-joins against the (doc_id, source) projection —
+# keyed shuffles on doc id; the pair relation is already DF-capped by
+# the LSH machinery, so no all-pairs risk is introduced here.
+# ---------------------------------------------------------------------------
+def _source_overlap_oracle() -> str:
+    mh = _ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH mh AS ({mh}),
+    lab AS (
+      SELECT da.source AS sa, db_.source AS sb
+      FROM mh
+      JOIN documents da ON da.doc_id = mh.doc_a
+      JOIN documents db_ ON db_.doc_id = mh.doc_b
+    )
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """
+
+
+@query("source_overlap_matrix", oracle=None)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    lab = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        ).join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+_ORACLES["source_overlap_matrix"] = " ".join(_source_overlap_oracle().split())

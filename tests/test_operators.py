@@ -31,6 +31,9 @@ ORACLED = [
     "docs_rare_token_ratio",
     "embedding_quantize_int8",
     "decontaminate_docs",
+    "dsir_importance_weights",
+    "token_fertility_by_lang",
+    "source_overlap_matrix",
     "bm25_retrieval_topk",
     "quality_filter_gopher",
     "salted_join_user_segments",

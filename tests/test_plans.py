@@ -193,6 +193,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "events_theils_u",           # 1-row entropy/total frames
         "events_sparkbar_hourly",    # 24-row hour spine x type dims
         "kmv_union_intersection",    # three 1-row estimate frames
+        "dsir_importance_weights",   # 1-row corpus-totals frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
