@@ -168,6 +168,7 @@ HEADLINE = [
     "event_type_pmi",
     # round-6 additions
     "dsir_importance_weights",
+    "quality_filter_c4",
     "token_fertility_by_lang",
     "source_overlap_matrix",
     "dedup_clusters",

@@ -848,3 +848,84 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_char"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning rules (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning" §2.2): line-level — keep lines that end in
+# terminal punctuation, have >= 5 words, and don't mention
+# javascript; page-level — drop pages with < 3 sentences, any
+# "lorem ipsum", or a curly brace. The complement to the Gopher
+# STRUCTURAL rules already in this module (C4 is line-oriented where
+# Gopher is token-distribution-oriented); the synthetic corpus has no
+# punctuation, so the planted-corpus pytest is what exercises each
+# rule's firing — the catalog entry proves the plan shape and the
+# oracle parity on real inputs.
+#
+# Zero-shuffle: every rule is a per-row array/regexp expression.
+# ---------------------------------------------------------------------------
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the C4 rule columns to ``docs`` (input-agnostic)."""
+    lines = F.split(F.col(text_col), r"\n")
+    is_kept = (
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+           >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(ln).contains("javascript")
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(F.filter(lines, is_kept))
+    n_sentences = F.size(F.split(F.col(text_col), r"[.!?]")) - 1
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    return docs.select(
+        "*",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        (
+            (n_sentences >= C4_MIN_SENTENCES)
+            & (n_kept > 0)
+            & ~has_lorem
+            & ~has_brace
+        ).alias("keep"),
+    )
+
+
+@query(
+    "quality_filter_c4",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(string_split(text, chr(10)),
+          ln -> regexp_matches(ln, '[.!?"]\\s*$')
+            AND len(list_filter(string_split_regex(ln, '\\s+'),
+                                w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}
+            AND NOT contains(lower(ln), 'javascript')
+        )) AS BIGINT) AS n_kept_lines,
+        CAST(len(string_split_regex(text, '[.!?]')) - 1 AS BIGINT)
+          AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        (contains(text, '{{') OR contains(text, '}}')) AS has_curly_brace
+      FROM documents
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           has_lorem_ipsum, has_curly_brace,
+           (n_sentences >= {C4_MIN_SENTENCES} AND n_kept_lines > 0
+            AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS keep
+    FROM sig
+    """,
+)
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_signals(docs).select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "keep",
+    )

@@ -32,6 +32,7 @@ ORACLED = [
     "embedding_quantize_int8",
     "decontaminate_docs",
     "dsir_importance_weights",
+    "quality_filter_c4",
     "token_fertility_by_lang",
     "source_overlap_matrix",
     "bm25_retrieval_topk",
@@ -1886,3 +1887,47 @@ def test_asof_join_keeps_duplicate_left_rows(spark, sf_dir):
     assert len(matched_90) == 2
     assert all(r["rt"] == 90 for r in matched_90)
     assert [r["rt"] for r in out if r["t"] == 50] == [40]
+
+
+def test_c4_rules_fire_on_planted_corpus(spark):
+    """Each C4 rule on a planted punctuated corpus (the synthetic
+    documents table has no punctuation, so rule firing is proven
+    here; the catalog entry proves oracle parity on real inputs)."""
+    from clickhouse_batcher_spark.operators.corpus import c4_signals
+
+    rows = [
+        # 3 sentences, 3 good lines -> keep
+        (1, "This line has five good words.\n"
+            "Another line with enough words here!\n"
+            "A third full sentence sits here?"),
+        # too few sentences
+        (2, "One single proper sentence lives here."),
+        # lorem ipsum page
+        (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+            "Second proper sentence with many words.\n"
+            "Third proper sentence with many words."),
+        # curly brace page
+        (4, "function f() { return 1; }\n"
+            "Second proper sentence with many words.\n"
+            "Third proper sentence with many words?\n"
+            "Fourth proper sentence with many words."),
+        # javascript line dropped, others kept
+        (5, "Please enable javascript to view this page.\n"
+            "Second proper sentence with many words.\n"
+            "Third proper sentence with many words.\n"
+            "Fourth proper sentence with many words."),
+        # line without terminal punctuation dropped; short line dropped
+        (6, "no terminal punctuation on this line\n"
+            "Tiny line.\n"
+            "But this proper sentence survives the cut.\n"
+            "And this other proper sentence does too!\n"
+            "Then a third one appears here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in c4_signals(df).collect()}
+    assert got[1]["keep"] and got[1]["n_kept_lines"] == 3
+    assert not got[2]["keep"] and got[2]["n_sentences"] == 1
+    assert not got[3]["keep"] and got[3]["has_lorem_ipsum"]
+    assert not got[4]["keep"] and got[4]["has_curly_brace"]
+    assert got[5]["keep"] and got[5]["n_kept_lines"] == 3  # js line dropped
+    assert got[6]["keep"] and got[6]["n_kept_lines"] == 3
