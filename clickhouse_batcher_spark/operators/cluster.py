@@ -46,10 +46,19 @@ def connected_components(
     with ``localCheckpoint()`` every ``CHECKPOINT_EVERY`` iterations so
     a diameter-D graph costs O(D) work, not O(D) plan depth.
     """
-    # undirected: both directions; every vertex appears as "v"
-    fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
-    bwd = edges.select(F.col(dst).alias("v"), F.col(src).alias("u"))
-    adj = fwd.unionByName(bwd).distinct().cache()
+    # undirected: both directions; every vertex appears as "v". Built
+    # with one explode over a single scan — a fwd/bwd union would read
+    # the (possibly expensive, e.g. MinHash-LSH) upstream pair
+    # pipeline TWICE before the cache populates (round-6 profiling:
+    # the race recompute, not the iterations, dominated
+    # dedup_clusters' wall time).
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("v"), F.col(dst).alias("u")),
+            F.struct(F.col(dst).alias("v"), F.col(src).alias("u")),
+        )
+    )
+    adj = edges.select(both.alias("p")).select("p.v", "p.u").distinct().cache()
 
     labels = adj.select("v").distinct().withColumn("label", F.col("v")).cache()
     prev_cached = labels
