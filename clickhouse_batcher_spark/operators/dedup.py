@@ -242,6 +242,56 @@ def _minhash_salts_sql() -> str:
 _BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 16  # hex chars per band (16-char hash prefixes)
 
 
+def band_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig) LSH band signatures from a
+    (doc_id, shingle) relation — the index key of the banded MinHash
+    scheme, shared by the batch detector below and the streaming
+    incremental detector (streaming/neardup.py).
+
+    Hash each DISTINCT shingle once (the shingle vocabulary is orders
+    of magnitude smaller than (doc, shingle) occurrences), computing
+    all MINHASH_PERMS hashes in one projection, then broadcast-join
+    the tiny hash table back. Per-permutation MIN aggregates with
+    map-side partials — one narrow shuffle of (doc_id, 16 hashes),
+    no salt crossJoin row explosion. At web scale the shingle
+    vocabulary outgrows a broadcast and this flips to a shuffle join
+    on `shingle`; everything else is unchanged.
+    """
+    shingle_hashes = shingles.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.substring(F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256), 1, 16).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    hashes = shingles.join(F.broadcast(shingle_hashes), "shingle").select(
+        "doc_id", *[f"h{i}" for i in range(MINHASH_PERMS)]
+    )
+    mh_row = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)]
+    )
+    sig = mh_row.select(
+        "doc_id",
+        F.concat(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias(
+            "signature"
+        ),
+    )
+    return sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr(f"substring(signature, band_id * {_BAND_HEX} + 1, {_BAND_HEX})").alias(
+            "band_sig"
+        ),
+    )
+
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -284,48 +334,7 @@ _BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 16  # hex chars per band (16-char h
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _shingles_cached(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-    # Hash each DISTINCT shingle once (the shingle vocabulary is orders
-    # of magnitude smaller than (doc, shingle) occurrences), computing
-    # all MINHASH_PERMS hashes in one projection, then broadcast-join
-    # the tiny hash table back. Per-permutation MIN aggregates with
-    # map-side partials — one narrow shuffle of (doc_id, 16 hashes),
-    # no salt crossJoin row explosion. At web scale the shingle
-    # vocabulary outgrows a broadcast and this flips to a shuffle join
-    # on `shingle`; everything else is unchanged.
-    shingle_hashes = shingles.select("shingle").distinct().select(
-        "shingle",
-        *[
-            F.substring(F.sha2(F.concat(F.lit(f"{i:02d}|"), F.col("shingle")), 256), 1, 16).alias(
-                f"h{i}"
-            )
-            for i in range(MINHASH_PERMS)
-        ],
-    )
-    hashes = shingles.join(F.broadcast(shingle_hashes), "shingle").select(
-        "doc_id", *[f"h{i}" for i in range(MINHASH_PERMS)]
-    )
-    mh_row = hashes.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)]
-    )
-    sig = mh_row.select(
-        "doc_id",
-        F.concat(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias(
-            "signature"
-        ),
-    )
-    bands = sig.select(
-        "doc_id",
-        "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1))).alias("band_id"),
-    ).select(
-        "doc_id",
-        "band_id",
-        F.expr(f"substring(signature, band_id * {_BAND_HEX} + 1, {_BAND_HEX})").alias(
-            "band_sig"
-        ),
-    )
+    bands = band_signatures(shingles)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cand = (

@@ -645,3 +645,48 @@ def test_streaming_dedup_state_survives_restart(spark, sf_dir, tmp_root):
     assert first == events.count()
     assert got.count() == got.distinct().count()
     assert got.distinct().count() == events.count()
+
+
+def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_root):
+    """Incremental at-ingestion near-dup gate: streaming a document
+    slice against a static band index must produce EXACTLY the band
+    collisions the batch join finds for the same split — same
+    signature function on both paths, so no drift is tolerated."""
+    from clickhouse_batcher_spark.streaming.neardup import (
+        build_band_index,
+        match_against_index,
+        run_streaming_neardup,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+
+    index = build_band_index(existing).cache()
+    index.count()
+
+    src = f"{tmp_root}/docs_src"
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+
+    out = f"{tmp_root}/matches"
+    run_streaming_neardup(
+        spark,
+        src,
+        incoming.schema,
+        index,
+        out,
+        f"{tmp_root}/ckpt_neardup",
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        (r["doc_id"], r["index_doc_id"])
+        for r in spark.read.parquet(f"{out}/_batch_id=*").collect()
+    }
+    batch = {
+        (r["doc_id"], r["index_doc_id"])
+        for r in match_against_index(incoming, index).collect()
+    }
+    assert streamed == batch
+    assert batch  # the twin construction guarantees collisions exist
+    index.unpersist()
