@@ -24,6 +24,8 @@ rather than held in streaming state.
 
 from __future__ import annotations
 
+from functools import partial
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +57,20 @@ def match_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def _write_batch_matches(
+    index: DataFrame, out_dir: str, batch: DataFrame, batch_id: int
+) -> None:
+    """foreachBatch callback (runs on the driver; module-level so no
+    closure captures leak into pickled state): join one micro-batch
+    against the index and land its matches under a batch-id path —
+    overwrite-by-batch-id makes replays idempotent."""
+    (
+        match_against_index(batch, index)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/_batch_id={batch_id}")
+    )
+
+
 def run_streaming_neardup(
     spark: SparkSession,
     src_dir: str,
@@ -73,15 +89,8 @@ def run_streaming_neardup(
         .parquet(src_dir)
     )
 
-    def on_batch(batch: DataFrame, batch_id: int) -> None:
-        (
-            match_against_index(batch, index)
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/_batch_id={batch_id}")
-        )
-
     query = (
-        source.writeStream.foreachBatch(on_batch)
+        source.writeStream.foreachBatch(partial(_write_batch_matches, index, out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="200 milliseconds")
         .start()
