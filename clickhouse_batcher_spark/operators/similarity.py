@@ -1000,3 +1000,123 @@ def _hybrid_oracle() -> str:
 from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["hybrid_retrieval_rrf"] = " ".join(_hybrid_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cells + within-cell cosine pruning
+# ---------------------------------------------------------------------------
+# Abbas et al. 2023 ("SemDeDup"): cluster embeddings with k-means, then
+# inside each cluster greedily drop any item whose cosine similarity to
+# an already-kept item exceeds the threshold, visiting items farthest
+# from the centroid first (so the kept representative of each duplicate
+# group is the one LEAST typical of the cluster, preserving diversity).
+SEMDEDUP_THRESHOLD = NEARDUP_COS_THRESHOLD  # same near-dup notion
+
+
+def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus a perturbed twin per vector (first
+    ``TWIN_ZERO_DIMS`` dims zeroed, id offset by ``TWIN_ID_OFFSET``) —
+    the same construction ``embedding_neardup`` scores, so pruning is
+    exercised on known semantic duplicates."""
+    base = _embeddings(spark, sf_dir).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    twins = base.select(
+        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= TWIN_ZERO_DIMS, F.lit(0.0)).otherwise(
+                F.element_at("v", i.cast("int"))
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+@query("semantic_dedup")  # rows-only: exact NumPy recompute + invariants in tests
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the twin-augmented embedding corpus: k-means cells
+    (seeded ``_kmeans_centroids``, the IVF machinery reused verbatim),
+    then a per-cell greedy prune — visit members by ascending
+    centroid-cosine (farthest first, vec_id tiebreak) and drop any
+    whose similarity to an already-kept member reaches
+    ``SEMDEDUP_THRESHOLD``, recording which kept doc it duplicates.
+
+    Output: (vec_id, cell, centroid_sim, kept, dup_of). All cosines are
+    rounded to 6 before compare/sort, the repo's cross-implementation
+    float contract.
+
+    Scale: assignment is one broadcast-GEMM pass (no shuffle beyond the
+    cell groupBy); the within-cell kernel is O(|cell|^2) worst-case,
+    which SemDeDup keeps bounded by scaling the cell count with the
+    corpus (the paper runs 50k clusters on LAION) — cells stay ~n/k
+    rows and never leave one executor. Cross-cell duplicates are missed
+    by construction; that recall trade is the method, not this
+    implementation (`embedding_neardup` is the exact-all-pairs check at
+    small n).
+    """
+    import numpy as np
+
+    corpus = _twin_corpus(spark, sf_dir).cache()
+    cents = _kmeans_centroids(corpus)
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        import pandas as pd
+
+        c = bc.value
+        for part in batches:
+            if part.empty:
+                continue
+            mat = np.asarray(part["v"].tolist(), dtype=np.float64)
+            mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat_n @ c.T
+            cells = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": part["vec_id"].to_numpy(),
+                    "v": part["v"],
+                    "cell": cells.astype("int32"),
+                    "centroid_sim": np.round(
+                        sims[np.arange(len(part)), cells], 6
+                    ),
+                }
+            )
+
+    assigned = corpus.mapInPandas(
+        assign,
+        schema="vec_id BIGINT, v ARRAY<DOUBLE>, cell INT, centroid_sim DOUBLE",
+    )
+
+    def prune(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["centroid_sim", "vec_id"], ascending=[True, True]
+        ).reset_index(drop=True)
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        kept_rows: list[int] = []
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = np.round(mat[kept_rows] @ mat[i], 6)
+                j = int(np.argmax(sims))
+                if sims[j] >= SEMDEDUP_THRESHOLD:
+                    dup_of[i] = pdf["vec_id"].iloc[kept_rows[j]]
+                    continue
+            kept_rows.append(i)
+        out = pdf[["vec_id", "cell", "centroid_sim"]].copy()
+        out["kept"] = dup_of < 0
+        out["dup_of"] = pd.array(
+            [None if d < 0 else d for d in dup_of], dtype="Int64"
+        )
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune,
+        schema=(
+            "vec_id BIGINT, cell INT, centroid_sim DOUBLE,"
+            " kept BOOLEAN, dup_of BIGINT"
+        ),
+    )

@@ -1931,3 +1931,62 @@ def test_c4_rules_fire_on_planted_corpus(spark):
     assert not got[4]["keep"] and got[4]["has_curly_brace"]
     assert got[5]["keep"] and got[5]["n_kept_lines"] == 3  # js line dropped
     assert got[6]["keep"] and got[6]["n_kept_lines"] == 3
+
+
+def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
+    """SemDeDup must equal a sequential NumPy replica of the exact
+    algorithm (same seeded centroids, same rounded-cosine contract):
+    per-cell greedy prune visiting ascending centroid-cosine. Plus the
+    structural invariants the greedy guarantees: kept members of a cell
+    are pairwise below threshold-reachable only via rounding, and every
+    dropped doc names a kept same-cell duplicate."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _kmeans_centroids,
+        _twin_corpus,
+    )
+
+    corpus = _twin_corpus(spark, sf_dir).cache()
+    out = {
+        r["vec_id"]: r
+        for r in catalog.QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    }
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = _kmeans_centroids(corpus)
+    sims = Xn @ cents.T
+    cells = np.argmax(sims, axis=1)
+    csim = np.round(sims[np.arange(len(ids)), cells], 6)
+
+    expect = {}
+    for cell in np.unique(cells):
+        idx = np.where(cells == cell)[0]
+        order = idx[np.lexsort((ids[idx], csim[idx]))]
+        kept: list[int] = []
+        for i in order:
+            dup = None
+            if kept:
+                s = np.round(Xn[kept] @ Xn[i], 6)
+                j = int(np.argmax(s))
+                if s[j] >= SEMDEDUP_THRESHOLD:
+                    dup = int(ids[kept[j]])
+            if dup is None:
+                kept.append(i)
+            expect[int(ids[i])] = (int(cell), float(csim[i]), dup is None, dup)
+
+    assert set(out) == set(expect)
+    for vid, (cell, cs, is_kept, dup) in expect.items():
+        r = out[vid]
+        assert (r["cell"], r["kept"], r["dup_of"]) == (cell, is_kept, dup)
+        assert abs(r["centroid_sim"] - cs) < 1e-9
+
+    dropped = [r for r in out.values() if not r["kept"]]
+    assert dropped  # the twin construction guarantees collapses
+    for r in dropped:
+        rep = out[r["dup_of"]]
+        assert rep["kept"] and rep["cell"] == r["cell"]
+    corpus.unpersist()
