@@ -65,6 +65,15 @@ parser rather than silently misbehaving):
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
   complete units elapsed)
+- URL family: ``protocol domain domainWithoutWWW topLevelDomain path
+  pathFull queryString fragment queryStringAndFragment
+  extractURLParameter cutQueryString cutFragment
+  cutQueryStringAndFragment netloc port decodeURLComponent
+  encodeURLComponent`` — regexp-based with ClickHouse's scheme-less
+  tolerance and ''-on-missing semantics
+  (``firstSignificantSubdomain`` needs a public-suffix list: loud)
+- IPv4 family: ``IPv4NumToString IPv4StringToNum toIPv4 isIPv4String
+  IPv4CIDRToRange`` (pure integer arithmetic; IPv6 is out of scope)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -284,6 +293,12 @@ _UNSUPPORTED = (
         "mergeable) or an exact count+row_number window",
     ),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
+    (
+        r"\bfirstSignificantSubdomain\s*\(",
+        "firstSignificantSubdomain",
+        "needs a public-suffix list the engine does not ship; start "
+        "from domain() and apply your own suffix table",
+    ),
     # ClickHouse DDL/DML lands on this engine's write-path modules, not
     # spark.sql — recognize the statements and point at the analogue
     # instead of letting Spark's parser produce an unrelated error.
@@ -796,6 +811,155 @@ def _next_clause(sql: str) -> int:
     return n
 
 
+# --- URL + IPv4 function families ------------------------------------------
+# ClickHouse URL functions tolerate scheme-less URLs and return '' for
+# missing components; Spark's parse_url wants a full URL and returns
+# NULL, so host/path/port pieces are regexp_extract-based (Spark's
+# regexp_extract returns '' on no match — the exact CH contract).
+# Regex literals are emitted through Spark's string parser, hence the
+# doubled backslashes.
+_URL_SCHEME = r"'^([a-zA-Z][a-zA-Z0-9+.\\-]*):'"
+_URL_AUTH = r"(?:(?:[a-zA-Z][a-zA-Z0-9+.\\-]*:)?//)?(?:[^/?#@]*@)?"
+_URL_HOST = f"'^{_URL_AUTH}([^/:?#]+)'"
+_URL_PORT = f"'^{_URL_AUTH}[^/:?#]+:([0-9]+)'"
+_URL_PATH = f"'^{_URL_AUTH}[^/?#]*(/[^?#]*)'"
+_URL_PATHFULL = f"'^{_URL_AUTH}[^/?#]*([/?#].*)$'"
+_IP_OCTET = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+
+
+def _ipv4_cidr_range(args: list[str]) -> str:
+    ip, c = args[0], args[1]
+    width = f"shiftleft(CAST(1 AS BIGINT), 32 - ({c}))"
+    lower = f"((({ip}) DIV {width}) * {width})"
+    return (
+        f"named_struct('lower', {lower}, 'upper', {lower} + {width} - 1)"
+    )
+
+
+def _url_ip_functions(out: str) -> str:
+    out = _rewrite_calls(
+        out, "protocol", lambda a: f"regexp_extract({a[0]}, {_URL_SCHEME}, 1)"
+    )
+    out = _rewrite_calls(
+        out,
+        "domainWithoutWWW",
+        lambda a: (
+            f"regexp_replace(regexp_extract({a[0]}, {_URL_HOST}, 1),"
+            f" '^www\\\\.', '')"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "domain", lambda a: f"regexp_extract({a[0]}, {_URL_HOST}, 1)"
+    )
+    out = _rewrite_calls(
+        out,
+        "topLevelDomain",
+        lambda a: (
+            f"regexp_extract(regexp_extract({a[0]}, {_URL_HOST}, 1),"
+            f" '\\\\.([^.]+)$', 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "pathFull", lambda a: f"regexp_extract({a[0]}, {_URL_PATHFULL}, 1)"
+    )
+    out = _rewrite_calls(
+        out, "path", lambda a: f"regexp_extract({a[0]}, {_URL_PATH}, 1)"
+    )
+    out = _rewrite_calls(
+        out,
+        "queryStringAndFragment",
+        # CH drops the leading '?' but keeps the '#' separator
+        lambda a: f"regexp_extract({a[0]}, '\\\\?(.*)$', 1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "queryString",
+        lambda a: f"regexp_extract({a[0]}, '\\\\?([^#]*)', 1)",
+    )
+    out = _rewrite_calls(
+        out, "fragment", lambda a: f"regexp_extract({a[0]}, '#(.*)$', 1)"
+    )
+    out = _rewrite_calls(
+        out,
+        "extractURLParameter",
+        lambda a: f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')",
+    )
+    out = _rewrite_calls(
+        out,
+        "cutQueryStringAndFragment",
+        lambda a: f"regexp_replace({a[0]}, '[?#].*$', '')",
+    )
+    out = _rewrite_calls(
+        out,
+        "cutQueryString",
+        # query goes, fragment stays (cutQueryStringAndFragment above
+        # is the drop-both form)
+        lambda a: f"regexp_replace({a[0]}, '\\\\?[^#]*', '')",
+    )
+    out = _rewrite_calls(
+        out, "cutFragment", lambda a: f"regexp_replace({a[0]}, '#.*$', '')"
+    )
+    out = _rewrite_calls(
+        out,
+        "netloc",
+        lambda a: (
+            f"regexp_extract({a[0]},"
+            f" '^(?:(?:[a-zA-Z][a-zA-Z0-9+.\\\\-]*:)?//)?([^/?#]*)', 1)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "port",
+        lambda a: (
+            f"coalesce(CAST(nullif(regexp_extract({a[0]}, {_URL_PORT}, 1),"
+            f" '') AS INT), {a[1] if len(a) > 1 else 0})"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "decodeURLComponent",
+        # caveat: Spark's url_decode also maps '+' to ' ' (form
+        # decoding); CH leaves '+' alone. %XX sequences are identical.
+        lambda a: f"url_decode({a[0]})",
+    )
+    out = _rewrite_calls(
+        out,
+        "encodeURLComponent",
+        # caveat: Spark's url_encode emits '+' for ' ' where CH emits
+        # %20; all other reserved characters match.
+        lambda a: f"url_encode({a[0]})",
+    )
+    out = _rewrite_calls(
+        out,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat_ws('.',"
+            f" CAST((({a[0]}) DIV 16777216) % 256 AS STRING),"
+            f" CAST((({a[0]}) DIV 65536) % 256 AS STRING),"
+            f" CAST((({a[0]}) DIV 256) % 256 AS STRING),"
+            f" CAST(({a[0]}) % 256 AS STRING))"
+        ),
+    )
+    for name in ("IPv4StringToNum", "toIPv4"):
+        out = _rewrite_calls(
+            out,
+            name,
+            lambda a: (
+                f"aggregate(split({a[0]}, '\\\\.'), CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc * 256 + CAST(x AS BIGINT))"
+            ),
+        )
+    out = _rewrite_calls(
+        out,
+        "isIPv4String",
+        lambda a: (
+            f"({a[0]} RLIKE '^({_IP_OCTET}\\\\.){{3}}{_IP_OCTET}$')"
+        ),
+    )
+    out = _rewrite_calls(out, "IPv4CIDRToRange", _ipv4_cidr_range)
+    return out
+
+
 def translate(
     sql: str,
     sample_keys: dict[str, str] | None = None,
@@ -1015,6 +1179,7 @@ def translate(
         out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
     )
     out = _rewrite_calls(out, "age", _age)
+    out = _url_ip_functions(out)
     for ch, sp in _COND_AGGS.items():
         out = _rewrite_calls(
             out,

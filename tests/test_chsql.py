@@ -1257,3 +1257,73 @@ def test_string_search_and_replace_fns(spark, sf_dir):
 def test_topk_is_a_loud_error():
     with pytest.raises(ValueError, match="topk_heavy_hitters"):
         translate("SELECT topK(5)(event_type) FROM events")
+
+
+def test_url_function_family(spark, sf_dir):
+    url = "'https://paul@www.example.com:8080/a/b?page=1&x=2#frag'"
+    got = run_sql(
+        spark,
+        f"SELECT protocol({url}) AS proto, domain({url}) AS dom, "
+        f"domainWithoutWWW({url}) AS dww, topLevelDomain({url}) AS tld, "
+        f"path({url}) AS p, pathFull({url}) AS pf, "
+        f"queryString({url}) AS qs, fragment({url}) AS fr, "
+        f"queryStringAndFragment({url}) AS qsf, "
+        f"extractURLParameter({url}, 'page') AS pg, "
+        f"extractURLParameter({url}, 'nope') AS miss, "
+        f"cutQueryString({url}) AS cq, cutFragment({url}) AS cf, "
+        f"cutQueryStringAndFragment({url}) AS cqf, "
+        f"netloc({url}) AS nl, port({url}) AS po, "
+        f"port('http://x.com/a', 80) AS podef, "
+        f"domain('example.com:9000/path') AS bare, "
+        f"domain('//cdn.example.org/lib.js') AS protorel",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["proto"] == "https"
+    assert got["dom"] == "www.example.com"
+    assert got["dww"] == "example.com"
+    assert got["tld"] == "com"
+    assert got["p"] == "/a/b"
+    assert got["pf"] == "/a/b?page=1&x=2#frag"
+    assert got["qs"] == "page=1&x=2"
+    assert got["fr"] == "frag"
+    assert got["qsf"] == "page=1&x=2#frag"
+    assert got["pg"] == "1" and got["miss"] == ""
+    assert got["cq"] == "https://paul@www.example.com:8080/a/b#frag"
+    assert got["cf"] == "https://paul@www.example.com:8080/a/b?page=1&x=2"
+    assert got["cqf"] == "https://paul@www.example.com:8080/a/b"
+    assert got["nl"] == "paul@www.example.com:8080"
+    assert got["po"] == 8080 and got["podef"] == 80
+    assert got["bare"] == "example.com"
+    assert got["protorel"] == "cdn.example.org"
+
+
+def test_ipv4_function_family(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT IPv4NumToString(3232235777) AS s, "
+        "IPv4StringToNum('192.168.1.1') AS n, "
+        "toIPv4('10.0.0.1') AS t, "
+        "isIPv4String('10.0.0.1') AS ok, "
+        "isIPv4String('256.1.1.1') AS bad_octet, "
+        "isIPv4String('1.2.3') AS short, "
+        "IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16) AS r",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["s"] == "192.168.1.1"
+    assert got["n"] == 3232235777
+    assert got["t"] == 167772161
+    assert got["ok"] is True
+    assert got["bad_octet"] is False and got["short"] is False
+    assert got["r"]["lower"] == 3232235520  # 192.168.0.0
+    assert got["r"]["upper"] == got["r"]["lower"] + 65535
+
+
+def test_first_significant_subdomain_is_loud():
+    import pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    with pytest.raises(ValueError, match="public-suffix"):
+        translate("SELECT firstSignificantSubdomain('https://a.b.com/x')")
