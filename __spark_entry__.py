@@ -187,6 +187,11 @@ _PRIORITY: list[str] = [
 # user_sequence_logprob, duplicate_line_ratio. Promote all 12 plus
 # second-green candidates from the single-green pool. After round 7
 # every oracled query in the catalog has >=1 driver CORRECTNESS row.
+# Round-6 late additions to fold into the same promote queue:
+# dsir_importance_weights, token_fertility_by_lang,
+# source_overlap_matrix, doc_novelty_ratio (all oracled,
+# never-checked); semantic_dedup is rows-only by design (seeded
+# k-means — exact NumPy-recompute pytest instead).
 
 
 def _ordered(mapping: dict) -> dict:

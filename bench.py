@@ -172,6 +172,8 @@ HEADLINE = [
     "token_fertility_by_lang",
     "source_overlap_matrix",
     "dedup_clusters",
+    "semantic_dedup",
+    "doc_novelty_ratio",
 ]
 
 

@@ -1052,3 +1052,62 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["source_overlap_matrix"] = " ".join(_source_overlap_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-order novelty: how much of each doc was already seen?
+# ---------------------------------------------------------------------------
+@query(
+    "doc_novelty_ratio",
+    oracle=f"""
+    WITH {SQL_CORPUS}, {SQL_SHINGLES},
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+             AS n_seen_before,
+           CAST(COUNT(*) - SUM(CASE WHEN f.first_doc < s.doc_id
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_ratio
+    FROM shingles s JOIN firsts f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (ingestion order = doc_id): how many of its
+    distinct shingles first occurred in an EARLIER document, and the
+    novelty ratio (fraction this doc introduced). The curation
+    diagnostic behind "dedup before you train": a corpus whose novelty
+    curve collapses is re-serving old content. Twins (the shared
+    corpus construction) read as later near-copies and score near-zero
+    novelty — the expected signature.
+
+    Two map-side-combinable shuffles on the shingle key (first-seen
+    min, then the occurrence join) and one on doc_id; no doc pairs are
+    ever formed, so the shape survives 100 TB unchanged — the hot-key
+    concern is shared with every shingle op and the same document-
+    frequency cap applies upstream if needed.
+    """
+    sh = _shingles_cached(spark, sf_dir)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+                "n_seen_before"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen_before",
+            (
+                (F.col("n_shingles") - F.col("n_seen_before")).cast("double")
+                / F.col("n_shingles")
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -299,6 +299,29 @@ _UNSUPPORTED = (
         "needs a public-suffix list the engine does not ship; start "
         "from domain() and apply your own suffix table",
     ),
+    # Block-order-dependent functions: ClickHouse evaluates these in
+    # physical block order, which is undefined without ORDER BY on
+    # both engines — the deterministic Spark form is an explicit
+    # window, so point there instead of silently picking an order.
+    (
+        r"\bgroupArrayMoving(?:Sum|Avg)\s*\(",
+        "groupArrayMovingSum/Avg (block-order moving aggregate)",
+        "use sum()/avg() OVER (ORDER BY <key> ROWS BETWEEN n-1 "
+        "PRECEDING AND CURRENT ROW) — an explicit, deterministic "
+        "order",
+    ),
+    (
+        r"\bneighbor\s*\(",
+        "neighbor(col, offset) (block-order lookup)",
+        "use lag()/lead() OVER (ORDER BY <key>) — an explicit, "
+        "deterministic order",
+    ),
+    (
+        r"\brunningAccumulate\s*\(",
+        "runningAccumulate (block-order running state)",
+        "use the aggregate OVER (ORDER BY <key> ROWS UNBOUNDED "
+        "PRECEDING) window form",
+    ),
     # ClickHouse DDL/DML lands on this engine's write-path modules, not
     # spark.sql — recognize the statements and point at the analogue
     # instead of letting Spark's parser produce an unrelated error.

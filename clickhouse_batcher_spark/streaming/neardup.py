@@ -100,3 +100,103 @@ def run_streaming_neardup(
     finally:
         query.stop()
         query.awaitTermination()
+
+
+# --- self-building index: the full at-ingestion dedup loop -----------------
+def _ingest_batch(
+    index_dir: str, out_dir: str, batch: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch of the self-indexing gate: match the batch
+    against every PREVIOUSLY committed batch's signatures plus itself,
+    then commit this batch's own signatures to the index.
+
+    Replay safety: both writes are overwrite-by-batch-id, and the
+    index read filters ``_batch_id < batch_id`` — a replayed batch
+    never sees the signatures its crashed predecessor may have half
+    committed, so the output is bit-identical under any replay
+    schedule."""
+    import os
+
+    spark = batch.sparkSession
+    sigs = band_signatures(shingle_set(tokenized_corpus(batch))).cache()
+
+    prior = None
+    if os.path.isdir(index_dir) and any(
+        e.startswith("_batch_id=") for e in os.listdir(index_dir)
+    ):
+        prior = (
+            spark.read.option("basePath", index_dir)
+            .parquet(f"{index_dir}/_batch_id=*")
+            .filter(F.col("_batch_id") < F.lit(batch_id))
+            .select("band_id", "band_sig", F.col("doc_id").alias("index_doc_id"))
+        )
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("index_doc_id"),
+        )
+    )
+    matches = within
+    if prior is not None:
+        matches = matches.unionByName(
+            sigs.join(prior, ["band_id", "band_sig"]).select(
+                "doc_id", "index_doc_id"
+            )
+        )
+    matches.distinct().write.mode("overwrite").parquet(
+        f"{out_dir}/_batch_id={batch_id}"
+    )
+    sigs.select("doc_id", "band_id", "band_sig").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/_batch_id={batch_id}")
+    sigs.unpersist()
+
+
+def run_streaming_neardup_selfindex(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """The complete at-ingestion dedup gate: documents stream in, each
+    micro-batch is scored against everything ingested before it (plus
+    within-batch), and its signatures join the index for the batches
+    after it. The union of all per-batch outputs is exactly the batch
+    detector's band-collision pair set over the same corpus — the
+    equivalence the test pins — regardless of how the stream was cut
+    into batches.
+
+    Scale: the index is an ordinary parquet table partitioned by
+    batch; both join sides hash on the band key, no streaming state
+    grows, and compaction of old index partitions is the standard
+    small-file problem (sources/layout.py), not a state-store one."""
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    query = (
+        source.writeStream.foreachBatch(
+            partial(_ingest_batch, index_dir, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination()

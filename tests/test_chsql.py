@@ -1327,3 +1327,18 @@ def test_first_significant_subdomain_is_loud():
 
     with pytest.raises(ValueError, match="public-suffix"):
         translate("SELECT firstSignificantSubdomain('https://a.b.com/x')")
+
+
+def test_block_order_functions_are_loud():
+    import pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for sql, hint in [
+        ("SELECT groupArrayMovingSum(3)(value) FROM events", "OVER"),
+        ("SELECT groupArrayMovingAvg(value) FROM events", "OVER"),
+        ("SELECT neighbor(value, -1) FROM events", "lag"),
+        ("SELECT runningAccumulate(st) FROM events", "window"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(sql)

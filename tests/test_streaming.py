@@ -690,3 +690,59 @@ def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_root):
     assert streamed == batch
     assert batch  # the twin construction guarantees collisions exist
     index.unpersist()
+
+
+def test_streaming_selfindex_neardup_equals_batch(spark, sf_dir, tmp_root):
+    """The self-building gate (each batch scored against all earlier
+    batches + itself, then indexed) must produce EXACTLY the batch
+    detector's band-collision pair set over the same corpus, no matter
+    how the stream was cut into micro-batches."""
+    from clickhouse_batcher_spark.operators.dedup import (
+        band_signatures,
+        shingle_set,
+        tokenized_corpus,
+    )
+    from clickhouse_batcher_spark.streaming.neardup import (
+        run_streaming_neardup_selfindex,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = f"{tmp_root}/self_src"
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    out = f"{tmp_root}/self_matches"
+    idx = f"{tmp_root}/self_index"
+    run_streaming_neardup_selfindex(
+        spark,
+        src,
+        docs.schema,
+        out,
+        idx,
+        f"{tmp_root}/ckpt_selfindex",
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        (min(r["doc_id"], r["index_doc_id"]), max(r["doc_id"], r["index_doc_id"]))
+        for r in spark.read.parquet(f"{out}/_batch_id=*").collect()
+    }
+
+    bands = band_signatures(shingle_set(tokenized_corpus(docs)))
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    batch_pairs = {
+        (r["a"], r["b"])
+        for r in b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("a"), F.col("b2.doc_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch_pairs
+    assert batch_pairs  # twins guarantee collisions
+    # the index now holds every batch's signatures exactly once
+    n_sigs = spark.read.parquet(f"{idx}/_batch_id=*").count()
+    assert n_sigs == bands.count()
