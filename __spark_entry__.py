@@ -189,9 +189,10 @@ _PRIORITY: list[str] = [
 # every oracled query in the catalog has >=1 driver CORRECTNESS row.
 # Round-6 late additions to fold into the same promote queue:
 # dsir_importance_weights, token_fertility_by_lang,
-# source_overlap_matrix, doc_novelty_ratio (all oracled,
-# never-checked); semantic_dedup is rows-only by design (seeded
-# k-means — exact NumPy-recompute pytest instead).
+# source_overlap_matrix, doc_novelty_ratio, boilerplate_spans_top,
+# dedup_cluster_sizes (all oracled, never-checked); semantic_dedup is
+# rows-only by design (seeded k-means — exact NumPy-recompute pytest
+# instead).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -174,6 +174,7 @@ HEADLINE = [
     "dedup_clusters",
     "semantic_dedup",
     "doc_novelty_ratio",
+    "boilerplate_spans_top",
 ]
 
 

@@ -146,3 +146,28 @@ def _clusters_oracle() -> str:
 
 
 _ORACLES["dedup_clusters"] = " ".join(_clusters_oracle().split())
+
+
+@query("dedup_cluster_sizes")  # oracle appended below
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup components — the one
+    number a curation review asks first ("how big do duplicate groups
+    get?"). Two combinable aggregates over the CC output; the closure
+    itself is the only real work."""
+    comps = dedup_clusters(spark, sf_dir)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    )
+
+
+_ORACLES["dedup_cluster_sizes"] = " ".join(
+    f"""
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM ({_clusters_oracle()}) comp GROUP BY cluster_id
+    ) s GROUP BY cluster_size
+    """.split()
+)

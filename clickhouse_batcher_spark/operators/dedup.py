@@ -1111,3 +1111,78 @@ def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+TOP_BOILERPLATE = 20
+
+
+@query(
+    "boilerplate_spans_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+        array_to_string(
+          ts[i * {SPAN_LINE_TOKENS} + 1 : i * {SPAN_LINE_TOKENS}
+             + {SPAN_LINE_TOKENS}], ' ') AS span
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(ts) / {SPAN_LINE_TOKENS}.0)
+                              AS BIGINT))) AS t(i)
+    ), nonempty AS (
+      SELECT doc_id, span FROM spans WHERE span <> ''
+    ), freq AS (
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS first_doc
+      FROM nonempty GROUP BY span
+    )
+    SELECT span, n_docs, first_doc FROM freq WHERE n_docs > 1
+    ORDER BY n_docs DESC, span LIMIT {TOP_BOILERPLATE}
+    """,
+)
+def boilerplate_spans_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most-syndicated 10-token lines in the corpus (doc count +
+    first carrier) — the report a curation pass reads before writing
+    boilerplate strip rules. Same span relation as
+    ``duplicate_line_ratio``; one combinable span-key aggregate, then
+    TakeOrdered for the top slice (never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = SPAN_LINE_TOKENS
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
+            "ts"
+        ),
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / k).cast("bigint") - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("ts"), F.col("i") * k + 1, k)
+            ).alias("span"),
+        )
+        .filter(F.col("span") != "")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(TOP_BOILERPLATE)
+    )
