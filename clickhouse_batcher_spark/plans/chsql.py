@@ -74,6 +74,11 @@ parser rather than silently misbehaving):
   (``firstSignificantSubdomain`` needs a public-suffix list: loud)
 - IPv4 family: ``IPv4NumToString IPv4StringToNum toIPv4 isIPv4String
   IPv4CIDRToRange`` (pure integer arithmetic; IPv6 is out of scope)
+- Array/map tail: ``arrayFirst arrayLast arrayFirstIndex arraySum
+  arrayAvg arrayProduct arrayMin arrayMax arrayConcat arrayIntersect
+  mapKeys mapValues`` (numeric folds accumulate in DOUBLE — values
+  match, integer sums widen; no-match arrayFirst/Last is NULL where
+  ClickHouse returns the type default)
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -850,6 +855,17 @@ _URL_PATHFULL = f"'^{_URL_AUTH}[^/?#]*([/?#].*)$'"
 _IP_OCTET = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
 
 
+def _nest_binary(fn: str, args: list[str]) -> str:
+    """Fold an n-ary ClickHouse call into nested binary Spark calls:
+    f(a, b, c) -> f(f(a, b), c)."""
+    if len(args) == 1:
+        return args[0]
+    out = args[0]
+    for nxt in args[1:]:
+        out = f"{fn}({out}, {nxt})"
+    return out
+
+
 def _ipv4_cidr_range(args: list[str]) -> str:
     ip, c = args[0], args[1]
     width = f"shiftleft(CAST(1 AS BIGINT), 32 - ({c}))"
@@ -1351,6 +1367,66 @@ def translate(
     out = _rewrite_calls(
         out, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))"
     )
+    out = _rewrite_calls(
+        out,
+        "arrayFirst",
+        # caveat: no match is NULL here; ClickHouse returns the element
+        # type's default (0/'')
+        lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayLast",
+        lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayFirstIndex",
+        # 1-based index of the first match, 0 when none — CH's contract
+        lambda a: (
+            f"coalesce(CAST(array_position(transform({a[1]}, {a[0]}),"
+            f" true) AS BIGINT), CAST(0 AS BIGINT))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arraySum",
+        # caveat: accumulates in DOUBLE (CH keeps integer sums integer);
+        # values match, the column type widens
+        lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayAvg",
+        # caveat: empty array is NULL here; ClickHouse returns NaN
+        lambda a: (
+            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            f" / size({a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayProduct",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(1 AS DOUBLE), (acc, e) -> acc * e)"
+        ),
+    )
+    out = _rewrite_calls(out, "arrayMin", lambda a: f"array_min({a[0]})")
+    out = _rewrite_calls(out, "arrayMax", lambda a: f"array_max({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "arrayConcat",
+        lambda a: f"concat({', '.join(a)})",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayIntersect",
+        lambda a: _nest_binary("array_intersect", a),
+    )
+    out = _rewrite_calls(out, "mapKeys", lambda a: f"map_keys({a[0]})")
+    out = _rewrite_calls(out, "mapValues", lambda a: f"map_values({a[0]})")
     out = _rewrite_calls(
         out,
         "arrayStringConcat",

@@ -1342,3 +1342,29 @@ def test_block_order_functions_are_loud():
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(sql)
+
+
+def test_array_fold_and_map_batch(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT arraySum(array(1, 2, 3)) AS s, "
+        "arrayAvg(array(2.0, 4.0)) AS av, "
+        "arrayProduct(array(2, 3, 4)) AS pr, "
+        "arrayMin(array(3, 1, 2)) AS mn, arrayMax(array(3, 1, 2)) AS mx, "
+        "arrayConcat(array(1), array(2), array(3)) AS cc, "
+        "arrayIntersect(array(1, 2, 3), array(2, 3, 4), array(3)) AS ai, "
+        "arrayFirst(x -> x > 1, array(1, 2, 3)) AS fi, "
+        "arrayLast(x -> x > 1, array(1, 2, 3)) AS la, "
+        "arrayFirstIndex(x -> x > 1, array(1, 2, 3)) AS fidx, "
+        "arrayFirstIndex(x -> x > 9, array(1)) AS fnone, "
+        "mapKeys(map('a', 1)) AS mk, mapValues(map('a', 1)) AS mv",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["s"] == 6.0 and got["av"] == 3.0 and got["pr"] == 24.0
+    assert got["mn"] == 1 and got["mx"] == 3
+    assert got["cc"] == [1, 2, 3]
+    assert got["ai"] == [3]
+    assert got["fi"] == 2 and got["la"] == 3
+    assert got["fidx"] == 2 and got["fnone"] == 0
+    assert got["mk"] == ["a"] and got["mv"] == [1]
