@@ -746,3 +746,31 @@ def test_streaming_selfindex_neardup_equals_batch(spark, sf_dir, tmp_root):
     # the index now holds every batch's signatures exactly once
     n_sigs = spark.read.parquet(f"{idx}/_batch_id=*").count()
     assert n_sigs == bands.count()
+
+
+def test_selfindex_batch_replay_is_idempotent(spark, sf_dir, tmp_root):
+    """A replayed foreachBatch call (same batch id, index already
+    holding this batch's half-committed signatures) must produce
+    byte-identical matches: the index read filters _batch_id < current,
+    so a batch never sees its own prior partial commit."""
+    from clickhouse_batcher_spark.streaming.neardup import _ingest_batch
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    out = f"{tmp_root}/replay_out"
+    idx = f"{tmp_root}/replay_idx"
+    _ingest_batch(idx, out, b0, 0)
+    _ingest_batch(idx, out, b1, 1)
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{out}/_batch_id=1").collect())
+    )
+    # crash-replay batch 1: its own signatures are already committed
+    _ingest_batch(idx, out, b1, 1)
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{out}/_batch_id=1").collect())
+    )
+    assert first == again
+    assert first  # twins across the parity split guarantee matches
