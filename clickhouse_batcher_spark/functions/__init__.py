@@ -140,3 +140,50 @@ def with_global_index(
         (F.col("_gidx_off") + F.col("_gidx_rn") - F.lit(1)).cast("bigint"),
     )
     return out.drop("_gidx_pid", "_gidx_rn", "_gidx_off")
+
+
+def with_global_cumsum(
+    df,
+    value_col: str,
+    cols: list,
+    cumsum_name: str = "_gcsum",
+    num_partitions: int | None = None,
+):
+    """Exact INCLUSIVE running sum of ``value_col`` in the total order
+    given by ``cols`` — the two-level sibling of ``with_global_index``
+    (range shuffle + per-partition running sums + broadcast partition
+    SUM offsets) replacing the single-partition ``Window.orderBy``
+    cumulative sum, the other canonical 100-TB scale-killer.
+
+    ``cols`` must define a total order (unique tiebreaker included).
+    Integer/decimal sums are exact under any partitioning, so the
+    result is partitioning-independent; for doubles prefer routing
+    through decimal first (the repo-wide determinism contract).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gcs_pid", F.spark_partition_id()
+    )
+    partials = ranged.groupBy("_gcs_pid").agg(
+        F.sum(value_col).alias("_gcs_sum")
+    )
+    # <= num_partitions rows: the global window here is bounded.
+    wo = Window.orderBy("_gcs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_gcs_pid",
+        F.coalesce(F.sum("_gcs_sum").over(wo), F.lit(0)).alias("_gcs_off"),
+    )
+    wp = (
+        Window.partitionBy("_gcs_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ranged.withColumn("_gcs_run", F.sum(value_col).over(wp))
+    out = run.join(F.broadcast(offsets), "_gcs_pid").withColumn(
+        cumsum_name, F.col("_gcs_off") + F.col("_gcs_run")
+    )
+    return out.drop("_gcs_pid", "_gcs_run", "_gcs_off")

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import with_global_cumsum
 from clickhouse_batcher_spark.operators.sampling import _sql_bucket
 from clickhouse_batcher_spark.tables import load_table
 
@@ -198,12 +199,13 @@ def concat_block_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere except the final block — zero padding by
     construction).
 
-    Offsets come from one global ordered cumulative sum over per-doc
-    token counts (|docs| rows, not tokens); each doc then explodes to
-    exactly the ceil(n/B)-ish blocks it overlaps. At 100 TB the
-    global cumsum becomes the standard two-level pass (per-partition
-    partials + prefix offsets — the `with_global_index` machinery);
-    the plan shape is otherwise unchanged.
+    Offsets come from ``with_global_cumsum`` — the two-level exact
+    running sum (range shuffle + per-partition windows + broadcast
+    partition offsets), fully parallel where a bare ``Window.orderBy``
+    would funnel every row through one task; each doc then explodes to
+    exactly the ceil(n/B)-ish blocks it overlaps. Token counts are
+    integers, so the cumsum is partitioning-independent and
+    bit-identical to the single-window form.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -214,12 +216,13 @@ def concat_block_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_toks"),
     ).filter(F.col("n_toks") > 0)
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    offs = toks.select(
+    offs = with_global_cumsum(
+        toks, "n_toks", ["doc_id"], cumsum_name="c_end"
+    ).select(
         "doc_id",
         "n_toks",
-        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("c_start"),
-        F.sum("n_toks").over(w).alias("c_end"),
+        (F.col("c_end") - F.col("n_toks")).alias("c_start"),
+        "c_end",
     )
     b = BLOCK_TOKENS
     spans = offs.select(

@@ -221,3 +221,34 @@ def test_transfer_checksum_detects_corruption_and_ignores_order(spark, sf_dir):
     for k in base:
         if k != status_of_key1:
             assert corrupted[k] == base[k]
+
+
+def test_with_global_cumsum_matches_single_window(spark, sf_dir):
+    """The two-level distributed running sum must equal the naive
+    single-partition Window.orderBy cumsum bit-for-bit, under any
+    input partitioning (integer sums commute)."""
+    from pyspark.sql.window import Window
+
+    from clickhouse_batcher_spark.functions import with_global_cumsum
+    from clickhouse_batcher_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.col("value").cast("bigint").alias("v"))
+        .limit(5000)
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["event_id"]: r["cs"]
+        for r in ev.select(
+            "event_id", F.sum("v").over(w).alias("cs")
+        ).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            r["event_id"]: r["cs"]
+            for r in with_global_cumsum(
+                ev.repartition(parts), "v", ["event_id"], cumsum_name="cs"
+            ).collect()
+        }
+        assert got == naive
