@@ -190,7 +190,8 @@ _PRIORITY: list[str] = [
 # Round-6 late additions to fold into the same promote queue:
 # dsir_importance_weights, token_fertility_by_lang,
 # source_overlap_matrix, doc_novelty_ratio, boilerplate_spans_top,
-# dedup_cluster_sizes (all oracled, never-checked); semantic_dedup is
+# dedup_cluster_sizes, vocab_growth_curve (all oracled,
+# never-checked); semantic_dedup is
 # rows-only by design (seeded k-means — exact NumPy-recompute pytest
 # instead).
 

@@ -175,6 +175,7 @@ HEADLINE = [
     "semantic_dedup",
     "doc_novelty_ratio",
     "boilerplate_spans_top",
+    "vocab_growth_curve",
 ]
 
 

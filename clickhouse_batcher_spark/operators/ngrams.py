@@ -369,3 +369,76 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compression"),
         F.concat_ws("|", F.slice(enc, 1, 8)).alias("head_symbols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) curve
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS tok
+      FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), news AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM firsts GROUP BY first_doc
+    ), cnts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_toks
+      FROM toks GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(n.new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(n.new_tokens, 0))
+                OVER (ORDER BY c.doc_id) AS BIGINT) AS cum_vocab,
+           CAST(SUM(c.n_distinct_toks)
+                OVER (ORDER BY c.doc_id) AS BIGINT) AS cum_doc_tokens
+    FROM cnts c LEFT JOIN news n ON n.doc_id = c.doc_id
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law diagnostic: per document (in ingestion order), how
+    many never-before-seen tokens it contributes, plus the running
+    vocabulary size and running distinct-token volume. A vocabulary
+    curve that flattens early means the corpus has stopped teaching
+    new surface forms — the companion signal to ``doc_novelty_ratio``
+    at the token level.
+
+    First-occurrence attribution is a MIN aggregate on the token key;
+    both running totals go through ``with_global_cumsum`` (two-level
+    exact, fully parallel), never a single-partition window.
+    """
+    from clickhouse_batcher_spark.functions import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).distinct()
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    news = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_tokens")
+    )
+    cnts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_toks")
+    )
+    base = cnts.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct_toks",
+        F.coalesce(F.col("new_tokens"), F.lit(0).cast("bigint")).alias(
+            "new_tokens"
+        ),
+    )
+    out = with_global_cumsum(
+        base, "new_tokens", ["doc_id"], cumsum_name="cum_vocab"
+    )
+    out = with_global_cumsum(
+        out, "n_distinct_toks", ["doc_id"], cumsum_name="cum_doc_tokens"
+    )
+    return out.select(
+        "doc_id",
+        "new_tokens",
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        F.col("cum_doc_tokens").cast("bigint").alias("cum_doc_tokens"),
+    )
