@@ -79,6 +79,10 @@ parser rather than silently misbehaving):
   mapKeys mapValues`` (numeric folds accumulate in DOUBLE — values
   match, integer sums widen; no-match arrayFirst/Last is NULL where
   ClickHouse returns the type default)
+- Table functions: ``numbers(n)`` / ``numbers(offset, n)`` ->
+  ``range()`` TVF with the CH column name; ``remote/cluster/s3/url/
+  file/hdfs/generateRandom`` are loud errors pointing at
+  sources.readers
 
 The rewriter is quote-aware and nesting-aware (a tiny top-level-arg
 splitter, not a regex over the whole call), so nested calls like
@@ -326,6 +330,27 @@ _UNSUPPORTED = (
         "runningAccumulate (block-order running state)",
         "use the aggregate OVER (ORDER BY <key> ROWS UNBOUNDED "
         "PRECEDING) window form",
+    ),
+    # Table functions that reach outside the query: this engine's
+    # scan surface is sources/readers.py (parquet/csv/json/orc/JDBC/
+    # streaming) — point there instead of parsing past them.
+    (
+        r"\b(?:remote|remoteSecure|cluster|clusterAllReplicas)\s*\(",
+        "remote()/cluster() table functions",
+        "distribution is Spark's job here; read the table through "
+        "sources.readers (JDBC for a live ClickHouse server)",
+    ),
+    (
+        r"\b(?:s3|url|file|hdfs)\s*\(\s*'",
+        "s3()/url()/file()/hdfs() table functions",
+        "use sources.readers (spark.read against the path/URL; "
+        "format inferred or explicit)",
+    ),
+    (
+        r"\bgenerateRandom\s*\(",
+        "generateRandom() table function",
+        "seedless randomness breaks replay determinism; generate "
+        "fixtures with a seeded hash over range() instead",
     ),
     # ClickHouse DDL/DML lands on this engine's write-path modules, not
     # spark.sql — recognize the statements and point at the analogue
@@ -1218,6 +1243,17 @@ def translate(
         out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
     )
     out = _rewrite_calls(out, "age", _age)
+    out = _rewrite_calls(
+        out,
+        "numbers",
+        # the numbers() table function; 1-arg count or 2-arg
+        # (offset, count) — Spark's range() TVF with the CH column name
+        lambda a: (
+            f"(SELECT id AS number FROM range({a[0]}))"
+            if len(a) == 1
+            else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+        ),
+    )
     out = _url_ip_functions(out)
     for ch, sp in _COND_AGGS.items():
         out = _rewrite_calls(

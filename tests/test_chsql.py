@@ -1368,3 +1368,37 @@ def test_array_fold_and_map_batch(spark, sf_dir):
     assert got["fi"] == 2 and got["la"] == 3
     assert got["fidx"] == 2 and got["fnone"] == 0
     assert got["mk"] == ["a"] and got["mv"] == [1]
+
+
+def test_numbers_table_function(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT count() AS n, sum(number) AS s FROM numbers(10)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["n"] == 10 and got["s"] == 45
+    got2 = run_sql(
+        spark,
+        "SELECT sum(number) AS s FROM numbers(5, 3) nn",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got2["s"] == 18  # 5 + 6 + 7
+
+
+def test_external_table_functions_are_loud():
+    import pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for sql, hint in [
+        ("SELECT * FROM remote('host', db.t)", "sources.readers"),
+        ("SELECT * FROM cluster('c', db.t)", "sources.readers"),
+        ("SELECT * FROM s3('http://b/x.parquet')", "sources.readers"),
+        ("SELECT * FROM url('http://x/y.csv', CSV)", "sources.readers"),
+        ("SELECT * FROM file('data.parquet')", "sources.readers"),
+        ("SELECT * FROM generateRandom('a Int64')", "seeded hash"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(sql)
