@@ -144,24 +144,32 @@ def with_global_index(
 
 def with_global_cumsum(
     df,
-    value_col: str,
+    values,
     cols: list,
     cumsum_name: str = "_gcsum",
     num_partitions: int | None = None,
 ):
-    """Exact INCLUSIVE running sum of ``value_col`` in the total order
-    given by ``cols`` — the two-level sibling of ``with_global_index``
-    (range shuffle + per-partition running sums + broadcast partition
-    SUM offsets) replacing the single-partition ``Window.orderBy``
+    """Exact INCLUSIVE running sum(s) in the total order given by
+    ``cols`` — the two-level sibling of ``with_global_index`` (range
+    shuffle + per-partition running sums + broadcast partition SUM
+    offsets) replacing the single-partition ``Window.orderBy``
     cumulative sum, the other canonical 100-TB scale-killer.
 
+    ``values`` is a single column name (output named ``cumsum_name``)
+    or a ``{value_col: output_name}`` mapping — every requested
+    running sum rides the SAME range shuffle and window pass.
     ``cols`` must define a total order (unique tiebreaker included).
-    Integer/decimal sums are exact under any partitioning, so the
-    result is partitioning-independent; for doubles prefer routing
-    through decimal first (the repo-wide determinism contract).
+    NULL values contribute 0 by contract (the running sum is the
+    total of non-nulls so far — never a NULL output). Integer/decimal
+    sums are exact under any partitioning, so the result is
+    partitioning-independent; for doubles prefer routing through
+    decimal first (the repo-wide determinism contract).
     """
     from pyspark.sql.window import Window
 
+    if isinstance(values, str):
+        values = {values: cumsum_name}
+    names = list(values.items())
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -169,21 +177,41 @@ def with_global_cumsum(
         "_gcs_pid", F.spark_partition_id()
     )
     partials = ranged.groupBy("_gcs_pid").agg(
-        F.sum(value_col).alias("_gcs_sum")
+        *[
+            F.sum(F.coalesce(F.col(v), F.lit(0))).alias(f"_gcs_sum_{i}")
+            for i, (v, _) in enumerate(names)
+        ]
     )
     # <= num_partitions rows: the global window here is bounded.
     wo = Window.orderBy("_gcs_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = partials.select(
         "_gcs_pid",
-        F.coalesce(F.sum("_gcs_sum").over(wo), F.lit(0)).alias("_gcs_off"),
+        *[
+            F.coalesce(F.sum(f"_gcs_sum_{i}").over(wo), F.lit(0)).alias(
+                f"_gcs_off_{i}"
+            )
+            for i in range(len(names))
+        ],
     )
     wp = (
         Window.partitionBy("_gcs_pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    run = ranged.withColumn("_gcs_run", F.sum(value_col).over(wp))
-    out = run.join(F.broadcast(offsets), "_gcs_pid").withColumn(
-        cumsum_name, F.col("_gcs_off") + F.col("_gcs_run")
+    run = ranged.select(
+        "*",
+        *[
+            F.sum(F.coalesce(F.col(v), F.lit(0))).over(wp).alias(f"_gcs_run_{i}")
+            for i, (v, _) in enumerate(names)
+        ],
     )
-    return out.drop("_gcs_pid", "_gcs_run", "_gcs_off")
+    out = run.join(F.broadcast(offsets), "_gcs_pid")
+    for i, (_, name) in enumerate(names):
+        out = out.withColumn(
+            name, F.col(f"_gcs_off_{i}") + F.col(f"_gcs_run_{i}")
+        )
+    return out.drop(
+        "_gcs_pid",
+        *[f"_gcs_run_{i}" for i in range(len(names))],
+        *[f"_gcs_off_{i}" for i in range(len(names))],
+    )

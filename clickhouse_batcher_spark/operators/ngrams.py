@@ -431,10 +431,9 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = with_global_cumsum(
-        base, "new_tokens", ["doc_id"], cumsum_name="cum_vocab"
-    )
-    out = with_global_cumsum(
-        out, "n_distinct_toks", ["doc_id"], cumsum_name="cum_doc_tokens"
+        base,
+        {"new_tokens": "cum_vocab", "n_distinct_toks": "cum_doc_tokens"},
+        ["doc_id"],
     )
     return out.select(
         "doc_id",

@@ -205,17 +205,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep this GEMM as the per-bucket rerank kernel).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", _dvec("embedding").alias("v"))
-    twins = base.select(
-        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= TWIN_ZERO_DIMS, F.lit(0.0)).otherwise(
-                F.element_at("v", i.cast("int"))
-            ),
-        ).alias("v"),
+    corpus = _twin_corpus(
+        emb.select("vec_id", _dvec("embedding").alias("v"))
     )
-    corpus = base.unionByName(twins)
 
     t = NEARDUP_TILES
     tiled = (
@@ -1013,14 +1005,13 @@ _ORACLES["hybrid_retrieval_rrf"] = " ".join(_hybrid_oracle().split())
 SEMDEDUP_THRESHOLD = NEARDUP_COS_THRESHOLD  # same near-dup notion
 
 
-def _twin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings plus a perturbed twin per vector (first
+def _twin_corpus(base: DataFrame) -> DataFrame:
+    """A (vec_id, v) frame plus a perturbed twin per vector (first
     ``TWIN_ZERO_DIMS`` dims zeroed, id offset by ``TWIN_ID_OFFSET``) —
-    the same construction ``embedding_neardup`` scores, so pruning is
-    exercised on known semantic duplicates."""
-    base = _embeddings(spark, sf_dir).select(
-        "vec_id", _dvec("embedding").alias("v")
-    )
+    the ONE definition of the twin construction, shared by
+    ``embedding_neardup`` and ``semantic_dedup`` (and mirrored by the
+    DuckDB oracle fragment) so the ops the tests cross-check cannot
+    desynchronize."""
     twins = base.select(
         (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
         F.transform(
@@ -1057,7 +1048,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    corpus = _twin_corpus(spark, sf_dir).cache()
+    corpus = _twin_corpus(
+        _embeddings(spark, sf_dir).select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+    ).cache()
     cents = _kmeans_centroids(corpus)
     bc = corpus.sparkSession.sparkContext.broadcast(cents)
 

@@ -880,6 +880,19 @@ _URL_PATHFULL = f"'^{_URL_AUTH}[^/?#]*([/?#].*)$'"
 _IP_OCTET = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
 
 
+def _fold_arg(fname: str, args: list[str]) -> str:
+    """The 1-arg array for the fold family; the 2-arg higher-order
+    ClickHouse form (``arraySum(x -> ..., arr)``) is recognized and
+    rejected loudly rather than emitting SQL Spark cannot analyze."""
+    if len(args) != 1:
+        raise ValueError(
+            f"ClickHouse {fname}(lambda, array) higher-order form has no "
+            f"direct Spark translation here — apply arrayMap first, then "
+            f"the 1-arg {fname}"
+        )
+    return args[0]
+
+
 def _nest_binary(fn: str, args: list[str]) -> str:
     """Fold an n-ary ClickHouse call into nested binary Spark calls:
     f(a, b, c) -> f(f(a, b), c)."""
@@ -932,8 +945,12 @@ def _url_ip_functions(out: str) -> str:
     out = _rewrite_calls(
         out,
         "queryStringAndFragment",
-        # CH drops the leading '?' but keeps the '#' separator
-        lambda a: f"regexp_extract({a[0]}, '\\\\?(.*)$', 1)",
+        # CH drops the leading '?' but keeps the '#' separator; with no
+        # query string at all, the fragment (including '#') is returned
+        lambda a: (
+            f"coalesce(nullif(regexp_extract({a[0]}, '\\\\?(.*)$', 1), ''),"
+            f" regexp_extract({a[0]}, '(#.*)$', 1))"
+        ),
     )
     out = _rewrite_calls(
         out,
@@ -1247,7 +1264,10 @@ def translate(
         out,
         "numbers",
         # the numbers() table function; 1-arg count or 2-arg
-        # (offset, count) — Spark's range() TVF with the CH column name
+        # (offset, count) — Spark's range() TVF with the CH column name.
+        # The derived table is left unaliased so a caller-supplied alias
+        # (FROM numbers(10) n) still parses; the price is that the
+        # qualified form `numbers.number` does not resolve — alias it.
         lambda a: (
             f"(SELECT id AS number FROM range({a[0]}))"
             if len(a) == 1
@@ -1430,7 +1450,8 @@ def translate(
         # caveat: accumulates in DOUBLE (CH keeps integer sums integer);
         # values match, the column type widens
         lambda a: (
-            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
+            f"aggregate({_fold_arg('arraySum', a)}, CAST(0 AS DOUBLE),"
+            f" (acc, e) -> acc + e)"
         ),
     )
     out = _rewrite_calls(
@@ -1438,19 +1459,24 @@ def translate(
         "arrayAvg",
         # caveat: empty array is NULL here; ClickHouse returns NaN
         lambda a: (
-            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, e) -> acc + e)"
-            f" / size({a[0]}))"
+            f"(aggregate({_fold_arg('arrayAvg', a)}, CAST(0 AS DOUBLE),"
+            f" (acc, e) -> acc + e) / size({a[0]}))"
         ),
     )
     out = _rewrite_calls(
         out,
         "arrayProduct",
         lambda a: (
-            f"aggregate({a[0]}, CAST(1 AS DOUBLE), (acc, e) -> acc * e)"
+            f"aggregate({_fold_arg('arrayProduct', a)}, CAST(1 AS DOUBLE),"
+            f" (acc, e) -> acc * e)"
         ),
     )
-    out = _rewrite_calls(out, "arrayMin", lambda a: f"array_min({a[0]})")
-    out = _rewrite_calls(out, "arrayMax", lambda a: f"array_max({a[0]})")
+    out = _rewrite_calls(
+        out, "arrayMin", lambda a: f"array_min({_fold_arg('arrayMin', a)})"
+    )
+    out = _rewrite_calls(
+        out, "arrayMax", lambda a: f"array_max({_fold_arg('arrayMax', a)})"
+    )
     out = _rewrite_calls(
         out,
         "arrayConcat",

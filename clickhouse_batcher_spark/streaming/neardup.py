@@ -115,21 +115,24 @@ def _ingest_batch(
     never sees the signatures its crashed predecessor may have half
     committed, so the output is bit-identical under any replay
     schedule."""
-    import os
+    from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
     sigs = band_signatures(shingle_set(tokenized_corpus(batch))).cache()
 
-    prior = None
-    if os.path.isdir(index_dir) and any(
-        e.startswith("_batch_id=") for e in os.listdir(index_dir)
-    ):
+    # Probe the index through Spark's own filesystem layer (an absent
+    # or empty index raises at read time) — a driver-local os.path
+    # check would silently miss an object-store index_dir and score
+    # every batch only against itself.
+    try:
         prior = (
             spark.read.option("basePath", index_dir)
             .parquet(f"{index_dir}/_batch_id=*")
             .filter(F.col("_batch_id") < F.lit(batch_id))
             .select("band_id", "band_sig", F.col("doc_id").alias("index_doc_id"))
         )
+    except AnalysisException:
+        prior = None
 
     a = sigs.alias("a")
     b = sigs.alias("b")

@@ -1402,3 +1402,28 @@ def test_external_table_functions_are_loud():
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(sql)
+
+
+def test_query_string_and_fragment_edge_cases(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT queryStringAndFragment('http://x.com/a#frag') AS fr_only, "
+        "queryStringAndFragment('http://x.com/a?p=1') AS q_only, "
+        "queryStringAndFragment('http://x.com/a') AS neither",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["fr_only"] == "#frag"
+    assert got["q_only"] == "p=1"
+    assert got["neither"] == ""
+
+
+def test_array_fold_lambda_form_is_loud():
+    import pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    with pytest.raises(ValueError, match="arrayMap first"):
+        translate("SELECT arraySum(x -> x * 2, array(1, 2)) FROM t")
+    with pytest.raises(ValueError, match="arrayMap first"):
+        translate("SELECT arrayMin(x -> -x, xs) FROM t")

@@ -252,3 +252,20 @@ def test_with_global_cumsum_matches_single_window(spark, sf_dir):
             ).collect()
         }
         assert got == naive
+
+
+def test_with_global_cumsum_multi_and_null_contract(spark):
+    """One range shuffle serves several running sums, and NULL values
+    contribute 0 (never a NULL output) regardless of where the NULL
+    lands in the range partitioning."""
+    from clickhouse_batcher_spark.functions import with_global_cumsum
+
+    rows = [(1, None, 10), (2, 5, None), (3, 7, 30)]
+    df = spark.createDataFrame(rows, "k INT, a INT, b INT")
+    got = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in with_global_cumsum(
+            df.repartition(3), {"a": "ca", "b": "cb"}, ["k"]
+        ).collect()
+    }
+    assert got == {1: (0, 10), 2: (5, 10), 3: (12, 40)}

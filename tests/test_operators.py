@@ -1944,11 +1944,17 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
 
     from clickhouse_batcher_spark.operators.similarity import (
         SEMDEDUP_THRESHOLD,
+        _dvec,
+        _embeddings,
         _kmeans_centroids,
         _twin_corpus,
     )
 
-    corpus = _twin_corpus(spark, sf_dir).cache()
+    corpus = _twin_corpus(
+        _embeddings(spark, sf_dir).select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+    ).cache()
     out = {
         r["vec_id"]: r
         for r in catalog.QUERIES["semantic_dedup"](spark, sf_dir).collect()
