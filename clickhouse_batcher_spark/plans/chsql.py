@@ -76,9 +76,10 @@ parser rather than silently misbehaving):
   IPv4CIDRToRange`` (pure integer arithmetic; IPv6 is out of scope)
 - Array/map tail: ``arrayFirst arrayLast arrayFirstIndex arraySum
   arrayAvg arrayProduct arrayMin arrayMax arrayConcat arrayIntersect
-  mapKeys mapValues`` (numeric folds accumulate in DOUBLE — values
-  match, integer sums widen; no-match arrayFirst/Last is NULL where
-  ClickHouse returns the type default)
+  mapKeys mapValues arrayReduce('max|min|sum|avg|count|uniq|any'...)``
+  (numeric folds accumulate in DOUBLE — values match, integer sums
+  widen; no-match arrayFirst/Last is NULL where ClickHouse returns
+  the type default; other arrayReduce aggregate names are loud)
 - Table functions: ``numbers(n)`` / ``numbers(offset, n)`` ->
   ``range()`` TVF with the CH column name; ``remote/cluster/s3/url/
   file/hdfs/generateRandom`` are loud errors pointing at
@@ -1613,6 +1614,11 @@ _ARRAY_REDUCE = {
         f"(aggregate({a}, CAST(0 AS DOUBLE), (__ar_s, __ar_x) ->"
         f" __ar_s + __ar_x) / size({a}))"
     ),
+    # round-6 extensions: the distinct-count and any/anyLast names
+    "uniq": lambda a: f"size(array_distinct({a}))",
+    "uniqexact": lambda a: f"size(array_distinct({a}))",
+    "any": lambda a: f"element_at({a}, 1)",
+    "anylast": lambda a: f"element_at({a}, -1)",
 }
 
 

@@ -1427,3 +1427,28 @@ def test_array_fold_lambda_form_is_loud():
         translate("SELECT arraySum(x -> x * 2, array(1, 2)) FROM t")
     with pytest.raises(ValueError, match="arrayMap first"):
         translate("SELECT arrayMin(x -> -x, xs) FROM t")
+
+
+def test_array_reduce(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT arrayReduce('max', array(1, 5, 3)) AS mx, "
+        "arrayReduce('sum', array(1, 2, 3)) AS s, "
+        "arrayReduce('avg', array(2, 4)) AS av, "
+        "arrayReduce('count', array(7, 8)) AS c, "
+        "arrayReduce('uniqExact', array(1, 1, 2)) AS u, "
+        "arrayReduce('any', array(9, 8)) AS a",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["mx"] == 5 and got["s"] == 6.0 and got["av"] == 3.0
+    assert got["c"] == 3 - 1 and got["u"] == 2 and got["a"] == 9
+
+
+def test_array_reduce_unknown_agg_is_loud():
+    import pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    with pytest.raises(ValueError, match="no translation"):
+        translate("SELECT arrayReduce('quantileTiming', xs) FROM t")
