@@ -1066,8 +1066,8 @@ _ORACLES["source_overlap_matrix"] = " ".join(_source_overlap_oracle().split())
     )
     SELECT s.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
-             AS n_seen_before,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
            CAST(COUNT(*) - SUM(CASE WHEN f.first_doc < s.doc_id
                                     THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS novelty_ratio

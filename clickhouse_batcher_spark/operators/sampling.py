@@ -263,8 +263,10 @@ def _ppl_oracle() -> str:
       FROM b
     )
     SELECT bucket, COUNT(*) AS n_docs,
-           SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN hb < rate THEN n_tokens ELSE 0 END) AS kept_tokens
+           CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN hb < rate THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
     FROM s GROUP BY bucket
     """
 

@@ -28,6 +28,30 @@ def _formatted_plan(df) -> str:
     )
 
 
+def test_no_hugeint_oracle_columns(sf_dir):
+    """Driver-gate lint: no oracle may emit a HUGEINT/UHUGEINT column.
+
+    DuckDB types uncast integer ``SUM(CASE ...)`` as HUGEINT, which the
+    driver's value-hash renders differently from Spark's BIGINT even
+    when the values are identical (the r5 orders_transfer_checksum and
+    r6 tpch_q12 red rows were exactly this). ``DESCRIBE`` binds the
+    query without executing it, so linting all oracles stays cheap.
+    """
+    from tests.parity import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    offenders = {}
+    try:
+        for name, sql in catalog.ORACLES.items():
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+            bad = [c[0] for c in cols if "HUGEINT" in (c[1] or "").upper()]
+            if bad:
+                offenders[name] = bad
+    finally:
+        con.close()
+    assert not offenders, f"uncast HUGEINT oracle columns: {offenders}"
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _formatted_plan(catalog.QUERIES["tpch_q1"](spark, sf_dir))
     assert "PushedFilters" in plan
