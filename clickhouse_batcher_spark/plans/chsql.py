@@ -78,8 +78,10 @@ parser rather than silently misbehaving):
   arrayAvg arrayProduct arrayMin arrayMax arrayConcat arrayIntersect
   mapKeys mapValues arrayReduce('max|min|sum|avg|count|uniq|any'...)``
   (numeric folds accumulate in DOUBLE — values match, integer sums
-  widen; no-match arrayFirst/Last is NULL where ClickHouse returns
-  the type default; other arrayReduce aggregate names are loud)
+  widen; no-match arrayFirst/Last — and arrayReduce('any'/'anyLast')
+  on an empty array — is NULL where ClickHouse returns the type
+  default; uniq/uniqExact skip NULLs, matching the ClickHouse
+  aggregates; other arrayReduce aggregate names are loud)
 - Table functions: ``numbers(n)`` / ``numbers(offset, n)`` ->
   ``range()`` TVF with the CH column name; ``remote/cluster/s3/url/
   file/hdfs/generateRandom`` are loud errors pointing at
@@ -480,8 +482,11 @@ def _limit_by(sql: str) -> str:
     return out
 
 
+# NB: the word boundary sits INSIDE the alternation — a leading \b
+# before ',' cannot match after whitespace ('FROM a , b SAMPLE 0.5')
+# and the construct would pass through to an opaque Spark parse error.
 _SAMPLE_PAT = re.compile(
-    r"\b(FROM|JOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
     r"\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+)",
     re.IGNORECASE,
 )
@@ -552,7 +557,7 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
 
 
 _FINAL_PAT = re.compile(
-    r"\b(FROM|JOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+FINAL\b",
+    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+FINAL\b",
     re.IGNORECASE,
 )
 
@@ -947,16 +952,18 @@ def _url_ip_functions(out: str) -> str:
         out,
         "queryStringAndFragment",
         # CH drops the leading '?' but keeps the '#' separator; with no
-        # query string at all, the fragment (including '#') is returned
+        # query string at all, the fragment (including '#') is returned.
+        # The '?' must occur BEFORE any '#': a '?' inside the fragment
+        # ('http://x/a#f?x') is fragment text, not a query string.
         lambda a: (
-            f"coalesce(nullif(regexp_extract({a[0]}, '\\\\?(.*)$', 1), ''),"
-            f" regexp_extract({a[0]}, '(#.*)$', 1))"
+            f"coalesce(nullif(regexp_extract({a[0]}, '^[^#]*\\\\?(.*)$', 1),"
+            f" ''), regexp_extract({a[0]}, '(#.*)$', 1))"
         ),
     )
     out = _rewrite_calls(
         out,
         "queryString",
-        lambda a: f"regexp_extract({a[0]}, '\\\\?([^#]*)', 1)",
+        lambda a: f"regexp_extract({a[0]}, '^[^#]*\\\\?([^#]*)', 1)",
     )
     out = _rewrite_calls(
         out, "fragment", lambda a: f"regexp_extract({a[0]}, '#(.*)$', 1)"
@@ -1216,6 +1223,18 @@ def translate(
             else (
                 f"transform(array_repeat(0, CAST(({a[1]}) - ({a[0]}) AS INT)), "
                 f"(__rg_x, __rg_i) -> __rg_i + ({a[0]}))"
+                if len(a) == 2
+                # 3-arg stepped form: ceil((end-start)/step) elements,
+                # value start + i*step. Works for negative steps too
+                # (count stays positive when the walk converges, else
+                # clamps to empty, matching CH). step=0 is a CH error
+                # and surfaces here as a division error at run time.
+                else (
+                    f"transform(array_repeat(0, greatest(CAST(ceil("
+                    f"(CAST({a[1]} AS DOUBLE) - ({a[0]})) / ({a[2]})"
+                    f") AS INT), 0)), "
+                    f"(__rg_x, __rg_i) -> __rg_i * ({a[2]}) + ({a[0]}))"
+                )
             )
         ),
     )
@@ -1614,9 +1633,18 @@ _ARRAY_REDUCE = {
         f"(aggregate({a}, CAST(0 AS DOUBLE), (__ar_s, __ar_x) ->"
         f" __ar_s + __ar_x) / size({a}))"
     ),
-    # round-6 extensions: the distinct-count and any/anyLast names
-    "uniq": lambda a: f"size(array_distinct({a}))",
-    "uniqexact": lambda a: f"size(array_distinct({a}))",
+    # round-6 extensions: the distinct-count and any/anyLast names.
+    # uniq/uniqExact skip NULLs (ClickHouse aggregate semantics), so
+    # filter them before array_distinct — array_distinct alone counts
+    # NULL as a distinct value. Caveat: any/anyLast on an empty array
+    # return NULL where ClickHouse returns the type default (0/'');
+    # same divergence class as the no-match arrayFirst/arrayLast note.
+    "uniq": lambda a: (
+        f"size(array_distinct(filter({a}, __ar_u -> __ar_u IS NOT NULL)))"
+    ),
+    "uniqexact": lambda a: (
+        f"size(array_distinct(filter({a}, __ar_u -> __ar_u IS NOT NULL)))"
+    ),
     "any": lambda a: f"element_at({a}, 1)",
     "anylast": lambda a: f"element_at({a}, -1)",
 }

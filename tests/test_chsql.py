@@ -1452,3 +1452,61 @@ def test_array_reduce_unknown_agg_is_loud():
 
     with pytest.raises(ValueError, match="no translation"):
         translate("SELECT arrayReduce('quantileTiming', xs) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# round-7 advice fixes: stepped range, anchored URL query extraction,
+# space-padded comma table lists, NULL-skipping arrayReduce uniq
+# ---------------------------------------------------------------------------
+def test_range_three_arg_step(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT range(0, 10, 2) AS a, range(10, 0, -3) AS b, "
+        "range(0, 10) AS c, range(3) AS d, range(5, 5, 2) AS e",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a"] == [0, 2, 4, 6, 8]
+    assert got["b"] == [10, 7, 4, 1]
+    assert got["c"] == list(range(10))
+    assert got["d"] == [0, 1, 2]
+    assert got["e"] == []
+
+
+def test_querystring_anchored_before_fragment(spark, sf_dir):
+    # a '?' INSIDE the fragment is fragment text, not a query string
+    got = run_sql(
+        spark,
+        "SELECT queryString('http://x.com/a#f?x') AS qs_frag, "
+        "queryString('http://x.com/a?q=1#f') AS qs_real, "
+        "queryStringAndFragment('http://x.com/a#f?x') AS qsf_frag, "
+        "queryStringAndFragment('http://x.com/a?q=1#f') AS qsf_real",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["qs_frag"] == ""
+    assert got["qs_real"] == "q=1"
+    assert got["qsf_frag"] == "#f?x"
+    assert got["qsf_real"] == "q=1#f"
+
+
+def test_sample_final_space_padded_comma_list():
+    # 'FROM a , b SAMPLE 0.5' must still hit the explanatory error
+    # (the old \b(FROM|JOIN|,) could not match ',' after whitespace and
+    # the construct leaked through to an opaque Spark parse error)
+    with pytest.raises(ValueError, match="sampling key"):
+        translate("SELECT count() FROM orders , events SAMPLE 0.5")
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        translate("SELECT count() FROM orders , events FINAL")
+
+
+def test_array_reduce_uniq_skips_nulls(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT arrayReduce('uniq', array(1, NULL, 2, 2)) AS u, "
+        "arrayReduce('uniqExact', array(NULL, NULL)) AS ue",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["u"] == 2
+    assert got["ue"] == 0
