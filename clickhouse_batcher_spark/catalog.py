@@ -41,6 +41,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from clickhouse_batcher_spark import (  # noqa: F401
         queries,
+        queries_chsql,
         queries_ext,
         queries_ext2,
         queries_ext3,

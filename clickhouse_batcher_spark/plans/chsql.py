@@ -37,9 +37,11 @@ parser rather than silently misbehaving):
 - ``FROM t SAMPLE f``            -> deterministic hash filter on the
                                     caller-declared sampling key
                                     (``sample_keys=``; keyless = loud)
-- ``FROM t FINAL``               -> latest-row-per-key window using the
+- ``FROM t FINAL [SAMPLE f]``    -> latest-row-per-key window using the
                                     caller-declared (keys, version)
-                                    (``final_keys=``; keyless = loud)
+                                    (``final_keys=``; keyless = loud);
+                                    the combined form samples inside
+                                    the window (the physical-read order)
 - ``ORDER BY o LIMIT n WITH TIES`` -> ``rank()`` window rewrite
 - ``[LEFT] ARRAY JOIN e AS x``   -> ``LATERAL VIEW [OUTER]
                                     explode(e) .. AS x``; the
@@ -61,7 +63,8 @@ parser rather than silently misbehaving):
   bitAnd/Or/Xor/Not/ShiftLeft/ShiftRight arrayCompact
   arrayPush{Back,Front} arrayPop{Back,Front} range groupArray
   groupArray(n)() groupUniqArray roundBankers toMonday timeSlot age
-  positionCaseInsensitive replaceRegexpAll`` (literal formats/units;
+  positionCaseInsensitive replaceRegexpAll splitByChar splitByString``
+  (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
   complete units elapsed)
@@ -485,12 +488,41 @@ def _limit_by(sql: str) -> str:
 # NB: the word boundary sits INSIDE the alternation — a leading \b
 # before ',' cannot match after whitespace ('FROM a , b SAMPLE 0.5')
 # and the construct would pass through to an opaque Spark parse error.
+# The alias group refuses FINAL so 'FROM t FINAL SAMPLE f' (ClickHouse's
+# documented clause order) is left for _final's combined handler instead
+# of silently swallowing FINAL as a table alias.
 _SAMPLE_PAT = re.compile(
-    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(?!FINAL\b)(\w+))?"
     r"\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+)",
     re.IGNORECASE,
 )
 _SAMPLE_SPACE = 65536  # 16^4: the sha2 hex-prefix value space
+
+
+def _sample_pred(tbl: str, frac_s: str, sample_keys: dict[str, str] | None) -> str:
+    """The deterministic hash-filter predicate for ``SAMPLE f`` on
+    ``tbl`` (shared by the standalone SAMPLE rewrite and the combined
+    ``FINAL SAMPLE`` form). Loud without a declared sampling key."""
+    frac = float(frac_s)
+    if not 0 < frac <= 1:
+        raise ValueError(
+            "ClickHouse SAMPLE row-count form has no Spark "
+            "translation — use the fractional form (0 < f <= 1)"
+        )
+    bare = tbl.rsplit(".", 1)[-1]
+    key = (sample_keys or {}).get(tbl) or (sample_keys or {}).get(bare)
+    if key is None:
+        raise ValueError(
+            f"ClickHouse SAMPLE has no Spark translation without a "
+            f"sampling key for table {tbl!r} — pass "
+            f"sample_keys={{{bare!r}: '<column>'}} (the table DDL's "
+            f"SAMPLE BY expression)"
+        )
+    thresh = round(frac * _SAMPLE_SPACE)
+    return (
+        f"(conv(substring(sha2(CAST({key} AS STRING), 256), 1, 4), "
+        f"16, 10) % {_SAMPLE_SPACE}) < {thresh}"
+    )
 
 
 def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
@@ -525,30 +557,12 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
         prefix, tbl, alias, frac_s = (
             m.group(1), m.group(2), m.group(3), m.group(4),
         )
-        frac = float(frac_s)
-        if not 0 < frac <= 1:
-            raise ValueError(
-                "ClickHouse SAMPLE row-count form has no Spark "
-                "translation — use the fractional form (0 < f <= 1)"
-            )
         # Key lookup is on the underlying TABLE name (aliased
         # references — FROM events AS e SAMPLE 0.1 — used to resolve
         # to the alias, and the suggested sample_keys={'e': ...} then
         # generated SQL selecting from the non-existent table 'e').
         bare = tbl.rsplit(".", 1)[-1]
-        key = (sample_keys or {}).get(tbl) or (sample_keys or {}).get(bare)
-        if key is None:
-            raise ValueError(
-                f"ClickHouse SAMPLE has no Spark translation without a "
-                f"sampling key for table {tbl!r} — pass "
-                f"sample_keys={{{bare!r}: '<column>'}} (the table DDL's "
-                f"SAMPLE BY expression)"
-            )
-        thresh = round(frac * _SAMPLE_SPACE)
-        pred = (
-            f"(conv(substring(sha2(CAST({key} AS STRING), 256), 1, 4), "
-            f"16, 10) % {_SAMPLE_SPACE}) < {thresh}"
-        )
+        pred = _sample_pred(tbl, frac_s, sample_keys)
         repl = (
             f"{prefix} (SELECT * FROM {tbl} WHERE {pred}) {alias or bare}"
         )
@@ -556,13 +570,23 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
         pos = m.start() + len(repl)
 
 
+# Optional trailing SAMPLE group: ClickHouse's documented clause order
+# is FROM t [alias] FINAL [SAMPLE f], so the combined form is handled
+# here (sample predicate INSIDE the latest-row window — ClickHouse also
+# samples the physical read before the FINAL merge; with the sampling
+# key contained in the ORDER BY key, the two orders agree).
 _FINAL_PAT = re.compile(
-    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+FINAL\b",
+    r"(\bFROM|\bJOIN|,)\s+([\w.]+)(?:\s+(?:AS\s+)?(?!FINAL\b)(\w+))?\s+FINAL"
+    r"(?:\s+SAMPLE\s+(\d+(?:\.\d+)?|\.\d+))?\b",
     re.IGNORECASE,
 )
 
 
-def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
+def _final(
+    sql: str,
+    final_keys: dict[str, tuple] | None,
+    sample_keys: dict[str, str] | None = None,
+) -> str:
     """Translate ``FROM t FINAL`` (ReplacingMergeTree collapse-on-read).
 
     FINAL returns one fully-merged row per ORDER BY key — the row with
@@ -593,7 +617,9 @@ def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
         if _in_string(out, m.start()):
             pos = m.end()
             continue
-        prefix, tbl, alias = m.group(1), m.group(2), m.group(3)
+        prefix, tbl, alias, frac_s = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
         bare = tbl.rsplit(".", 1)[-1]
         entry = (final_keys or {}).get(tbl) or (final_keys or {}).get(bare)
         if entry is None:
@@ -605,10 +631,15 @@ def _final(sql: str, final_keys: dict[str, tuple] | None) -> str:
             )
         keys, version = entry
         part = ", ".join(keys)
+        src = tbl
+        if frac_s is not None:
+            # combined FINAL SAMPLE: sample first (the physical-read
+            # order), collapse the sampled rows to latest-per-key
+            src = f"{tbl} WHERE {_sample_pred(tbl, frac_s, sample_keys)}"
         repl = (
             f"{prefix} (SELECT * EXCEPT (__final_rn) FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY {part} "
-            f"ORDER BY {version} DESC) AS __final_rn FROM {tbl}"
+            f"ORDER BY {version} DESC) AS __final_rn FROM {src}"
             f") WHERE __final_rn = 1) {alias or bare}"
         )
         out = out[: m.start()] + repl + out[m.end() :]
@@ -792,7 +823,9 @@ def _clauses(
             raise ValueError(
                 f"ClickHouse {construct} has no Spark translation — {hint}"
             )
-    out = _array_join(_final(_sample(sql, sample_keys), final_keys))
+    out = _array_join(
+        _final(_sample(sql, sample_keys), final_keys, sample_keys)
+    )
     # Execution hints carry no semantics: strip a trailing SETTINGS
     # clause and a trailing FORMAT clause (output shaping is the
     # caller's job here). String-literal occurrences are left alone,

@@ -1,0 +1,177 @@
+"""Driver-gated ClickHouse-dialect queries: end-to-end through
+``plans.chsql.translate`` -> ``spark.sql`` -> DuckDB oracle.
+
+The reference's users write ClickHouse SQL against the server it
+batches into (`hashes_test.go:192-196,229,237` are literal
+``SELECT count() FROM ...`` strings); ``tables.run_sql(dialect=
+"clickhouse")`` is this engine's migration story for those queries.
+Until round 7 the 1.9k-LoC transpiler was verified only by pytest —
+these catalog entries put the translate() path itself under the
+driver's Spark-vs-DuckDB correctness gate, one per flagship construct
+family:
+
+- aggregate combinators + LIMIT BY (``count/countIf/quantileExact``),
+- ``ARRAY JOIN`` + ``arrayReduce`` + ``splitByChar`` text pipeline,
+- ``FINAL SAMPLE`` read (latest-row-per-key over a deterministic
+  keyed sample).
+
+Every query here MUST route through ``run_sql(..., dialect=
+"clickhouse")`` — using the DataFrame API would defeat the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+from clickhouse_batcher_spark.tables import run_sql
+
+# ClickHouse SAMPLE hashes into a 16^4 space (plans.chsql._SAMPLE_SPACE)
+_SAMPLE_SPACE = 65536
+_FINAL_SAMPLE_FRAC = 0.25
+_FINAL_SAMPLE_THRESH = round(_FINAL_SAMPLE_FRAC * _SAMPLE_SPACE)
+
+
+@query(
+    "chsql_limit_by_top_users",
+    oracle="""
+    SELECT event_type, user_id, n_events, n_big, med_value FROM (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE value > 50) AS n_big,
+             ROUND(quantile_cont(value, 0.5), 6) AS med_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id)
+               AS __rn
+      FROM events GROUP BY event_type, user_id
+    ) ranked WHERE __rn <= 3
+    """,
+)
+def chsql_limit_by_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type by activity, written in the
+    ClickHouse dialect (``count()``/``countIf``/``quantileExact`` +
+    ``ORDER BY .. LIMIT n BY``) and executed through ``translate()``.
+
+    The LIMIT BY rewrite becomes one row_number window partitioned on
+    the by-tuple — a single hash shuffle with one counter of state per
+    group, scale-safe. Ties in n_events break on user_id, so the
+    selection is deterministic. The median rounds to 6 decimals on
+    both sides (the repo's float contract).
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT event_type, user_id, count() AS n_events,
+               countIf(value > 50) AS n_big,
+               round(quantileExact(0.5)(value), 6) AS med_value
+        FROM events
+        GROUP BY event_type, user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 3 BY event_type
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_array_join_token_stats",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT u.tok AS token, COUNT(*) AS n_occurrences,
+           ROUND(AVG(length(list_distinct(toks))), 6) AS avg_doc_vocab
+    FROM d, UNNEST(d.toks) AS u(tok)
+    GROUP BY u.tok
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def chsql_array_join_token_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token frequency over documents via the ClickHouse text-array
+    pipeline: ``splitByChar`` -> ``arrayFilter`` -> ``ARRAY JOIN`` ->
+    ``arrayReduce('uniq')``, executed through ``translate()``.
+
+    ARRAY JOIN lowers to LATERAL VIEW explode (generator inside
+    whole-stage codegen, no Python), and the per-document vocabulary
+    ``arrayReduce('uniq', toks)`` stays an in-row array fold — the only
+    shuffle is the token groupBy. avg() over integer vocab sizes is
+    order-independent (integer-valued doubles sum exactly), so the
+    hash comparison is safe without decimal plumbing.
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT tok AS token, count() AS n_occurrences,
+               round(avg(arrayReduce('uniq', toks)), 6) AS avg_doc_vocab
+        FROM (SELECT arrayFilter(t -> notEmpty(t),
+                                 splitByChar(' ', text)) AS toks
+              FROM documents)
+        ARRAY JOIN toks AS tok
+        GROUP BY tok
+        ORDER BY n_occurrences DESC, tok
+        LIMIT 50
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_final_sample_latest_state",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT * FROM events
+      WHERE {_sql_bucket("user_id", _SAMPLE_SPACE, "")}
+            < {_FINAL_SAMPLE_THRESH}
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id DESC) AS __rn
+        FROM sampled
+      ) w WHERE __rn = 1
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM latest GROUP BY event_type
+    """,
+)
+def chsql_final_sample_latest_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Current state per event type over a deterministic 25% keyed
+    sample, written as the ClickHouse read idiom ``FROM events FINAL
+    SAMPLE 0.25`` and executed through ``translate()``.
+
+    FINAL collapses to latest-row-per-(user_id, event_type) using
+    event_id as the version (unique, so the collapse is
+    deterministic); SAMPLE becomes the engine-portable sha2 hash
+    filter on the DDL-declared sampling key. The sample predicate sits
+    INSIDE the window subquery — sample-then-merge, ClickHouse's own
+    physical-read order — and pushes to the scan; the only shuffle is
+    the window's key partition. All aggregates (count, distinct count,
+    min/max) are order-independent.
+    """
+    return run_sql(
+        spark,
+        f"""
+        SELECT event_type, count() AS n_rows,
+               uniqExact(user_id) AS n_users,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events FINAL SAMPLE {_FINAL_SAMPLE_FRAC}
+        GROUP BY event_type
+        """,
+        sf_dir,
+        dialect="clickhouse",
+        sample_keys={"events": "user_id"},
+        final_keys={"events": (("user_id", "event_type"), "event_id")},
+    )

@@ -1510,3 +1510,67 @@ def test_array_reduce_uniq_skips_nulls(spark, sf_dir):
     ).collect()[0]
     assert got["u"] == 2
     assert got["ue"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-7: splitByChar/splitByString, combined FINAL SAMPLE, and the
+# driver-gated transpiler catalog queries
+# ---------------------------------------------------------------------------
+def test_split_by_char_and_string(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT splitByChar(' ', 'a b  c ') AS a, "
+        "splitByString('::', 'x::y::') AS b, "
+        "splitByChar('.', 'a.b') AS c",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a"] == ["a", "b", "", "c", ""]  # empties kept, like CH
+    assert got["b"] == ["x", "y", ""]
+    assert got["c"] == ["a", "b"]  # '.' \\Q-quoted, not a wildcard
+
+
+def test_final_sample_combined_form():
+    out = translate(
+        "SELECT count() FROM events FINAL SAMPLE 0.25",
+        sample_keys={"events": "user_id"},
+        final_keys={"events": (("user_id", "event_type"), "event_id")},
+    )
+    # sample predicate must sit INSIDE the latest-row window subquery
+    assert "row_number() OVER (PARTITION BY user_id, event_type" in out
+    assert "FROM events WHERE (conv(substring(sha2" in out
+    assert "SAMPLE" not in out and "FINAL" not in out
+    # keyless combined form stays loud on whichever key is missing
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        translate("SELECT count() FROM events FINAL SAMPLE 0.25",
+                  sample_keys={"events": "user_id"})
+    with pytest.raises(ValueError, match="sampling key"):
+        translate("SELECT count() FROM events FINAL SAMPLE 0.25",
+                  final_keys={"events": (("user_id",), "event_id")})
+
+
+def test_final_sample_alias_not_swallowed():
+    # regression: _SAMPLE_PAT used to capture FINAL as a table alias,
+    # silently dropping the merge semantics
+    out = translate(
+        "SELECT count() FROM events AS e FINAL SAMPLE 0.5",
+        sample_keys={"events": "user_id"},
+        final_keys={"events": (("user_id",), "event_id")},
+    )
+    assert "__final_rn = 1) e" in out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "chsql_limit_by_top_users",
+        "chsql_array_join_token_stats",
+        "chsql_final_sample_latest_state",
+    ],
+)
+def test_chsql_catalog_queries_parity(spark, sf_dir, name):
+    from clickhouse_batcher_spark import catalog
+    from tests.parity import assert_parity
+
+    catalog.load_all()
+    assert_parity(spark, name, sf_dir)
