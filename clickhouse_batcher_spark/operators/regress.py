@@ -18,9 +18,10 @@ rows-only because a 4x4 solve is not SQL.)
 
 At 100 TB: the scan dominates; partials are 4x4+4 ints per partition,
 driver work is O(partitions). int64 headroom: |x| <= 99, |y6| <= ~1e8
-=> per-row products <= 1e10; overflow would need ~1e8 rows per
-partition — size partitions below that (or lift to Python ints in the
-kernel, same plan).
+=> X'X / X'y per-row products <= 1e10, safe to ~1e8 rows/partition;
+y'y rows are ~1e16 each, so that term accumulates through chunked
+dots into an exact Python int and travels as a string (int64 wrapped
+at sf0.01 already — the round-7 r^2 fix).
 """
 
 from __future__ import annotations
@@ -59,13 +60,22 @@ def _moment_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         y6 = np.rint(pdf["y"].to_numpy() * _Y_SCALE).astype(np.int64)
         xtx = X.T @ X  # exact: int64 products of small ints
         xty = X.T @ y6
-        yty = int(y6 @ y6)
+        # y6^2 is ~1e16 per row, so a whole-batch int64 dot product
+        # overflows (round-7 fix: the old int(y6 @ y6) wrapped negative
+        # at sf>=0.01 and silently zeroed r^2). Chunked int64 dots
+        # (512 * 1e16 < 2^63) accumulated into a Python int stay exact
+        # at any scale; the partial travels as a string because a
+        # partition total itself exceeds int64.
+        yty = 0
+        for i in range(0, len(y6), 512):
+            c = y6[i : i + 512]
+            yty += int(c @ c)
         yield pd.DataFrame(
             {
                 "n": [len(X)],
                 "xtx": [xtx.ravel().tolist()],
                 "xty": [xty.tolist()],
-                "yty": [yty],
+                "yty": [str(yty)],
             }
         )
 
@@ -76,7 +86,7 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
         _design(spark, sf_dir)
         .mapInPandas(
             _moment_partials,
-            schema="n long, xtx array<long>, xty array<long>, yty long",
+            schema="n long, xtx array<long>, xty array<long>, yty string",
         )
         .collect()
     )
@@ -89,7 +99,7 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
     for p in parts:  # integer adds: order-independent, exact
         xtx += np.asarray(p["xtx"], dtype=np.int64).reshape(_P, _P)
         xty += np.asarray(p["xty"], dtype=np.int64)
-        yty += p["yty"]
+        yty += int(p["yty"])
     beta6 = np.linalg.solve(xtx.astype(np.float64), xty.astype(np.float64))
     beta = beta6 / _Y_SCALE
     # R^2 from the same exact moments: SSE = y'y - beta6'X'y (scaled),
@@ -100,14 +110,95 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
     return beta, r2, int(n)
 
 
-@query("events_ols_fit", oracle=None)  # 4x4 linear solve: not SQL
+def _det4_sql(m: list[list[str]]) -> str:
+    """Leibniz expansion of a 4x4 determinant over SQL expressions —
+    24 signed products, generated mechanically."""
+    import itertools
+
+    terms = []
+    for perm in itertools.permutations(range(4)):
+        inv = sum(
+            1
+            for a in range(4)
+            for b in range(a + 1, 4)
+            if perm[a] > perm[b]
+        )
+        sign = "+" if inv % 2 == 0 else "-"
+        terms.append(f"{sign} {' * '.join(m[i][perm[i]] for i in range(4))}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _ols_oracle() -> str:
+    """The 4x4 normal-equations solve IS SQL-expressible: exact
+    HUGEINT moment sums (identical integers to the Spark kernel's
+    int64 partials), then Cramer's rule — five Leibniz determinants —
+    in DOUBLE. Cramer vs NumPy's LU differ only in float rounding
+    (~1e-11 relative at these condition numbers); the round-to-6
+    output contract absorbs it.
+    """
+    a = [[f"a{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    d = _det4_sql(a)
+    d_i = [
+        _det4_sql(
+            [
+                [f"b{i}" if j == k else a[i][j] for j in range(4)]
+                for i in range(4)
+            ]
+        )
+        for k in range(4)
+    ]
+    moment_cols = ", ".join(
+        f"CAST(SUM(x{i}*x{j}) AS DOUBLE) AS a{i}{j}"
+        for i in range(4)
+        for j in range(i, 4)
+    )
+    b_cols = ", ".join(
+        f"CAST(SUM(x{i}*y6) AS DOUBLE) AS b{i}" for i in range(4)
+    )
+    beta_cols = ", ".join(
+        f"({d_i[k]}) / ({d}) AS beta6_{k}" for k in range(4)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, ROUND(beta6_{k} / {_Y_SCALE}, 6) AS beta,"
+        f" ROUND(r2, 6) AS r_squared, n FROM fit"
+        for k, f in enumerate(FEATURES)
+    )
+    return f"""
+    WITH design AS (
+      SELECT CAST(1 AS BIGINT) AS x0,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x1,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x2,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS x3,
+             CAST(round(round(value, 6) * {_Y_SCALE}) AS BIGINT) AS y6
+      FROM events
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, {moment_cols}, {b_cols},
+             CAST(SUM(y6*y6) AS DOUBLE) AS yty
+      FROM design
+    ),
+    beta AS (SELECT n, yty, b0, b1, b2, b3, {beta_cols} FROM m),
+    fit AS (
+      SELECT n, beta6_0, beta6_1, beta6_2, beta6_3,
+             1.0 - ((yty - (beta6_0*b0 + beta6_1*b1 + beta6_2*b2
+                            + beta6_3*b3)) / {_Y_SCALE}.0 / {_Y_SCALE})
+                   / ((yty - b0*b0 / n) / {_Y_SCALE}.0 / {_Y_SCALE}) AS r2
+      FROM beta
+    )
+    {rows}
+    """
+
+
+@query("events_ols_fit", oracle=_ols_oracle())
 def events_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit value ~ intercept + k + hour + dayofweek over all events;
     one row per coefficient plus the shared fit stats.
 
-    Rows-only by design; pytest pins the coefficients against
-    NumPy lstsq on the collected design matrix and asserts exact
-    invariance to repartitioning (integer moment sums).
+    Oracled since round 7: the moment sums are exact integers on both
+    sides, and the oracle solves the same 4x4 system by Cramer's rule
+    in SQL (``_ols_oracle``). pytest additionally pins the
+    coefficients against NumPy lstsq on the collected design matrix
+    and asserts exact invariance to repartitioning.
     """
     beta, r2, n = ols_fit(spark, sf_dir)
     rows = [
