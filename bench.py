@@ -217,6 +217,39 @@ def bench_ingest(
         return total / elapsed
 
 
+def bench_neardup_gate(spark, sf_dir: str = SF_DIR) -> tuple[float, int]:
+    """At-ingestion near-dup gate throughput (VERDICT r6 task 6):
+    stream the documents table through the self-indexing MinHash gate
+    (streaming/neardup.py) and report (docs/sec through the gate,
+    index partitions produced). This is the reference's micro-batch
+    ingest model composed with the LLM dedup surface — the number a
+    training-data pipeline actually budgets."""
+    from clickhouse_batcher_spark.streaming.neardup import (
+        run_streaming_neardup_selfindex,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="chb_bench_gate_") as root:
+        docs = load_table(spark, sf_dir, "documents")
+        src = f"{root}/src"
+        docs.repartition(8).write.parquet(src)
+        total = docs.count()
+        t0 = time.perf_counter()
+        run_streaming_neardup_selfindex(
+            spark,
+            src,
+            docs.schema,
+            f"{root}/out",
+            f"{root}/index",
+            f"{root}/ckpt",
+            max_files_per_trigger=2,
+        )
+        elapsed = time.perf_counter() - t0
+        n_parts = len(
+            [d for d in os.listdir(f"{root}/index") if d.startswith("_batch_id=")]
+        )
+        return total / elapsed, n_parts
+
+
 def main() -> None:
     spark = get_session(app_name="chb_bench")
     # Warm pass: run EVERY headline query once at sf0.001 (untimed).
@@ -304,6 +337,14 @@ def main() -> None:
     ]
     bulk_rows_per_sec = max(bulk_samples)
 
+    # At-ingestion dedup gate: one warm pass at sf0.001 (foreachBatch +
+    # state machinery one-offs, same rationale as the ingest warm run),
+    # then best-of-2 at the bench scale.
+    bench_neardup_gate(spark, sf_dir=warm_dir)
+    gate_samples = [bench_neardup_gate(spark) for _ in range(2)]
+    gate_rows_per_sec = max(s[0] for s in gate_samples)
+    gate_index_partitions = gate_samples[0][1]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -327,6 +368,8 @@ def main() -> None:
         "ingest_bulk_spread": round(
             max(bulk_samples) - min(bulk_samples), 1
         ),
+        "neardup_gate_samples": [round(s[0], 1) for s in gate_samples],
+        "neardup_gate_index_partitions": gate_index_partitions,
     }
     print(json.dumps(full))
     try:
@@ -353,6 +396,7 @@ def main() -> None:
                 "sf": sf_val,
                 "ingest_rows_per_sec": round(rows_per_sec, 1),
                 "ingest_bulk_rows_per_sec": round(bulk_rows_per_sec, 1),
+                "neardup_gate_rows_per_sec": round(gate_rows_per_sec, 1),
             }
         )
     )
