@@ -51,65 +51,66 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
-    # --- round-5's one red row, re-checked after the decimal-exact
-    #     canonical-string fix (VERDICT r5 task 1) ---
-    "orders_transfer_checksum",
-    # --- ROUND 6 promotions: 47 of the 59 oracled queries that have
-    #     never had a driver CORRECTNESS row (VERDICT r5 task 2).
-    #     TPC-H family completions first (most user-visible): ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_parts",
+    # --- ROUND 7 window: coverage closure. The 26 oracled queries with
+    #     ZERO hash-green driver rows across r1-r6 (computed from the
+    #     CORRECTNESS_r0*.json history): the r6 red row re-checked
+    #     after the HUGEINT CAST fix, the rotation tail VERDICT r6
+    #     lists, the r6 late additions, the newly-oracled OLS fit, and
+    #     the three new transpiler-gated chsql queries. After this
+    #     window every oracled catalog query has >=1 green row. ---
     "tpch_q12_late_lines_by_status",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # --- the statistical-aggregate batch ---
-    "events_rank_corr",
-    "events_cramers_v",
-    "events_bit_aggregates",
-    "events_linreg_by_type",
-    "user_type_sum_map",
-    "ab_welch_ttest",
-    "ab_mann_whitney_u",
-    "events_skew_kurt_by_type",
-    "events_theils_u",
-    "events_hour_anova",
-    # --- ClickHouse-aggregate / sequence / interval family ---
-    "sequence_count_per_user",
-    "window_funnel_levels",
-    "user_active_interval_sum",
-    "max_concurrent_intervals",
-    "lineitem_weighted_price_median",
-    "events_rolling_median_12h",
-    "events_hourly_robust_anomalies",
-    "next_event_prediction",
-    "event_type_user_entropy",
-    "user_activity_gini",
-    "supplier_hhi_by_nation",
-    "event_type_pmi",
-    "customer_rfm_segments",
-    "conversion_latency_quantiles",
-    "props_information_value",
-    # --- as-of join variants ---
-    "asof_forward_events_orders",
-    "asof_nearest_events_orders",
-    # --- dedup / text ---
-    "repeated_span_stats",
-    "dedup_keep_canonical",
-    "dedup_containment_pairs",
-    "langid_confusion",
-    # --- retrieval / sketches ---
-    "hybrid_retrieval_rrf",
-    "hll_distinct_users",
-    "topk_heavy_hitters",
-    "kmv_distinct_users",
-    "hll_state_merge_daily",
-    # --- packing / graph ---
-    "concat_block_packing",
-    "t5_span_corruption",
-    "part_copurchase_lift",
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "source_overlap_matrix",
+    "doc_novelty_ratio",
+    "boilerplate_spans_top",
+    "duplicate_line_ratio",
+    "vocab_growth_curve",
+    "docs_bigram_logprob",
+    "dsir_importance_weights",
+    "token_fertility_by_lang",
+    "quality_filter_c4",
+    "perplexity_bucket_sample",
+    "temperature_mix_sample",
+    "weighted_sample_docs",
+    "delta_sum_by_type",
+    "bounding_ratio_by_user",
+    "events_sparkbar_hourly",
+    "user_type_minmax_map",
+    "user_sequence_logprob",
+    "topk_weighted_users",
+    "kmv_union_intersection",
+    "events_ols_fit",
+    "chsql_limit_by_top_users",
+    "chsql_array_join_token_stats",
+    "chsql_final_sample_latest_state",
+    # --- changed-implementation re-checks (round-7 memoized pair
+    #     frame + single-action CC feed these) ---
+    "dedup_minhash_lsh",
+    "dedup_consensus",
+    # --- second-green backfill: the oldest single-green queries (green
+    #     only in r2), every one a family representative ---
+    "doc_fingerprint",
+    "embedding_neardup",
+    "events_rollup_hierarchy",
+    "langid_predict",
+    "media_frame_sample",
+    "media_metadata",
+    "merge_upsert_orders",
+    "profile_events",
+    "range_join_orders_window",
+    "redact_docs",
+    "retrieval_topk_docs",
+    "similarity_topk",
+    "text_stats",
+    "token_count_bpeish",
+    "token_count_min_sketch",
+    "token_histogram",
+    "winnow_fingerprints",
+    # --- r4-era single-greens ---
+    "events_day_over_day",
+    "events_hourly_interpolate",
+    "value_histogram_quantiles",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
 # (green in BOTH r1+r2), similarity_topk, embedding_neardup,
@@ -178,22 +179,18 @@ _PRIORITY: list[str] = [
 # as-of/dedup/retrieval/sketch/packing. All 50 demoted round-5
 # entries keep their green driver row and pytest parity.
 #
-# ROUND 7 rotation plan — the 12 remaining never-checked oracled
-# queries (each deferred because a same-family relative is in the
-# round-6 window or already green): kmv_union_intersection,
-# topk_weighted_users, user_type_minmax_map, events_sparkbar_hourly,
-# docs_bigram_logprob, perplexity_bucket_sample, weighted_sample_docs,
-# temperature_mix_sample, delta_sum_by_type, bounding_ratio_by_user,
-# user_sequence_logprob, duplicate_line_ratio. Promote all 12 plus
-# second-green candidates from the single-green pool. After round 7
-# every oracled query in the catalog has >=1 driver CORRECTNESS row.
-# Round-6 late additions to fold into the same promote queue:
-# dsir_importance_weights, token_fertility_by_lang,
-# source_overlap_matrix, doc_novelty_ratio, boilerplate_spans_top,
-# dedup_cluster_sizes, vocab_growth_curve (all oracled,
-# never-checked); semantic_dedup is
-# rows-only by design (seeded k-means — exact NumPy-recompute pytest
-# instead).
+# ROUND 7 rotation EXECUTED (VERDICT r6 task 2): the 48 round-6
+# entries (all green except tpch_q12, whose oracle is now CAST to
+# BIGINT and re-windowed) rotate out in favor of every oracled query
+# with zero hash-green rows — the r6 rotation tail, the r6 late
+# additions, the newly-oracled events_ols_fit, and the three new
+# transpiler-gated chsql queries — plus changed-implementation
+# re-checks (dedup_minhash_lsh/dedup_consensus now consume the
+# memoized pair frame; dedup_clusters/sizes the single-action CC) and
+# second-green backfill from the oldest (r2/r4) single-green pool.
+# After this window every oracled catalog query has >=1 green driver
+# row. semantic_dedup and the other 9 rows-only entries are justified
+# per entry in COVERAGE.md ("Rows-only entries: why").
 
 
 def _ordered(mapping: dict) -> dict:
