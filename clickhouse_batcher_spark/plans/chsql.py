@@ -85,6 +85,12 @@ parser rather than silently misbehaving):
   on an empty array — is NULL where ClickHouse returns the type
   default; uniq/uniqExact skip NULLs, matching the ClickHouse
   aggregates; other arrayReduce aggregate names are loud)
+- ``transform(x, [..], [..][, d])`` -> CASE chain (literal arrays only;
+  the 2-arg Spark lambda form passes through — same name, unrelated
+  semantics, so the lookup form is rewritten FIRST)
+- Loud parametric-aggregate errors pointing at the first-class
+  operators: ``sumMap/minMap/maxMap/avgMap sequenceMatch sequenceCount
+  windowFunnel retention histogram groupBitmap* topK``
 - Table functions: ``numbers(n)`` / ``numbers(offset, n)`` ->
   ``range()`` TVF with the CH column name; ``remote/cluster/s3/url/
   file/hdfs/generateRandom`` are loud errors pointing at
@@ -398,6 +404,47 @@ _UNSUPPORTED = (
         "dictGet*",
         "model the dictionary as a broadcast dimension join "
         "(tables.SMALL_DIMS pattern)",
+    ),
+    # Parametric aggregates whose faithful translation restructures the
+    # query (explode + re-aggregate or pattern-automaton state), which
+    # a textual rewriter must not do silently — each has a first-class
+    # operator; point there.
+    (
+        r"\b(?:sum|min|max|avg)Map\s*\(",
+        "sumMap/minMap/maxMap/avgMap (map-valued aggregates)",
+        "use operators.chagg.user_type_sum_map / "
+        "chagg2.user_type_minmax_map shapes (explode + groupBy + "
+        "map_from_entries — same result, explicit shuffle)",
+    ),
+    (
+        r"\bsequence(?:Match|Count)\s*\(",
+        "sequenceMatch/sequenceCount (event-pattern automata)",
+        "use operators.funnel (sequence_match_counts / "
+        "sequence_count_per_user — window-ordered pattern scan)",
+    ),
+    (
+        r"\bwindowFunnel\s*\(",
+        "windowFunnel",
+        "use operators.funnel.window_funnel_levels (sliding-window "
+        "funnel depth per user)",
+    ),
+    (
+        r"\bretention\s*\(",
+        "retention",
+        "use operators.cohort.user_retention_flags (first-condition "
+        "anchored flag array)",
+    ),
+    (
+        r"\bhistogram\s*\(",
+        "histogram(n)(x) (adaptive-bin histogram)",
+        "use operators.sketch.value_histogram_quantiles (fixed-grid "
+        "histogram + quantile readout, mergeable and deterministic)",
+    ),
+    (
+        r"\bgroupBitmap\w*\s*\(",
+        "groupBitmap* (roaring-bitmap aggregates)",
+        "use count(DISTINCT ...) / approx_count_distinct, or "
+        "operators.sketch HLL/KMV states for mergeable set sizes",
     ),
 )
 
@@ -1096,6 +1143,13 @@ def translate(
     """
     out = _clauses(sql, sample_keys, final_keys)
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
+    # ClickHouse's lookup-table transform(x, from, to[, default]) vs
+    # Spark's lambda transform(arr, fn): the same name with unrelated
+    # semantics — a silent-wrong-results hazard. Rewrite the 3/4-arg
+    # lookup form to a CASE chain FIRST (before any rewrite below emits
+    # Spark lambda transforms of its own); the 2-arg lambda form passes
+    # through untouched.
+    out = _rewrite_calls(out, "transform", _transform_lookup)
 
     out = _rewrite_calls(
         out, "count", lambda a: "count(*)" if not a else f"count({', '.join(a)})"
@@ -1697,6 +1751,53 @@ def _array_reduce(args: list[str]) -> str:
             f"arrayReduce: no translation for aggregate {name!r}"
         )
     return _ARRAY_REDUCE[name](args[1])
+
+
+def _array_literal_items(expr: str) -> list[str] | None:
+    """Top-level items of a literal array expression (ClickHouse
+    ``[a, b]`` or ``array(a, b)``), or None if not a literal array."""
+    e = expr.strip()
+    if e.startswith("[") and e.endswith("]"):
+        inner = e[1:-1]
+    elif re.match(r"(?is)^array\s*\(.*\)$", e):
+        inner = e[e.index("(") + 1 : -1]
+    else:
+        return None
+    inner = inner.strip()
+    return _split_top_level(inner) if inner else []
+
+
+def _transform_lookup(args: list[str]) -> str:
+    """ClickHouse transform(x, from, to[, default]) -> CASE chain.
+
+    The 3-arg form defaults to x itself (ClickHouse requires x and to
+    to share a type there). Non-literal from/to arrays cannot become a
+    CASE at translate time — loud error rather than handing Spark's
+    unrelated lambda transform a 4-arg call.
+    """
+    if len(args) == 2:
+        # Spark's lambda transform — untouched
+        return f"transform({args[0]}, {args[1]})"
+    if len(args) not in (3, 4):
+        raise ValueError(
+            "transform() translates the ClickHouse lookup form "
+            "(x, from, to[, default]) or Spark's 2-arg lambda form"
+        )
+    frm = _array_literal_items(args[1])
+    to = _array_literal_items(args[2])
+    if frm is None or to is None:
+        raise ValueError(
+            "ClickHouse transform(x, from, to[, default]) translates "
+            "only with literal from/to arrays (a runtime array cannot "
+            "become a CASE chain at translate time)"
+        )
+    if not frm or len(frm) != len(to):
+        raise ValueError(
+            "transform(): from/to arrays must be the same nonempty length"
+        )
+    whens = " ".join(f"WHEN {f} THEN {t}" for f, t in zip(frm, to))
+    default = args[3] if len(args) == 4 else args[0]
+    return f"CASE {args[0]} {whens} ELSE {default} END"
 
 
 _ADD_UNITS = {

@@ -1574,3 +1574,61 @@ def test_chsql_catalog_queries_parity(spark, sf_dir, name):
 
     catalog.load_all()
     assert_parity(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-7: ClickHouse lookup transform() and parametric-aggregate louds
+# ---------------------------------------------------------------------------
+def test_transform_lookup_form(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT transform(event_type, ['click', 'view'], ['C', 'V'], '?')"
+        " AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    keys = [r["m"] for r in got]
+    assert "C" in keys and "V" in keys and "?" in keys
+    # 3-arg form defaults to x itself
+    got3 = run_sql(
+        spark,
+        "SELECT transform(5, array(1, 2), array(10, 20)) AS a, "
+        "transform(2, [1, 2], [10, 20]) AS b",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got3["a"] == 5 and got3["b"] == 20
+
+
+def test_transform_lambda_passthrough(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT transform(array(1, 2, 3), x -> x * 2) AS a",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a"] == [2, 4, 6]
+
+
+def test_transform_loud_errors():
+    with pytest.raises(ValueError, match="literal from/to"):
+        translate("SELECT transform(x, some_col, [1, 2], 0) FROM t")
+    with pytest.raises(ValueError, match="same nonempty length"):
+        translate("SELECT transform(x, [1, 2], [1], 0) FROM t")
+
+
+@pytest.mark.parametrize(
+    "sql,construct",
+    [
+        ("SELECT sumMap(k, v) FROM t", "sumMap"),
+        ("SELECT minMap(k, v) FROM t", "sumMap/minMap"),
+        ("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t", "sequenceMatch"),
+        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "windowFunnel"),
+        ("SELECT retention(a, b) FROM t", "retention"),
+        ("SELECT histogram(10)(x) FROM t", "histogram"),
+        ("SELECT groupBitmap(x) FROM t", "groupBitmap"),
+    ],
+)
+def test_parametric_aggregates_are_loud(sql, construct):
+    with pytest.raises(ValueError, match="no Spark translation"):
+        translate(sql)
