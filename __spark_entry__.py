@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "chsql_limit_by_top_users",
     "chsql_array_join_token_stats",
     "chsql_final_sample_latest_state",
+    "chsql_prewhere_totals_by_status",
+    "chsql_positional_params_count",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
@@ -104,8 +106,6 @@ _PRIORITY: list[str] = [
     "similarity_topk",
     "text_stats",
     "token_count_bpeish",
-    "token_count_min_sketch",
-    "token_histogram",
     "winnow_fingerprints",
     # --- r4-era single-greens ---
     "events_day_over_day",
@@ -190,7 +190,11 @@ _PRIORITY: list[str] = [
 # second-green backfill from the oldest (r2/r4) single-green pool.
 # After this window every oracled catalog query has >=1 green driver
 # row. semantic_dedup and the other 9 rows-only entries are justified
-# per entry in COVERAGE.md ("Rows-only entries: why").
+# per entry in COVERAGE.md ("Rows-only entries: why"). To fit the two
+# late chsql additions (PREWHERE+TOTALS, positional params) the
+# token_histogram/token_count_min_sketch second-green backfills were
+# dropped — their family keeps token_count_bpeish in-window, and a
+# first green row beats a second.
 
 
 def _ordered(mapping: dict) -> dict:

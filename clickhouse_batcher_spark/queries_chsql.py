@@ -13,7 +13,9 @@ family:
 - aggregate combinators + LIMIT BY (``count/countIf/quantileExact``),
 - ``ARRAY JOIN`` + ``arrayReduce`` + ``splitByChar`` text pipeline,
 - ``FINAL SAMPLE`` read (latest-row-per-key over a deterministic
-  keyed sample).
+  keyed sample),
+- ``PREWHERE`` + ``WITH TOTALS`` clause rewrites,
+- the reference's positional-parameter count (engine-side binding).
 
 Every query here MUST route through ``run_sql(..., dialect=
 "clickhouse")`` — using the DataFrame API would defeat the gate.
@@ -119,6 +121,72 @@ def chsql_array_join_token_stats(
         """,
         sf_dir,
         dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_prewhere_totals_by_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    WHERE o_totalprice > 100 AND o_orderpriority <> '1-URGENT'
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+)
+def chsql_prewhere_totals_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order counts by status with a grand-total row, written as the
+    ClickHouse read idiom ``PREWHERE ... WHERE ... GROUP BY ... WITH
+    TOTALS`` and executed through ``translate()``.
+
+    PREWHERE is ClickHouse's manual pushdown staging — folded into the
+    WHERE because Catalyst pushes predicates itself; WITH TOTALS
+    becomes GROUPING SETS ((status), ()) — one extra all-NULL total
+    row from the same shuffle. Aggregates are count/distinct-count:
+    order-independent, hash-safe.
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderstatus, count() AS n_orders,
+               uniqExact(o_custkey) AS n_customers
+        FROM orders
+        PREWHERE o_totalprice > 100
+        WHERE o_orderpriority != '1-URGENT'
+        GROUP BY o_orderstatus WITH TOTALS
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+_PARAM_TYPE = "click"
+_PARAM_MAX_USER = 50
+
+
+@query(
+    "chsql_positional_params_count",
+    oracle=f"""
+    SELECT COUNT(*) AS n FROM events
+    WHERE event_type = '{_PARAM_TYPE}' AND user_id < {_PARAM_MAX_USER}
+    """,
+)
+def chsql_positional_params_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's exact parameterized-count shape
+    (`hashes_test.go:192-196`: ``SELECT count() FROM ... WHERE x = ?``
+    with driver-bound args), run through the dialect path with
+    engine-side positional binding — never string splicing.
+    """
+    return run_sql(
+        spark,
+        "SELECT count() AS n FROM events WHERE event_type = ? AND user_id < ?",
+        sf_dir,
+        dialect="clickhouse",
+        params=[_PARAM_TYPE, _PARAM_MAX_USER],
     )
 
 

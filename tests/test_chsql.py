@@ -1566,6 +1566,8 @@ def test_final_sample_alias_not_swallowed():
         "chsql_limit_by_top_users",
         "chsql_array_join_token_stats",
         "chsql_final_sample_latest_state",
+        "chsql_prewhere_totals_by_status",
+        "chsql_positional_params_count",
     ],
 )
 def test_chsql_catalog_queries_parity(spark, sf_dir, name):
