@@ -271,10 +271,11 @@ def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     moderate graphs, shuffle join at web scale) and one map-side
     combined groupBy(dst). Overflow headroom: 85 * n_nodes * PR_SCALE
     must stay under 2^63 => n_nodes < ~1e8 at SCALE=1e9; shrink
-    PR_SCALE for larger graphs. Iterations are unrolled (PR_ITERS=3)
-    with a localCheckpoint on the per-node rank frame after each
-    round, so lineage stays one iteration deep — the same discipline
-    the dedup connected-components loop uses (cluster.py).
+    PR_SCALE for larger graphs. The PR_ITERS=3 unroll is chained into
+    ONE action (each iteration references the previous ranks exactly
+    once, so the plan grows linearly) — the same barrier-count
+    discipline as the dedup connected-components loop (cluster.py);
+    larger unrolls would checkpoint every ~3 rounds.
     """
     events = load_table(spark, sf_dir, "events")
     e = coactivity_edges(events)
@@ -290,16 +291,18 @@ def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed.count()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # The per-node frames (deg/ranks, n_nodes rows) are tiny next to
-    # the edge list. localCheckpoint truncates the unrolled-iteration
-    # lineage so Catalyst re-optimizes one iteration at a time instead
-    # of a 3-deep mega-plan, and the explicit broadcast keeps the
-    # cached edge frame from re-shuffling on src every iteration
-    # (measured at sf0.1: 5.1-7.3 s -> 4.2-4.8 s, identical output).
-    # Web-scale graphs (>~1e7 nodes) drop the broadcast hint (shuffle
-    # join) and swap localCheckpoint for a reliable checkpoint dir.
-    nodes = deg.select(F.col("src").alias("node"), "deg").localCheckpoint(
-        eager=True
-    )
+    # the edge list; the explicit broadcast keeps the cached edge frame
+    # from re-shuffling on src every iteration. The PR_ITERS=3 unroll
+    # is CHAINED inside one action (round 7): each iteration references
+    # the previous ranks exactly once, so the plan grows linearly, and
+    # dropping the per-iteration eager localCheckpoint removes 3 job
+    # barriers (measured at sf0.1 under identical load: 8.2-12.6 s ->
+    # 5.1-5.5 s, bit-identical output — the barrier cost, not the
+    # 3-deep plan, dominated). For a large iteration count, insert a
+    # localCheckpoint every ~3 rounds like cluster.py; web-scale graphs
+    # (>~1e7 nodes) drop the broadcast hint (shuffle join) and use a
+    # reliable checkpoint dir.
+    nodes = deg.select(F.col("src").alias("node"), "deg").cache()
     ranks = nodes.select(
         "node", "deg", F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
@@ -323,7 +326,6 @@ def coactivity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(85 * COALESCE(s, 0)) div 100")
                 ).cast("bigint").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     from pyspark.sql import Window
 
