@@ -1349,31 +1349,34 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2*Σ(rank*x)/(n*Σx) - (n+1)/n with a user_id tiebreak so the
     rank assignment (and hence the statistic) is engine-independent.
 
-    The ordered pass runs over |users| aggregate rows, not raw events
-    (two-level ranks at extreme scale, as everywhere).
+    The ordered pass runs over |users| aggregate rows, not raw events,
+    and the rank itself is the exact two-level global index
+    (``with_global_index``: range shuffle + per-partition row_number +
+    broadcast offsets) — never a single-partition Window.orderBy, so
+    the shape survives any user count. rank*count products are
+    integer-valued doubles (exact, order-independent), so the final
+    sums are partitioning-independent.
     """
+    from clickhouse_batcher_spark.functions import with_global_index
+
     act = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_rank = Window.orderBy("c", "user_id")
-    w_all = Window.partitionBy()
-    ranked = act.select(
-        "c",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("c").over(w_all).alias("c_tot"),
+    idxed = with_global_index(act, ["c", "user_id"], index_name="_rk0")
+    agg = idxed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("ct"),
+        F.sum((F.col("_rk0") + 1).cast("double") * F.col("c")).alias("rc"),
     )
-    n_d = F.min("n").cast("double")
-    return ranked.agg(
-        F.min("n").cast("bigint").alias("n_users"),
-        F.min("c_tot").cast("bigint").alias("n_events"),
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("ct").cast("bigint").alias("n_events"),
         F.round(
-            F.lit(2.0)
-            * F.sum(F.col("rk").cast("double") * F.col("c"))
-            / (n_d * F.min("c_tot"))
-            - (n_d + 1) / F.min("n"),
+            F.lit(2.0) * F.col("rc") / (n_d * F.col("ct"))
+            - (n_d + 1) / F.col("n"),
             6,
         ).alias("gini"),
     )

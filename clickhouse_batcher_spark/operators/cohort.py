@@ -18,7 +18,7 @@ weeks²-tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
@@ -78,11 +78,10 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # RFM segmentation (round-5 third session): the classic
 # recency/frequency/monetary customer quartiles. One orders aggregate
-# per customer, then three deterministic quartile assignments via
-# row_number over (metric, custkey) — the unique tiebreak makes the
-# segments hash-stable, unlike ntile over bare metrics. The quartile
-# windows are global over |customers| rows (two-level rank partials
-# at extreme scale, same as every global ranking in this repo).
+# per customer, then three deterministic quartile assignments via the
+# exact two-level global index over (metric, custkey) — the unique
+# tiebreak makes the segments hash-stable, unlike ntile over bare
+# metrics, and the range-shuffled index keeps every pass parallel.
 # ---------------------------------------------------------------------------
 
 
@@ -118,11 +117,19 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into 4x4x4 recency/frequency/monetary
     quartile segments (the classical CRM slicing), reported as segment
-    sizes. Quartile = ((row_number - 1) * 4) div n + 1 over
+    sizes. Quartile = (global_index * 4) div n + 1 over
     (metric, custkey) — balanced quartiles with a deterministic
     tiebreak, so the assignment is engine-independent; monetary sums
     are decimal-exact first.
+
+    Each metric's rank is the exact two-level global index
+    (``with_global_index`` — range shuffle + parallel per-partition
+    row_number + broadcast offsets): three fully-parallel range
+    shuffles over |customers| aggregate rows, never a single-partition
+    Window.orderBy (round-7 upgrade; identical assignment).
     """
+    from clickhouse_batcher_spark.functions import with_global_index
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -131,17 +138,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-
-    def quartile(col: str):
-        rn = F.row_number().over(Window.orderBy(col, "custkey"))
-        return (((rn - 1) * 4) / n).cast("int") + 1
-
-    ranked = base.select(
+    nrow = base.agg(F.count(F.lit(1)).alias("_n"))
+    idx = base
+    metrics = (("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q"))
+    for col, name in metrics:
+        idx = with_global_index(idx, [col, "custkey"], index_name=f"_i{name}")
+    ranked = idx.crossJoin(F.broadcast(nrow)).select(
         "custkey",
-        quartile("last_order").alias("r_q"),
-        quartile("freq").alias("f_q"),
-        quartile("monetary").alias("m_q"),
+        *[
+            (((F.col(f"_i{name}") * 4) / F.col("_n")).cast("int") + 1).alias(
+                name
+            )
+            for _, name in metrics
+        ],
     )
     return ranked.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
