@@ -77,6 +77,54 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-media ingestion: Spark's built-in ``binaryFile`` source.
+
+    Returns (path, modificationTime, length, content BINARY) — the raw
+    on-ramp for the multimodal pipeline (operators/multimodal.py
+    decodes/resizes the ``content`` column via Arrow-batched
+    mapInPandas). Scale notes: listing parallelizes across executors;
+    one row per file, so ship many small media files as a few large
+    parquet/tar shards upstream when file counts reach the driver-
+    listing limit (the standard small-files discipline,
+    sources/layout.py). ``glob`` maps to pathGlobFilter (pushed into
+    the listing, e.g. ``*.png``) so non-matching files are never
+    opened.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text ingestion: one row per line (default) or one row per
+    file (``whole_file`` — a document per file, the raw-corpus on-ramp
+    for the text/dedup operators). Declarative scan: column pruning
+    applies (the single ``value`` column), and file splitting keeps
+    line mode fully parallel; whole-file mode makes each file one
+    task's row, so shard oversized documents upstream.
+    """
+    kwargs = {"wholetext": whole_file}
+    if line_sep is not None:
+        kwargs["lineSep"] = line_sep
+    return spark.read.text(path, **kwargs)
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -140,3 +140,30 @@ def test_csv_reader_nulls_malformed_fields(spark, tmp_path):
     assert (1, 2.5) in rows
     assert (None, 3.5) in rows
     assert (3, None) in rows
+
+
+def test_read_binary_files_and_text(spark, tmp_path):
+    from clickhouse_batcher_spark.sources.readers import (
+        read_binary_files,
+        read_text,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (d / "c.wav").write_bytes(b"RIFF-fake")
+    bf = read_binary_files(spark, str(d), glob="*.png")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in bf.collect()}
+    assert rows == {"a.png": b"\x89PNG-fake-a", "b.png": b"\x89PNG-fake-bb"}
+    assert set(bf.columns) == {"path", "modificationTime", "length", "content"}
+
+    t = tmp_path / "docs"
+    t.mkdir()
+    (t / "d1.txt").write_text("line one\nline two\n")
+    (t / "d2.txt").write_text("single doc body")
+    lines = read_text(spark, str(t))
+    assert lines.count() == 3
+    whole = read_text(spark, str(t), whole_file=True)
+    vals = sorted(r["value"] for r in whole.collect())
+    assert vals == ["line one\nline two\n", "single doc body"]
