@@ -63,7 +63,12 @@ parser rather than silently misbehaving):
   bitAnd/Or/Xor/Not/ShiftLeft/ShiftRight arrayCompact
   arrayPush{Back,Front} arrayPop{Back,Front} range groupArray
   groupArray(n)() groupUniqArray roundBankers toMonday timeSlot age
-  positionCaseInsensitive replaceRegexpAll splitByChar splitByString``
+  positionCaseInsensitive replaceRegexpAll splitByChar splitByString
+  intDivOrZero moduloOrZero ifNull assumeNotNull toNullable bitCount
+  toStartOf{Five,Ten,Fifteen}Minutes uniqUpTo(k)
+  quantileTDigest/Timing/BFloat16 (to percentile_approx, approx->
+  approx); sipHash/cityHash/farmHash/murmurHash are loud (no Spark
+  builtin reproduces the values — bucketing would silently reshuffle)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -445,6 +450,20 @@ _UNSUPPORTED = (
         "groupBitmap* (roaring-bitmap aggregates)",
         "use count(DISTINCT ...) / approx_count_distinct, or "
         "operators.sketch HLL/KMV states for mergeable set sizes",
+    ),
+    # Hash-value compatibility: these produce DIFFERENT values than any
+    # Spark builtin, and they are used for bucketing/sampling where a
+    # silent value change silently reshuffles every bucket.
+    (
+        r"\b(?:sipHash64|sipHash128|cityHash64|farmHash64|"
+        r"farmFingerprint64|murmurHash2_32|murmurHash2_64|"
+        r"murmurHash3_32|murmurHash3_64|murmurHash3_128)\s*\(",
+        "sipHash/cityHash/farmHash/murmurHash",
+        "no Spark builtin reproduces these exact values; for "
+        "engine-portable deterministic bucketing use the sha2-prefix "
+        "hash (operators.sampling.hash_bucket — identical in Spark "
+        "and DuckDB), or xxhash64() if only in-engine stability "
+        "matters",
     ),
 )
 
@@ -1346,11 +1365,25 @@ def translate(
     out = _rewrite_calls(
         out,
         "timeSlot",
-        # floor to the half-hour grid
+        # floor to the half-hour grid (the fixed-minute toStartOf*
+        # variants below share the idiom)
         lambda a: (
             f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"
         ),
     )
+    for fn, secs in (
+        ("toStartOfFifteenMinutes", 900),
+        ("toStartOfTenMinutes", 600),
+        ("toStartOfFiveMinutes", 300),
+        ("toStartOfFiveMinute", 300),  # pre-22.6 ClickHouse spelling
+    ):
+        out = _rewrite_calls(
+            out,
+            fn,
+            lambda a, s=secs: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) DIV {s}) * {s})"
+            ),
+        )
     out = _rewrite_calls(
         out,
         "positionCaseInsensitive",
@@ -1404,7 +1437,18 @@ def translate(
     out = _rewrite_curried(out, "quantilesExact", "percentile")
     out = _rewrite_curried(out, "quantiles", "percentile_approx")
     out = _rewrite_curried(out, "quantileExact", "percentile")
+    # approx-to-approx: same precedent as the bare quantile() mapping —
+    # both sides are approximate by contract, algorithms differ
+    # (t-digest/timing vs Greenwald-Khanna), values track within the
+    # families' own error bounds.
+    for fn in ("quantileTDigest", "quantileTiming", "quantileBFloat16"):
+        out = _rewrite_curried(out, fn, "percentile_approx")
     out = _rewrite_curried(out, "quantile", "percentile_approx")
+    # uniqUpTo(k)(x): exact distinct count saturating at k+1 — the
+    # LEAST form is an exact translation of ClickHouse's contract.
+    out = _rewrite_curried(
+        out, "uniqUpTo", None, fmt="least(count(DISTINCT {x}), {p} + 1)"
+    )
     out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")
     for ch, unit in _TRUNC_UNITS.items():
         out = _rewrite_calls(
@@ -1507,6 +1551,27 @@ def translate(
         lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))",
     )
     out = _rewrite_calls(out, "modulo", lambda a: f"({a[0]} % {a[1]})")
+    # zero-divisor-tolerant variants (ClickHouse returns 0, not an
+    # error or NULL)
+    out = _rewrite_calls(
+        out,
+        "intDivOrZero",
+        lambda a: (
+            f"(CASE WHEN CAST({a[1]} AS BIGINT) = 0 THEN 0 ELSE "
+            f"CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT) END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "moduloOrZero",
+        lambda a: f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} % {a[1]} END)",
+    )
+    out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
+    # assumeNotNull/toNullable are type-level assertions in ClickHouse;
+    # Spark columns are nullable by default, so both are identities.
+    out = _rewrite_calls(out, "assumeNotNull", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "toNullable", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "bitCount", lambda a: f"bit_count({a[0]})")
     out = _rewrite_calls(out, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)")
     out = _rewrite_calls(out, "isNull", lambda a: f"({a[0]} IS NULL)")
     out = _rewrite_calls(

@@ -1634,3 +1634,60 @@ def test_transform_loud_errors():
 def test_parametric_aggregates_are_loud(sql, construct):
     with pytest.raises(ValueError, match="no Spark translation"):
         translate(sql)
+
+
+# ---------------------------------------------------------------------------
+# round-7 scalar/aggregate tail: OrZero variants, null assertions,
+# bitCount, uniqUpTo, approx quantile aliases, fixed-minute grids,
+# non-portable hash louds
+# ---------------------------------------------------------------------------
+def test_or_zero_null_bitcount_scalars(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT intDivOrZero(7, 2) AS a, intDivOrZero(7, 0) AS b, "
+        "moduloOrZero(7, 3) AS c, moduloOrZero(7, 0) AS d, "
+        "ifNull(NULL, 5) AS e, ifNull(3, 5) AS f, "
+        "assumeNotNull(9) AS g, toNullable(4) AS h, "
+        "bitCount(255) AS i, bitCount(5) AS j",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (3, 0, 1, 0)
+    assert (got["e"], got["f"], got["g"], got["h"]) == (5, 3, 9, 4)
+    assert (got["i"], got["j"]) == (8, 2)
+
+
+def test_uniq_up_to_and_quantile_aliases(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT uniqUpTo(3)(event_type) AS u3, "
+        "uniqUpTo(100)(event_type) AS u100, "
+        "quantileTDigest(0.5)(value) AS qt, "
+        "quantileTiming(0.5)(value) AS qm "
+        "FROM events",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    # events has 5 types: saturates at k+1 for k=3, exact for k=100
+    assert got["u3"] == 4 and got["u100"] == 5
+    assert got["qt"] == got["qm"]  # same percentile_approx mapping
+
+
+def test_fixed_minute_grids(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT toStartOfFifteenMinutes(toDateTime('2024-03-05 10:37:11'))"
+        " AS q, toStartOfTenMinutes(toDateTime('2024-03-05 10:37:11')) AS t,"
+        " toStartOfFiveMinutes(toDateTime('2024-03-05 10:37:11')) AS f",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert str(got["q"]) == "2024-03-05 10:30:00"
+    assert str(got["t"]) == "2024-03-05 10:30:00"
+    assert str(got["f"]) == "2024-03-05 10:35:00"
+
+
+def test_nonportable_hashes_are_loud():
+    for fn in ("sipHash64", "cityHash64", "murmurHash3_64"):
+        with pytest.raises(ValueError, match="no Spark translation"):
+            translate(f"SELECT {fn}(user_id) FROM events")
