@@ -86,6 +86,8 @@ _PRIORITY: list[str] = [
     "chsql_final_sample_latest_state",
     "chsql_prewhere_totals_by_status",
     "chsql_positional_params_count",
+    # --- new round-7 operator (first green) ---
+    "leakage_safe_split",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
@@ -96,7 +98,6 @@ _PRIORITY: list[str] = [
     "embedding_neardup",
     "events_rollup_hierarchy",
     "langid_predict",
-    "media_frame_sample",
     "media_metadata",
     "merge_upsert_orders",
     "profile_events",
@@ -194,7 +195,9 @@ _PRIORITY: list[str] = [
 # late chsql additions (PREWHERE+TOTALS, positional params) the
 # token_histogram/token_count_min_sketch second-green backfills were
 # dropped — their family keeps token_count_bpeish in-window, and a
-# first green row beats a second.
+# first green row beats a second. leakage_safe_split (new round-7
+# operator) likewise displaced media_frame_sample (media family keeps
+# media_metadata in-window).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -235,3 +235,76 @@ _ORACLES["dedup_cluster_sizes"] = " ".join(
     ) s GROUP BY cluster_size
     """.split()
 )
+
+
+_SPLIT_SALT = "leakfree"
+
+
+@query("leakage_safe_split")  # oracle appended below
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the
+    near-dup CLUSTER, not the document, so a document and its near
+    copies can never straddle the eval boundary — the contamination
+    mode a doc-keyed split (docs_split_counts) cannot prevent, and a
+    standard requirement for held-out sets over crawled corpora.
+
+    Singleton documents use their own id as the cluster key; the split
+    is the engine-portable sha2 hash bucket (10% test / 10% val / 80%
+    train), so assignment is reproducible across engines and runs.
+    Plan shape: the CC closure (memoized) left-joins the documents
+    scan on doc_id — one keyed shuffle — and everything after is one
+    combinable aggregation. The leakage invariant is structural
+    (one cluster -> one hash -> one split); pytest asserts it
+    explicitly anyway.
+    """
+    from clickhouse_batcher_spark.operators.sampling import hash_bucket
+    from clickhouse_batcher_spark.tables import load_table
+
+    comps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cl"),
+        F.col("cluster_id").isNotNull().alias("clustered"),
+    )
+    b = hash_bucket("cl", 100, _SPLIT_SALT)
+    lab = full.withColumn(
+        "split",
+        F.when(b < 10, "test").when(b < 20, "val").otherwise("train"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cl").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("clustered").cast("long")).cast("bigint").alias(
+            "n_clustered_docs"
+        ),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+
+    bucket = _sql_bucket("cl", 100, _SPLIT_SALT)
+    return f"""
+    WITH comp AS ({_clusters_oracle()}),
+    full_docs AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cl,
+             (c.doc_id IS NOT NULL) AS clustered
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, cl, clustered,
+        CASE WHEN {bucket} < 10 THEN 'test'
+             WHEN {bucket} < 20 THEN 'val'
+             ELSE 'train' END AS split
+      FROM full_docs
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs
+    FROM lab GROUP BY split
+    """
+
+
+_ORACLES["leakage_safe_split"] = " ".join(_leakage_split_oracle().split())

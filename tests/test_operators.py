@@ -1996,3 +1996,37 @@ def test_semantic_dedup_matches_numpy_recompute(spark, sf_dir):
         rep = out[r["dup_of"]]
         assert rep["kept"] and rep["cell"] == r["cell"]
     corpus.unpersist()
+
+
+def test_leakage_safe_split_invariant(spark, sf_dir):
+    """No near-dup cluster may straddle a split boundary, and the
+    splits partition the documents table exactly."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.operators.cluster import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+    from clickhouse_batcher_spark.operators.sampling import hash_bucket
+    from clickhouse_batcher_spark.tables import load_table
+
+    comps = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = docs.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cl")
+    )
+    b = hash_bucket("cl", 100, "leakfree")
+    lab = full.withColumn(
+        "split",
+        F.when(b < 10, "test").when(b < 20, "val").otherwise("train"),
+    )
+    spans = (
+        lab.groupBy("cl")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    out = {r["split"]: r for r in leakage_safe_split(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    assert set(out) <= {"train", "val", "test"}
