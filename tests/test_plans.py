@@ -227,3 +227,15 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "unlisted BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_global_ranks_use_range_partitioning(spark, sf_dir):
+    """The round-7 two-level rank upgrades must stay two-level: the
+    quartile/gini rankings go through repartitionByRange (parallel),
+    and no full-data window may sit on a single-partition exchange.
+    A bounded SinglePartition exchange (the <=num_partitions offsets
+    frame) is fine; a RangePartitioning node proves the parallel path
+    is in the plan."""
+    for name in ("customer_rfm_segments", "user_activity_gini"):
+        plan = _formatted_plan(catalog.QUERIES[name](spark, sf_dir))
+        assert "rangepartitioning" in plan.lower(), name
