@@ -269,3 +269,37 @@ def test_with_global_cumsum_multi_and_null_contract(spark):
         ).collect()
     }
     assert got == {1: (0, 10), 2: (5, 10), 3: (12, 40)}
+
+
+def test_with_global_index_matches_single_window(spark):
+    """Exact equivalence with the naive single-partition row_number
+    under several partition counts, including 1 and more partitions
+    than rows, plus duplicate sort keys broken by the tiebreaker."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.functions import with_global_index
+
+    pdf = pd.DataFrame(
+        {
+            "k": [5, 1, 3, 3, 2, 2, 2, 9, 0, 7, 7, 4],
+            "uid": list(range(12)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = Window.orderBy("k", "uid")
+    want = {
+        (r["k"], r["uid"]): r["i"]
+        for r in df.select(
+            "k", "uid", (F.row_number().over(w) - 1).alias("i")
+        ).collect()
+    }
+    for nparts in (1, 3, 64):
+        got = {
+            (r["k"], r["uid"]): r["gidx"]
+            for r in with_global_index(
+                df, ["k", "uid"], index_name="gidx", num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, f"num_partitions={nparts}"
