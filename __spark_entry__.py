@@ -86,8 +86,9 @@ _PRIORITY: list[str] = [
     "chsql_final_sample_latest_state",
     "chsql_prewhere_totals_by_status",
     "chsql_positional_params_count",
-    # --- new round-7 operator (first green) ---
+    # --- new round-7 operators (first green) ---
     "leakage_safe_split",
+    "lang_token_budget_plan",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
@@ -102,7 +103,6 @@ _PRIORITY: list[str] = [
     "merge_upsert_orders",
     "profile_events",
     "range_join_orders_window",
-    "redact_docs",
     "retrieval_topk_docs",
     "similarity_topk",
     "text_stats",
@@ -195,9 +195,10 @@ _PRIORITY: list[str] = [
 # late chsql additions (PREWHERE+TOTALS, positional params) the
 # token_histogram/token_count_min_sketch second-green backfills were
 # dropped — their family keeps token_count_bpeish in-window, and a
-# first green row beats a second. leakage_safe_split (new round-7
-# operator) likewise displaced media_frame_sample (media family keeps
-# media_metadata in-window).
+# first green row beats a second. leakage_safe_split and
+# lang_token_budget_plan (new round-7 operators) likewise displaced
+# media_frame_sample and redact_docs (their families keep
+# media_metadata / text_stats + token_count_bpeish in-window).
 
 
 def _ordered(mapping: dict) -> dict:

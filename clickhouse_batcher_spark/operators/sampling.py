@@ -446,3 +446,85 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning: the sizing step BEFORE any sampling
+# runs — given target language weights and a token budget, how hard
+# must each language be up/down-sampled?
+# ---------------------------------------------------------------------------
+_PLAN_WEIGHTS = {"en": 0.40, "zh": 0.20, "es": 0.15, "de": 0.15, "fr": 0.10}
+_PLAN_BUDGET_TOKENS = 1_000_000
+
+
+def _budget_plan_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, CAST({w} AS DOUBLE) AS weight"
+        for lang, w in _PLAN_WEIGHTS.items()
+    )
+    return f"""
+    WITH w AS ({rows}),
+    avail AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(list_filter(string_split(text, ' '),
+                                          t -> t <> ''))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT a.lang, a.n_docs, a.available_tokens, w.weight,
+           CAST(round({_PLAN_BUDGET_TOKENS} * w.weight) AS BIGINT)
+             AS target_tokens,
+           round(CAST(round({_PLAN_BUDGET_TOKENS} * w.weight) AS DOUBLE)
+                 / a.available_tokens, 6) AS epochs,
+           round(LEAST(1.0,
+                 CAST(round({_PLAN_BUDGET_TOKENS} * w.weight) AS DOUBLE)
+                 / a.available_tokens), 6) AS keep_rate
+    FROM avail a JOIN w ON w.lang = a.lang
+    """
+
+
+@query("lang_token_budget_plan", oracle=_budget_plan_oracle())
+def lang_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture sizing for a fixed training token budget:
+    available whitespace tokens, the language's target share, and the
+    resulting epochs (>1 = the language must repeat) and keep_rate
+    (<1 = downsample) — the arithmetic a curriculum/mixture config is
+    generated from (the practice behind temperature_mix_sample and
+    training_mix_by_source; this op plans the constants those execute).
+
+    Scale shape: one scan with an in-row token count (split + filter,
+    whole-stage codegen), one map-side-combinable groupBy(lang), and a
+    broadcast join against the 5-row weight table. The division is
+    over exact integers on both engines; one final round(6) per the
+    float contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", " ", -1), lambda t: F.length(t) > 0)
+    )
+    avail = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("available_tokens"),
+    )
+    weights = spark.createDataFrame(
+        [(lang, float(w)) for lang, w in _PLAN_WEIGHTS.items()],
+        "w_lang STRING, weight DOUBLE",
+    )
+    target = F.round(F.lit(float(_PLAN_BUDGET_TOKENS)) * F.col("weight")).cast(
+        "bigint"
+    )
+    joined = avail.join(
+        F.broadcast(weights), F.col("lang") == F.col("w_lang")
+    ).withColumn("target_tokens", target)
+    epochs = F.col("target_tokens").cast("double") / F.col(
+        "available_tokens"
+    ).cast("double")
+    return joined.select(
+        "lang",
+        "n_docs",
+        "available_tokens",
+        "weight",
+        "target_tokens",
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.least(F.lit(1.0), epochs), 6).alias("keep_rate"),
+    )
