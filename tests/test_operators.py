@@ -2030,3 +2030,45 @@ def test_leakage_safe_split_invariant(spark, sf_dir):
     out = {r["split"]: r for r in leakage_safe_split(spark, sf_dir).collect()}
     assert sum(r["n_docs"] for r in out.values()) == docs.count()
     assert set(out) <= {"train", "val", "test"}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs (mixed chains/stars/cliques, diameters not
+    divisible by STEPS_PER_ACTION) vs an exact union-find — guards the
+    round-7 chained-steps convergence logic."""
+    import random
+
+    from clickhouse_batcher_spark.operators.cluster import connected_components
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in raw if a != b]
+        verts = sorted({v for e in edges for v in e})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict[int, list[int]] = {}
+        for v in verts:
+            groups.setdefault(find(v), []).append(v)
+        want = {}
+        for members in groups.values():
+            m = min(members)
+            for v in members:
+                want[v] = m
+        df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"seed={seed}"
