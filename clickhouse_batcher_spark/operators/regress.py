@@ -93,12 +93,19 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
     if not parts:
         raise ValueError("empty events table")
     n = sum(p["n"] for p in parts)
-    xtx = np.zeros((_P, _P), dtype=np.int64)
-    xty = np.zeros(_P, dtype=np.int64)
+    # Driver totals accumulate as PYTHON ints (object dtype): each
+    # partition's partial fits int64 by the rows/partition bound, but
+    # the cross-partition total does not — X'y rows are ~1e10, so an
+    # np.int64 accumulator wraps silently (no OverflowError) at ~1e9
+    # TOTAL rows, the same wraparound class as the y'y term below.
+    xtx = np.zeros((_P, _P), dtype=object)
+    xty = np.zeros(_P, dtype=object)
     yty = 0
     for p in parts:  # integer adds: order-independent, exact
-        xtx += np.asarray(p["xtx"], dtype=np.int64).reshape(_P, _P)
-        xty += np.asarray(p["xty"], dtype=np.int64)
+        xtx += np.asarray(
+            [int(v) for v in p["xtx"]], dtype=object
+        ).reshape(_P, _P)
+        xty += np.asarray([int(v) for v in p["xty"]], dtype=object)
         yty += int(p["yty"])
     beta6 = np.linalg.solve(xtx.astype(np.float64), xty.astype(np.float64))
     beta = beta6 / _Y_SCALE

@@ -623,6 +623,16 @@ def _sample(sql: str, sample_keys: dict[str, str] | None) -> str:
         prefix, tbl, alias, frac_s = (
             m.group(1), m.group(2), m.group(3), m.group(4),
         )
+        if re.match(r"\s+OFFSET\b", out[m.end():], re.IGNORECASE):
+            # Without this guard the SAMPLE prefix is rewritten and the
+            # dangling 'OFFSET f2' surfaces as an opaque Spark parse
+            # error instead of the module's explanatory contract.
+            raise ValueError(
+                "ClickHouse 'SAMPLE f OFFSET f2' has no Spark "
+                "translation — the offset selects a different slice of "
+                "the sampling-key hash space; shift the hash window "
+                "manually or drop OFFSET for the plain fractional form"
+            )
         # Key lookup is on the underlying TABLE name (aliased
         # references — FROM events AS e SAMPLE 0.1 — used to resolve
         # to the alias, and the suggested sample_keys={'e': ...} then
@@ -699,6 +709,14 @@ def _final(
         part = ", ".join(keys)
         src = tbl
         if frac_s is not None:
+            if re.match(r"\s+OFFSET\b", out[m.end():], re.IGNORECASE):
+                raise ValueError(
+                    "ClickHouse 'SAMPLE f OFFSET f2' has no Spark "
+                    "translation — the offset selects a different "
+                    "slice of the sampling-key hash space; shift the "
+                    "hash window manually or drop OFFSET for the "
+                    "plain fractional form"
+                )
             # combined FINAL SAMPLE: sample first (the physical-read
             # order), collapse the sampled rows to latest-per-key
             src = f"{tbl} WHERE {_sample_pred(tbl, frac_s, sample_keys)}"
@@ -1053,16 +1071,20 @@ def _url_ip_functions(out: str) -> str:
         # CH drops the leading '?' but keeps the '#' separator; with no
         # query string at all, the fragment (including '#') is returned.
         # The '?' must occur BEFORE any '#': a '?' inside the fragment
-        # ('http://x/a#f?x') is fragment text, not a query string.
+        # ('http://x/a#f?x') is fragment text, not a query string. The
+        # scan class excludes '?' itself ('^[^#?]*') so the match
+        # anchors at the FIRST '?' — with greedy '[^#]*' the regex
+        # engine backtracks to the LAST '?', truncating query strings
+        # that contain a literal '?' ('?q=1?x=2' must yield 'q=1?x=2').
         lambda a: (
-            f"coalesce(nullif(regexp_extract({a[0]}, '^[^#]*\\\\?(.*)$', 1),"
+            f"coalesce(nullif(regexp_extract({a[0]}, '^[^#?]*\\\\?(.*)$', 1),"
             f" ''), regexp_extract({a[0]}, '(#.*)$', 1))"
         ),
     )
     out = _rewrite_calls(
         out,
         "queryString",
-        lambda a: f"regexp_extract({a[0]}, '^[^#]*\\\\?([^#]*)', 1)",
+        lambda a: f"regexp_extract({a[0]}, '^[^#?]*\\\\?([^#]*)', 1)",
     )
     out = _rewrite_calls(
         out, "fragment", lambda a: f"regexp_extract({a[0]}, '#(.*)$', 1)"
@@ -1439,10 +1461,22 @@ def translate(
     out = _rewrite_curried(out, "quantileExact", "percentile")
     # approx-to-approx: same precedent as the bare quantile() mapping —
     # both sides are approximate by contract, algorithms differ
-    # (t-digest/timing vs Greenwald-Khanna), values track within the
+    # (t-digest vs Greenwald-Khanna), values track within the
     # families' own error bounds.
-    for fn in ("quantileTDigest", "quantileTiming", "quantileBFloat16"):
+    for fn in ("quantileTDigest", "quantileBFloat16"):
         out = _rewrite_curried(out, fn, "percentile_approx")
+    # quantileTiming is NOT just approx-to-approx: ClickHouse defines
+    # it only on [0, 30000] (web-timing ms) and SATURATES above —
+    # values > 30000 are counted as 30000, so its p99 of slow pages is
+    # 30000 where an unclamped percentile would report the true tail.
+    # Clamp the input to reproduce the saturation; negative input is
+    # documented undefined behavior in ClickHouse and passes through.
+    out = _rewrite_curried(
+        out,
+        "quantileTiming",
+        None,
+        fmt="percentile_approx(least({x}, 30000), {p})",
+    )
     out = _rewrite_curried(out, "quantile", "percentile_approx")
     # uniqUpTo(k)(x): exact distinct count saturating at k+1 — the
     # LEAST form is an exact translation of ClickHouse's contract.
@@ -1489,8 +1523,10 @@ def translate(
         # split literally, matching ClickHouse's char semantics.
         lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
     )
-    out = _rewrite_calls(out, "ifNull", lambda a: f"coalesce({a[0]}, {a[1]})")
-    out = _rewrite_calls(out, "assumeNotNull", lambda a: a[0])
+    # NOTE: ifNull/assumeNotNull are handled once, later, in the scalar
+    # tail — the assumeNotNull handler there parenthesizes its argument
+    # (an earlier unparenthesized duplicate here turned
+    # 'assumeNotNull(a + b) * 2' into 'a + b * 2').
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
     out = _rewrite_calls(
         out,

@@ -29,8 +29,12 @@ from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.operators.sampling import _sql_bucket
 from clickhouse_batcher_spark.tables import run_sql
 
-# ClickHouse SAMPLE hashes into a 16^4 space (plans.chsql._SAMPLE_SPACE)
-_SAMPLE_SPACE = 65536
+# Import the transpiler's own sampling space so the DuckDB oracle can
+# never desynchronize from the translated query's hash threshold (a
+# local re-hardcoded 65536 would go silently stale if the transpiler
+# ever widened its hex-prefix space).
+from clickhouse_batcher_spark.plans.chsql import _SAMPLE_SPACE  # noqa: E402
+
 _FINAL_SAMPLE_FRAC = 0.25
 _FINAL_SAMPLE_THRESH = round(_FINAL_SAMPLE_FRAC * _SAMPLE_SPACE)
 

@@ -1500,6 +1500,65 @@ def test_sample_final_space_padded_comma_list():
         translate("SELECT count() FROM orders , events FINAL")
 
 
+def test_querystring_anchors_at_first_question_mark(spark, sf_dir):
+    # A literal '?' inside a query VALUE is query-string text: CH takes
+    # everything after the FIRST '?'. Greedy '^[^#]*' backtracked to
+    # the LAST '?' and truncated ('q=1?x=2' came back as 'x=2').
+    got = run_sql(
+        spark,
+        "SELECT queryString('http://x.com/a?q=1?x=2') AS qs, "
+        "queryStringAndFragment('http://x.com/a?q=1?x=2#f') AS qsf",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["qs"] == "q=1?x=2"
+    assert got["qsf"] == "q=1?x=2#f"
+
+
+def test_assume_not_null_parenthesizes_argument(spark, sf_dir):
+    # an earlier duplicate handler emitted the bare argument, so
+    # 'assumeNotNull(a + b) * 2' silently became 'a + b * 2'
+    got = run_sql(
+        spark,
+        "SELECT assumeNotNull(1 + 2) * 2 AS v",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["v"] == 6
+
+
+def test_quantile_timing_saturates_at_30s(spark, sf_dir):
+    # ClickHouse quantileTiming is defined on [0, 30000] ms and counts
+    # larger values AS 30000; an unclamped percentile_approx reported
+    # the true tail instead of the saturated one.
+    sql = translate("SELECT quantileTiming(0.5)(v) FROM t")
+    assert "least(v, 30000)" in sql
+    got = run_sql(
+        spark,
+        "SELECT quantileTiming(1)(c) AS sat FROM "
+        "(SELECT 99999 AS c UNION ALL SELECT 10)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["sat"] == 30000
+
+
+def test_sample_offset_form_fails_loudly():
+    # 'SAMPLE f OFFSET f2' used to half-rewrite (SAMPLE consumed, the
+    # dangling OFFSET left for Spark's parser to choke on)
+    with pytest.raises(ValueError, match="OFFSET"):
+        translate(
+            "SELECT count() FROM events SAMPLE 0.1 OFFSET 0.5",
+            sample_keys={"events": "user_id"},
+        )
+    with pytest.raises(ValueError, match="OFFSET"):
+        translate(
+            "SELECT count() FROM events FINAL SAMPLE 0.25 OFFSET 0.5",
+            final_keys={"events": (("user_id",), "ts")},
+            sample_keys={"events": "user_id"},
+        )
+
+
 def test_array_reduce_uniq_skips_nulls(spark, sf_dir):
     got = run_sql(
         spark,

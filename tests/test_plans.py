@@ -204,6 +204,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "coactivity_triangle_stats",   # three 1-row aggregate frames
         "distinct_users_type_overlap",  # event-type vocab self-pairing
         "orders_ntile_quartiles",    # 1-row total-count frame
+        "customer_rfm_segments",     # 1-row customer-count frame (the
+                                     # r7 with_global_index rewrite
+                                     # broadcasts |customers| as 1 row)
         "tpch_q22_idle_customers",   # 1-row global-average frame
         "tpch_q11_important_parts",  # 1-row global-total threshold frame
         "perplexity_bucket_sample",  # 1-row doc-count frame (+ inherited
