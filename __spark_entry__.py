@@ -86,6 +86,8 @@ _PRIORITY: list[str] = [
     "chsql_final_sample_latest_state",
     "chsql_prewhere_totals_by_status",
     "chsql_positional_params_count",
+    "chsql_window_funnel_default",
+    "chsql_retention_seq_counts",
     # --- new round-7 operators (first green) ---
     "leakage_safe_split",
     "lang_token_budget_plan",
@@ -103,9 +105,7 @@ _PRIORITY: list[str] = [
     "merge_upsert_orders",
     "profile_events",
     "range_join_orders_window",
-    "retrieval_topk_docs",
     "similarity_topk",
-    "text_stats",
     "token_count_bpeish",
     "winnow_fingerprints",
     # --- r4-era single-greens ---
@@ -179,6 +179,14 @@ _PRIORITY: list[str] = [
 # completions > statistical batch > CH-aggregate/sequence family >
 # as-of/dedup/retrieval/sketch/packing. All 50 demoted round-5
 # entries keep their green driver row and pytest parity.
+#
+# Late round-7 swap: chsql_window_funnel_default and
+# chsql_retention_seq_counts (the new windowFunnel/retention/
+# sequenceCount translations, driver-gated like the other five chsql
+# entries) replace the retrieval_topk_docs/text_stats second-green
+# backfills — both demoted queries keep their r2 green row and
+# in-window family representatives (similarity_topk + bm25/hybrid
+# greens; token_count_bpeish + the quality-family greens).
 #
 # ROUND 7 rotation EXECUTED (VERDICT r6 task 2): the 48 round-6
 # entries (all green except tpch_q12, whose oracle is now CAST to

@@ -93,9 +93,20 @@ parser rather than silently misbehaving):
 - ``transform(x, [..], [..][, d])`` -> CASE chain (literal arrays only;
   the 2-arg Spark lambda form passes through — same name, unrelated
   semantics, so the lookup form is rewritten FIRST)
+- Sequence aggregates translated as pure aggregate EXPRESSIONS (no
+  query restructuring): ``retention(c1..cn)`` -> per-condition max
+  flags ANDed to the anchor; ``windowFunnel(w)(ts, c1..cn)`` ->
+  ClickHouse's own chain-start fold over the time-sorted (ts, level)
+  pairs via ``aggregate()``; ``sequenceMatch/sequenceCount('pat')(ts,
+  c1..cn)`` -> regexp over the time-ordered condition-character
+  string for the ``(?N)``/``.*``/``.`` pattern subset (``(?t...)``
+  time constraints and windowFunnel mode strings stay loud; events
+  matching 2+ sequenceMatch conditions take the FIRST — ClickHouse's
+  bitmask automaton can backtrack across overlapping conditions,
+  mutually-exclusive conditions match exactly)
 - Loud parametric-aggregate errors pointing at the first-class
-  operators: ``sumMap/minMap/maxMap/avgMap sequenceMatch sequenceCount
-  windowFunnel retention histogram groupBitmap* topK``
+  operators: ``sumMap/minMap/maxMap/avgMap histogram groupBitmap*
+  topK``
 - Table functions: ``numbers(n)`` / ``numbers(offset, n)`` ->
   ``range()`` TVF with the CH column name; ``remote/cluster/s3/url/
   file/hdfs/generateRandom`` are loud errors pointing at
@@ -279,6 +290,219 @@ def _rewrite_curried(
         pos = m.start() + len(repl)
 
 
+def _rewrite_curried_fn(
+    sql: str,
+    fname: str,
+    handler: Callable[[list[str], list[str]], str],
+) -> str:
+    """``fname(p...)(x...)`` rewritten via ``handler(p_parts,
+    x_parts)`` — the callable sibling of ``_rewrite_curried`` for
+    translations whose shape depends on the argument count (the
+    sequence aggregates build an n-condition fold/regex)."""
+    pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        p_open = out.index("(", m.start())
+        p_close = _find_matching_paren(out, p_open)
+        rest = out[p_close + 1 :].lstrip()
+        if not rest.startswith("("):
+            pos = p_close
+            continue
+        x_open = out.index("(", p_close + 1)
+        x_close = _find_matching_paren(out, x_open)
+        p_parts = _split_top_level(out[p_open + 1 : p_close])
+        x_parts = _split_top_level(out[x_open + 1 : x_close])
+        repl = handler(p_parts, x_parts)
+        out = out[: m.start()] + repl + out[x_close + 1 :]
+        pos = m.start() + len(repl)
+
+
+def _retention_expr(args: list[str]) -> str:
+    """``retention(c1, ..., cn)`` -> INT array of per-condition flags.
+
+    ClickHouse semantics (AggregateFunctionRetention): r[0] = 1 iff
+    cond1 held on any row of the group; r[i] = 1 iff cond_{i+1} held
+    on any row AND cond1 held on any row (the anchor gates every later
+    flag; conditions are NOT required to hold on the same row). That
+    is a pure aggregate expression — per-condition max flags, the
+    anchor multiplied in — so no query restructuring is needed.
+    """
+    if not args:
+        raise ValueError("retention() needs at least one condition")
+    flags = [f"max(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in args]
+    items = [f"CAST({flags[0]} AS INT)"] + [
+        f"CAST({flags[i]} * {flags[0]} AS INT)"
+        for i in range(1, len(args))
+    ]
+    return f"array({', '.join(items)})"
+
+
+def _window_funnel_expr(p_parts: list[str], x_parts: list[str]) -> str:
+    """``windowFunnel(w)(ts, c1, ..., cn)`` -> ClickHouse's own
+    chain-start fold as a single ``aggregate()`` expression.
+
+    The reference algorithm (AggregateFunctionWindowFunnel, default
+    mode) sorts the group's (timestamp, level) pairs — one pair per
+    satisfied condition, so a row matching two conditions contributes
+    two pairs — and folds: a level-1 pair (re)sets the chain start to
+    its own timestamp (a later start can only extend the window); a
+    level-k pair promotes the level-(k-1) chain start to level k when
+    it falls within ``w`` seconds of that start. Starts are never
+    cleared, and level k requires level k-1 first, so the non-null
+    state entries form a prefix whose length IS the max level reached.
+
+    The translated fold reproduces exactly that over
+    ``array_sort(flatten(collect_list(...)))`` — per-group memory is
+    the group's matching events, the same O(group) ClickHouse itself
+    holds. For the 100 TB shape where groups are huge, the windowed
+    reformulation in ``operators.chagg2.window_funnel_levels`` (next-
+    stage RANGE windows, no per-group materialization) is the scale
+    path. ``ts`` may be a DateTime or epoch seconds (both CAST to
+    TIMESTAMP); ``w`` is in seconds, compared in microseconds so
+    sub-second timestamps keep their order.
+    """
+    if len(p_parts) != 1:
+        raise ValueError(
+            "ClickHouse windowFunnel mode strings ('strict_order', "
+            "'strict_once', 'strict_increase', 'strict_dedup') have no "
+            "Spark translation — use operators.chagg2."
+            "window_funnel_levels (strict_increase shape) or drop the "
+            "mode for the default semantics"
+        )
+    if len(x_parts) < 2:
+        raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
+    w, ts, conds = p_parts[0], x_parts[0], x_parts[1:]
+    n = len(conds)
+    t = f"unix_micros(CAST({ts} AS TIMESTAMP))"
+    per_row = ", ".join(
+        f"IF({c}, named_struct('t', {t}, 'l', {i + 1}), NULL)"
+        for i, c in enumerate(conds)
+    )
+    events = (
+        f"array_sort(flatten(collect_list("
+        f"filter(array({per_row}), __wf_p -> __wf_p IS NOT NULL))))"
+    )
+    init = (
+        f"CAST(array_repeat(CAST(NULL AS BIGINT), {n}) AS ARRAY<BIGINT>)"
+    )
+    win_us = f"(CAST({w} AS BIGINT) * 1000000)"
+    step = (
+        f"(__wf_s, __wf_e) -> CASE "
+        f"WHEN __wf_e.l = 1 "
+        f"THEN concat(array(__wf_e.t), slice(__wf_s, 2, {n - 1})) "
+        f"WHEN element_at(__wf_s, __wf_e.l - 1) IS NOT NULL "
+        f"AND __wf_e.t - element_at(__wf_s, __wf_e.l - 1) <= {win_us} "
+        f"THEN concat(slice(__wf_s, 1, __wf_e.l - 1), "
+        f"array(element_at(__wf_s, __wf_e.l - 1)), "
+        f"slice(__wf_s, __wf_e.l + 1, {n} - __wf_e.l)) "
+        f"ELSE __wf_s END"
+    )
+    finish = (
+        "__wf_s -> CAST(size(filter(__wf_s, "
+        "__wf_x -> __wf_x IS NOT NULL)) AS INT)"
+    )
+    return f"aggregate({events}, {init}, {step}, {finish})"
+
+
+_SEQ_PATTERN_TOKEN = re.compile(r"\(\?(\d+)\)|\.\*|\.")
+
+
+def _sequence_regex(pattern: str, n_conds: int) -> str:
+    """ClickHouse sequenceMatch pattern -> character regex: ``(?N)``
+    becomes the N-th condition's letter, ``.*`` / ``.`` pass through.
+    ``(?t op value)`` time constraints need automaton state a regex
+    cannot carry — loud."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        m = _SEQ_PATTERN_TOKEN.match(pattern, i)
+        if not m:
+            hint = (
+                "time constraints ((?t op value)) need operators."
+                "funnel / chagg2 window logic"
+                if pattern[i:].startswith("(?t")
+                else "supported tokens are (?N), .* and ."
+            )
+            raise ValueError(
+                f"ClickHouse sequenceMatch pattern {pattern!r} has no "
+                f"Spark translation at {pattern[i:]!r} — {hint}"
+            )
+        if m.group(1) is not None:
+            k = int(m.group(1))
+            if not 1 <= k <= n_conds:
+                raise ValueError(
+                    f"sequenceMatch pattern references condition {k} "
+                    f"but only {n_conds} condition(s) were passed"
+                )
+            out.append(chr(ord("a") + k - 1))
+        else:
+            out.append(m.group(0))
+        i = m.end()
+    return "".join(out)
+
+
+def _sequence_match_expr(
+    p_parts: list[str], x_parts: list[str], count: bool = False
+) -> str:
+    """``sequenceMatch('pat')(ts, c1, ..., cn)`` -> regexp over the
+    time-ordered condition-character string (and ``sequenceCount`` ->
+    the number of leftmost non-overlapping matches, ClickHouse's own
+    counting rule).
+
+    ClickHouse skips rows matching no condition, so the string holds
+    one letter per matching row in (ts) order and the ``(?N)``/
+    ``.*``/``.`` pattern subset maps 1:1 onto an unanchored regex
+    search. Caveat: a row satisfying SEVERAL conditions contributes
+    its FIRST match's letter, while ClickHouse stores a bitmask its
+    automaton can backtrack across — with mutually-exclusive
+    conditions (the common event_type = '...' shape) the two are
+    identical; overlapping conditions may diverge and deserve the
+    first-class operators in ``operators.funnel``.
+    """
+    if len(p_parts) != 1 or not (
+        p_parts[0].startswith("'") and p_parts[0].endswith("'")
+    ):
+        raise ValueError(
+            "sequenceMatch/sequenceCount need a single string-literal "
+            "pattern — '(?1)(?2)' style"
+        )
+    if len(x_parts) < 2:
+        raise ValueError(
+            "sequenceMatch/sequenceCount need (timestamp, cond1, ...)"
+        )
+    ts, conds = x_parts[0], x_parts[1:]
+    if len(conds) > 26:
+        raise ValueError(
+            "sequenceMatch translation supports at most 26 conditions"
+        )
+    regex = _sequence_regex(p_parts[0][1:-1], len(conds))
+    t = f"unix_micros(CAST({ts} AS TIMESTAMP))"
+    chain = " ".join(
+        f"WHEN {c} THEN named_struct('t', {t}, 'c', "
+        f"'{chr(ord('a') + i)}')"
+        for i, c in enumerate(conds)
+    )
+    # collect_list drops the NULL CASE result, implementing
+    # ClickHouse's skip-undescribed-rows rule for free.
+    ev = (
+        f"concat_ws('', transform(array_sort(collect_list("
+        f"CASE {chain} END)), __sm_e -> __sm_e.c))"
+    )
+    if count:
+        return (
+            f"CAST(size(regexp_extract_all({ev}, '{regex}', 0)) "
+            f"AS BIGINT)"
+        )
+    return f"CAST(regexp_like({ev}, '{regex}') AS INT)"
+
+
 _TRUNC_UNITS = {
     "toStartOfMinute": "minute",
     "toStartOfHour": "hour",
@@ -420,24 +644,6 @@ _UNSUPPORTED = (
         "use operators.chagg.user_type_sum_map / "
         "chagg2.user_type_minmax_map shapes (explode + groupBy + "
         "map_from_entries — same result, explicit shuffle)",
-    ),
-    (
-        r"\bsequence(?:Match|Count)\s*\(",
-        "sequenceMatch/sequenceCount (event-pattern automata)",
-        "use operators.funnel (sequence_match_counts / "
-        "sequence_count_per_user — window-ordered pattern scan)",
-    ),
-    (
-        r"\bwindowFunnel\s*\(",
-        "windowFunnel",
-        "use operators.funnel.window_funnel_levels (sliding-window "
-        "funnel depth per user)",
-    ),
-    (
-        r"\bretention\s*\(",
-        "retention",
-        "use operators.cohort.user_retention_flags (first-condition "
-        "anchored flag array)",
     ),
     (
         r"\bhistogram\s*\(",
@@ -1483,6 +1689,21 @@ def translate(
     out = _rewrite_curried(
         out, "uniqUpTo", None, fmt="least(count(DISTINCT {x}), {p} + 1)"
     )
+    # Sequence aggregates: pure aggregate-expression translations (see
+    # the handlers' docstrings for the exact ClickHouse semantics each
+    # reproduces and the documented divergence caveats).
+    out = _rewrite_curried_fn(out, "windowFunnel", _window_funnel_expr)
+    out = _rewrite_curried_fn(
+        out,
+        "sequenceMatch",
+        lambda p, x: _sequence_match_expr(p, x, count=False),
+    )
+    out = _rewrite_curried_fn(
+        out,
+        "sequenceCount",
+        lambda p, x: _sequence_match_expr(p, x, count=True),
+    )
+    out = _rewrite_calls(out, "retention", _retention_expr)
     out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")
     for ch, unit in _TRUNC_UNITS.items():
         out = _rewrite_calls(

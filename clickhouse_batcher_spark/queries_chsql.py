@@ -15,7 +15,11 @@ family:
 - ``FINAL SAMPLE`` read (latest-row-per-key over a deterministic
   keyed sample),
 - ``PREWHERE`` + ``WITH TOTALS`` clause rewrites,
-- the reference's positional-parameter count (engine-side binding).
+- the reference's positional-parameter count (engine-side binding),
+- ``windowFunnel`` default-mode levels (the chain-start fold as one
+  ``aggregate()`` expression),
+- ``retention`` + ``sequenceCount`` cohort counts (flag algebra +
+  ordered-string regex).
 
 Every query here MUST route through ``run_sql(..., dialect=
 "clickhouse")`` — using the DataFrame API would defeat the gate.
@@ -246,4 +250,149 @@ def chsql_final_sample_latest_state(
         dialect="clickhouse",
         sample_keys={"events": "user_id"},
         final_keys={"events": (("user_id", "event_type"), "event_id")},
+    )
+
+
+_WF_WINDOW_S = 21600  # 6 h, matching the window_funnel_levels family
+_WF_WINDOW_US = _WF_WINDOW_S * 1_000_000
+
+
+@query(
+    "chsql_window_funnel_default",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+        CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        ELSE 3 END AS stage
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), nxt AS (
+      SELECT user_id, tsm, stage,
+        MIN(CASE WHEN stage = 2 THEN tsm END) OVER (
+          PARTITION BY user_id ORDER BY tsm
+          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n2,
+        MIN(CASE WHEN stage = 3 THEN tsm END) OVER (
+          PARTITION BY user_id ORDER BY tsm
+          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n3
+      FROM ev
+    ), s2map AS (
+      SELECT user_id, tsm, MIN(n3) AS n3
+      FROM nxt WHERE stage = 2 GROUP BY 1, 2
+    ), levels AS (
+      SELECT s.user_id,
+        CASE
+          WHEN s.n2 IS NOT NULL AND m.n3 IS NOT NULL
+               AND m.n3 - s.tsm <= {_WF_WINDOW_US} THEN 3
+          WHEN s.n2 IS NOT NULL
+               AND s.n2 - s.tsm <= {_WF_WINDOW_US} THEN 2
+          ELSE 1
+        END AS lvl
+      FROM (SELECT * FROM nxt WHERE stage = 1) s
+      LEFT JOIN s2map m ON m.user_id = s.user_id AND m.tsm = s.n2
+    ), per_user AS (
+      SELECT au.user_id, COALESCE(MAX(l.lvl), 0) AS level
+      FROM (SELECT DISTINCT user_id FROM events) au
+      LEFT JOIN levels l ON l.user_id = au.user_id
+      GROUP BY au.user_id
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY level ORDER BY level
+    """,
+)
+def chsql_window_funnel_default(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Users per deepest view -> click -> purchase level within 6 h,
+    written as ClickHouse ``windowFunnel(w)(ts, c1, c2, c3)`` (DEFAULT
+    mode — equal timestamps allowed, unlike ``window_funnel_levels``'s
+    strict_increase shape) and executed through ``translate()``.
+
+    The translation is ClickHouse's own chain-start fold as one
+    ``aggregate()`` expression over the group's time-sorted (ts,
+    level) pairs (`plans.chsql._window_funnel_expr`); the oracle is
+    the order-independent equivalent formulation — a level-k chain
+    exists iff the earliest next-stage successor chain off some
+    level-1 event completes within the window — so the two sides
+    share no code or algorithm shape. Group state is the user's
+    matching events, exactly what ClickHouse's aggregate holds.
+    """
+    return run_sql(
+        spark,
+        f"""
+        SELECT lvl AS level, count() AS n_users
+        FROM (SELECT user_id,
+                windowFunnel({_WF_WINDOW_S})(ts,
+                  event_type = 'view', event_type = 'click',
+                  event_type = 'purchase') AS lvl
+              FROM events
+              GROUP BY user_id)
+        GROUP BY lvl
+        ORDER BY lvl
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_retention_seq_counts",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+      FROM events GROUP BY user_id
+    ), seqs AS (
+      SELECT user_id,
+        string_agg(CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END,
+                   '' ORDER BY CAST(ts AS TIMESTAMP),
+                   CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END)
+          AS s
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+    )
+    SELECT CAST(SUM(pu.f1) AS BIGINT) AS n_anchor,
+           CAST(SUM(pu.f2 * pu.f1) AS BIGINT) AS n_clicked,
+           CAST(SUM(pu.f3 * pu.f1) AS BIGINT) AS n_purchased,
+           CAST(SUM(COALESCE(
+             length(regexp_extract_all(seqs.s, 'ab')), 0)) AS BIGINT)
+             AS n_view_click_chains
+    FROM pu LEFT JOIN seqs ON seqs.user_id = pu.user_id
+    """,
+)
+def chsql_retention_seq_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort retention totals plus non-overlapping view->click chain
+    counts, written as ClickHouse ``retention(c1, c2, c3)`` +
+    ``sequenceCount('(?1)(?2)')(ts, c1, c2)`` and executed through
+    ``translate()``.
+
+    retention() lowers to per-condition max flags gated by the anchor
+    (a pure aggregate expression, one shuffle); sequenceCount lowers
+    to leftmost non-overlapping regex matches over the time-ordered
+    condition-character string. arrayElement keeps ClickHouse's
+    1-based indexing through the element_at rewrite — a raw ``r[1]``
+    would silently read the SECOND element on the Spark side. The
+    oracle recomputes both from first principles (flag algebra;
+    string_agg + regexp_extract_all with the same (ts, letter)
+    tiebreak as the translated struct sort).
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT CAST(sum(arrayElement(r, 1)) AS BIGINT) AS n_anchor,
+               CAST(sum(arrayElement(r, 2)) AS BIGINT) AS n_clicked,
+               CAST(sum(arrayElement(r, 3)) AS BIGINT) AS n_purchased,
+               CAST(sum(sc) AS BIGINT) AS n_view_click_chains
+        FROM (SELECT user_id,
+                retention(event_type = 'view', event_type = 'click',
+                          event_type = 'purchase') AS r,
+                sequenceCount('(?1)(?2)')(ts,
+                  event_type = 'view', event_type = 'click') AS sc
+              FROM events GROUP BY user_id)
+        """,
+        sf_dir,
+        dialect="clickhouse",
     )

@@ -1683,9 +1683,6 @@ def test_transform_loud_errors():
     [
         ("SELECT sumMap(k, v) FROM t", "sumMap"),
         ("SELECT minMap(k, v) FROM t", "sumMap/minMap"),
-        ("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t", "sequenceMatch"),
-        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "windowFunnel"),
-        ("SELECT retention(a, b) FROM t", "retention"),
         ("SELECT histogram(10)(x) FROM t", "histogram"),
         ("SELECT groupBitmap(x) FROM t", "groupBitmap"),
     ],
@@ -1693,6 +1690,94 @@ def test_transform_loud_errors():
 def test_parametric_aggregates_are_loud(sql, construct):
     with pytest.raises(ValueError, match="no Spark translation"):
         translate(sql)
+
+
+_SEQ_FIXTURE = """
+SELECT * FROM VALUES
+  ('u1', TIMESTAMP'2024-01-01 10:00:00', 'A'),
+  ('u1', TIMESTAMP'2024-01-01 10:10:00', 'B'),
+  ('u1', TIMESTAMP'2024-01-01 10:20:00', 'C'),
+  ('u2', TIMESTAMP'2024-01-01 09:00:00', 'B'),
+  ('u2', TIMESTAMP'2024-01-01 10:00:00', 'A'),
+  ('u3', TIMESTAMP'2024-01-01 10:00:00', 'A'),
+  ('u3', TIMESTAMP'2024-01-01 12:30:00', 'B'),
+  ('u4', TIMESTAMP'2024-01-01 10:00:00', 'A'),
+  ('u4', TIMESTAMP'2024-01-01 10:00:00', 'B'),
+  ('u5', TIMESTAMP'2024-01-01 10:00:00', 'C')
+AS __seq(user_id, ts, et)
+"""
+
+
+def test_window_funnel_translates_default_mode(spark, sf_dir):
+    # hand-computed: u1 full A->B->C chain in 20 min (3); u2 has B
+    # BEFORE A (1); u3's B is 2.5 h after A, outside the 1 h window
+    # (1); u4 has A and B at the SAME ts — default mode allows equal
+    # timestamps (2); u5 never fires cond1 (0)
+    got = run_sql(
+        spark,
+        "SELECT user_id, windowFunnel(3600)(ts, et = 'A', et = 'B', "
+        f"et = 'C') AS lvl FROM ({_SEQ_FIXTURE}) GROUP BY user_id",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert {r["user_id"]: r["lvl"] for r in got} == {
+        "u1": 3, "u2": 1, "u3": 1, "u4": 2, "u5": 0,
+    }
+
+
+def test_window_funnel_mode_strings_stay_loud():
+    with pytest.raises(ValueError, match="mode strings"):
+        translate(
+            "SELECT windowFunnel(3600, 'strict_increase')(ts, a, b) "
+            "FROM t"
+        )
+
+
+def test_retention_translates(spark, sf_dir):
+    # the anchor condition gates every later flag: u1 saw A,B,C; u2
+    # saw B and A (no C); u5 never saw the anchor at all
+    got = run_sql(
+        spark,
+        "SELECT user_id, retention(et = 'A', et = 'B', et = 'C') AS r "
+        f"FROM ({_SEQ_FIXTURE}) GROUP BY user_id",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    flags = {r["user_id"]: r["r"] for r in got}
+    assert flags["u1"] == [1, 1, 1]
+    assert flags["u2"] == [1, 1, 0]
+    assert flags["u5"] == [0, 0, 0]
+
+
+def test_sequence_match_and_count_translate(spark, sf_dir):
+    # u1: A then B -> '(?1)(?2)' hits, the reversed pattern does not;
+    # u2 is the mirror; u3 has a 2.5 h gap — sequenceMatch has no
+    # window, so the pattern still hits
+    got = run_sql(
+        spark,
+        "SELECT user_id, "
+        "sequenceMatch('(?1)(?2)')(ts, et = 'A', et = 'B') AS fwd, "
+        "sequenceMatch('(?2).*(?1)')(ts, et = 'A', et = 'B') AS rev, "
+        "sequenceCount('(?1)')(ts, et = 'A', et = 'B') AS n_a "
+        f"FROM ({_SEQ_FIXTURE}) GROUP BY user_id",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    rows = {r["user_id"]: (r["fwd"], r["rev"], r["n_a"]) for r in got}
+    assert rows["u1"] == (1, 0, 1)
+    assert rows["u2"] == (0, 1, 1)
+    assert rows["u3"] == (1, 0, 1)
+    assert rows["u5"] == (0, 0, 0)
+
+
+def test_sequence_match_time_constraints_stay_loud():
+    with pytest.raises(ValueError, match="time constraints"):
+        translate(
+            "SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) "
+            "FROM t"
+        )
+    with pytest.raises(ValueError, match="condition 3"):
+        translate("SELECT sequenceMatch('(?3)')(ts, a, b) FROM t")
 
 
 # ---------------------------------------------------------------------------
