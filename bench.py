@@ -143,6 +143,11 @@ HEADLINE = [
     "events_lttb_downsample",
     "sequence_count_per_user",
     "window_funnel_levels",
+    # the transpiled windowFunnel (per-group collect_list fold) next to
+    # the native windowed formulation above — the dialect path's cost
+    # has a tracked number
+    "chsql_window_funnel_default",
+    "chsql_limit_by_top_users",
     "temperature_mix_sample",
     "events_sparkbar_hourly",
     "bpe_encode_docs",
