@@ -98,7 +98,7 @@ _PRIORITY: list[str] = [
     # --- second-green backfill: the oldest single-green queries (green
     #     only in r2), every one a family representative ---
     "doc_fingerprint",
-    "embedding_neardup",
+    "bitext_margin_mining",
     "events_rollup_hierarchy",
     "langid_predict",
     "media_metadata",
@@ -179,6 +179,11 @@ _PRIORITY: list[str] = [
 # completions > statistical batch > CH-aggregate/sequence family >
 # as-of/dedup/retrieval/sketch/packing. All 50 demoted round-5
 # entries keep their green driver row and pytest parity.
+#
+# Late round-7 swap 2: bitext_margin_mining (new operator, NumPy-
+# cross-checked + DuckDB-oracled) replaces the embedding_neardup
+# second-green backfill (green r1/r2; similarity family keeps
+# similarity_topk in-window).
 #
 # Late round-7 swap: chsql_window_funnel_default and
 # chsql_retention_seq_counts (the new windowFunnel/retention/

@@ -1115,3 +1115,155 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " kept BOOLEAN, dup_of BIGINT"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin)
+# ---------------------------------------------------------------------------
+BITEXT_KNN = 4
+BITEXT_MARGIN_THRESHOLD = 1.0  # keep pairs scoring above the k-NN mean
+
+_BITEXT_MARGIN = (
+    f"round(({2 * BITEXT_KNN} * CAST(c6 AS DOUBLE))"
+    f" / (fwd_knn6 + bwd_knn6), 6)"
+)
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH src AS (
+      SELECT vec_id AS src_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), tgt AS (
+      SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ), pairs AS (
+      SELECT src_id, tgt_id,
+        CAST(round(round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6)
+                   * 1000000) AS BIGINT) AS c6
+      FROM src CROSS JOIN tgt
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id
+                           ORDER BY c6 DESC, tgt_id) AS r_fwd,
+        row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY c6 DESC, src_id) AS r_bwd
+      FROM pairs
+    ), knn AS (
+      SELECT *,
+        SUM(CASE WHEN r_fwd <= {BITEXT_KNN} THEN c6 END)
+          OVER (PARTITION BY src_id) AS fwd_knn6,
+        SUM(CASE WHEN r_bwd <= {BITEXT_KNN} THEN c6 END)
+          OVER (PARTITION BY tgt_id) AS bwd_knn6
+      FROM ranked
+    ), scored AS (
+      SELECT src_id, tgt_id, c6, {_BITEXT_MARGIN} AS margin FROM knn
+    ), best AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id
+                           ORDER BY margin DESC, tgt_id) AS b_fwd,
+        row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY margin DESC, src_id) AS b_bwd
+      FROM scored
+    )
+    SELECT src_id, tgt_id,
+           round(c6 / 1000000.0, 6) AS cos_sim, margin
+    FROM best
+    WHERE b_fwd = 1 AND b_bwd = 1 AND margin >= {BITEXT_MARGIN_THRESHOLD}
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-pair mining over a shared embedding space with the
+    Artetxe & Schwenk (2019) ratio margin — the criterion behind the
+    CCMatrix/WikiMatrix translation-training corpora. The fixture's
+    even vec_ids stand in for the source-language corpus and odd ones
+    for the target side; a pair is mined when each vector is the
+    other's best candidate by margin and the margin clears the
+    threshold (the paper's "max" retrieval strategy).
+
+    margin(x, y) = cos(x, y) / mean(kNN_cos(x, Tgt) + kNN_cos(y, Src))
+    — raw cosine over-selects hubs (vectors close to everything);
+    dividing by the two local neighborhood densities cancels hubness.
+
+    Determinism: cosines round to 6 decimals and then live as 1e6-
+    scaled BIGINTs, so the k-NN sums are EXACT integers on both
+    engines; the margin is ONE double division of identical integers
+    (bit-stable), rounded once. Ranks break ties on the id.
+
+    Plan shape: the pair frame is shuffled by src_id (rank + k-NN
+    conditional sum share the exchange), by tgt_id, then once more per
+    mutual-best rank — all keyed, fully parallel, no driver state. At
+    test scale candidates are the exact |src| x |tgt| cross (the
+    bounded-kernel class of ``embedding_neardup``, broadcast side =
+    the smaller corpus); at 100 TB the candidate generator swaps to
+    the ANN machinery (`similarity_ann_ivf` cells / `lsh_buckets`) as
+    production miners do with FAISS, feeding the same margin algebra
+    over top-k candidate lists — the scoring never needs more than
+    each pair's cosine plus both sides' k-NN sums.
+    """
+    emb = _embeddings(spark, sf_dir)
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), _dvec("embedding").alias("qv")
+    )
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), _dvec("embedding").alias("cv")
+    )
+    pairs = (
+        F.broadcast(src)
+        .crossJoin(tgt)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                F.round(
+                    _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("c6"),
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("c6").desc(), F.col("tgt_id")
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("c6").desc(), F.col("src_id")
+    )
+    ranked = pairs.withColumn(
+        "r_fwd", F.row_number().over(w_fwd)
+    ).withColumn("r_bwd", F.row_number().over(w_bwd))
+    knn = ranked.withColumn(
+        "fwd_knn6",
+        F.sum(
+            F.when(F.col("r_fwd") <= BITEXT_KNN, F.col("c6"))
+        ).over(Window.partitionBy("src_id")),
+    ).withColumn(
+        "bwd_knn6",
+        F.sum(
+            F.when(F.col("r_bwd") <= BITEXT_KNN, F.col("c6"))
+        ).over(Window.partitionBy("tgt_id")),
+    )
+    scored = knn.select(
+        "src_id", "tgt_id", "c6", F.expr(_BITEXT_MARGIN).alias("margin")
+    )
+    b_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    b_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id")
+    )
+    best = scored.withColumn(
+        "b_fwd", F.row_number().over(b_fwd)
+    ).withColumn("b_bwd", F.row_number().over(b_bwd))
+    return best.filter(
+        (F.col("b_fwd") == 1)
+        & (F.col("b_bwd") == 1)
+        & (F.col("margin") >= BITEXT_MARGIN_THRESHOLD)
+    ).select(
+        "src_id",
+        "tgt_id",
+        F.round(F.col("c6") / 1_000_000.0, 6).alias("cos_sim"),
+        "margin",
+    )

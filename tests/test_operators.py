@@ -2072,3 +2072,75 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_bitext_margin_mining_matches_numpy(spark, sf_dir):
+    """The distributed margin miner equals a sequential NumPy
+    implementation of Artetxe & Schwenk's ratio margin (same 1e6
+    integer scaling, same tie-breaks), and the mutual-best contract
+    holds: every src/tgt id appears at most once and every margin
+    clears the threshold."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.similarity import (
+        BITEXT_KNN,
+        BITEXT_MARGIN_THRESHOLD,
+        bitext_margin_mining,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    got = {
+        (r["src_id"], r["tgt_id"]): (r["cos_sim"], r["margin"])
+        for r in bitext_margin_mining(spark, sf_dir).collect()
+    }
+    src_ids = [s for s, _ in got]
+    tgt_ids = [t for _, t in got]
+    assert len(set(src_ids)) == len(src_ids)
+    assert len(set(tgt_ids)) == len(tgt_ids)
+    assert all(m >= BITEXT_MARGIN_THRESHOLD for _, m in got.values())
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    s_mask, t_mask = ids % 2 == 0, ids % 2 == 1
+    s_ids, t_ids = ids[s_mask], ids[t_mask]
+    # identical pipeline: cosine -> round 6 -> 1e6 BIGINT
+    c6 = np.rint(np.round(X[s_mask] @ X[t_mask].T, 6) * 1e6).astype(
+        np.int64
+    )
+    k = BITEXT_KNN
+
+    def knn_sum(scores):
+        # top-k VALUES along axis 1 — the id tie-break cannot change a
+        # sum of values, so a plain value sort suffices
+        return np.sort(scores, axis=1)[:, ::-1][:, :k].sum(axis=1)
+
+    fwd = knn_sum(c6)  # per src: ids only break ties, sums are id-free
+    bwd = knn_sum(c6.T)  # per tgt
+    margin = np.round(
+        (2 * k * c6.astype(np.float64)) / (fwd[:, None] + bwd[None, :]), 6
+    )
+    # mutual best with id tie-breaks
+    def best_idx(m, other_ids):
+        out = []
+        for i in range(m.shape[0]):
+            row = m[i]
+            j = np.lexsort((other_ids, -row))[0]
+            out.append(j)
+        return np.array(out)
+
+    b_fwd = best_idx(margin, t_ids)
+    b_bwd = best_idx(margin.T, s_ids)
+    want = {}
+    for i, j in enumerate(b_fwd):
+        if b_bwd[j] == i and margin[i, j] >= BITEXT_MARGIN_THRESHOLD:
+            want[(int(s_ids[i]), int(t_ids[j]))] = (
+                round(c6[i, j] / 1e6, 6),
+                float(margin[i, j]),
+            )
+    assert got == want
