@@ -51,8 +51,13 @@ parser rather than silently misbehaving):
 - ``{name:Type}`` params         -> Spark named markers ``:name``
                                     (bind via ``run_sql(params=...)``;
                                     positional ``?`` needs no rewrite)
-- String/JSON/date/array scalars: ``lengthUTF8 position startsWith
+- String/JSON/date/array scalars: ``lengthUTF8 lowerUTF8 upperUTF8
+  position startsWith
   endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
+  visitParam{ExtractString,ExtractRaw,ExtractInt,ExtractFloat,
+  ExtractBool,Has} tuple tupleElement rand (UInt32 range)
+  toDayOfWeek (ISO Monday=1 via weekday()+1 — Spark's dayofweek is
+  Sunday=1; non-zero modes are loud)
   toStartOfQuarter toQuarter toDayOfYear toUnixTimestamp
   fromUnixTimestamp intDiv modulo isNull isNotNull arrayElement
   indexOf arrayMap arrayFilter arrayExists arrayAll arrayCount
@@ -225,6 +230,12 @@ def _sub_unquoted(pattern: re.Pattern, repl: str, out: str) -> str:
             continue
         out = out[: m.start()] + repl + out[m.end() :]
         pos = m.start() + len(repl)
+
+
+def _raise(exc: Exception) -> str:
+    """Raise from expression position (rewrite lambdas branch on the
+    argument shape and need to go loud on the untranslatable arm)."""
+    raise exc
 
 
 def _rewrite_calls(
@@ -537,10 +548,31 @@ _UNSUPPORTED = (
         "only LIMIT n BY translates; page with a row_number() window",
     ),
     (
-        r"\btopK\s*\(",
-        "topK(k)(x) (approximate heavy hitters)",
+        r"\btopK(?:Weighted)?\s*\(",
+        "topK(k)(x) / topKWeighted (approximate heavy hitters)",
         "use operators.sketch.topk_heavy_hitters (space-saving, "
-        "mergeable) or an exact count+row_number window",
+        "mergeable; has a weighted shape) or an exact count+row_number "
+        "window",
+    ),
+    (
+        r"\bdeltaSum(?:Timestamp)?\s*\(",
+        "deltaSum (block-order positive-delta sum)",
+        "the stored block order is undefined here — use "
+        "operators.chagg.delta_sum_by_type's shape (lag() OVER an "
+        "explicit ORDER BY, positive deltas summed)",
+    ),
+    (
+        r"\bboundingRatio\s*\(",
+        "boundingRatio",
+        "use operators.chagg.bounding_ratio_by_user's shape "
+        "((max_by - min_by) / (max - min) over explicit min/max "
+        "aggregates)",
+    ),
+    (
+        r"\bmaxIntersections(?:Position)?\s*\(",
+        "maxIntersections (peak concurrent intervals)",
+        "use operators.chagg.max_concurrent_intervals (sweep-line "
+        "+1/-1 boundary cumsum — exact and order-explicit)",
     ),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
     (
@@ -663,8 +695,9 @@ _UNSUPPORTED = (
     (
         r"\b(?:sipHash64|sipHash128|cityHash64|farmHash64|"
         r"farmFingerprint64|murmurHash2_32|murmurHash2_64|"
-        r"murmurHash3_32|murmurHash3_64|murmurHash3_128)\s*\(",
-        "sipHash/cityHash/farmHash/murmurHash",
+        r"murmurHash3_32|murmurHash3_64|murmurHash3_128|"
+        r"intHash32|intHash64|halfMD5|javaHash|hiveHash)\s*\(",
+        "sipHash/cityHash/farmHash/murmurHash/intHash/halfMD5",
         "no Spark builtin reproduces these exact values; for "
         "engine-portable deterministic bucketing use the sha2-prefix "
         "hash (operators.sampling.hash_bucket — identical in Spark "
@@ -1722,6 +1755,27 @@ def translate(
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
     for ch, sp in _DATE_PARTS.items():
         out = _rewrite_calls(out, ch, lambda a, s=sp: f"{s}({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "toDayOfWeek",
+        # ClickHouse (ISO, default mode 0): Monday=1..Sunday=7; Spark
+        # dayofweek: Sunday=1..Saturday=7. Spark's weekday() is
+        # Monday=0, so weekday()+1 is the exact ISO convention; the
+        # bare dayofweek mapping was a silent off-by-one on 6 of 7
+        # days. Non-default modes renumber the week — loud.
+        lambda a: (
+            f"(weekday({a[0]}) + 1)"
+            if len(a) == 1 or a[1].strip() == "0"
+            else _raise(
+                ValueError(
+                    "ClickHouse toDayOfWeek(ts, mode) has no Spark "
+                    "translation for mode != 0 — rewrite with "
+                    "weekday()/dayofweek() arithmetic for the chosen "
+                    "week start"
+                )
+            )
+        ),
+    )
     out = _rewrite_calls(out, "multiIf", _multi_if)
     out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
     out = _rewrite_calls(
@@ -1749,6 +1803,46 @@ def translate(
     # (an earlier unparenthesized duplicate here turned
     # 'assumeNotNull(a + b) * 2' into 'a + b * 2').
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
+    # Spark strings are UTF-8 native; the UTF8-suffixed case functions
+    # are the plain ones.
+    out = _rewrite_calls(out, "lowerUTF8", lambda a: f"lower({a[0]})")
+    out = _rewrite_calls(out, "upperUTF8", lambda a: f"upper({a[0]})")
+    # ClickHouse rand() is a UInt32 in [0, 2^32); Spark's rand() is a
+    # double in [0, 1) — map the range so modulo-bucketing idioms
+    # (rand() % N) keep their distribution. Both are nondeterministic.
+    out = _rewrite_calls(
+        out,
+        "rand",
+        lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)"
+        if not a
+        else _raise(
+            ValueError(
+                "ClickHouse rand(seed-ish arg) has no Spark "
+                "translation — per-call seeding differs; use rand() "
+                "or a deterministic sha2-prefix hash "
+                "(operators.sampling.hash_bucket) for replayable "
+                "sampling"
+            )
+        ),
+    )
+    # tuple(a, b) -> positional struct; tupleElement(t, N) / .name —
+    # CH numbers tuple fields from 1, so the two compose round-trip.
+    out = _rewrite_calls(
+        out,
+        "tuple",
+        lambda a: "named_struct("
+        + ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(a))
+        + ")",
+    )
+    out = _rewrite_calls(
+        out,
+        "tupleElement",
+        lambda a: (
+            f"({a[0]})._{a[1].strip()}"
+            if a[1].strip().isdigit()
+            else f"({a[0]}).{a[1].strip().strip(chr(39))}"
+        ),
+    )
     out = _rewrite_calls(
         out,
         "position",
@@ -1780,10 +1874,24 @@ def translate(
         ("JSONExtractInt", "BIGINT"),
         ("JSONExtractFloat", "DOUBLE"),
         ("JSONExtractBool", "BOOLEAN"),
+        # visitParam* is the legacy simdjson-era spelling of the same
+        # extraction family (visitParamExtractRaw == JSONExtractRaw on
+        # flat keys — the only shape the literal-key rewrite accepts)
+        ("visitParamExtractString", None),
+        ("visitParamExtractRaw", None),
+        ("visitParamExtractInt", "BIGINT"),
+        ("visitParamExtractFloat", "DOUBLE"),
+        ("visitParamExtractBool", "BOOLEAN"),
     ):
         out = _rewrite_calls(
             out, ch, lambda a, t=cast_to, n=ch: _json_extract(n, a, t)
         )
+    out = _rewrite_calls(
+        out,
+        "visitParamHas",
+        lambda a: f"({_json_extract('visitParamHas', a, None)} "
+        f"IS NOT NULL)",
+    )
     out = _rewrite_calls(
         out, "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"
     )
@@ -2316,7 +2424,10 @@ _DATE_PARTS = {
     "toYear": "year",
     "toMonth": "month",
     "toDayOfMonth": "day",
-    "toDayOfWeek": "dayofweek",
+    # toDayOfWeek is handled separately: the week-start conventions
+    # differ (ClickHouse Monday=1..Sunday=7, ISO; Spark dayofweek
+    # Sunday=1..Saturday=7) — a bare name mapping was a silent
+    # off-by-one on 6 of 7 days.
     "toHour": "hour",
     "toMinute": "minute",
     "toSecond": "second",

@@ -1692,6 +1692,59 @@ def test_parametric_aggregates_are_loud(sql, construct):
         translate(sql)
 
 
+def test_to_day_of_week_is_iso(spark, sf_dir):
+    # ClickHouse toDayOfWeek is ISO (Monday=1..Sunday=7); Spark's
+    # dayofweek is Sunday=1 — the bare name mapping was a silent
+    # off-by-one on 6 of 7 days. 2024-01-01 is a Monday.
+    got = run_sql(
+        spark,
+        "SELECT toDayOfWeek(TIMESTAMP'2024-01-01 10:00:00') AS mon, "
+        "toDayOfWeek(TIMESTAMP'2024-01-07 10:00:00') AS sun, "
+        "toDayOfWeek(TIMESTAMP'2024-01-06 10:00:00', 0) AS sat",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["mon"], got["sun"], got["sat"]) == (1, 7, 6)
+    with pytest.raises(ValueError, match="mode != 0"):
+        translate("SELECT toDayOfWeek(ts, 1) FROM t")
+
+
+def test_scalar_tail_utf8_rand_tuple_visitparam(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT lowerUTF8('AbC') AS lo, upperUTF8('AbC') AS up, "
+        "tupleElement(tuple(7, 'x'), 1) AS t1, "
+        "tupleElement(tuple(7, 'x'), 2) AS t2, "
+        "visitParamExtractString('{\"k\": \"v\"}', 'k') AS vs, "
+        "visitParamHas('{\"k\": \"v\"}', 'k') AS vh, "
+        "visitParamHas('{\"k\": \"v\"}', 'z') AS vn, "
+        "rand() AS r",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["lo"], got["up"]) == ("abc", "ABC")
+    assert (got["t1"], got["t2"]) == (7, "x")
+    assert (got["vs"], got["vh"], got["vn"]) == ("v", True, False)
+    # ClickHouse rand() range is UInt32, not [0, 1)
+    assert 0 <= got["r"] < 2**32 and isinstance(got["r"], int)
+    with pytest.raises(ValueError, match="rand"):
+        translate("SELECT rand(1) FROM t")
+
+
+def test_block_order_aggregates_are_loud():
+    for sql, frag in [
+        ("SELECT deltaSum(x) FROM t", "delta_sum_by_type"),
+        ("SELECT boundingRatio(a, b) FROM t", "bounding_ratio_by_user"),
+        ("SELECT maxIntersections(a, b) FROM t",
+         "max_concurrent_intervals"),
+        ("SELECT topKWeighted(5)(x, w) FROM t", "topk_heavy_hitters"),
+        ("SELECT intHash64(a) FROM t", "hash_bucket"),
+        ("SELECT halfMD5(s) FROM t", "hash_bucket"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
+
+
 _SEQ_FIXTURE = """
 SELECT * FROM VALUES
   ('u1', TIMESTAMP'2024-01-01 10:00:00', 'A'),
