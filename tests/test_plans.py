@@ -221,6 +221,10 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "events_sparkbar_hourly",    # 24-row hour spine x type dims
         "kmv_union_intersection",    # three 1-row estimate frames
         "dsir_importance_weights",   # 1-row corpus-totals frame
+        "bitext_margin_mining",      # broadcast = the smaller corpus:
+                                     # the documented bounded kernel
+                                     # (SCALE.md crossover ~10M vecs,
+                                     # ANN candidates beyond)
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
