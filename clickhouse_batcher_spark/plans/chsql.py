@@ -52,6 +52,10 @@ parser rather than silently misbehaving):
                                     (bind via ``run_sql(params=...)``;
                                     positional ``?`` needs no rewrite)
 - String/JSON/date/array scalars: ``lengthUTF8 lowerUTF8 upperUTF8
+  positionUTF8 base64Encode/Decode concatWithSeparator
+  substringIndex toISOWeek toYYYYMMDD[hhmmss] arrayReverseSort
+  toInterval{Year..Second} to*OrNull/to*OrZero (full numeric family)
+  uniqTheta anyHeavy quantileDeterministic
   position startsWith
   endsWith replaceAll JSONExtract{String,Raw,Int,Float,Bool}
   visitParam{ExtractString,ExtractRaw,ExtractInt,ExtractFloat,
@@ -573,6 +577,45 @@ _UNSUPPORTED = (
         "maxIntersections (peak concurrent intervals)",
         "use operators.chagg.max_concurrent_intervals (sweep-line "
         "+1/-1 boundary cumsum — exact and order-explicit)",
+    ),
+    (
+        r"\b(?:welchTTest|studentTTest|mannWhitneyUTest)\s*\(",
+        "welchTTest/studentTTest/mannWhitneyUTest",
+        "p-values need the incomplete beta/normal CDF, not SQL — use "
+        "operators.chagg2's ab_welch_ttest / ab_mann_whitney_u "
+        "(moment/rank aggregates + the closed-form tail)",
+    ),
+    (
+        r"\bexponentialMovingAverage\s*\(",
+        "exponentialMovingAverage (block-order running state)",
+        "use the events_hourly_ema shape — EMA over an explicit "
+        "ORDER BY via the closed-form pow-weighted window",
+    ),
+    (
+        r"\blargestTriangleThreeBuckets\s*\(",
+        "largestTriangleThreeBuckets",
+        "use operators.lttb.events_lttb_downsample (bucketed LTTB "
+        "with explicit time order)",
+    ),
+    (
+        r"\bsparkbar\s*\(",
+        "sparkbar",
+        "use the events_sparkbar_hourly shape (fixed-grid bins + "
+        "unicode block rendering, deterministic)",
+    ),
+    (
+        r"\btoWeek\s*\(",
+        "toWeek (mode-dependent week numbering)",
+        "default mode 0 is Sunday-start 0-53, which no Spark builtin "
+        "reproduces — use toISOWeek (-> weekofyear) or date "
+        "arithmetic for the other modes",
+    ),
+    (
+        r"\bparseDateTimeBestEffort\w*\s*\(",
+        "parseDateTimeBestEffort",
+        "multi-format sniffing diverges silently — use "
+        "to_timestamp(s, '<explicit format>') (coalesce several "
+        "formats if the input is mixed)",
     ),
     (r"\bWITH\s+FILL\b", "WITH FILL", "use the gap-fill operator (events_hourly_gapfill shape)"),
     (
@@ -1437,7 +1480,8 @@ def translate(
     out = _rewrite_calls(
         out, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})"
     )
-    for fn in ("uniqHLL12", "uniqCombined", "uniq"):
+    for fn in ("uniqHLL12", "uniqCombined64", "uniqCombined",
+               "uniqTheta", "uniq"):
         out = _rewrite_calls(
             out, fn, lambda a: f"approx_count_distinct({', '.join(a)})"
         )
@@ -1529,22 +1573,21 @@ def translate(
         out, "extractAll", lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)"
     )
     out = _rewrite_calls(out, "multiSearchAny", _multi_search_any)
-    out = _rewrite_calls(
-        out, "toInt64OrNull", lambda a: f"try_cast({a[0]} AS BIGINT)"
-    )
-    out = _rewrite_calls(
-        out, "toFloat64OrNull", lambda a: f"try_cast({a[0]} AS DOUBLE)"
-    )
-    out = _rewrite_calls(
-        out,
-        "toInt64OrZero",
-        lambda a: f"coalesce(try_cast({a[0]} AS BIGINT), CAST(0 AS BIGINT))",
-    )
-    out = _rewrite_calls(
-        out,
-        "toFloat64OrZero",
-        lambda a: f"coalesce(try_cast({a[0]} AS DOUBLE), CAST(0 AS DOUBLE))",
-    )
+    # OrNull / OrZero parsing variants across the whole numeric cast
+    # family (toInt64OrNull, toUInt32OrZero, toFloat64OrNull, ...)
+    for ch_cast, sp_type in {**_INT_CASTS, "toFloat64": "DOUBLE"}.items():
+        out = _rewrite_calls(
+            out,
+            f"{ch_cast}OrNull",
+            lambda a, t=sp_type: f"try_cast({a[0]} AS {t})",
+        )
+        out = _rewrite_calls(
+            out,
+            f"{ch_cast}OrZero",
+            lambda a, t=sp_type: (
+                f"coalesce(try_cast({a[0]} AS {t}), CAST(0 AS {t}))"
+            ),
+        )
     out = _rewrite_calls(
         out, "concatAssumeInjective", lambda a: f"concat({', '.join(a)})"
     )
@@ -1650,6 +1693,79 @@ def translate(
         "positionCaseInsensitive",
         lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
     )
+    # Spark strings are UTF-8 native and locate() counts characters —
+    # the UTF8-suffixed position variants are the plain ones.
+    out = _rewrite_calls(
+        out, "positionUTF8", lambda a: f"locate({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "positionCaseInsensitiveUTF8",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
+    out = _rewrite_calls(out, "base64Encode", lambda a: f"base64({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "base64Decode",
+        # unbase64 yields BINARY; ClickHouse returns String
+        lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    )
+    out = _rewrite_calls(
+        out,
+        "concatWithSeparator",
+        lambda a: f"concat_ws({', '.join(a)})",
+    )
+    out = _rewrite_calls(
+        out,
+        "substringIndex",
+        lambda a: f"substring_index({', '.join(a)})",
+    )
+    out = _rewrite_calls(
+        out, "toISOWeek", lambda a: f"weekofyear({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toYYYYMMDD",
+        lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)",
+    )
+    out = _rewrite_calls(
+        out,
+        "toYYYYMMDDhhmmss",
+        lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayReverseSort",
+        # plain form only: descending = reverse of ascending (Spark's
+        # array_sort puts NULLs last, reversing puts them first —
+        # matching ClickHouse, which sorts NULLs first descending)
+        lambda a: f"reverse(array_sort({a[0]}))"
+        if len(a) == 1
+        else _raise(
+            ValueError(
+                "ClickHouse arrayReverseSort(func, arr) has no direct "
+                "Spark translation — sort on the key with "
+                "array_sort(transform(...)) and reverse, or negate "
+                "the key"
+            )
+        ),
+    )
+    # interval constructors: calendar units via make_interval, clock
+    # units via make_dt_interval (both add correctly to timestamps)
+    for ch_iv, sp_iv in (
+        ("toIntervalYear", "make_interval({x})"),
+        ("toIntervalMonth", "make_interval(0, {x})"),
+        ("toIntervalWeek", "make_interval(0, 0, {x})"),
+        ("toIntervalDay", "make_dt_interval({x})"),
+        ("toIntervalHour", "make_dt_interval(0, {x})"),
+        ("toIntervalMinute", "make_dt_interval(0, 0, {x})"),
+        ("toIntervalSecond", "make_dt_interval(0, 0, 0, {x})"),
+    ):
+        out = _rewrite_calls(
+            out, ch_iv, lambda a, f=sp_iv: f.format(x=a[0])
+        )
     out = _rewrite_calls(
         out,
         "replaceRegexpAll",
@@ -1716,7 +1832,18 @@ def translate(
         None,
         fmt="percentile_approx(least({x}, 30000), {p})",
     )
+    # quantileDeterministic(p)(x, det): the determinism tag makes CH's
+    # reservoir sampling replay-stable; percentile_approx is already
+    # deterministic, so the tag drops (approx-to-approx mapping).
+    out = _rewrite_curried_fn(
+        out,
+        "quantileDeterministic",
+        lambda p, x: f"percentile_approx({x[0]}, {p[0]})",
+    )
     out = _rewrite_curried(out, "quantile", "percentile_approx")
+    # anyHeavy: approximate heavy element; mode() is the exact analog
+    # (same contract direction as quantileExact <- quantile).
+    out = _rewrite_calls(out, "anyHeavy", lambda a: f"mode({a[0]})")
     # uniqUpTo(k)(x): exact distinct count saturating at k+1 — the
     # LEAST form is an exact translation of ClickHouse's contract.
     out = _rewrite_curried(

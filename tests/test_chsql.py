@@ -1731,6 +1731,51 @@ def test_scalar_tail_utf8_rand_tuple_visitparam(spark, sf_dir):
         translate("SELECT rand(1) FROM t")
 
 
+def test_round8_scalar_batch(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT toISOWeek(TIMESTAMP'2024-01-01 10:00:00') AS w, "
+        "toYYYYMMDD(TIMESTAMP'2024-03-05 10:00:00') AS ymd, "
+        "toYYYYMMDDhhmmss(TIMESTAMP'2024-03-05 10:02:03') AS ymdhms, "
+        "arrayReverseSort(array(2, 5, 1)) AS ars, "
+        "positionUTF8('haystack', 'st') AS pos, "
+        "base64Decode(base64Encode('ab')) AS b64, "
+        "concatWithSeparator('-', 'a', 'b') AS cws, "
+        "substringIndex('a.b.c', '.', 2) AS si, "
+        "toUInt32OrNull('x') AS badint, toInt8OrZero('x') AS zint, "
+        "anyHeavy(7) AS ah, "
+        "CAST(TIMESTAMP'2024-01-31 00:00:00' + toIntervalDay(3) "
+        "     AS DATE) AS plus3d",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["w"] == 1  # 2024-01-01 is ISO week 1
+    assert got["ymd"] == 20240305 and got["ymdhms"] == 20240305100203
+    assert got["ars"] == [5, 2, 1]
+    assert got["pos"] == 4
+    assert got["b64"] == "ab" and got["cws"] == "a-b"
+    assert got["si"] == "a.b"
+    assert got["badint"] is None and got["zint"] == 0
+    assert got["ah"] == 7
+    assert str(got["plus3d"]) == "2024-02-03"
+
+
+def test_round8_louds():
+    for sql, frag in [
+        ("SELECT welchTTest(x, g) FROM t", "ab_welch_ttest"),
+        ("SELECT exponentialMovingAverage(10)(v, t2) FROM t",
+         "events_hourly_ema"),
+        ("SELECT largestTriangleThreeBuckets(100)(x, y) FROM t",
+         "lttb"),
+        ("SELECT sparkbar(9)(h, v) FROM t", "sparkbar_hourly"),
+        ("SELECT parseDateTimeBestEffort(s) FROM t", "to_timestamp"),
+        ("SELECT toWeek(ts) FROM t", "toISOWeek"),
+        ("SELECT arrayReverseSort(x -> x.a, arr) FROM t", "negate"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
+
+
 def test_block_order_aggregates_are_loud():
     for sql, frag in [
         ("SELECT deltaSum(x) FROM t", "delta_sum_by_type"),
