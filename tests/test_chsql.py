@@ -1933,3 +1933,63 @@ def test_nonportable_hashes_are_loud():
     for fn in ("sipHash64", "cityHash64", "murmurHash3_64"):
         with pytest.raises(ValueError, match="no Spark translation"):
             translate(f"SELECT {fn}(user_id) FROM events")
+
+
+def test_window_funnel_random_groups_match_reference(spark, sf_dir):
+    """Randomized check of the windowFunnel fold: 80 random event
+    groups (seeded) in ONE DataFrame vs an independent Python
+    reference that does exhaustive chain search (exists t1 <= ... <=
+    tk with tk - t1 <= W and level i at t_i) — a different algorithm
+    from the translated chain-start fold."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    n_conds, window_s = 3, 50
+    rows, want = [], {}
+    for g in range(80):
+        n_ev = rng.randint(0, 12)
+        evs = [
+            (rng.randint(0, 200), rng.randint(1, n_conds))
+            for _ in range(n_ev)
+        ]
+        rows += [(g, t, lvl) for t, lvl in evs]
+        # reference: max k such that a non-decreasing chain of levels
+        # 1..k fits in the window — brute force over event subsets
+        best = 0
+        by_level = {
+            lv: sorted(t for t, l in evs if l == lv)
+            for lv in range(1, n_conds + 1)
+        }
+        for k in range(n_conds, 0, -1):
+            found = False
+            for chain in itertools.product(
+                *(by_level[lv] for lv in range(1, k + 1))
+            ):
+                if all(
+                    chain[i] <= chain[i + 1] for i in range(k - 1)
+                ) and chain[k - 1] - chain[0] <= window_s:
+                    found = True
+                    break
+            if found:
+                best = k
+                break
+        want[g] = best
+    df = spark.createDataFrame(
+        [(g, t, lvl) for g, t, lvl in rows] or [(0, 0, 0)],
+        "g INT, t INT, lvl INT",
+    )
+    df.createOrReplaceTempView("__wf_rand")
+    got = {
+        r["g"]: r["lvl"]
+        for r in spark.sql(
+            translate(
+                f"SELECT g, windowFunnel({window_s})("
+                "CAST(timestamp_seconds(t) AS TIMESTAMP), "
+                "lvl = 1, lvl = 2, lvl = 3) AS lvl "
+                "FROM __wf_rand GROUP BY g"
+            )
+        ).collect()
+    }
+    for g, exp in want.items():
+        assert got.get(g, 0) == exp, (g, got.get(g), exp)
