@@ -604,6 +604,31 @@ _UNSUPPORTED = (
         "unicode block rendering, deterministic)",
     ),
     (
+        r"\bANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN\b",
+        "ANY JOIN (first-match join)",
+        "deduplicate the build side to one row per key first "
+        "(argMax/FINAL latest-row window or operators.merge), then "
+        "a plain join is the same thing",
+    ),
+    (
+        r"\bASOF\s+(?:LEFT\s+)?JOIN\b",
+        "ASOF JOIN",
+        "use operators.asof.asof_join (backward/forward/nearest "
+        "modes, the union-window plan)",
+    ),
+    (
+        r"\b(?:SEMI|ANTI)\s+RIGHT\s+JOIN\b",
+        "SEMI/ANTI RIGHT JOIN",
+        "Spark has no right-sided semi/anti — swap the table order "
+        "and use the LEFT SEMI/ANTI form",
+    ),
+    (
+        r"\bWITH\s+(?:\d|')",
+        "constant-expression WITH (WITH <literal> AS name)",
+        "inline the constant, or use the subquery CTE form "
+        "WITH name AS (SELECT <literal>)",
+    ),
+    (
         r"\btoWeek\s*\(",
         "toWeek (mode-dependent week numbering)",
         "default mode 0 is Sunday-start 0-53, which no Spark builtin "
@@ -1173,6 +1198,116 @@ def _array_join(sql: str) -> str:
         pos = len(head) + 1  # rescan conservatively after the head
 
 
+# ClickHouse type names -> Spark SQL types (same widths as the
+# to<Type>() cast family in _INT_CASTS — unsigned types widen).
+_CH_TYPE_NAMES = {
+    "UInt8": "INT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "UInt64": "BIGINT",
+    "Int8": "INT",
+    "Int16": "INT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "String": "STRING",
+    "FixedString": "STRING",
+    "Date": "DATE",
+    "Date32": "DATE",
+    "DateTime": "TIMESTAMP",
+    "DateTime64": "TIMESTAMP",
+    "Bool": "BOOLEAN",
+    "UUID": "STRING",
+}
+
+_SUFFIX_CAST_PAT = re.compile(
+    r"::\s*(Nullable\s*\(\s*)?("
+    + "|".join(sorted(_CH_TYPE_NAMES, key=len, reverse=True))
+    + r")(\s*\))?",
+)
+
+
+def _suffix_casts(sql: str) -> str:
+    """``x::UInt32`` / ``x::Nullable(String)`` -> ``x::BIGINT`` /
+    ``x::STRING`` (Spark columns are nullable by default, so the
+    Nullable wrapper drops). Case-sensitive on the type name, like
+    ClickHouse itself."""
+    out = sql
+    pos = 0
+    while True:
+        m = _SUFFIX_CAST_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        if bool(m.group(1)) != bool(m.group(3)):
+            pos = m.end()  # unbalanced Nullable( ... ) — not ours
+            continue
+        repl = f"::{_CH_TYPE_NAMES[m.group(2)]}"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
+def _cast_fn_form(args: list[str]) -> str:
+    """ClickHouse's 2-arg function form ``CAST(x, 'Type')`` -> the
+    standard ``CAST(x AS T)``. The 1-arg (``AS``) form and anything
+    that merely split oddly (e.g. generics) pass through unchanged."""
+    if len(args) == 2:
+        t = args[1].strip()
+        if t.startswith("'") and t.endswith("'"):
+            ch = t[1:-1].strip()
+            inner = re.fullmatch(r"Nullable\s*\(\s*(.*?)\s*\)", ch)
+            if inner:
+                ch = inner.group(1)
+            base = re.match(r"(\w+)", ch)
+            if base and base.group(1) in _CH_TYPE_NAMES:
+                sp = _CH_TYPE_NAMES[base.group(1)]
+            elif base and base.group(1).lower() == "decimal":
+                sp = ch.upper()  # Decimal(p, s) is Spark-spellable
+            else:
+                raise ValueError(
+                    f"ClickHouse CAST(x, {t}) has no Spark translation "
+                    f"for type {ch!r} — use a Spark type name in the "
+                    f"CAST(x AS T) form"
+                )
+            return f"CAST({args[0]} AS {sp})"
+    return f"CAST({', '.join(args)})"
+
+
+_DISTINCT_ON_PAT = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
+)
+
+
+def _distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (c1, c2) ... ORDER BY o`` -> the same
+    query as ``LIMIT 1 BY c1, c2`` (ClickHouse documents DISTINCT ON
+    as exactly that), reusing the LIMIT BY window machinery — which
+    also enforces the deterministic-ORDER-BY contract."""
+    m = _DISTINCT_ON_PAT.match(sql)
+    if not m:
+        if re.search(r"\bDISTINCT\s+ON\s*\(", sql, re.IGNORECASE):
+            raise ValueError(
+                "ClickHouse DISTINCT ON in a subquery has no Spark "
+                "translation here — rewrite it as ORDER BY ... "
+                "LIMIT 1 BY <cols> (top-level DISTINCT ON translates)"
+            )
+        return sql
+    open_idx = m.end() - 1
+    close_idx = _find_matching_paren(sql, open_idx)
+    cols = sql[open_idx + 1 : close_idx].strip()
+    body = "SELECT " + sql[close_idx + 1 :].lstrip()
+    ob = _top_level_search(body, r"\bORDER\s+BY\b")
+    if ob:
+        end = ob.end() + _next_clause(body[ob.end() :])
+        return f"{body[:end].rstrip()} LIMIT 1 BY {cols} {body[end:].lstrip()}".rstrip()
+    # no ORDER BY: still emit LIMIT 1 BY so _limit_by raises its
+    # explanatory determinism error
+    return f"{body.rstrip()} LIMIT 1 BY {cols}"
+
+
 def _clauses(
     sql: str,
     sample_keys: dict[str, str] | None = None,
@@ -1237,7 +1372,22 @@ def _clauses(
             ).rstrip()
         else:
             out = out[: m.start()] + "WHERE" + out[m.end() :]
-    return _with_ties(_limit_by(_named_params(out)))
+    # ClickHouse spells semi/anti joins with the qualifier first
+    # (SEMI LEFT JOIN); Spark wants LEFT SEMI JOIN — same semantics,
+    # word order only. Right-sided semi/anti and ANY/ASOF joins are
+    # loud (_UNSUPPORTED).
+    out = _sub_unquoted(
+        re.compile(r"\bSEMI\s+LEFT\s+(?:OUTER\s+)?JOIN\b", re.IGNORECASE),
+        "LEFT SEMI JOIN",
+        out,
+    )
+    out = _sub_unquoted(
+        re.compile(r"\bANTI\s+LEFT\s+(?:OUTER\s+)?JOIN\b", re.IGNORECASE),
+        "LEFT ANTI JOIN",
+        out,
+    )
+    out = _suffix_casts(out)
+    return _with_ties(_limit_by(_distinct_on(_named_params(out))))
 
 
 _CLAUSE_KW = re.compile(
@@ -1473,6 +1623,26 @@ def translate(
     # Spark lambda transforms of its own); the 2-arg lambda form passes
     # through untouched.
     out = _rewrite_calls(out, "transform", _transform_lookup)
+    # ClickHouse's 2-arg function-form CAST(x, 'Type'); the standard
+    # AS form reconstructs unchanged (FIRST, before rewrites below
+    # emit AS-form casts of their own).
+    out = _rewrite_calls(out, "CAST", _cast_fn_form)
+    # untuple(t) expands a struct into its fields; Spark spells that
+    # t.* — valid only on a (qualified) column reference, so inline
+    # struct expressions go loud instead of hitting a parse error.
+    out = _rewrite_calls(
+        out,
+        "untuple",
+        lambda a: f"{a[0].strip()}.*"
+        if re.fullmatch(r"[\w.]+", a[0].strip())
+        else _raise(
+            ValueError(
+                "ClickHouse untuple(<expression>) has no Spark "
+                "translation — alias the struct in a subquery and "
+                "untuple the column reference"
+            )
+        ),
+    )
 
     out = _rewrite_calls(
         out, "count", lambda a: "count(*)" if not a else f"count({', '.join(a)})"

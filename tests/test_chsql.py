@@ -1760,6 +1760,79 @@ def test_round8_scalar_batch(spark, sf_dir):
     assert str(got["plus3d"]) == "2024-02-03"
 
 
+def test_distinct_on_translates_as_limit_1_by(spark, sf_dir):
+    # ClickHouse documents DISTINCT ON (cols) == LIMIT 1 BY cols
+    got = run_sql(
+        spark,
+        "SELECT DISTINCT ON (user_id) user_id, value FROM events "
+        "WHERE user_id < 5 ORDER BY user_id, value DESC",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert len(got) == len({r["user_id"] for r in got})
+    base = run_sql(
+        spark,
+        "SELECT user_id, round(max(value), 6) AS value FROM events "
+        "WHERE user_id < 5 GROUP BY user_id",
+        sf_dir,
+    ).collect()
+    assert {r["user_id"]: round(r["value"], 6) for r in got} == {
+        r["user_id"]: r["value"] for r in base
+    }
+    with pytest.raises(ValueError, match="subquery"):
+        translate("SELECT (SELECT DISTINCT ON (x) x FROM u) FROM t")
+
+
+def test_semi_anti_join_word_order(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT count() AS n FROM orders "
+        "SEMI LEFT JOIN customer ON o_custkey = c_custkey",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    anti = run_sql(
+        spark,
+        "SELECT count() AS n FROM orders "
+        "ANTI LEFT JOIN customer ON o_custkey = c_custkey",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    total = run_sql(
+        spark, "SELECT count(*) AS n FROM orders", sf_dir
+    ).collect()[0]
+    assert got["n"] + anti["n"] == total["n"]
+    for bad, frag in [
+        ("SELECT a FROM t1 ANY LEFT JOIN t2 USING (a)", "deduplicate"),
+        ("SELECT a FROM t1 ASOF JOIN t2 ON t1.ts >= t2.ts",
+         "operators.asof"),
+        ("SELECT a FROM t1 SEMI RIGHT JOIN t2 USING (a)",
+         "swap the table order"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(bad)
+
+
+def test_ch_type_names_in_casts(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT '7'::UInt32 AS a, 3.9::Nullable(String) AS b, "
+        "CAST('8', 'UInt64') AS c, CAST(1, 'Bool') AS d, "
+        "untuple(tp) FROM "
+        "(SELECT tuple(5, 'y') AS tp)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (7, "3.9", 8, True)
+    assert (got["_1"], got["_2"]) == (5, "y")
+    with pytest.raises(ValueError, match="alias the struct"):
+        translate("SELECT untuple(tuple(1, 2)) FROM t")
+    with pytest.raises(ValueError, match="IPv4"):
+        translate("SELECT CAST(a, 'IPv4') FROM t")
+    with pytest.raises(ValueError, match="constant-expression WITH"):
+        translate("WITH 5 AS k SELECT k FROM t")
+
+
 def test_round8_louds():
     for sql, frag in [
         ("SELECT welchTTest(x, g) FROM t", "ab_welch_ttest"),
