@@ -259,6 +259,12 @@ def _rewrite_calls(
         open_idx = out.index("(", m.start())
         close_idx = _find_matching_paren(out, open_idx)
         inner = out[open_idx + 1 : close_idx]
+        # Rewrite nested SAME-NAME calls inner-first: the scan resumes
+        # AFTER each replacement (so self-embedding handlers like
+        # rand() -> ...rand()... cannot loop), which would otherwise
+        # silently skip a same-name call spliced in via the args
+        # (lowerUTF8(lowerUTF8(s)), CAST(CAST(s, 'T'), 'U')).
+        inner = _rewrite_calls(inner, fname, handler)
         args = _split_top_level(inner) if inner.strip() else []
         repl = handler(args)
         out = out[: m.start()] + repl + out[close_idx + 1 :]
@@ -270,39 +276,25 @@ def _rewrite_curried(
 ) -> str:
     """``fname(p)(x)`` -> ``spark_fn(x, p)`` (ClickHouse's parametric
     aggregate syntax); pass ``fmt`` with ``{x}``/``{p}`` placeholders
-    for non-positional templates."""
-    pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
-    out = sql
-    pos = 0
-    while True:
-        m = pat.search(out, pos)
-        if not m:
-            return out
-        if _in_string(out, m.start()):
-            pos = m.end()
-            continue
-        p_open = out.index("(", m.start())
-        p_close = _find_matching_paren(out, p_open)
-        rest = out[p_close + 1 :].lstrip()
-        if not rest.startswith("("):
-            pos = p_close
-            continue
-        x_open = out.index("(", p_close + 1)
-        x_close = _find_matching_paren(out, x_open)
-        p = out[p_open + 1 : p_close].strip()
-        x = out[x_open + 1 : x_close].strip()
-        # quantiles(p1, p2, ...)(x): the multi-quantile family takes an
-        # array of percentages on the Spark side.
-        p_parts = _split_top_level(p)
-        if len(p_parts) > 1:
-            p = f"array({', '.join(p_parts)})"
-        repl = (
+    for non-positional templates. Thin adapter over
+    ``_rewrite_curried_fn`` (one copy of the scan machinery)."""
+
+    def handler(p_parts: list[str], x_parts: list[str]) -> str:
+        # quantiles(p1, p2, ...)(x): the multi-quantile family takes
+        # an array of percentages on the Spark side.
+        p = (
+            f"array({', '.join(p_parts)})"
+            if len(p_parts) > 1
+            else (p_parts[0] if p_parts else "")
+        )
+        x = ", ".join(x_parts)
+        return (
             fmt.format(x=x, p=p)
             if fmt is not None
             else f"{spark_fn}({x}, {p})"
         )
-        out = out[: m.start()] + repl + out[x_close + 1 :]
-        pos = m.start() + len(repl)
+
+    return _rewrite_curried_fn(sql, fname, handler)
 
 
 def _rewrite_curried_fn(
@@ -457,6 +449,14 @@ def _sequence_regex(pattern: str, n_conds: int) -> str:
                     f"but only {n_conds} condition(s) were passed"
                 )
             out.append(chr(ord("a") + k - 1))
+        elif m.group(0) == ".*":
+            # LAZY: ClickHouse's automaton completes a chain at the
+            # earliest opportunity and sequenceCount resumes AFTER each
+            # completed chain — greedy '.*' would swallow to the last
+            # terminator and undercount ('(?1).*(?2)' over abab must
+            # count 2, not 1). Existence (sequenceMatch) is
+            # greediness-independent.
+            out.append(".*?")
         else:
             out.append(m.group(0))
         i = m.end()
@@ -1221,11 +1221,15 @@ _CH_TYPE_NAMES = {
     "UUID": "STRING",
 }
 
-_SUFFIX_CAST_PAT = re.compile(
-    r"::\s*(Nullable\s*\(\s*)?("
-    + "|".join(sorted(_CH_TYPE_NAMES, key=len, reverse=True))
-    + r")(\s*\))?",
+# Two patterns: the Nullable(...) form consumes its OWN closing paren;
+# the bare form ends at a word boundary (an optional trailing-paren
+# group would greedily eat the enclosing function's ')' —
+# 'sum(x::UInt64)' then failed the balance check and skipped the cast).
+_TYPE_ALT = "|".join(sorted(_CH_TYPE_NAMES, key=len, reverse=True))
+_SUFFIX_CAST_NULLABLE_PAT = re.compile(
+    rf"::\s*Nullable\s*\(\s*({_TYPE_ALT})\s*\)"
 )
+_SUFFIX_CAST_BARE_PAT = re.compile(rf"::\s*({_TYPE_ALT})\b")
 
 
 def _suffix_casts(sql: str) -> str:
@@ -1234,20 +1238,19 @@ def _suffix_casts(sql: str) -> str:
     Nullable wrapper drops). Case-sensitive on the type name, like
     ClickHouse itself."""
     out = sql
-    pos = 0
-    while True:
-        m = _SUFFIX_CAST_PAT.search(out, pos)
-        if not m:
-            return out
-        if _in_string(out, m.start()):
-            pos = m.end()
-            continue
-        if bool(m.group(1)) != bool(m.group(3)):
-            pos = m.end()  # unbalanced Nullable( ... ) — not ours
-            continue
-        repl = f"::{_CH_TYPE_NAMES[m.group(2)]}"
-        out = out[: m.start()] + repl + out[m.end() :]
-        pos = m.start() + len(repl)
+    for pat in (_SUFFIX_CAST_NULLABLE_PAT, _SUFFIX_CAST_BARE_PAT):
+        pos = 0
+        while True:
+            m = pat.search(out, pos)
+            if not m:
+                break
+            if _in_string(out, m.start()):
+                pos = m.end()
+                continue
+            repl = f"::{_CH_TYPE_NAMES[m.group(1)]}"
+            out = out[: m.start()] + repl + out[m.end() :]
+            pos = m.start() + len(repl)
+    return out
 
 
 def _cast_fn_form(args: list[str]) -> str:
@@ -1262,47 +1265,55 @@ def _cast_fn_form(args: list[str]) -> str:
             if inner:
                 ch = inner.group(1)
             base = re.match(r"(\w+)", ch)
-            if base and base.group(1) in _CH_TYPE_NAMES:
-                sp = _CH_TYPE_NAMES[base.group(1)]
+            if base and ch == base.group(1) and ch in _CH_TYPE_NAMES:
+                # bare names only: DateTime('UTC') would silently drop
+                # the timezone and FixedString(8) its padding — loud
+                sp = _CH_TYPE_NAMES[ch]
             elif base and base.group(1).lower() == "decimal":
                 sp = ch.upper()  # Decimal(p, s) is Spark-spellable
             else:
                 raise ValueError(
                     f"ClickHouse CAST(x, {t}) has no Spark translation "
                     f"for type {ch!r} — use a Spark type name in the "
-                    f"CAST(x AS T) form"
+                    f"CAST(x AS T) form (parameterized types like "
+                    f"DateTime('<tz>')/FixedString(n) carry semantics "
+                    f"a bare Spark type would silently drop)"
                 )
             return f"CAST({args[0]} AS {sp})"
     return f"CAST({', '.join(args)})"
-
-
-_DISTINCT_ON_PAT = re.compile(
-    r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE
-)
 
 
 def _distinct_on(sql: str) -> str:
     """``SELECT DISTINCT ON (c1, c2) ... ORDER BY o`` -> the same
     query as ``LIMIT 1 BY c1, c2`` (ClickHouse documents DISTINCT ON
     as exactly that), reusing the LIMIT BY window machinery — which
-    also enforces the deterministic-ORDER-BY contract."""
-    m = _DISTINCT_ON_PAT.match(sql)
+    also enforces the deterministic-ORDER-BY contract. Works for the
+    top-level SELECT (including after a CTE prologue); subquery
+    occurrences are loud; string-literal occurrences are left alone
+    like every other rewrite."""
+    m = _top_level_search(sql, r"\bSELECT\s+DISTINCT\s+ON\s*\(")
     if not m:
-        if re.search(r"\bDISTINCT\s+ON\s*\(", sql, re.IGNORECASE):
+        m2 = re.search(r"\bDISTINCT\s+ON\s*\(", sql, re.IGNORECASE)
+        if m2 and not _in_string(sql, m2.start()):
             raise ValueError(
                 "ClickHouse DISTINCT ON in a subquery has no Spark "
                 "translation here — rewrite it as ORDER BY ... "
                 "LIMIT 1 BY <cols> (top-level DISTINCT ON translates)"
             )
         return sql
-    open_idx = m.end() - 1
+    open_idx = m.end() - 1  # the pattern ends at the ON's paren
     close_idx = _find_matching_paren(sql, open_idx)
     cols = sql[open_idx + 1 : close_idx].strip()
-    body = "SELECT " + sql[close_idx + 1 :].lstrip()
+    body = (
+        sql[: m.start()] + "SELECT " + sql[close_idx + 1 :].lstrip()
+    )
     ob = _top_level_search(body, r"\bORDER\s+BY\b")
     if ob:
         end = ob.end() + _next_clause(body[ob.end() :])
-        return f"{body[:end].rstrip()} LIMIT 1 BY {cols} {body[end:].lstrip()}".rstrip()
+        return (
+            f"{body[:end].rstrip()} LIMIT 1 BY {cols} "
+            f"{body[end:].lstrip()}"
+        ).rstrip()
     # no ORDER BY: still emit LIMIT 1 BY so _limit_by raises its
     # explanatory determinism error
     return f"{body.rstrip()} LIMIT 1 BY {cols}"
@@ -2062,13 +2073,13 @@ def translate(
         # days. Non-default modes renumber the week — loud.
         lambda a: (
             f"(weekday({a[0]}) + 1)"
-            if len(a) == 1 or a[1].strip() == "0"
+            if len(a) == 1 or (len(a) == 2 and a[1].strip() == "0")
             else _raise(
                 ValueError(
-                    "ClickHouse toDayOfWeek(ts, mode) has no Spark "
-                    "translation for mode != 0 — rewrite with "
-                    "weekday()/dayofweek() arithmetic for the chosen "
-                    "week start"
+                    "ClickHouse toDayOfWeek(ts, mode[, tz]) has no "
+                    "Spark translation for mode != 0 or an explicit "
+                    "timezone — rewrite with weekday()/dayofweek() "
+                    "arithmetic (convert_timezone() first for the tz)"
                 )
             )
         ),
@@ -2186,8 +2197,11 @@ def translate(
     out = _rewrite_calls(
         out,
         "visitParamHas",
-        lambda a: f"({_json_extract('visitParamHas', a, None)} "
-        f"IS NOT NULL)",
+        # key PRESENCE, not value non-nullness: get_json_object
+        # returns NULL for a present-but-null value where ClickHouse
+        # returns 1, so test membership in the top-level key set
+        # (visitParam* only ever reads top-level keys).
+        lambda a: f"array_contains(json_object_keys({a[0]}), {a[1]})",
     )
     out = _rewrite_calls(
         out, "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"

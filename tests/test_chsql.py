@@ -1833,6 +1833,63 @@ def test_ch_type_names_in_casts(spark, sf_dir):
         translate("WITH 5 AS k SELECT k FROM t")
 
 
+def test_review_fixes_round8(spark, sf_dir):
+    # sequenceCount with '.*' must count non-overlapping chains
+    # LAZILY (CH resumes after each completed chain): over a,b,a,b
+    # '(?1).*(?2)' counts 2 — greedy 'a.*b' would say 1
+    got = run_sql(
+        spark,
+        "SELECT sequenceCount('(?1).*(?2)')(ts, et = 'A', et = 'B') "
+        "AS n FROM (SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 10:00:00', 'A'), "
+        "(TIMESTAMP'2024-01-01 10:01:00', 'B'), "
+        "(TIMESTAMP'2024-01-01 10:02:00', 'A'), "
+        "(TIMESTAMP'2024-01-01 10:03:00', 'B') AS t(ts, et))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["n"] == 2
+    # suffix cast directly inside a function call (the bare-form
+    # regex must not eat the enclosing ')')
+    got = run_sql(
+        spark,
+        "SELECT sum(v::UInt64) AS s FROM (SELECT '3' AS v)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["s"] == 3
+    # nested same-name calls rewrite inner-first
+    got = run_sql(
+        spark,
+        "SELECT lowerUTF8(upperUTF8('aB')) AS x, "
+        "CAST(CAST('7', 'UInt32') AS STRING) AS y, "
+        "visitParamHas('{\"k\": null}', 'k') AS kn",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["x"] == "ab" and got["y"] == "7"
+    assert got["kn"] is True  # present-but-null key EXISTS in CH
+    # DISTINCT ON: string literals untouched; CTE-prefixed top level
+    # translates
+    assert "DISTINCT ON" in translate(
+        "SELECT 'DISTINCT ON (x)' AS s FROM t"
+    )
+    got = run_sql(
+        spark,
+        "WITH c AS (SELECT 1 AS x, 'a' AS y UNION ALL "
+        "SELECT 1, 'b' UNION ALL SELECT 2, 'c') "
+        "SELECT DISTINCT ON (x) x, y FROM c ORDER BY x, y",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert sorted((r["x"], r["y"]) for r in got) == [(1, "a"), (2, "c")]
+    # timezone-bearing shapes stay loud
+    with pytest.raises(ValueError, match="timezone"):
+        translate("SELECT toDayOfWeek(ts, 0, 'Asia/Tokyo') FROM t")
+    with pytest.raises(ValueError, match="silently drop"):
+        translate("SELECT CAST(x, 'FixedString(8)') FROM t")
+
+
 def test_round8_louds():
     for sql, frag in [
         ("SELECT welchTTest(x, g) FROM t", "ab_welch_ttest"),
