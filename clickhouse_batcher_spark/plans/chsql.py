@@ -1992,6 +1992,20 @@ def translate(
             f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
         ),
     )
+    # quantileExactWeighted(p)(x, w): Spark's percentile takes a
+    # frequency argument — exact-to-exact for the integer weights
+    # ClickHouse requires (UInt weight type).
+    out = _rewrite_curried_fn(
+        out,
+        "quantileExactWeighted",
+        lambda p, x: f"percentile({x[0]}, {p[0]}, {x[1]})",
+    )
+    out = _rewrite_curried(
+        out,
+        "quantilesTiming",
+        None,
+        fmt="percentile_approx(least({x}, 30000), {p})",
+    )
     out = _rewrite_curried(out, "quantilesExact", "percentile")
     out = _rewrite_curried(out, "quantiles", "percentile_approx")
     out = _rewrite_curried(out, "quantileExact", "percentile")

@@ -1833,6 +1833,19 @@ def test_ch_type_names_in_casts(spark, sf_dir):
         translate("WITH 5 AS k SELECT k FROM t")
 
 
+def test_quantile_exact_weighted_and_plural_timing(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(v, w) AS m, "
+        "quantilesTiming(0.5, 1)(v) AS qt FROM (SELECT * FROM VALUES "
+        "(1, 1), (10, 8), (99999, 1) AS t(v, w))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["m"] == 10  # weight-8 value dominates the median
+    assert got["qt"][1] == 30000  # timing family saturates at 30 s
+
+
 def test_review_fixes_round8(spark, sf_dir):
     # sequenceCount with '.*' must count non-overlapping chains
     # LAZILY (CH resumes after each completed chain): over a,b,a,b
