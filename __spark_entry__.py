@@ -107,7 +107,7 @@ _PRIORITY: list[str] = [
     "range_join_orders_window",
     "similarity_topk",
     "token_count_bpeish",
-    "winnow_fingerprints",
+    "hard_negative_triplets",
     # --- r4-era single-greens ---
     "events_day_over_day",
     "events_hourly_interpolate",
@@ -179,6 +179,10 @@ _PRIORITY: list[str] = [
 # completions > statistical batch > CH-aggregate/sequence family >
 # as-of/dedup/retrieval/sketch/packing. All 50 demoted round-5
 # entries keep their green driver row and pytest parity.
+#
+# Late round-7 swap 3: hard_negative_triplets (new operator, DPR-style
+# triplet curation) replaces the winnow_fingerprints second-green
+# backfill (green r2; fingerprinting keeps doc_fingerprint in-window).
 #
 # Late round-7 swap 2: bitext_margin_mining (new operator, NumPy-
 # cross-checked + DuckDB-oracled) replaces the embedding_neardup

@@ -1267,3 +1267,110 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c6") / 1_000_000.0, 6).alias("cos_sim"),
         "margin",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive retrieval training
+# ---------------------------------------------------------------------------
+HARDNEG_K = 5  # negatives taken from ranks 2..K+1
+HARDNEG_MARGIN = 0.02  # negative must trail the positive by >= this
+HARDNEG_FLOOR = -1.0  # easy-negative floor (fixture is near-isotropic)
+
+
+@query(
+    "hard_negative_triplets",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ), sims AS (
+      SELECT query_id, cand_id,
+             round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6)
+               AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> cand_id
+    ), rnks AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM sims
+    ), ranked AS (
+      SELECT r.*, p.cand_id AS pos_id, p.cos_sim AS pos_cos
+      FROM rnks r
+      JOIN (SELECT query_id, cand_id, cos_sim FROM rnks WHERE rnk = 1) p
+        USING (query_id)
+    )
+    SELECT query_id, pos_id, cand_id AS neg_id,
+           pos_cos, cos_sim AS neg_cos,
+           round(pos_cos - cos_sim, 6) AS margin
+    FROM ranked
+    WHERE rnk BETWEEN 2 AND {HARDNEG_K + 1}
+      AND pos_cos - cos_sim >= {HARDNEG_MARGIN}
+      AND cos_sim >= {HARDNEG_FLOOR}
+    """,
+)
+def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query, positive, hard-negative) triplets for contrastive
+    retrieval training — the standard construction (DPR, Karpukhin et
+    al. 2020): the positive is the query's nearest neighbor, hard
+    negatives are the next ``HARDNEG_K`` ranks, dropped when they sit
+    within ``HARDNEG_MARGIN`` of the positive (likely false
+    negatives) or below the easy-negative floor. Exactly the triplet
+    curation step between similarity search and training-data export.
+
+    Determinism: cosines round to 6 decimals (the repo's float
+    contract); rank and positive selection tie-break on the candidate
+    id, so the triplet set is engine-independent. Plan shape: one
+    broadcast of the bounded query side, one candidate-per-query
+    window shuffle — at corpus scale the cross becomes the ANN
+    candidate generator feeding the same rank/margin algebra (the
+    `bitext_margin_mining` pattern).
+    """
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    w_all = Window.partitionBy("query_id")
+    ranked = (
+        sims.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("pos_cos", F.max("cos_sim").over(w_all))
+        .withColumn(
+            "pos_id",
+            F.min(
+                F.when(F.col("rnk") == 1, F.col("cand_id"))
+            ).over(w_all),
+        )
+    )
+    return ranked.filter(
+        (F.col("rnk") >= 2)
+        & (F.col("rnk") <= HARDNEG_K + 1)
+        & (F.col("pos_cos") - F.col("cos_sim") >= HARDNEG_MARGIN)
+        & (F.col("cos_sim") >= HARDNEG_FLOOR)
+    ).select(
+        "query_id",
+        "pos_id",
+        F.col("cand_id").alias("neg_id"),
+        "pos_cos",
+        F.col("cos_sim").alias("neg_cos"),
+        F.round(F.col("pos_cos") - F.col("cos_sim"), 6).alias("margin"),
+    )

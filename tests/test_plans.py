@@ -196,6 +196,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
     bnlj_ok = {
         "bm25_retrieval_topk",       # 1-row corpus-stats frame
         "similarity_topk",           # N_QUERY_VECS (10) query vectors
+        "hard_negative_triplets",    # same 10-query-vector broadcast
         "retrieval_topk_docs",       # same query-vector broadcast
         "events_hourly_gapfill",     # hour spine x type dims (bounded)
         "docs_unigram_logprob",      # 1-row vocabulary-total frame
