@@ -99,7 +99,7 @@ _PRIORITY: list[str] = [
     #     only in r2), every one a family representative ---
     "doc_fingerprint",
     "bitext_margin_mining",
-    "events_rollup_hierarchy",
+    "dedup_lines_transform",
     "langid_predict",
     "media_metadata",
     "merge_upsert_orders",
@@ -183,6 +183,9 @@ _PRIORITY: list[str] = [
 # Late round-7 swap 3: hard_negative_triplets (new operator, DPR-style
 # triplet curation) replaces the winnow_fingerprints second-green
 # backfill (green r2; fingerprinting keeps doc_fingerprint in-window).
+# Swap 4: dedup_lines_transform (the C4-style within-doc span REWRITE,
+# new) replaces events_rollup_hierarchy (green r2; the rollup family
+# keeps orders_rollup/events_cube greens and pytest parity).
 #
 # Late round-7 swap 2: bitext_margin_mining (new operator, NumPy-
 # cross-checked + DuckDB-oracled) replaces the embedding_neardup

@@ -1208,3 +1208,91 @@ def boilerplate_spans_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "span")
         .limit(TOP_BOILERPLATE)
     )
+
+
+@query(
+    "dedup_lines_transform",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM documents
+    ), spanned AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            range(0, CAST(ceil(len(ts) / {SPAN_LINE_TOKENS}.0)
+                          AS BIGINT)),
+            i -> array_to_string(
+                   ts[i * {SPAN_LINE_TOKENS} + 1 :
+                      i * {SPAN_LINE_TOKENS} + {SPAN_LINE_TOKENS}],
+                   ' ')),
+          s -> s <> '') AS spans
+      FROM toks
+    ), cleaned AS (
+      SELECT doc_id, spans,
+        list_filter(spans,
+                    (x, i) -> list_position(spans, x) = i) AS kept
+      FROM spanned
+    )
+    SELECT doc_id,
+      CAST(len(spans) AS BIGINT) AS n_spans,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      sha256(array_to_string(kept, ' ')) AS cleaned_sha256
+    FROM cleaned
+    """,
+)
+def dedup_lines_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document span dedup as a TRANSFORM (the rewrite step the
+    C4/Lee-et-al. cleanups apply, where `duplicate_line_ratio` and
+    `repeated_span_stats` only report): each document keeps the FIRST
+    occurrence of every repeated {SPAN_LINE_TOKENS}-token span, in
+    original order, and the cleaned text travels as its sha256 (the
+    repo's text-identity convention).
+
+    Keep-first-in-order dedup is a pure in-row array pipeline —
+    ``filter(spans, (x, i) -> array_position(spans, x) = i + 1)`` —
+    zero shuffles, O(spans² per doc) bounded by document length
+    (the `docs_repetition_signals` trade, documented there). Spark's
+    lambda index is 0-based where DuckDB's is 1-based; the two
+    predicates are aligned accordingly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = SPAN_LINE_TOKENS
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+        ).alias("ts"),
+    )
+    spanned = toks.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / F.lit(float(k))).cast("int")
+                    - F.lit(1),
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("ts"), i * k + 1, k), " "
+                ),
+            ),
+            lambda s: s != "",
+        ).alias("spans"),
+    )
+    cleaned = spanned.select(
+        "doc_id",
+        "spans",
+        F.filter(
+            F.col("spans"),
+            lambda x, i: F.array_position(F.col("spans"), x) == i + 1,
+        ).alias("kept"),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.sha2(F.array_join("kept", " "), 256).alias("cleaned_sha256"),
+    )
