@@ -2144,3 +2144,78 @@ def test_bitext_margin_mining_matches_numpy(spark, sf_dir):
                 float(margin[i, j]),
             )
     assert got == want
+
+
+def test_dedup_lines_transform_matches_python(spark, sf_dir):
+    """The in-row keep-first span filter equals a sequential Python
+    recompute (same tokenization, same 10-token grid), and the
+    invariants hold: n_kept <= n_spans, kept spans are unique."""
+    import hashlib
+    import math
+
+    from clickhouse_batcher_spark.operators.dedup import (
+        SPAN_LINE_TOKENS,
+        dedup_lines_transform,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["cleaned_sha256"])
+        for r in dedup_lines_transform(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        k = SPAN_LINE_TOKENS
+        spans = [
+            " ".join(ts[i * k : i * k + k])
+            for i in range(math.ceil(len(ts) / k))
+        ]
+        spans = [s for s in spans if s]
+        kept, seen = [], set()
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        sha = hashlib.sha256(" ".join(kept).encode()).hexdigest()
+        assert got[d["doc_id"]] == (len(spans), len(kept), sha), d[
+            "doc_id"
+        ]
+
+
+def test_hard_negative_triplets_contract(spark, sf_dir):
+    """Triplet invariants: one positive per query (its exact top-1
+    neighbor), negatives outside the false-negative margin, at most
+    HARDNEG_K per query, ranked strictly below the positive."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.similarity import (
+        HARDNEG_K,
+        HARDNEG_MARGIN,
+        N_QUERY_VECS,
+        hard_negative_triplets,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = hard_negative_triplets(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(X[:N_QUERY_VECS] @ X.T, 6)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, triplets in by_q.items():
+        assert len(triplets) <= HARDNEG_K
+        # the positive is the exact top-1 (id tie-break) excluding self
+        c = cos[q].copy()
+        c[q] = -np.inf
+        best = np.lexsort((ids, -c))[0]
+        for t in triplets:
+            assert t["pos_id"] == int(ids[best])
+            assert round(t["pos_cos"] - t["neg_cos"], 6) >= HARDNEG_MARGIN
+            assert t["neg_id"] != t["pos_id"] != q
