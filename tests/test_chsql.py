@@ -2136,3 +2136,67 @@ def test_window_funnel_random_groups_match_reference(spark, sf_dir):
     }
     for g, exp in want.items():
         assert got.get(g, 0) == exp, (g, got.get(g), exp)
+
+
+# Every ClickHouse-ONLY construct below must either REWRITE (string
+# changes) or go LOUD (ValueError) — silent UNCHANGED pass-through is
+# a latent Spark parse error or, worse, a silent semantic divergence
+# (the probe that found toDayOfWeek's week-start off-by-one, rand()'s
+# range mismatch, and the SAMPLE..OFFSET half-rewrite). Extend this
+# list whenever a new CH name is handled.
+_CH_ONLY_PROBES = [
+    "SELECT countIf(a > 1), sumIf(v, a), avgIf(v, a) FROM t",
+    "SELECT uniq(x), uniqExact(x), uniqTheta(x), uniqHLL12(x) FROM t",
+    "SELECT argMax(a, b), argMin(a, b), anyLast(x), anyHeavy(x) FROM t",
+    "SELECT quantile(0.5)(x), quantileExact(0.5)(x) FROM t",
+    "SELECT quantileTiming(0.9)(x), quantileExactWeighted(0.5)(x, w) FROM t",
+    "SELECT windowFunnel(60)(ts, a, b) FROM t",
+    "SELECT retention(a, b), sequenceMatch('(?1)')(ts, a) FROM t",
+    "SELECT sumMap(k, v) FROM t",
+    "SELECT topK(3)(x) FROM t",
+    "SELECT deltaSum(x) FROM t",
+    "SELECT has(arr, 1), hasAny(arr, [1]), indexOf(arr, 1) FROM t",
+    "SELECT arrayMap(x -> x, arr), arrayFilter(x -> x, arr) FROM t",
+    "SELECT arrayJoin(arr), arraySlice(arr, 1, 2) FROM t",
+    "SELECT arrayReverseSort(arr), arrayStringConcat(arr, ',') FROM t",
+    "SELECT splitByChar(',', s), splitByString(', ', s) FROM t",
+    "SELECT lengthUTF8(s), lowerUTF8(s), positionUTF8(s, 'a') FROM t",
+    "SELECT toDayOfWeek(ts), toISOWeek(ts), toWeek(ts) FROM t",
+    "SELECT toYYYYMMDD(ts), toStartOfHour(ts), toUnixTimestamp(ts) FROM t",
+    "SELECT toIntervalDay(1) + ts, addDays(ts, 1) FROM t",
+    "SELECT toUInt32(s), toUInt32OrNull(s), toInt64OrZero(s) FROM t",
+    "SELECT toDateTime(s), toDate(s), formatDateTime(ts, '%Y') FROM t",
+    "SELECT rand() FROM t",
+    "SELECT sipHash64(s), cityHash64(s), intHash64(a), halfMD5(s) FROM t",
+    "SELECT JSONExtractString(j, 'k'), visitParamHas(j, 'k') FROM t",
+    "SELECT tuple(a, b), tupleElement(tp, 1), untuple(tp) FROM t",
+    "SELECT base64Encode(s), concatWithSeparator('-', a, b) FROM t",
+    "SELECT multiIf(a, 1, 2), ifNull(a, 0), assumeNotNull(a) FROM t",
+    "SELECT empty(s), notEmpty(s), match(s, 'x'), extractAll(s, 'x') FROM t",
+    "SELECT domain(u), queryString(u), cutQueryString(u) FROM t",
+    "SELECT count() FROM t SAMPLE 0.5",
+    "SELECT count() FROM t FINAL",
+    "SELECT a FROM t ORDER BY a LIMIT 2 BY a",
+    "SELECT DISTINCT ON (a) a FROM t ORDER BY a",
+    "SELECT a FROM t1 ANY LEFT JOIN t2 USING (a)",
+    "SELECT a FROM t1 ASOF JOIN t2 ON t1.ts >= t2.ts",
+    "SELECT a FROM t PREWHERE b > 1",
+    "SELECT a, count() FROM t GROUP BY a WITH TOTALS",
+    "SELECT a::UInt32, CAST(a, 'UInt32') FROM t",
+    "SELECT * FROM numbers(10)",
+    "SELECT * FROM remote('h', db.t)",
+    "SELECT welchTTest(x, g) FROM t",
+    "SELECT exponentialMovingAverage(10)(v, t2) FROM t",
+    "SELECT parseDateTimeBestEffort(s) FROM t",
+    "SELECT histogram(5)(x) FROM t",
+    "SELECT dictGet('d', 'attr', k) FROM t",
+]
+
+
+@pytest.mark.parametrize("sql", _CH_ONLY_PROBES)
+def test_ch_only_constructs_never_pass_through(sql):
+    try:
+        out = translate(sql)
+    except ValueError:
+        return  # loud is a valid outcome
+    assert out != sql, f"silent pass-through: {sql!r}"
