@@ -541,7 +541,21 @@ _INT_CASTS = {
     "toString": "STRING",
 }
 
-_COND_AGGS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+# -If combinator -> fn(CASE WHEN cond THEN x END): every Spark
+# aggregate here ignores NULLs, which is exactly ClickHouse's
+# condition-filtered accumulation.
+_COND_AGGS = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+    "stddevPopIf": "stddev_pop",
+    "stddevSampIf": "stddev_samp",
+    "varPopIf": "var_pop",
+    "varSampIf": "var_samp",
+    "groupArrayIf": "collect_list",
+    "groupUniqArrayIf": "collect_set",
+}
 
 
 _UNSUPPORTED = (
@@ -577,6 +591,23 @@ _UNSUPPORTED = (
         "maxIntersections (peak concurrent intervals)",
         "use operators.chagg.max_concurrent_intervals (sweep-line "
         "+1/-1 boundary cumsum — exact and order-explicit)",
+    ),
+    (
+        r"\b(?:uniq\w*|sum|avg|min|max|count|quantile\w*|groupArray|"
+        r"any|argMax|argMin)(?:State|Merge|SimpleState|MergeState)"
+        r"\s*\(",
+        "-State/-Merge aggregate combinators",
+        "partial-aggregate states are engine-internal formats; use "
+        "the engine's mergeable sketch states "
+        "(operators.sketch hll_state_merge_daily shape: explicit "
+        "register arrays merged with greatest()) or re-aggregate "
+        "from the base table",
+    ),
+    (
+        r"\b\w+ForEach\s*\(",
+        "-ForEach aggregate combinator",
+        "aggregate per array POSITION by exploding with posexplode "
+        "and grouping on the position index",
     ),
     (
         r"\b(?:welchTTest|studentTTest|mannWhitneyUTest)\s*\(",
@@ -1979,6 +2010,21 @@ def translate(
             ch,
             lambda a, sp=sp: f"{sp}(CASE WHEN {a[1]} THEN {a[0]} END)",
         )
+    out = _rewrite_calls(
+        out,
+        "medianIf",
+        lambda a: f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, 0.5)",
+    )
+    # -Distinct combinator and the countDistinct alias
+    out = _rewrite_calls(
+        out, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "avgDistinct", lambda a: f"avg(DISTINCT {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "countDistinct", lambda a: f"count(DISTINCT {', '.join(a)})"
+    )
     out = _rewrite_curried(
         out,
         "groupArraySorted",

@@ -2190,6 +2190,10 @@ _CH_ONLY_PROBES = [
     "SELECT parseDateTimeBestEffort(s) FROM t",
     "SELECT histogram(5)(x) FROM t",
     "SELECT dictGet('d', 'attr', k) FROM t",
+    "SELECT sumDistinct(x), countDistinct(x) FROM t",
+    "SELECT medianIf(v, c), stddevPopIf(v, c), groupArrayIf(x, c) FROM t",
+    "SELECT uniqState(x), sumMerge(s) FROM t",
+    "SELECT sumForEach(arrs) FROM t",
 ]
 
 
@@ -2200,3 +2204,21 @@ def test_ch_only_constructs_never_pass_through(sql):
     except ValueError:
         return  # loud is a valid outcome
     assert out != sql, f"silent pass-through: {sql!r}"
+
+
+def test_combinator_families(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT sumDistinct(v) AS sd, countDistinct(v) AS cd, "
+        "medianIf(v, v > 1) AS mi, groupArrayIf(v, v > 2) AS ga "
+        "FROM (SELECT * FROM VALUES (1), (2), (2), (3) AS t(v))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["sd"] == 6 and got["cd"] == 3
+    assert got["mi"] == 2.0  # median of 2, 2, 3
+    assert sorted(got["ga"]) == [3]
+    with pytest.raises(ValueError, match="State/-Merge"):
+        translate("SELECT uniqState(x) FROM t")
+    with pytest.raises(ValueError, match="posexplode"):
+        translate("SELECT sumForEach(arrs) FROM t")
