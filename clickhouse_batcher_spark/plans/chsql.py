@@ -610,6 +610,19 @@ _UNSUPPORTED = (
         "and grouping on the position index",
     ),
     (
+        r"\bmapApply\s*\(",
+        "mapApply ((k,v) -> (k',v') tuple lambda)",
+        "Spark splits the rewrite: transform_keys / transform_values "
+        "(or map_from_entries over transform(map_entries(m), ...))",
+    ),
+    (
+        r"\barrayAUC\s*\(",
+        "arrayAUC",
+        "rank-based AUC needs an explode + rank window over the "
+        "(score, label) pairs — compose with posexplode + avg of "
+        "positive-rank identity",
+    ),
+    (
         r"\b(?:welchTTest|studentTTest|mannWhitneyUTest)\s*\(",
         "welchTTest/studentTTest/mannWhitneyUTest",
         "p-values need the incomplete beta/normal CDF, not SQL — use "
@@ -2170,6 +2183,181 @@ def translate(
     # tail — the assumeNotNull handler there parenthesizes its argument
     # (an earlier unparenthesized duplicate here turned
     # 'assumeNotNull(a + b) * 2' into 'a + b * 2').
+    # Vector distance family — the same left-to-right double folds as
+    # operators.similarity's _dot/_norm (exact, order-fixed).
+    _d0 = "CAST(0 AS DOUBLE)"
+    out = _rewrite_calls(
+        out,
+        "cosineDistance",
+        lambda a: (
+            f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__vx, __vy) -> CAST(__vx AS DOUBLE) * __vy), {_d0}, "
+            f"(__vs, __vv) -> __vs + __vv) / "
+            f"(sqrt(aggregate({a[0]}, {_d0}, "
+            f"(__vs, __vv) -> __vs + CAST(__vv AS DOUBLE) * __vv)) * "
+            f"sqrt(aggregate({a[1]}, {_d0}, "
+            f"(__vs, __vv) -> __vs + CAST(__vv AS DOUBLE) * __vv))))"
+        ),
+    )
+    for fn in ("dotProduct", "arrayDotProduct"):
+        out = _rewrite_calls(
+            out,
+            fn,
+            lambda a: (
+                f"aggregate(zip_with({a[0]}, {a[1]}, "
+                f"(__vx, __vy) -> CAST(__vx AS DOUBLE) * __vy), {_d0}, "
+                f"(__vs, __vv) -> __vs + __vv)"
+            ),
+        )
+    out = _rewrite_calls(
+        out,
+        "L2Distance",
+        lambda a: (
+            f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__vx, __vy) -> (CAST(__vx AS DOUBLE) - __vy) * "
+            f"(CAST(__vx AS DOUBLE) - __vy)), {_d0}, "
+            f"(__vs, __vv) -> __vs + __vv))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "L1Distance",
+        lambda a: (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__vx, __vy) -> abs(CAST(__vx AS DOUBLE) - __vy)), "
+            f"{_d0}, (__vs, __vv) -> __vs + __vv)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "LinfDistance",
+        lambda a: (
+            f"array_max(zip_with({a[0]}, {a[1]}, "
+            f"(__vx, __vy) -> abs(CAST(__vx AS DOUBLE) - __vy)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "L2Norm",
+        lambda a: (
+            f"sqrt(aggregate({a[0]}, {_d0}, "
+            f"(__vs, __vv) -> __vs + CAST(__vv AS DOUBLE) * __vv))"
+        ),
+    )
+    for fn in ("editDistance", "levenshteinDistance"):
+        out = _rewrite_calls(
+            out, fn, lambda a: f"levenshtein({a[0]}, {a[1]})"
+        )
+    out = _rewrite_calls(
+        out,
+        "hasToken",
+        # token-boundary containment: CH tokens are alphanumeric runs,
+        # so a literal alphanumeric needle embeds in a boundary regex
+        # verbatim (\b would wrongly treat '_' as a token character)
+        lambda a: (
+            f"regexp_like({a[0]}, '(^|[^0-9A-Za-z])"
+            f"{a[1][1:-1]}([^0-9A-Za-z]|$)')"
+            if a[1].startswith("'")
+            and a[1].endswith("'")
+            and a[1][1:-1].isalnum()
+            else _raise(
+                ValueError(
+                    "ClickHouse hasToken needs a constant alphanumeric "
+                    "token (ClickHouse itself rejects separators "
+                    "inside the needle) — use position()/contains for "
+                    "plain substring search"
+                )
+            )
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "mapContains",
+        lambda a: f"map_contains_key({a[0]}, {a[1]})",
+    )
+    out = _rewrite_calls(
+        out, "mapFilter", lambda a: f"map_filter({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "mapUpdate",
+        # m2 overrides m1 on key collisions; Spark's map_concat errors
+        # on duplicates, so drop m1's shadowed keys first
+        lambda a: (
+            f"map_concat(map_filter({a[0]}, (__mk, __mv) -> "
+            f"NOT map_contains_key({a[1]}, __mk)), {a[1]})"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPartialSort",
+        # CH sorts the first n and leaves the tail in UNSPECIFIED
+        # order — a fully sorted array is a valid refinement
+        lambda a: f"array_sort({a[1]})",
+    )
+    out = _rewrite_calls(
+        out, "arrayShuffle", lambda a: f"shuffle({a[0]})"
+    )
+    for fn, flip in (("arrayRotateLeft", False), ("arrayRotateRight", True)):
+        out = _rewrite_calls(
+            out,
+            fn,
+            lambda a, flip=flip: (
+                lambda arr, n: (
+                    f"IF(size({arr}) = 0, {arr}, concat("
+                    f"slice({arr}, pmod({n}, size({arr})) + 1, "
+                    f"size({arr}) - pmod({n}, size({arr}))), "
+                    f"slice({arr}, 1, pmod({n}, size({arr})))))"
+                )
+            )(a[0], f"(-({a[1]}))" if flip else f"({a[1]})"),
+        )
+    out = _rewrite_calls(
+        out,
+        "arrayResize",
+        lambda a: (
+            f"IF(({a[1]}) <= size({a[0]}), slice({a[0]}, 1, {a[1]}), "
+            f"concat({a[0]}, array_repeat({a[2]}, "
+            f"({a[1]}) - size({a[0]}))))"
+            if len(a) == 3
+            else _raise(
+                ValueError(
+                    "ClickHouse arrayResize(arr, n) pads with the "
+                    "element type's default, which a textual rewrite "
+                    "cannot know — pass the 3-arg form with an "
+                    "explicit fill value"
+                )
+            )
+        ),
+    )
+    out = _rewrite_calls(
+        out, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
+    )
+    out = _rewrite_calls(
+        out,
+        "dateName",
+        lambda a: (
+            f"date_format({a[1]}, 'MMMM')"
+            if a[0].strip().lower() == "'month'"
+            else f"date_format({a[1]}, 'EEEE')"
+            if a[0].strip().lower() == "'weekday'"
+            else _raise(
+                ValueError(
+                    "ClickHouse dateName translates only for 'month' "
+                    "and 'weekday' parts — numeric parts have direct "
+                    "extractors (toYear/toHour/...)"
+                )
+            )
+        ),
+    )
+    out = _rewrite_calls(out, "now64", lambda a: "current_timestamp()")
+    out = _rewrite_calls(
+        out, "nowInBlock", lambda a: "current_timestamp()"
+    )
+    out = _rewrite_calls(
+        out,
+        "timeDiff",
+        lambda a: f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))",
+    )
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
     # Spark strings are UTF-8 native; the UTF8-suffixed case functions
     # are the plain ones.

@@ -2194,6 +2194,11 @@ _CH_ONLY_PROBES = [
     "SELECT medianIf(v, c), stddevPopIf(v, c), groupArrayIf(x, c) FROM t",
     "SELECT uniqState(x), sumMerge(s) FROM t",
     "SELECT sumForEach(arrs) FROM t",
+    "SELECT L2Distance(a, b), cosineDistance(a, b), L2Norm(a) FROM t",
+    "SELECT editDistance(s1, s2), hasToken(s, 'tok') FROM t",
+    "SELECT mapContains(m, 'k'), mapUpdate(m1, m2), mapApply((k,v) -> (k,v), m) FROM t",
+    "SELECT arrayRotateLeft(arr, 2), arrayResize(arr, 5, 0), arrayAUC(s2, l) FROM t",
+    "SELECT monthName(d), timeDiff(a, b), now64() FROM t",
 ]
 
 
@@ -2222,3 +2227,46 @@ def test_combinator_families(spark, sf_dir):
         translate("SELECT uniqState(x) FROM t")
     with pytest.raises(ValueError, match="posexplode"):
         translate("SELECT sumForEach(arrs) FROM t")
+
+
+def test_vector_distance_family(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT round(L2Distance(array(1.0, 2.0), array(4.0, 6.0)), 6) AS l2, "
+        "round(L1Distance(array(1.0, 2.0), array(4.0, 6.0)), 6) AS l1, "
+        "round(LinfDistance(array(1.0, 2.0), array(4.0, 6.0)), 6) AS li, "
+        "round(dotProduct(array(1.0, 2.0), array(3.0, 4.0)), 6) AS dp, "
+        "round(L2Norm(array(3.0, 4.0)), 6) AS n2, "
+        "round(cosineDistance(array(1.0, 0.0), array(0.0, 1.0)), 6) AS cd",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["l2"], got["l1"], got["li"]) == (5.0, 7.0, 4.0)
+    assert (got["dp"], got["n2"], got["cd"]) == (11.0, 5.0, 1.0)
+
+
+def test_string_map_array_tail(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT editDistance('kitten', 'sitting') AS ed, "
+        "hasToken('a tok42 b', 'tok42') AS ht, "
+        "hasToken('atok42b', 'tok42') AS hn, "
+        "mapContains(map('k', 1), 'k') AS mc, "
+        "mapUpdate(map('a', 1, 'b', 2), map('b', 9)) AS mu, "
+        "arrayRotateLeft(array(1, 2, 3, 4), 1) AS rl, "
+        "arrayRotateRight(array(1, 2, 3, 4), 1) AS rr, "
+        "arrayResize(array(1, 2, 3), 5, 0) AS rz, "
+        "arrayResize(array(1, 2, 3), 2, 0) AS rs, "
+        "monthName(DATE'2024-03-05') AS mn, "
+        "timeDiff(TIMESTAMP'2024-01-01 00:00:00', "
+        "         TIMESTAMP'2024-01-01 00:01:30') AS td",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["ed"] == 3
+    assert got["ht"] is True and got["hn"] is False
+    assert got["mc"] is True
+    assert dict(got["mu"]) == {"a": 1, "b": 9}
+    assert got["rl"] == [2, 3, 4, 1] and got["rr"] == [4, 1, 2, 3]
+    assert got["rz"] == [1, 2, 3, 0, 0] and got["rs"] == [1, 2]
+    assert got["mn"] == "March" and got["td"] == 90
