@@ -822,6 +822,46 @@ _DD_ORACLES["dedup_keep_canonical"] = " ".join(_keep_canonical_oracle().split())
 SPAN_LINE_TOKENS = 10
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts): lowercase whitespace tokens — the ONE
+    tokenization every span-level operator shares (a drift here would
+    silently desynchronize the span queries from each other)."""
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+        ).alias("ts"),
+    )
+
+
+def _doc_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, span): the exploded nonempty ``SPAN_LINE_TOKENS``-token
+    span relation shared by ``duplicate_line_ratio`` and
+    ``boilerplate_spans_top`` (``dedup_lines_transform`` keeps spans
+    in-row — its zero-shuffle shape — but shares ``_doc_tokens``)."""
+    k = SPAN_LINE_TOKENS
+    return (
+        _doc_tokens(docs)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / k).cast("bigint") - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("ts"), F.col("i") * k + 1, k)
+            ).alias("span"),
+        )
+        .filter(F.col("span") != "")
+    )
+
+
 @query(
     "duplicate_line_ratio",
     oracle=f"""
@@ -867,32 +907,7 @@ def duplicate_line_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k = SPAN_LINE_TOKENS
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
-            "ts"
-        ),
-    )
-    spans = (
-        toks.select(
-            "doc_id",
-            "ts",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("ts") / k).cast("bigint") - 1,
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("ts"), F.col("i") * k + 1, k)
-            ).alias("span"),
-        )
-        .filter(F.col("span") != "")
-    )
+    spans = _doc_spans(docs)
     freq = spans.groupBy("span").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
     )
@@ -1172,34 +1187,9 @@ def boilerplate_spans_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``duplicate_line_ratio``; one combinable span-key aggregate, then
     TakeOrdered for the top slice (never a global sort)."""
     docs = load_table(spark, sf_dir, "documents")
-    k = SPAN_LINE_TOKENS
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
-            "ts"
-        ),
-    )
-    spans = (
-        toks.select(
-            "doc_id",
-            "ts",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("ts") / k).cast("bigint") - 1,
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("ts"), F.col("i") * k + 1, k)
-            ).alias("span"),
-        )
-        .filter(F.col("span") != "")
-    )
     return (
-        spans.groupBy("span")
+        _doc_spans(docs)
+        .groupBy("span")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
@@ -1260,13 +1250,7 @@ def dedup_lines_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     k = SPAN_LINE_TOKENS
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), r"\s+"), lambda t: t != ""
-        ).alias("ts"),
-    )
-    spanned = toks.select(
+    spanned = _doc_tokens(docs).select(
         "doc_id",
         F.filter(
             F.transform(

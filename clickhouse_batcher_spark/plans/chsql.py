@@ -593,9 +593,12 @@ _UNSUPPORTED = (
         "+1/-1 boundary cumsum — exact and order-explicit)",
     ),
     (
-        r"\b(?:uniq\w*|sum|avg|min|max|count|quantile\w*|groupArray|"
-        r"any|argMax|argMin)(?:State|Merge|SimpleState|MergeState)"
-        r"\s*\(",
+        # generic: ClickHouse appends the combinator to ANY aggregate
+        # name, so a curated prefix list leaks (groupUniqArrayState,
+        # topKState, deltaSumState all passed through silently). No
+        # Spark builtin ends in these suffixes, so the broad match is
+        # safe inside dialect translation.
+        r"\b[A-Za-z]\w*(?:State|Merge|SimpleState|MergeState)\s*\(",
         "-State/-Merge aggregate combinators",
         "partial-aggregate states are engine-internal formats; use "
         "the engine's mergeable sketch states "
@@ -2254,18 +2257,26 @@ def translate(
         # token-boundary containment: CH tokens are alphanumeric runs,
         # so a literal alphanumeric needle embeds in a boundary regex
         # verbatim (\b would wrongly treat '_' as a token character)
+        # Caveat: ClickHouse tokenizes on non-alphanumeric ASCII
+        # BYTES, so non-ASCII haystack characters are token characters
+        # there but match [^0-9A-Za-z] here — divergent only when
+        # non-ASCII text directly abuts the needle. Needles must be
+        # ASCII alphanumeric (ClickHouse itself rejects separators
+        # inside the needle; a Unicode needle would make the ASCII
+        # boundary classes wrong).
         lambda a: (
             f"regexp_like({a[0]}, '(^|[^0-9A-Za-z])"
             f"{a[1][1:-1]}([^0-9A-Za-z]|$)')"
             if a[1].startswith("'")
             and a[1].endswith("'")
+            and a[1][1:-1].isascii()
             and a[1][1:-1].isalnum()
             else _raise(
                 ValueError(
-                    "ClickHouse hasToken needs a constant alphanumeric "
-                    "token (ClickHouse itself rejects separators "
-                    "inside the needle) — use position()/contains for "
-                    "plain substring search"
+                    "ClickHouse hasToken needs a constant ASCII "
+                    "alphanumeric token (ClickHouse itself rejects "
+                    "separators inside the needle) — use "
+                    "position()/contains for plain substring search"
                 )
             )
         ),
@@ -2292,11 +2303,35 @@ def translate(
         out,
         "arrayPartialSort",
         # CH sorts the first n and leaves the tail in UNSPECIFIED
-        # order — a fully sorted array is a valid refinement
-        lambda a: f"array_sort({a[1]})",
+        # order — a fully sorted array is a valid refinement. Only the
+        # (limit, arr) form translates; the keyed lambda form needs
+        # the arrayReverseSort treatment (sort a transformed key).
+        lambda a: f"array_sort({a[1]})"
+        if len(a) == 2
+        else _raise(
+            ValueError(
+                "ClickHouse arrayPartialSort(func, limit, arr) has no "
+                "direct Spark translation — sort on the key with "
+                "array_sort(transform(...)) or negate the key"
+            )
+        ),
     )
     out = _rewrite_calls(
-        out, "arrayShuffle", lambda a: f"shuffle({a[0]})"
+        out,
+        "arrayShuffle",
+        # the seeded form is deterministic in ClickHouse; Spark's
+        # shuffle() takes no seed, so translating it would silently
+        # lose replayability
+        lambda a: f"shuffle({a[0]})"
+        if len(a) == 1
+        else _raise(
+            ValueError(
+                "ClickHouse arrayShuffle(arr, seed) has no Spark "
+                "translation — shuffle() is unseeded; for a "
+                "deterministic permutation sort by a keyed hash "
+                "(array_sort over sha2(concat(seed, element)))"
+            )
+        ),
     )
     for fn, flip in (("arrayRotateLeft", False), ("arrayRotateRight", True)):
         out = _rewrite_calls(
@@ -2314,10 +2349,21 @@ def translate(
     out = _rewrite_calls(
         out,
         "arrayResize",
+        # negative n resizes from the LEFT in ClickHouse (truncate the
+        # front / pad at the front) — both signs handled so a runtime
+        # negative cannot hit slice's length-must-be-positive error
         lambda a: (
-            f"IF(({a[1]}) <= size({a[0]}), slice({a[0]}, 1, {a[1]}), "
-            f"concat({a[0]}, array_repeat({a[2]}, "
-            f"({a[1]}) - size({a[0]}))))"
+            (
+                f"IF(({a[1]}) >= 0, "
+                f"IF(({a[1]}) <= size({a[0]}), "
+                f"slice({a[0]}, 1, {a[1]}), "
+                f"concat({a[0]}, array_repeat({a[2]}, "
+                f"({a[1]}) - size({a[0]})))), "
+                f"IF(-({a[1]}) <= size({a[0]}), "
+                f"slice({a[0]}, size({a[0]}) + ({a[1]}) + 1, -({a[1]})), "
+                f"concat(array_repeat({a[2]}, "
+                f"-({a[1]}) - size({a[0]})), {a[0]})))"
+            )
             if len(a) == 3
             else _raise(
                 ValueError(
@@ -2335,16 +2381,19 @@ def translate(
     out = _rewrite_calls(
         out,
         "dateName",
+        # the optional 3rd timezone arg shifts which month/day the
+        # instant falls in — dropping it would be a silent divergence
         lambda a: (
             f"date_format({a[1]}, 'MMMM')"
-            if a[0].strip().lower() == "'month'"
+            if len(a) == 2 and a[0].strip().lower() == "'month'"
             else f"date_format({a[1]}, 'EEEE')"
-            if a[0].strip().lower() == "'weekday'"
+            if len(a) == 2 and a[0].strip().lower() == "'weekday'"
             else _raise(
                 ValueError(
-                    "ClickHouse dateName translates only for 'month' "
-                    "and 'weekday' parts — numeric parts have direct "
-                    "extractors (toYear/toHour/...)"
+                    "ClickHouse dateName translates only the 2-arg "
+                    "'month'/'weekday' forms — numeric parts have "
+                    "direct extractors (toYear/toHour/...), and the "
+                    "timezone form needs convert_timezone() first"
                 )
             )
         ),

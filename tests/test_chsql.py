@@ -2257,6 +2257,8 @@ def test_string_map_array_tail(spark, sf_dir):
         "arrayRotateRight(array(1, 2, 3, 4), 1) AS rr, "
         "arrayResize(array(1, 2, 3), 5, 0) AS rz, "
         "arrayResize(array(1, 2, 3), 2, 0) AS rs, "
+        "arrayResize(array(1, 2, 3), -2, 0) AS rneg, "
+        "arrayResize(array(1, 2, 3), -5, 9) AS rpadl, "
         "monthName(DATE'2024-03-05') AS mn, "
         "timeDiff(TIMESTAMP'2024-01-01 00:00:00', "
         "         TIMESTAMP'2024-01-01 00:01:30') AS td",
@@ -2269,4 +2271,6 @@ def test_string_map_array_tail(spark, sf_dir):
     assert dict(got["mu"]) == {"a": 1, "b": 9}
     assert got["rl"] == [2, 3, 4, 1] and got["rr"] == [4, 1, 2, 3]
     assert got["rz"] == [1, 2, 3, 0, 0] and got["rs"] == [1, 2]
+    # negative n resizes from the LEFT (ClickHouse semantics)
+    assert got["rneg"] == [2, 3] and got["rpadl"] == [9, 9, 1, 2, 3]
     assert got["mn"] == "March" and got["td"] == 90

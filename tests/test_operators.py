@@ -2218,4 +2218,6 @@ def test_hard_negative_triplets_contract(spark, sf_dir):
         for t in triplets:
             assert t["pos_id"] == int(ids[best])
             assert round(t["pos_cos"] - t["neg_cos"], 6) >= HARDNEG_MARGIN
-            assert t["neg_id"] != t["pos_id"] != q
+            # query, positive, and negative are three DISTINCT vectors
+            # (a chained != would skip the neg != query comparison)
+            assert len({t["neg_id"], t["pos_id"], q}) == 3
