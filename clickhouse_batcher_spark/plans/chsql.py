@@ -375,13 +375,22 @@ def _window_funnel_expr(p_parts: list[str], x_parts: list[str]) -> str:
     TIMESTAMP); ``w`` is in seconds, compared in microseconds so
     sub-second timestamps keep their order.
     """
-    if len(p_parts) != 1:
+    strict_increase = False
+    if len(p_parts) == 2 and p_parts[1].strip().strip("'") == (
+        "strict_increase"
+    ):
+        # strict_increase: each chain event's timestamp must STRICTLY
+        # exceed the previous chain event's — ClickHouse tracks it
+        # with the same greedy pair state ((chain start, last event
+        # ts)) this fold carries for both modes.
+        strict_increase = True
+    elif len(p_parts) != 1:
         raise ValueError(
             "ClickHouse windowFunnel mode strings ('strict_order', "
-            "'strict_once', 'strict_increase', 'strict_dedup') have no "
-            "Spark translation — use operators.chagg2."
-            "window_funnel_levels (strict_increase shape) or drop the "
-            "mode for the default semantics"
+            "'strict_once', 'strict_dedup') have no Spark translation "
+            "— only the default and 'strict_increase' modes do; "
+            "operators.chagg2.window_funnel_levels is the windowed "
+            "strict_increase operator"
         )
     if len(x_parts) < 2:
         raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
@@ -396,18 +405,32 @@ def _window_funnel_expr(p_parts: list[str], x_parts: list[str]) -> str:
         f"array_sort(flatten(collect_list("
         f"filter(array({per_row}), __wf_p -> __wf_p IS NOT NULL))))"
     )
+    # state[i] = (s: chain start ts, l: last chain event ts) for the
+    # greedy chain at level i+1 — exactly ClickHouse's
+    # events_timestamp pair; NULL = level not reached.
+    st = "STRUCT<s: BIGINT, l: BIGINT>"
     init = (
-        f"CAST(array_repeat(CAST(NULL AS BIGINT), {n}) AS ARRAY<BIGINT>)"
+        f"CAST(array_repeat(CAST(NULL AS {st}), {n}) "
+        f"AS ARRAY<{st}>)"
     )
     win_us = f"(CAST({w} AS BIGINT) * 1000000)"
+    strict_cond = (
+        f"AND __wf_e.t > element_at(__wf_s, __wf_e.l - 1).l "
+        if strict_increase
+        else ""
+    )
     step = (
         f"(__wf_s, __wf_e) -> CASE "
         f"WHEN __wf_e.l = 1 "
-        f"THEN concat(array(__wf_e.t), slice(__wf_s, 2, {n - 1})) "
+        f"THEN concat(array(named_struct('s', __wf_e.t, "
+        f"'l', __wf_e.t)), slice(__wf_s, 2, {n - 1})) "
         f"WHEN element_at(__wf_s, __wf_e.l - 1) IS NOT NULL "
-        f"AND __wf_e.t - element_at(__wf_s, __wf_e.l - 1) <= {win_us} "
+        f"AND __wf_e.t - element_at(__wf_s, __wf_e.l - 1).s "
+        f"<= {win_us} "
+        f"{strict_cond}"
         f"THEN concat(slice(__wf_s, 1, __wf_e.l - 1), "
-        f"array(element_at(__wf_s, __wf_e.l - 1)), "
+        f"array(named_struct("
+        f"'s', element_at(__wf_s, __wf_e.l - 1).s, 'l', __wf_e.t)), "
         f"slice(__wf_s, __wf_e.l + 1, {n} - __wf_e.l)) "
         f"ELSE __wf_s END"
     )

@@ -1967,11 +1967,55 @@ def test_window_funnel_translates_default_mode(spark, sf_dir):
 
 
 def test_window_funnel_mode_strings_stay_loud():
-    with pytest.raises(ValueError, match="mode strings"):
-        translate(
-            "SELECT windowFunnel(3600, 'strict_increase')(ts, a, b) "
-            "FROM t"
-        )
+    # strict_increase now TRANSLATES (pair-state fold); the remaining
+    # modes stay loud
+    for mode in ("strict_order", "strict_once", "strict_dedup"):
+        with pytest.raises(ValueError, match="mode strings"):
+            translate(
+                f"SELECT windowFunnel(3600, '{mode}')(ts, a, b) FROM t"
+            )
+
+
+def test_window_funnel_strict_increase_matches_native(spark, sf_dir):
+    """The translated strict_increase fold must agree with the native
+    windowed operator (operators.chagg2.window_funnel_levels — a
+    completely different formulation: next-stage RANGE windows) on the
+    real events table: same per-level user histogram over users that
+    reached level >= 1."""
+    from clickhouse_batcher_spark.operators.chagg2 import (
+        _FUNNEL_STAGES,
+        _FUNNEL_WINDOW_US,
+        window_funnel_levels,
+    )
+
+    s1, s2, s3 = _FUNNEL_STAGES
+    w_s = _FUNNEL_WINDOW_US // 1_000_000
+    translated = run_sql(
+        spark,
+        f"SELECT lvl AS level, count() AS n_users FROM ("
+        f"SELECT user_id, windowFunnel({w_s}, 'strict_increase')(ts, "
+        f"event_type = '{s1}', event_type = '{s2}', "
+        f"event_type = '{s3}') AS lvl FROM events GROUP BY user_id"
+        f") WHERE lvl >= 1 GROUP BY lvl",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    native = window_funnel_levels(spark, sf_dir).collect()
+    assert {r["level"]: r["n_users"] for r in translated} == {
+        r["level"]: r["n_users"] for r in native
+    }
+    # strict_increase refuses the equal-timestamp chain the default
+    # mode accepts
+    got = run_sql(
+        spark,
+        "SELECT windowFunnel(3600, 'strict_increase')(ts, et = 'A', "
+        "et = 'B') AS lvl FROM (SELECT * FROM VALUES "
+        "(TIMESTAMP'2024-01-01 10:00:00', 'A'), "
+        "(TIMESTAMP'2024-01-01 10:00:00', 'B') AS t(ts, et))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["lvl"] == 1
 
 
 def test_retention_translates(spark, sf_dir):
