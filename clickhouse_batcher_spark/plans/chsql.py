@@ -674,6 +674,13 @@ _UNSUPPORTED = (
         "unicode block rendering, deterministic)",
     ),
     (
+        r"\bbar\s*\(",
+        "bar(x, min, max, width)",
+        "the eighth-block rounding convention cannot be verified "
+        "char-exact here — render with the events_sparkbar_hourly "
+        "block table (repeat('█', ...) + the fractional eighth)",
+    ),
+    (
         r"\bANY\s+(?:LEFT|RIGHT|INNER|FULL)?\s*JOIN\b",
         "ANY JOIN (first-match join)",
         "deduplicate the build side to one row per key first "
@@ -1641,16 +1648,23 @@ def _url_ip_functions(out: str) -> str:
     out = _rewrite_calls(
         out,
         "decodeURLComponent",
-        # caveat: Spark's url_decode also maps '+' to ' ' (form
-        # decoding); CH leaves '+' alone. %XX sequences are identical.
-        lambda a: f"url_decode({a[0]})",
+        # CH does NOT treat '+' as space (RFC 3986); escape it before
+        # Spark's form-decoding url_decode would — %XX sequences are
+        # identical, so this makes the decode exact (the former bare
+        # url_decode mapped 'a+b' to 'a b').
+        lambda a: f"url_decode(replace({a[0]}, '+', '%2B'))",
     )
     out = _rewrite_calls(
         out,
         "encodeURLComponent",
-        # caveat: Spark's url_encode emits '+' for ' ' where CH emits
-        # %20; all other reserved characters match.
-        lambda a: f"url_encode({a[0]})",
+        # CH percent-encodes per RFC 3986 (space -> %20, '*' encoded,
+        # '~' kept); Spark's url_encode is java.net form-encoding
+        # (space -> '+', '*' kept, '~' -> %7E) — patch the three
+        # divergent classes for exact parity.
+        lambda a: (
+            f"replace(replace(replace(url_encode({a[0]}), "
+            f"'+', '%20'), '*', '%2A'), '%7E', '~')"
+        ),
     )
     out = _rewrite_calls(
         out,
@@ -2430,6 +2444,38 @@ def translate(
         "timeDiff",
         lambda a: f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))",
     )
+    out = _rewrite_calls(
+        out,
+        "JSONExtractKeys",
+        lambda a: f"json_object_keys({a[0]})"
+        if len(a) == 1
+        else _raise(
+            ValueError(
+                "ClickHouse JSONExtractKeys with a path has no Spark "
+                "translation — json_object_keys reads the top level; "
+                "extract the sub-object with JSONExtractRaw first"
+            )
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "JSONLength",
+        lambda a: (
+            f"coalesce(json_array_length({a[0]}), "
+            f"size(json_object_keys({a[0]})))"
+            if len(a) == 1
+            else _raise(
+                ValueError(
+                    "ClickHouse JSONLength with a path has no Spark "
+                    "translation — extract the sub-document with "
+                    "JSONExtractRaw first"
+                )
+            )
+        ),
+    )
+    # NOTE: encodeURLComponent/decodeURLComponent are handled once in
+    # the URL family above (exact RFC 3986 forms) — a later duplicate
+    # here would be dead code, the assumeNotNull lesson.
     out = _rewrite_calls(out, "lengthUTF8", lambda a: f"char_length({a[0]})")
     # Spark strings are UTF-8 native; the UTF8-suffixed case functions
     # are the plain ones.

@@ -2318,3 +2318,26 @@ def test_string_map_array_tail(spark, sf_dir):
     # negative n resizes from the LEFT (ClickHouse semantics)
     assert got["rneg"] == [2, 3] and got["rpadl"] == [9, 9, 1, 2, 3]
     assert got["mn"] == "March" and got["td"] == 90
+
+
+def test_json_url_component_family(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT JSONExtractKeys('{\"b\": 1, \"a\": 2}') AS ks, "
+        "JSONLength('[1, 2, 3]') AS la, "
+        "JSONLength('{\"a\": 1, \"b\": 2}') AS lo, "
+        "encodeURLComponent('a b*c~d') AS enc, "
+        "decodeURLComponent('a%20b+c') AS dec",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert sorted(got["ks"]) == ["a", "b"]
+    assert (got["la"], got["lo"]) == (3, 2)
+    # RFC 3986: space -> %20, '*' encoded, '~' kept
+    assert got["enc"] == "a%20b%2Ac~d"
+    # CH decode does NOT treat '+' as space
+    assert got["dec"] == "a b+c"
+    with pytest.raises(ValueError, match="sparkbar_hourly"):
+        translate("SELECT bar(x, 0, 100, 20) FROM t")
+    with pytest.raises(ValueError, match="JSONExtractRaw first"):
+        translate("SELECT JSONLength(j, 'k') FROM t")
