@@ -2539,9 +2539,9 @@ def translate(
     out = _rewrite_calls(
         out, "endsWith", lambda a: f"endswith({a[0]}, {a[1]})"
     )
-    out = _rewrite_calls(
-        out, "replaceAll", lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"
-    )
+    # replaceAll is handled once earlier (next to replaceRegexpAll) —
+    # a duplicate here was dead code (the duplicate-handler lint now
+    # guards this class).
     for ch, cast_to in (
         ("JSONExtractString", None),
         ("JSONExtractRaw", None),

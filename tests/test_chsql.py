@@ -2341,3 +2341,31 @@ def test_json_url_component_family(spark, sf_dir):
         translate("SELECT bar(x, 0, 100, 20) FROM t")
     with pytest.raises(ValueError, match="JSONExtractRaw first"):
         translate("SELECT JSONLength(j, 'k') FROM t")
+
+
+def test_no_duplicate_rewrite_registrations():
+    """A second same-kind registration of the same function name is
+    dead code — the first consumes every occurrence — and has twice
+    hidden a real fix behind it (the parenthesized assumeNotNull, the
+    exact encodeURLComponent). Curried + plain pairs of one name are
+    legitimate (the curried scanner skips non-curried call sites)."""
+    import collections
+    import re
+    from pathlib import Path
+
+    import clickhouse_batcher_spark.plans.chsql as chsql
+
+    src = Path(chsql.__file__).read_text()
+    regs = re.findall(
+        r'(_rewrite_(?:calls|curried(?:_fn)?))\(\s*\n?\s*'
+        r'(?:out|sql)?,?\s*\n?\s*"(\w+)"',
+        src,
+    )
+    kinds = [
+        (n, "curried" if "curried" in kind else "calls")
+        for kind, n in regs
+    ]
+    dupes = {
+        kn: c for kn, c in collections.Counter(kinds).items() if c > 1
+    }
+    assert not dupes, f"dead duplicate rewrite handlers: {dupes}"
