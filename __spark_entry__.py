@@ -91,6 +91,8 @@ _PRIORITY: list[str] = [
     # --- new round-7 operators (first green) ---
     "leakage_safe_split",
     "lang_token_budget_plan",
+    "quality_classifier_nb",
+    "tfidf_top_terms",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
@@ -105,8 +107,6 @@ _PRIORITY: list[str] = [
     "merge_upsert_orders",
     "profile_events",
     "range_join_orders_window",
-    "similarity_topk",
-    "token_count_bpeish",
     "hard_negative_triplets",
     # --- r4-era single-greens ---
     "events_day_over_day",
@@ -218,7 +218,15 @@ _PRIORITY: list[str] = [
 # first green row beats a second. leakage_safe_split and
 # lang_token_budget_plan (new round-7 operators) likewise displaced
 # media_frame_sample and redact_docs (their families keep
-# media_metadata / text_stats + token_count_bpeish in-window).
+# media_metadata / text_stats in-window).
+#
+# Late round-7 swap 3: quality_classifier_nb (distilled hashed-unigram
+# NB over the Gopher teacher — the CCNet/fastText curation pattern)
+# and tfidf_top_terms (per-doc top-k TF-IDF keywords) — both new
+# operators with hash-exact oracles — replace the similarity_topk and
+# token_count_bpeish second-green backfills (both keep their earlier
+# green rows; similarity keeps hybrid/bm25 greens, token stats keep
+# token_fertility_by_lang + docs_bigram_logprob in-window).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -55,6 +55,7 @@ def load_all() -> None:
         bloomjoin,
         chagg,
         chagg2,
+        classifier,
         cluster,
         cohort,
         corr,

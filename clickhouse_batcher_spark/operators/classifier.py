@@ -1,0 +1,370 @@
+"""Model-based corpus curation: distilled quality classifier + TF-IDF.
+
+Two operators a production LLM-data pipeline runs after the cheap
+structural rules:
+
+1. ``quality_classifier_nb`` — the CCNet/fastText pattern (Wenzek et
+   al. 2020; Penedo et al. 2024 use the same shape): take a cheap
+   *teacher* rule (here the Gopher structural filter already in
+   ``operators/corpus.py``), train a lexical hashed-unigram Naive
+   Bayes on its labels, and score every document with the learned
+   log-odds. The classifier generalizes the rule from *structure* to
+   *vocabulary* — the standard way pipelines turn a handful of
+   hand-written heuristics into a smooth ranking signal. Training is
+   one corpus-bounded aggregation (256-bucket class counts), scoring
+   one broadcast join — both fully distributed, no driver-side model
+   object at any corpus size.
+
+2. ``tfidf_top_terms`` — per-document top-k TF-IDF keywords, the
+   classic corpus-exploration / topic-drill-down primitive (and the
+   de-facto dedup-explanation tool: "these docs cluster because these
+   terms dominate").
+
+Determinism contract (repo-wide discipline): every transcendental
+(``ln``) is rounded to 6 decimals and cast to DECIMAL(27,6) at the
+*per-bucket/per-term* level; all document-level accumulation happens
+in exact decimal arithmetic, so results are bit-identical across
+engines and shuffle orders. The only double values in any output are
+final casts of exact decimals (or single exact-integer divisions).
+
+Scale shape:
+- NB train: the class-count table is at most ``NBQ_BUCKETS`` rows —
+  an aggregate that map-side combines; totals are a second tiny agg.
+- NB score: the 256-row log-likelihood-ratio table broadcasts back to
+  the exploded token stream; the per-doc sum is the one data-sized
+  shuffle (map-side combinable on doc_id).
+- TF-IDF: term frequencies are a (doc, term) aggregate; document
+  frequencies a term-level rollup of that same frame (reused, not
+  rescanned); the per-doc top-k is a window partitioned by doc_id —
+  no global ordering anywhere.
+
+Reference: the reference engine (kostyasolovev/clickhouse-batcher)
+has no classifier surface — this extends the north-star LLM-pipeline
+scope (text analysis / quality scoring) per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.operators.corpus import (
+    GOPHER_MAX_MEAN_LEN,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MIN_MEAN_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_TOKENS,
+    GOPHER_MIN_TTR,
+    GOPHER_STOPWORDS,
+)
+from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+from clickhouse_batcher_spark.operators.text import SQL_TOKENS
+from clickhouse_batcher_spark.tables import load_table
+
+NBQ_BUCKETS = 256
+_NBQ_SALT = "nbq"
+TFIDF_TOP_K = 3
+
+
+def _gopher_keep(toks: Column) -> Column:
+    """The Gopher teacher rule as a column over a token array.
+
+    Same thresholds and arithmetic as ``quality_filter_gopher``
+    (operators/corpus.py:383-462; both cite Rae et al. 2021 A1.1):
+    token-count window, mean token length window, >= 2 distinct
+    stopwords, type-token ratio floor. Every ratio is a single IEEE
+    division of exact integers — bit-identical across engines.
+    """
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("bigint").cast("double") / n.cast("double")
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    return (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+        & (ttr >= GOPHER_MIN_TTR)
+    )
+
+
+def _nbq_bucket(col: Column) -> Column:
+    """Portable sha-prefix bucket of a token (the DSIR machinery,
+    operators/corpus.py:754-763, under this module's own salt)."""
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(_NBQ_SALT), col), 256), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % NBQ_BUCKETS
+    )
+
+
+_TEACHER_SQL = f"""
+    t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks,
+        len(toks) AS n_tokens,
+        CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        len(list_distinct(list_filter(toks,
+            x -> x IN ({", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)}))))
+          AS n_stopwords,
+        CAST(len(list_distinct(toks)) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS ttr
+      FROM t
+    ),
+    lab AS (
+      SELECT doc_id, toks, n_tokens,
+        (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+         AND mean_token_len >= {GOPHER_MIN_MEAN_LEN}
+         AND mean_token_len <= {GOPHER_MAX_MEAN_LEN}
+         AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+         AND ttr >= {GOPHER_MIN_TTR}) AS label
+      FROM m
+    )
+"""
+
+
+def _nbq_oracle() -> str:
+    b = _sql_bucket("token", buckets=NBQ_BUCKETS, salt=_NBQ_SALT)
+    n = NBQ_BUCKETS
+    return f"""
+    WITH {_TEACHER_SQL},
+    occ AS (SELECT doc_id, label, unnest(toks) AS token FROM lab),
+    bk AS (SELECT doc_id, label, {b} AS bucket FROM occ),
+    cls AS (
+      SELECT bucket,
+        CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS c0
+      FROM bk GROUP BY bucket
+    ),
+    tots AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0
+      FROM cls
+    ),
+    nd AS (
+      SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM lab
+    ),
+    llr AS (
+      SELECT bucket,
+        CAST(round(ln(
+          ((CAST(c1 AS DOUBLE) + 1) / (CAST(t1 AS DOUBLE) + {n}))
+          / ((CAST(c0 AS DOUBLE) + 1) / (CAST(t0 AS DOUBLE) + {n}))
+        ), 6) AS DECIMAL(27,6)) AS lr
+      FROM cls CROSS JOIN tots
+    ),
+    per AS (
+      SELECT bk.doc_id, SUM(lr.lr) AS s
+      FROM bk JOIN llr lr ON lr.bucket = bk.bucket
+      GROUP BY bk.doc_id
+    ),
+    pri AS (
+      SELECT CAST(round(ln(
+        (CAST(n1 AS DOUBLE) + 1) / (CAST(n0 AS DOUBLE) + 1)
+      ), 6) AS DECIMAL(27,6)) AS prior FROM nd
+    )
+    SELECT lab.doc_id,
+      lab.label AS teacher_keep,
+      CAST(lab.n_tokens AS BIGINT) AS n_tokens,
+      CAST(pri.prior + COALESCE(per.s, CAST(0 AS DECIMAL(27,6)))
+           AS DOUBLE) AS nb_logodds,
+      (pri.prior + COALESCE(per.s, CAST(0 AS DECIMAL(27,6))) > 0)
+        AS nb_keep
+    FROM lab CROSS JOIN pri LEFT JOIN per ON per.doc_id = lab.doc_id
+    """
+
+
+def nb_quality_scores(docs: DataFrame) -> DataFrame:
+    """Train-and-score the distilled NB over any ``(doc_id, text)``
+    frame (input-agnostic core of ``quality_classifier_nb``).
+
+    Per doc: teacher label, exact token count, the NB log-odds
+    (prior + sum of per-bucket log-likelihood ratios, Laplace +1
+    smoothing on both class distributions and the prior), and the
+    learned verdict ``nb_keep = log-odds > 0``. Log-odds accumulate
+    as DECIMAL(27,6) of 6-rounded per-bucket ratios, so the score —
+    and therefore the sign decision — is engine- and order-exact.
+    """
+    lab = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        _gopher_keep(F.col("toks")).alias("label"),
+    )
+    bk = lab.select(
+        "doc_id", "label", F.explode("toks").alias("token")
+    ).select("doc_id", "label", _nbq_bucket(F.col("token")).alias("bucket"))
+
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    cls = bk.groupBy("bucket").agg(
+        one_if(F.col("label")).cast("bigint").alias("c1"),
+        one_if(~F.col("label")).cast("bigint").alias("c0"),
+    )
+    tots = cls.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    nd = lab.agg(
+        one_if(F.col("label")).cast("bigint").alias("n1"),
+        one_if(~F.col("label")).cast("bigint").alias("n0"),
+    )
+    n = float(NBQ_BUCKETS)
+    llr = cls.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("c1").cast("double") + 1) / (F.col("t1").cast("double") + n))
+                / ((F.col("c0").cast("double") + 1) / (F.col("t0").cast("double") + n))
+            ),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("lr"),
+    )
+    per = (
+        bk.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("s"))
+    )
+    prior = (
+        F.round(
+            F.log((F.col("n1").cast("double") + 1) / (F.col("n0").cast("double") + 1)),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("prior")
+    )
+    pri = nd.select(prior)
+    zero = F.lit(0).cast("decimal(27,6)")
+    logodds = F.col("prior") + F.coalesce(F.col("s"), zero)
+    return (
+        lab.crossJoin(F.broadcast(pri))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("label").alias("teacher_keep"),
+            "n_tokens",
+            logodds.cast("double").alias("nb_logodds"),
+            (logodds > 0).alias("nb_keep"),
+        )
+    )
+
+
+@query("quality_classifier_nb", oracle=None)
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher structural rule into a hashed-unigram
+    multinomial Naive Bayes and score every document (see
+    ``nb_quality_scores`` for the contract)."""
+    return nb_quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["quality_classifier_nb"] = " ".join(_nbq_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Per-document top-k TF-IDF terms
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    nd AS (SELECT COUNT(*) AS n_docs FROM t),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token, df,
+        CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+             AS DECIMAL(27,6)) AS idf
+      FROM df CROSS JOIN nd
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token AS term, tf.tf,
+             tf.tf * idf.idf AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * idf.idf DESC, tf.token ASC
+             ) AS rank
+      FROM tf JOIN idf ON idf.token = tf.token
+    )
+    SELECT doc_id, term, tf, CAST(score AS DOUBLE) AS tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document (k = TFIDF_TOP_K); see
+    ``tfidf_terms`` for the contract."""
+    return tfidf_terms(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` TF-IDF terms per doc over any ``(doc_id, text)``
+    frame.
+
+    tf is the exact in-doc count; idf = ln(N/df) rounded to 6 and
+    fixed as DECIMAL(27,6); the score is the exact decimal product
+    tf * idf, so ranking (with the term-ascending tie-break) is
+    engine-exact. The df table derives from the tf frame (one token
+    explode total); the per-doc top-k is a doc-partitioned window —
+    nothing global, nothing driver-side.
+    """
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    nd = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = df.crossJoin(F.broadcast(nd)).select(
+        "token",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("idf"),
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id",
+        F.col("token").alias("term"),
+        "tf",
+        (F.col("tf") * F.col("idf")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("score").cast("double").alias("tfidf"),
+            "rank",
+        )
+    )

@@ -2221,3 +2221,148 @@ def test_hard_negative_triplets_contract(spark, sf_dir):
             # query, positive, and negative are three DISTINCT vectors
             # (a chained != would skip the neg != query comparison)
             assert len({t["neg_id"], t["pos_id"], q}) == 3
+
+
+def test_nb_classifier_matches_python_recompute(spark, sf_dir):
+    """The distilled NB (teacher label, log-odds, verdict) equals an
+    independent pure-Python recompute: same tokenization, sha-bucket,
+    Laplace smoothing, 6-decimal half-up rounding, exact integer
+    micro-unit accumulation."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from clickhouse_batcher_spark.operators.classifier import (
+        NBQ_BUCKETS,
+        _NBQ_SALT,
+        quality_classifier_nb,
+    )
+    from clickhouse_batcher_spark.operators.corpus import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MIN_TTR,
+        GOPHER_STOPWORDS,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    def micro6(x: float) -> int:
+        q = Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return int(q * 1_000_000)
+
+    def bucket(tok: str) -> int:
+        h = hashlib.sha256((_NBQ_SALT + tok).encode()).hexdigest()[:4]
+        return int(h, 16) % NBQ_BUCKETS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    labels, doc_buckets = {}, {}
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        n = len(ts)
+        mean_len = sum(len(t) for t in ts) / n
+        n_stop = len({t for t in ts if t in GOPHER_STOPWORDS})
+        ttr = len(set(ts)) / n
+        labels[d["doc_id"]] = (
+            GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+            and GOPHER_MIN_MEAN_LEN <= mean_len <= GOPHER_MAX_MEAN_LEN
+            and n_stop >= GOPHER_MIN_STOPWORDS
+            and ttr >= GOPHER_MIN_TTR
+        )
+        doc_buckets[d["doc_id"]] = [bucket(t) for t in ts]
+
+    c1 = [0] * NBQ_BUCKETS
+    c0 = [0] * NBQ_BUCKETS
+    for did, bks in doc_buckets.items():
+        tgt = c1 if labels[did] else c0
+        for b in bks:
+            tgt[b] += 1
+    t1, t0 = sum(c1), sum(c0)
+    n1 = sum(1 for v in labels.values() if v)
+    n0 = len(labels) - n1
+    lr = [
+        micro6(
+            math.log(
+                ((c1[b] + 1) / (t1 + NBQ_BUCKETS))
+                / ((c0[b] + 1) / (t0 + NBQ_BUCKETS))
+            )
+        )
+        for b in range(NBQ_BUCKETS)
+    ]
+    prior = micro6(math.log((n1 + 1) / (n0 + 1)))
+
+    rows = quality_classifier_nb(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        did = r["doc_id"]
+        want = prior + sum(lr[b] for b in doc_buckets[did])
+        assert r["teacher_keep"] == labels[did], did
+        assert r["n_tokens"] == len(doc_buckets[did]), did
+        # libm-vs-JVM ln can shift a 6th decimal on an exact rounding
+        # boundary; allow that per-bucket slack, nothing more
+        assert abs(r["nb_logodds"] - want / 1e6) <= 1e-5, did
+        if abs(want) > 10:
+            assert r["nb_keep"] == (want > 0), did
+
+
+def test_nb_classifier_separates_planted_corpus(spark):
+    """On a corpus where pass/fail docs use disjoint vocabularies the
+    learned verdict reproduces the teacher exactly (the classifier
+    actually learns the lexical signal, not just the prior)."""
+    from clickhouse_batcher_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+
+    good_vocab = [f"wrd{i}" for i in range(28)]  # length-4 tokens
+    good = " ".join(["the", "of"] + good_vocab)  # 30 toks, mean 3.9
+    bads = ["zzzz qqqq zzzz", "vvvv kkkk vvvv", "zzzz kkkk qqqq"]
+    rows = [(i, good + f" extra{i:02d}") for i in range(4)] + [
+        (10 + j, b) for j, b in enumerate(bads)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in nb_quality_scores(docs).collect()}
+    assert len(out) == 7
+    for i in range(4):
+        assert out[i]["teacher_keep"] and out[i]["nb_keep"]
+        assert out[i]["nb_logodds"] > 0
+    for j in range(3):
+        assert not out[10 + j]["teacher_keep"]
+        assert not out[10 + j]["nb_keep"]
+        assert out[10 + j]["nb_logodds"] < 0
+
+
+def test_tfidf_top_terms_planted(spark):
+    """Hand-computed TF-IDF top-k on a 3-doc corpus, including the
+    term-ascending tie-break and a doc with fewer than k terms."""
+    from clickhouse_batcher_spark.operators.classifier import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple eggplant eggplant eggplant"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], round(r["tfidf"], 6))
+        for r in tfidf_terms(docs).collect()
+    }
+    lo = 0.405465  # round(ln(3/2), 6)
+    hi = 1.098612  # round(ln(3), 6)
+    want = {
+        (1, 1): ("apple", 2, round(2 * lo, 6)),
+        (1, 2): ("banana", 1, lo),   # tie with cherry -> term asc
+        (1, 3): ("cherry", 1, lo),
+        (2, 1): ("date", 1, hi),
+        (2, 2): ("cherry", 2, round(2 * lo, 6)),
+        (2, 3): ("banana", 1, lo),
+        (3, 1): ("eggplant", 3, round(3 * hi, 6)),
+        (3, 2): ("apple", 1, lo),
+    }
+    assert got == want

@@ -226,6 +226,10 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                      # the documented bounded kernel
                                      # (SCALE.md crossover ~10M vecs,
                                      # ANN candidates beyond)
+        "quality_classifier_nb",     # 1-row prior frame + 1-row class
+                                     # totals (the 256-row LLR table is
+                                     # a hash join)
+        "tfidf_top_terms",           # 1-row doc-count frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
