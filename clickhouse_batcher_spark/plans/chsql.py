@@ -77,7 +77,18 @@ parser rather than silently misbehaving):
   toStartOf{Five,Ten,Fifteen}Minutes uniqUpTo(k)
   quantileTDigest/Timing/BFloat16 (to percentile_approx, approx->
   approx); sipHash/cityHash/farmHash/murmurHash are loud (no Spark
-  builtin reproduces the values — bucketing would silently reshuffle)``
+  builtin reproduces the values — bucketing would silently reshuffle)
+  multiMatchAny[CaseInsensitive] multiSearchAnyCaseInsensitive
+  countMatches replaceOne ifEmpty toDateTime64 makeDate(3- and 2-arg)
+  makeDateTime toLastDayOfMonth toRelative{Year,Month,Day,Hour,
+  Minute,Second}Num simpleLinearRegression skewPop/skewSamp
+  kurtPop/kurtSamp (exact (n-1)/n adjustments over Spark's
+  population skewness / excess kurtosis) groupBit{And,Or,Xor}
+  isFinite isInfinite bitTest generateUUIDv4 exp2/exp10
+  intExp2/intExp10 (exact: shiftleft / literal power table)
+  accurateCastOrNull format('{}..') arrayEnumerateDense/Uniq;
+  bit shifts emit shiftleft()/shiftright() functions — Spark's
+  parser rejects `>>` after a lambda arrow``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -748,6 +759,76 @@ _UNSUPPORTED = (
         "runningAccumulate (block-order running state)",
         "use the aggregate OVER (ORDER BY <key> ROWS UNBOUNDED "
         "PRECEDING) window form",
+    ),
+    (
+        r"\brunningDifference\s*\(",
+        "runningDifference (block-order delta)",
+        "use (x - lag(x) OVER (ORDER BY <key>)) — an explicit, "
+        "deterministic order",
+    ),
+    (
+        r"\bformatReadable\w*\s*\(",
+        "formatReadableSize/Quantity/TimeDelta",
+        "human-readable rendering is presentation, not relational — "
+        "format client-side, or build a CASE chain over pow(1024, n) "
+        "thresholds",
+    ),
+    (
+        r"\bentropy\s*\(",
+        "entropy(x) (value-distribution Shannon entropy)",
+        "needs the value histogram first — use the docs_token_entropy "
+        "shape (GROUP BY value, then -sum(p * log2(p)) over the "
+        "frequency table)",
+    ),
+    (
+        r"\bquantileExact(?:Low|High|Inclusive|Exclusive)\s*\(",
+        "quantileExactLow/High/Inclusive/Exclusive",
+        "these pick exact ELEMENTS where Spark's percentile() "
+        "interpolates — use quantileExact (interpolated) if that is "
+        "acceptable, or an exact rank window "
+        "(row_number() = ceil/floor(p * n))",
+    ),
+    (
+        r"\b(?:IPv6NumToString|IPv6StringToNum|toIPv6|isIPv6String"
+        r"|IPv6CIDRToRange)\s*\(",
+        "IPv6 address family",
+        "the IPv4 family translates (pure int arithmetic); IPv6 needs "
+        "128-bit binary arithmetic with no Spark builtin — normalize "
+        "IPv6 upstream or add a vectorized UDF",
+    ),
+    (
+        r"\btoTypeName\s*\(",
+        "toTypeName (ClickHouse type introspection)",
+        "Spark's typeof() exists but reports SPARK type names "
+        "(BIGINT, not UInt64) — a silent vocabulary change; use "
+        "typeof() deliberately if Spark names are what you want",
+    ),
+    (
+        r"\bemptyArrayToSingle\s*\(",
+        "emptyArrayToSingle",
+        "the element-type default ([0]/['']) cannot be inferred at "
+        "translate time — use CASE WHEN size(a) = 0 THEN "
+        "array(<default>) ELSE a END with your element type's default",
+    ),
+    (
+        r"\b(?:gcd|lcm)\s*\(",
+        "gcd/lcm",
+        "no Spark builtin and no closed SQL form — precompute, or "
+        "iterate the Euclid step to a fixed depth with nested CASE",
+    ),
+    (
+        r"\b(?:erf|erfc|lgamma|tgamma)\s*\(",
+        "erf/erfc/lgamma/tgamma special functions",
+        "no Spark builtin — the engine's stat operators "
+        "(ab_welch_ttest shape) inline the Abramowitz-Stegun erf "
+        "polynomial in SQL; reuse that expansion if you need erf",
+    ),
+    (
+        r"\breplaceRegexpOne\s*\(",
+        "replaceRegexpOne (first-match-only regexp replace)",
+        "Spark's regexp_replace replaces EVERY match — a silent "
+        "divergence; use replaceRegexpAll if all-matches is "
+        "acceptable, or anchor the pattern so it can match only once",
     ),
     # Table functions that reach outside the query: this engine's
     # scan surface is sources/readers.py (parquet/csv/json/orc/JDBC/
@@ -2772,6 +2853,10 @@ def translate(
         out = _rewrite_calls(
             out, ch, lambda a, o=op: f"(({a[0]}) {o} ({a[1]}))"
         )
+    for ch, fn in _BIT_SHIFTS.items():
+        out = _rewrite_calls(
+            out, ch, lambda a, f=fn: f"{f}({a[0]}, {a[1]})"
+        )
     out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
     out = _rewrite_calls(out, "arrayReduce", _array_reduce)
     for ch, sp in _MOMENT_AGGS.items():
@@ -2801,7 +2886,285 @@ def translate(
     out = _rewrite_calls(out, "minArray", lambda a: f"min(array_min({a[0]}))")
     out = _rewrite_calls(out, "maxArray", lambda a: f"max(array_max({a[0]}))")
     out = _rewrite_calls(out, "countArray", lambda a: f"sum(size({a[0]}))")
+
+    # --- round-7 probe-hunt batch 4 (multi-pattern search, skew/kurt
+    # family, relative-time nums, misc scalars) ------------------------
+    # multiMatchAny: regex alternatives (hyperscan semantics = "any
+    # pattern matches"); the CaseInsensitive variant prefixes (?i).
+    # ClickHouse [..] pattern-array literals become Spark array(..)
+    # (column-valued arrays pass through untouched, like
+    # multiSearchAny's plain form at chsql.py:_multi_search_any).
+    out = _rewrite_calls(
+        out,
+        "multiMatchAnyCaseInsensitive",
+        lambda a: (
+            f"exists({_as_array_expr(a[1])}, "
+            f"__mm -> ({a[0]}) RLIKE concat('(?i)', __mm))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "multiMatchAny",
+        lambda a: (
+            f"exists({_as_array_expr(a[1])}, __mm -> ({a[0]}) RLIKE __mm)"
+        ),
+    )
+    # multiSearchAny's plain form is handled earlier; only the
+    # CaseInsensitive variant is new here (SUBSTRING, not regex).
+    out = _rewrite_calls(
+        out,
+        "multiSearchAnyCaseInsensitive",
+        lambda a: (
+            f"exists({_as_array_expr(a[1])}, "
+            f"__ms -> contains(lower({a[0]}), lower(__ms)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "countMatches",
+        lambda a: f"size(regexp_extract_all({a[0]}, {a[1]}, 0))",
+    )
+    # replaceOne: literal first-occurrence splice (Spark's replace()
+    # replaces every occurrence).
+    out = _rewrite_calls(
+        out,
+        "replaceOne",
+        lambda a: (
+            f"(CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN "
+            f"concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
+            f"{a[2]}, substring({a[0]}, locate({a[1]}, {a[0]}) + "
+            f"length({a[1]}))) ELSE {a[0]} END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "ifEmpty",
+        lambda a: (
+            f"(CASE WHEN length({a[0]}) = 0 THEN {a[1]} ELSE {a[0]} END)"
+        ),
+    )
+    # toDateTime64(s, precision): Spark timestamps are fixed micros —
+    # the precision argument only widens/narrows the CH storage type,
+    # the parsed value is the same. The tz-bearing 3-arg form is loud
+    # (same contract as the other tz-bearing shapes).
+    out = _rewrite_calls(
+        out,
+        "toDateTime64",
+        lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+        if len(a) == 2
+        else _raise(
+            ValueError(
+                "toDateTime64 with a timezone argument has no Spark "
+                "translation — session timezone applies; drop the tz "
+                "or convert explicitly with convert_timezone()"
+            )
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "makeDateTime",
+        lambda a: f"make_timestamp({', '.join(a)})"
+        if len(a) == 6
+        else _raise(
+            ValueError(
+                "makeDateTime translates only the 6-arg "
+                "(y, m, d, h, mi, s) form — the tz-bearing form is "
+                "session-timezone-dependent"
+            )
+        ),
+    )
+    # makeDate has a 3-arg (y, m, d) and a 2-arg (y, day_of_year) form.
+    out = _rewrite_calls(
+        out,
+        "makeDate",
+        lambda a: f"make_date({', '.join(a)})"
+        if len(a) == 3
+        else f"date_add(make_date({a[0]}, 1, 1), CAST({a[1]} AS INT) - 1)",
+    )
+    out = _rewrite_calls(out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})")
+    # toRelative*Num: epoch-anchored unit counters (the CH fixed point
+    # is the epoch for day-and-finer units; year/month are calendar
+    # counters by definition).
+    out = _rewrite_calls(out, "toRelativeYearNum", lambda a: f"year({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "toRelativeMonthNum",
+        lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeDayNum",
+        lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1970-01-01')",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeHourNum",
+        lambda a: f"(unix_timestamp({a[0]}) DIV 3600)",
+    )
+    out = _rewrite_calls(
+        out,
+        "toRelativeMinuteNum",
+        lambda a: f"(unix_timestamp({a[0]}) DIV 60)",
+    )
+    out = _rewrite_calls(
+        out, "toRelativeSecondNum", lambda a: f"unix_timestamp({a[0]})"
+    )
+    # simpleLinearRegression(x, y) fits y = k*x + b; Spark's regr_*
+    # take (y, x) order.
+    out = _rewrite_calls(
+        out,
+        "simpleLinearRegression",
+        lambda a: (
+            f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
+            f"'b', regr_intercept({a[1]}, {a[0]}))"
+        ),
+    )
+    # Skewness/kurtosis: Spark's skewness IS the population form
+    # (m3/m2^1.5) and its kurtosis is EXCESS (m4/m2^2 - 3), both
+    # verified numerically; ClickHouse kurtPop is non-excess and the
+    # Samp variants divide by (n-1) moments — exact algebraic
+    # adjustments ((n-1)/n factors), no approximation.
+    out = _rewrite_calls(out, "skewPop", lambda a: f"skewness({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "skewSamp",
+        lambda a: (
+            f"(skewness({a[0]}) * sqrt((count({a[0]}) - 1) / count({a[0]})))"
+        ),
+    )
+    out = _rewrite_calls(out, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
+    out = _rewrite_calls(
+        out,
+        "kurtSamp",
+        lambda a: (
+            f"(((kurtosis({a[0]}) + 3) * (count({a[0]}) - 1)) / "
+            f"count({a[0]}))"
+        ),
+    )
+    for ch, sp in (
+        ("groupBitAnd", "bit_and"),
+        ("groupBitOr", "bit_or"),
+        ("groupBitXor", "bit_xor"),
+    ):
+        out = _rewrite_calls(out, ch, lambda a, s=sp: f"{s}({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "isFinite",
+        lambda a: (
+            f"(NOT isnan({a[0]}) AND abs(CAST({a[0]} AS DOUBLE)) <> "
+            f"CAST('Infinity' AS DOUBLE))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "isInfinite",
+        lambda a: (
+            f"(abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitTest",
+        # shiftright FUNCTION, not `>>` (see _BIT_SHIFTS note)
+        lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
+    )
+    out = _rewrite_calls(out, "generateUUIDv4", lambda a: "uuid()")
+    out = _rewrite_calls(out, "exp2", lambda a: f"pow(2, {a[0]})")
+    out = _rewrite_calls(out, "exp10", lambda a: f"pow(10, {a[0]})")
+    # intExp2/intExp10 must stay exact over the int64 range: shift for
+    # base 2; a literal power table for base 10 (pow() is float and
+    # its CAST could be off by ulps from 1e16 up).
+    out = _rewrite_calls(
+        out,
+        "intExp2",
+        lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})",
+    )
+    _P10 = ", ".join(str(10**i) for i in range(19))
+    out = _rewrite_calls(
+        out,
+        "intExp10",
+        lambda a: f"element_at(array({_P10}), CAST({a[0]} AS INT) + 1)",
+    )
+    # accurateCastOrNull(x, 'Type'): the try_cast twin of the 2-arg
+    # CAST form, sharing the CH type-name map.
+    out = _rewrite_calls(
+        out,
+        "accurateCastOrNull",
+        lambda a: _accurate_cast_or_null(a),
+    )
+    # format('{} .. {}', args): positional {} placeholders map to
+    # printf %s; indexed {0} or format-spec forms are loud.
+    out = _rewrite_calls(out, "format", _format_braces)
+    # arrayEnumerateDense: rank of each element's FIRST occurrence
+    # (array_distinct preserves first-occurrence order).
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateDense",
+        lambda a: (
+            f"transform({_as_array_expr(a[0])}, __ed -> "
+            f"CAST(array_position(array_distinct({_as_array_expr(a[0])}), "
+            f"__ed) AS INT))"
+        ),
+    )
+    # arrayEnumerateUniq: per-element occurrence counter (count of
+    # equal elements in the prefix up to and including this position).
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateUniq",
+        lambda a: (
+            f"transform({_as_array_expr(a[0])}, (__eu, __ei) -> "
+            f"size(filter(slice({_as_array_expr(a[0])}, 1, __ei + 1), "
+            f"__ex -> __ex = __eu)))"
+        ),
+    )
     return out
+
+
+def _as_array_expr(expr: str) -> str:
+    """ClickHouse ``[..]`` array literals as Spark ``array(..)``;
+    anything else (column refs, already-array() forms) unchanged."""
+    e = expr.strip()
+    if e.startswith("[") and e.endswith("]"):
+        return f"array({e[1:-1]})"
+    return e
+
+
+def _accurate_cast_or_null(args: list[str]) -> str:
+    t = args[1].strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        raise ValueError(
+            "accurateCastOrNull translates only literal type names"
+        )
+    ch = t[1:-1]
+    if ch not in _CH_TYPE_NAMES:
+        raise ValueError(
+            f"accurateCastOrNull: no Spark mapping for ClickHouse "
+            f"type {ch!r}"
+        )
+    return f"try_cast({args[0]} AS {_CH_TYPE_NAMES[ch]})"
+
+
+def _format_braces(args: list[str]) -> str:
+    tpl = args[0].strip()
+    if not (tpl.startswith("'") and tpl.endswith("'")):
+        raise ValueError(
+            "format() translates only a literal template string"
+        )
+    body = tpl[1:-1]
+    if re.search(r"\{[^}]+\}", body):
+        raise ValueError(
+            "format() with indexed or spec-bearing {N}/{:spec} "
+            "placeholders has no Spark translation — use plain {} "
+            "placeholders (printf %s) or format_string directly"
+        )
+    n_slots = body.count("{}")
+    if n_slots != len(args) - 1:
+        raise ValueError(
+            f"format(): {n_slots} placeholders but {len(args) - 1} "
+            f"arguments"
+        )
+    printf_body = body.replace("%", "%%").replace("{}", "%s")
+    return f"format_string('{printf_body}', {', '.join(args[1:])})"
 
 
 _MOMENT_AGGS = {
@@ -2929,8 +3292,15 @@ _BIT_OPS = {
     "bitAnd": "&",
     "bitOr": "|",
     "bitXor": "^",
-    "bitShiftLeft": "<<",
-    "bitShiftRight": ">>",
+}
+# The shifts emit shiftleft()/shiftright() FUNCTIONS, not the <</>>
+# operators: Spark's parser rejects a `>>` that appears anywhere after
+# a lambda arrow in the same statement (found by probe — `SELECT
+# exists(a, x -> x > 0), 5 >> 1` is a parse error while the standalone
+# shift parses fine).
+_BIT_SHIFTS = {
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
 }
 
 _DIFF_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}

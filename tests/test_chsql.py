@@ -629,7 +629,9 @@ def test_aggregate_batch3_end_to_end(spark, sf_dir):
         ),
         (
             "SELECT bitAnd(user_id, 255), bitShiftRight(user_id, 4), bitNot(user_id) FROM events",
-            "SELECT ((user_id) & (255)), ((user_id) >> (4)), (~(user_id)) FROM events",
+            # shifts are FUNCTIONS, not >>/<<: Spark's parser rejects
+            # a `>>` appearing after any lambda arrow in the statement
+            "SELECT ((user_id) & (255)), shiftright(user_id, 4), (~(user_id)) FROM events",
         ),
         (
             "SELECT countSubstrings(text, 'ab') FROM documents",
@@ -2369,3 +2371,129 @@ def test_no_duplicate_rewrite_registrations():
         kn: c for kn, c in collections.Counter(kinds).items() if c > 1
     }
     assert not dupes, f"dead duplicate rewrite handlers: {dupes}"
+
+
+def test_probe_batch4_scalars(spark, sf_dir):
+    """Round-7 probe batch 4: multi-pattern search, first-occurrence
+    replace, date constructors, relative-time nums, bit/exp scalars —
+    every value hand-checked against ClickHouse semantics."""
+    got = run_sql(
+        spark,
+        "SELECT multiMatchAny('abc', ['^b', 'c$']) AS mm1, "
+        "multiMatchAny('abc', ['q', 'z']) AS mm0, "
+        "multiMatchAnyCaseInsensitive('ABC', ['b']) AS mmi, "
+        "multiSearchAnyCaseInsensitive('aBc', ['AB']) AS msi, "
+        "countMatches('a1b22c', '\\\\d+') AS cm, "
+        "replaceOne('aaa', 'a', 'b') AS r1, "
+        "replaceOne('xyz', 'q', 'b') AS rmiss, "
+        "ifEmpty('', 'd') AS ie, "
+        "ifEmpty('x', 'd') AS inx, "
+        "CAST(toDateTime64('2020-01-02 03:04:05', 3) AS STRING) AS t64, "
+        "CAST(makeDate(2020, 5, 3) AS STRING) AS md, "
+        "CAST(makeDate(2020, 32) AS STRING) AS mdoy, "
+        "CAST(makeDateTime(2020, 1, 2, 3, 4, 5) AS STRING) AS mdt, "
+        "CAST(toLastDayOfMonth(toDate('2020-02-05')) AS STRING) AS ld, "
+        "toRelativeYearNum(toDate('2020-03-01')) AS ry, "
+        "toRelativeMonthNum(toDate('2020-03-01')) AS rm, "
+        "toRelativeDayNum(toDate('1970-01-11')) AS rd, "
+        "toRelativeHourNum(toDateTime('1970-01-02 05:00:00')) AS rh, "
+        "isFinite(1.0) AS fin, "
+        "isFinite(CAST('Infinity' AS DOUBLE)) AS fininf, "
+        "isInfinite(CAST('-Infinity' AS DOUBLE)) AS isinf, "
+        "bitTest(5, 0) AS bt1, bitTest(5, 1) AS bt0, "
+        "exp2(3) AS e2, exp10(2) AS e10, "
+        "intExp2(10) AS ie2, intExp10(18) AS ie10, "
+        "accurateCastOrNull('12', 'UInt32') AS acn, "
+        "accurateCastOrNull('xx', 'UInt32') AS acnull, "
+        "format('{} and {}', 'a', 'b') AS fmt, "
+        "format('100%{}', 'x') AS fpc, "
+        "arrayEnumerateDense([10, 20, 10]) AS aed, "
+        "arrayEnumerateUniq([10, 20, 10, 10]) AS aeu",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["mm1"] is True and got["mm0"] is False
+    assert got["mmi"] is True and got["msi"] is True
+    assert got["cm"] == 2
+    assert got["r1"] == "baa" and got["rmiss"] == "xyz"
+    assert got["ie"] == "d" and got["inx"] == "x"
+    assert got["t64"] == "2020-01-02 03:04:05"
+    assert got["md"] == "2020-05-03" and got["mdoy"] == "2020-02-01"
+    assert got["mdt"] == "2020-01-02 03:04:05"
+    assert got["ld"] == "2020-02-29"
+    assert got["ry"] == 2020 and got["rm"] == 2020 * 12 + 3
+    assert got["rd"] == 10 and got["rh"] == 29
+    assert got["fin"] is True and got["fininf"] is False
+    assert got["isinf"] is True
+    assert got["bt1"] == 1 and got["bt0"] == 0
+    assert got["e2"] == 8.0 and got["e10"] == 100.0
+    assert got["ie2"] == 1024 and got["ie10"] == 10**18
+    assert got["acn"] == 12 and got["acnull"] is None
+    assert got["fmt"] == "a and b" and got["fpc"] == "100%x"
+    assert got["aed"] == [1, 2, 1] and got["aeu"] == [1, 1, 2, 3]
+
+
+def test_probe_batch4_aggregates(spark, sf_dir):
+    """skew/kurt family (Spark skewness is population, kurtosis is
+    excess — verified by the exact adjustment algebra), regression
+    struct, bit aggregates."""
+    got = run_sql(
+        spark,
+        "SELECT round(skewPop(v), 6) AS sp, "
+        "round(skewSamp(v), 6) AS ss, "
+        "round(kurtPop(v), 6) AS kp, "
+        "round(kurtSamp(v), 6) AS ks, "
+        "simpleLinearRegression(x, v).k AS slope, "
+        "simpleLinearRegression(x, v).b AS icept, "
+        "groupBitAnd(i) AS ba, groupBitOr(i) AS bo, groupBitXor(i) AS bx "
+        "FROM (SELECT 1.0 AS x, 3.0 AS v, 5 AS i "
+        "      UNION ALL SELECT 2.0, 5.0, 7 "
+        "      UNION ALL SELECT 3.0, 9.0, 12)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    import math
+
+    vals = [3.0, 5.0, 9.0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    assert got["sp"] == round(m3 / m2**1.5, 6)
+    assert got["ss"] == round(m3 / m2**1.5 * math.sqrt((n - 1) / n), 6)
+    assert got["kp"] == round(m4 / m2**2, 6)
+    assert got["ks"] == round(m4 / m2**2 * (n - 1) / n, 6)
+    # least-squares fit of v on x by hand
+    xs = [1.0, 2.0, 3.0]
+    mx = sum(xs) / n
+    k = sum((a - mx) * (b - mu) for a, b in zip(xs, vals)) / sum(
+        (a - mx) ** 2 for a in xs
+    )
+    assert abs(got["slope"] - k) < 1e-12
+    assert abs(got["icept"] - (mu - k * mx)) < 1e-12
+    assert got["ba"] == 5 & 7 & 12
+    assert got["bo"] == 5 | 7 | 12
+    assert got["bx"] == 5 ^ 7 ^ 12
+
+
+def test_probe_batch4_louds():
+    """Block-order, divergent, or untranslatable constructs from probe
+    batch 4 raise explanatory errors instead of passing through."""
+    for sql, frag in [
+        ("SELECT runningDifference(x) FROM t", "lag"),
+        ("SELECT formatReadableSize(n) FROM t", "presentation"),
+        ("SELECT entropy(x) FROM t", "docs_token_entropy"),
+        ("SELECT quantileExactLow(0.5)(x) FROM t", "ELEMENTS"),
+        ("SELECT IPv6NumToString(x) FROM t", "IPv6"),
+        ("SELECT toTypeName(x) FROM t", "typeof"),
+        ("SELECT emptyArrayToSingle(a) FROM t", "default"),
+        ("SELECT gcd(a, b) FROM t", "Euclid"),
+        ("SELECT erf(x) FROM t", "erf"),
+        ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "EVERY match"),
+        ("SELECT format('{0} {1}', a, b) FROM t", "indexed"),
+        ("SELECT makeDateTime(2020, 1, 2, 3, 4, 5, 'UTC')", "6-arg"),
+        ("SELECT toDateTime64(s, 3, 'UTC') FROM t", "timezone"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
