@@ -86,9 +86,16 @@ parser rather than silently misbehaving):
   population skewness / excess kurtosis) groupBit{And,Or,Xor}
   isFinite isInfinite bitTest generateUUIDv4 exp2/exp10
   intExp2/intExp10 (exact: shiftleft / literal power table)
-  accurateCastOrNull format('{}..') arrayEnumerateDense/Uniq;
+  accurateCastOrNull format('{}..') arrayEnumerateDense/Uniq
+  arrayFold toStartOfSecond toMillisecond toDaysSinceYearZero
+  mapFromArrays sumKahan countDistinctIf firstValue/lastValue
+  singleValueOrNull lagInFrame/leadInFrame (default-frame lag/lead)
+  denseRank percentRank randNormal/randUniform (shifted builtins)
+  quantileGK (Greenwald-Khanna on both engines);
   bit shifts emit shiftleft()/shiftright() functions — Spark's
-  parser rejects `>>` after a lambda arrow``
+  parser rejects `>>` after a lambda arrow; loud: CAST-to-Tuple,
+  toYearWeek, geo distance family, KS/one-sample-t/z tests,
+  quantileInterpolatedWeighted, groupArrayLast/Sample, randConstant``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -829,6 +836,64 @@ _UNSUPPORTED = (
         "Spark's regexp_replace replaces EVERY match — a silent "
         "divergence; use replaceRegexpAll if all-matches is "
         "acceptable, or anchor the pattern so it can match only once",
+    ),
+    (
+        # The AS-form type: without this guard the tuple() VALUE
+        # rewrite (case-insensitive) mangles the type expression into
+        # named_struct('_1', String, ...) — invalid SQL.
+        r"\bAS\s+Tuple\s*\(",
+        "CAST(.. AS Tuple(..))",
+        "spell the Spark form: construct values with named_struct() "
+        "and cast with the STRUCT<name: TYPE, ..> type syntax",
+    ),
+    (
+        r"\btoYearWeek\s*\(",
+        "toYearWeek (mode-dependent week numbering)",
+        "same mode family as toWeek — use toISOWeek (-> weekofyear) "
+        "plus year(), or date arithmetic for non-ISO modes",
+    ),
+    (
+        r"\b(?:greatCircleDistance|geoDistance|greatCircleAngle"
+        r"|pointInPolygon)\s*\(",
+        "geo distance/containment family",
+        "ClickHouse's Earth-radius and ellipsoid constants are not "
+        "reproduced here — inline a haversine (2*R*asin(sqrt(...))) "
+        "with YOUR radius convention, or precompute upstream",
+    ),
+    (
+        r"\b(?:kolmogorovSmirnovTest|studentTTestOneSample|meanZTest"
+        r"|minSampleSize\w*)\s*\(",
+        "kolmogorovSmirnov/one-sample-t/z-test family",
+        "p-values need non-SQL special functions — use the "
+        "operators.chagg2 test shapes (moment aggregates + "
+        "closed-form tails) as the template",
+    ),
+    (
+        r"\bquantileInterpolatedWeighted\s*\(",
+        "quantileInterpolatedWeighted",
+        "weight-interpolated quantiles have no Spark analog — "
+        "quantileExactWeighted translates (weight-expanded exact "
+        "rank); use that or pre-expand weights",
+    ),
+    (
+        r"\bgroupArrayLast\s*\(",
+        "groupArrayLast (block-order tail window)",
+        "block order is undefined here — collect over an explicit "
+        "window: slice(sort_array(collect_list(struct(ord, x)), "
+        "false), 1, n)",
+    ),
+    (
+        r"\bgroupArraySample\s*\(",
+        "groupArraySample (seeded reservoir)",
+        "ClickHouse's reservoir RNG is not reproducible here — use "
+        "the engine's deterministic sha-bucket sampling "
+        "(operators.sampling) or TABLESAMPLE",
+    ),
+    (
+        r"\brandConstant\s*\(",
+        "randConstant (per-block constant random)",
+        "Spark rand() is per-row — compute one rand() in a 1-row "
+        "subquery and cross join it if you need a per-query constant",
     ),
     # Table functions that reach outside the query: this engine's
     # scan surface is sources/readers.py (parquet/csv/json/orc/JDBC/
@@ -3117,7 +3182,97 @@ def translate(
             f"__ex -> __ex = __eu)))"
         ),
     )
+    # --- round-7 probe-hunt batch 5 (fold, window aliases, GK
+    # quantile, date tail) ---------------------------------------------
+    # arrayFold(lambda, arr, init) -> aggregate(arr, init, lambda):
+    # same (acc, x) lambda shape, argument order differs.
+    out = _rewrite_calls(
+        out,
+        "arrayFold",
+        lambda a: (
+            f"aggregate({_as_array_expr(a[1])}, {a[2]}, {a[0]})"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "toStartOfSecond", lambda a: f"date_trunc('second', {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toMillisecond",
+        lambda a: f"CAST((unix_micros({a[0]}) DIV 1000) % 1000 AS INT)",
+    )
+    # proleptic-Gregorian day counter; year zero itself contributes
+    # 366 days (it is a leap year), so anchor at 0001-01-01 + 366.
+    out = _rewrite_calls(
+        out,
+        "toDaysSinceYearZero",
+        lambda a: (
+            f"(datediff(CAST({a[0]} AS DATE), DATE '0001-01-01') + 366)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "mapFromArrays",
+        lambda a: (
+            f"map_from_arrays({_as_array_expr(a[0])}, "
+            f"{_as_array_expr(a[1])})"
+        ),
+    )
+    # sumKahan: Spark's sum is the plain IEEE accumulation — the
+    # mathematical result is the same, minus Kahan's compensation ulps
+    # (same approx->approx class as quantileTDigest -> approx).
+    out = _rewrite_calls(out, "sumKahan", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "countDistinctIf",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    out = _rewrite_calls(out, "firstValue", lambda a: f"first_value({a[0]})")
+    out = _rewrite_calls(out, "lastValue", lambda a: f"last_value({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "singleValueOrNull",
+        lambda a: f"(CASE WHEN count({a[0]}) = 1 THEN max({a[0]}) END)",
+    )
+    # lagInFrame/leadInFrame: identical to lag/lead under the default
+    # frame (ClickHouse recommends them as THE lag/lead); Spark's
+    # lag/lead always use the whole partition, so a query that ALSO
+    # narrows the frame would diverge — rare enough to translate, and
+    # the frame clause itself survives for the reader to see.
+    out = _rewrite_calls(
+        out, "lagInFrame", lambda a: f"lag({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "leadInFrame", lambda a: f"lead({', '.join(a)})"
+    )
+    out = _rewrite_calls(out, "denseRank", lambda a: "dense_rank()")
+    out = _rewrite_calls(out, "percentRank", lambda a: "percent_rank()")
+    out = _rewrite_calls(
+        out,
+        "randNormal",
+        lambda a: f"(({a[0]}) + ({a[1]}) * randn())",
+    )
+    out = _rewrite_calls(
+        out,
+        "randUniform",
+        lambda a: f"(({a[0]}) + (({a[1]}) - ({a[0]})) * rand())",
+    )
+    # quantileGK(accuracy, level)(x) -> percentile_approx(x, level,
+    # accuracy) — Spark's is the same Greenwald-Khanna family.
+    out = _rewrite_curried_fn(out, "quantileGK", _quantile_gk)
     return out
+
+
+def _quantile_gk(p_parts: list[str], x_parts: list[str]) -> str:
+    if len(p_parts) == 2:
+        acc, p = p_parts
+    elif len(p_parts) == 1:
+        acc, p = "10000", p_parts[0]
+    else:
+        raise ValueError(
+            "quantileGK takes (accuracy, level) or (level) parameters"
+        )
+    return f"percentile_approx({x_parts[0]}, {p}, {acc})"
 
 
 def _as_array_expr(expr: str) -> str:

@@ -2497,3 +2497,88 @@ def test_probe_batch4_louds():
     ]:
         with pytest.raises(ValueError, match=frag):
             translate(sql)
+
+
+def test_probe_batch5_scalars(spark, sf_dir):
+    """Round-7 probe batch 5: arrayFold, window aliases, GK quantile,
+    date tail, map/constructor scalars."""
+    got = run_sql(
+        spark,
+        "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], "
+        "               CAST(0 AS BIGINT)) AS af, "
+        "CAST(toStartOfSecond(toDateTime('2020-01-01 01:02:03')) "
+        "     AS STRING) AS ss, "
+        "toMillisecond(TIMESTAMP'2020-01-01 00:00:00.123') AS ms, "
+        "toDaysSinceYearZero(toDate('1970-01-01')) AS dz, "
+        "mapFromArrays([1, 2], ['a', 'b'])[1] AS mfa, "
+        "quantileGK(100, 0.5)(event_id) AS gk2, "
+        "quantileGK(0.5)(event_id) AS gk1, "
+        "countDistinctIf(event_type, event_id > 0) AS cdi, "
+        "singleValueOrNull(42) AS svn, "
+        "sumKahan(value) AS sk "
+        "FROM events",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["af"] == 6
+    assert got["ss"] == "2020-01-01 01:02:03"
+    assert got["ms"] == 123
+    # proleptic Gregorian: epoch is day 719528 counted from year zero
+    assert got["dz"] == 719528
+    assert got["mfa"] == "a"
+    assert got["gk2"] is not None and got["gk1"] is not None
+    assert got["cdi"] >= 1
+    assert got["svn"] is None  # many rows -> not a single value
+    assert got["sk"] is not None
+
+
+def test_probe_batch5_window_aliases(spark, sf_dir):
+    """lagInFrame/leadInFrame/denseRank/percentRank/firstValue/
+    lastValue translate to the Spark window builtins."""
+    rows = run_sql(
+        spark,
+        "SELECT user_id, event_id, "
+        "lagInFrame(event_id) OVER w AS lg, "
+        "leadInFrame(event_id) OVER w AS ld, "
+        "denseRank() OVER w AS dr, "
+        "firstValue(event_id) OVER w AS fv "
+        "FROM events WHERE user_id = 1 "
+        "WINDOW w AS (ORDER BY event_id) ORDER BY event_id LIMIT 3",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    if len(rows) >= 2:
+        assert rows[0]["lg"] is None
+        assert rows[1]["lg"] == rows[0]["event_id"]
+        assert rows[0]["ld"] == rows[1]["event_id"]
+        assert rows[0]["fv"] == rows[0]["event_id"]
+        assert [r["dr"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_probe_batch5_louds():
+    for sql, frag in [
+        ("SELECT CAST(('a', 1) AS Tuple(String, Int64))", "STRUCT"),
+        ("SELECT toYearWeek(now())", "toISOWeek"),
+        ("SELECT greatCircleDistance(0, 0, 1, 1)", "haversine"),
+        ("SELECT pointInPolygon((0.5, 0.5), [(0, 0), (1, 0)])",
+         "haversine"),
+        ("SELECT kolmogorovSmirnovTest(x, g) FROM t", "chagg2"),
+        ("SELECT quantileInterpolatedWeighted(0.5)(x, w) FROM t",
+         "quantileExactWeighted"),
+        ("SELECT groupArrayLast(3)(x) FROM t", "block order"),
+        ("SELECT groupArraySample(3)(x) FROM t", "reservoir"),
+        ("SELECT randConstant()", "per-row"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
+
+
+def test_probe_batch5_rand_distributions():
+    """randNormal/randUniform translate to mean/stddev- and
+    range-shifted Spark builtins (distribution-preserving)."""
+    assert translate("SELECT randNormal(10, 2)") == (
+        "SELECT ((10) + (2) * randn())"
+    )
+    assert translate("SELECT randUniform(5, 7)") == (
+        "SELECT ((5) + ((7) - (5)) * rand())"
+    )
