@@ -93,6 +93,8 @@ _PRIORITY: list[str] = [
     "lang_token_budget_plan",
     "quality_classifier_nb",
     "tfidf_top_terms",
+    "docs_kn_bigram_logprob",
+    "corpus_curation_funnel",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
@@ -102,9 +104,7 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "bitext_margin_mining",
     "dedup_lines_transform",
-    "langid_predict",
     "media_metadata",
-    "merge_upsert_orders",
     "profile_events",
     "range_join_orders_window",
     "hard_negative_triplets",
@@ -227,6 +227,15 @@ _PRIORITY: list[str] = [
 # token_count_bpeish second-green backfills (both keep their earlier
 # green rows; similarity keeps hybrid/bm25 greens, token stats keep
 # token_fertility_by_lang + docs_bigram_logprob in-window).
+#
+# Late round-7 swap 4: docs_kn_bigram_logprob (interpolated
+# Kneser-Ney bigram LM — the CCNet/KenLM smoothing family,
+# closed-form from counts) and corpus_curation_funnel (per-source
+# survival table composing Gopher + C4 + exact dedup) replace the
+# langid_predict and merge_upsert_orders second-green backfills (both
+# keep their r2 greens; the langid family keeps
+# token_fertility_by_lang in-window, the merge family its pytest
+# parity).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -368,3 +368,140 @@ def tfidf_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: the per-source report every corpus
+# pipeline publishes (RefinedWeb/FineWeb-style "docs surviving each
+# stage" table) — structural rules (Gopher), line rules (C4), exact
+# dedup (first occurrence by content hash), and the combined keep,
+# with token budgets. One pass over documents + one content-hash
+# window; every output is an exact integer count (plus one exact
+# division), so the row is hash-exact by construction.
+# ---------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    from clickhouse_batcher_spark.operators.corpus import (
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS_PER_LINE,
+    )
+
+    gop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {SQL_TOKENS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, text, toks,
+        len(toks) AS n_tokens,
+        CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        len(list_distinct(list_filter(toks, x -> x IN ({gop}))))
+          AS n_stopwords,
+        CAST(len(list_distinct(toks)) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS ttr
+      FROM t
+    ),
+    lab AS (
+      SELECT doc_id, source, text, n_tokens,
+        (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+         AND mean_token_len >= {GOPHER_MIN_MEAN_LEN}
+         AND mean_token_len <= {GOPHER_MAX_MEAN_LEN}
+         AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+         AND ttr >= {GOPHER_MIN_TTR}) AS label
+      FROM m
+    ),
+    c AS (
+      SELECT lab.doc_id, lab.source, lab.text, lab.n_tokens,
+        lab.label AS g_keep,
+        (CAST(len(string_split_regex(lab.text, '[.!?]')) - 1 AS BIGINT)
+           >= {C4_MIN_SENTENCES}
+         AND len(list_filter(string_split(lab.text, chr(10)),
+           ln -> regexp_matches(ln, '[.!?"]\\s*$')
+             AND len(list_filter(string_split_regex(ln, '\\s+'),
+                                 w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}
+             AND NOT contains(lower(ln), 'javascript'))) > 0
+         AND NOT contains(lower(lab.text), 'lorem ipsum')
+         AND NOT (contains(lab.text, '{{') OR contains(lab.text, '}}')))
+          AS c_keep
+      FROM lab
+    ),
+    d AS (
+      SELECT *,
+        (min(doc_id) OVER (PARTITION BY sha256(text)) = doc_id)
+          AS is_first
+      FROM c
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pass_gopher,
+      CAST(SUM(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pass_c4,
+      CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact_unique,
+      CAST(SUM(CASE WHEN g_keep AND is_first THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_keep,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN g_keep AND is_first THEN n_tokens ELSE 0 END)
+           AS BIGINT) AS n_tokens_kept,
+      CAST(SUM(CASE WHEN g_keep AND is_first THEN 1 ELSE 0 END)
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM d GROUP BY source
+    """
+
+
+@query("corpus_curation_funnel", oracle=None)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: Gopher pass, C4 pass, exact-unique
+    (content-hash first occurrence), combined keep, and the token
+    budget before/after — the pipeline's publishable survival table.
+
+    The teacher rule is `_gopher_keep` (shared with the NB
+    classifier); the C4 column reuses `c4_signals`
+    (operators/corpus.py:871); dedup canonicality is min(doc_id) per
+    sha256(text) window — the same convention as dedup_exact_docs.
+    """
+    from clickhouse_batcher_spark.operators.corpus import c4_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = c4_signals(docs).select(
+        "doc_id", "source", "text", F.col("keep").alias("c_keep")
+    )
+    enriched = sig.select(
+        "doc_id",
+        "source",
+        "text",
+        "c_keep",
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "c_keep",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        _gopher_keep(F.col("toks")).alias("g_keep"),
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    d = enriched.withColumn(
+        "is_first", F.min("doc_id").over(w) == F.col("doc_id")
+    )
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    keep = F.col("g_keep") & F.col("is_first")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt_if(F.col("g_keep")).alias("n_pass_gopher"),
+        cnt_if(F.col("c_keep")).alias("n_pass_c4"),
+        cnt_if(F.col("is_first")).alias("n_exact_unique"),
+        cnt_if(keep).alias("n_keep"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(keep, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        (
+            F.sum(F.when(keep, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+_ORACLES["corpus_curation_funnel"] = " ".join(_funnel_oracle().split())

@@ -929,3 +929,131 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_kept_lines", "n_sentences",
         "has_lorem_ipsum", "has_curly_brace", "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the smoothing
+# family KenLM implements — CCNet's perplexity filter uses a KenLM
+# 5-gram; this is the same estimator at bigram order, closed-form
+# from corpus counts so it stays hash-exact):
+#
+#   P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,.)
+#               + D * N1+(w1,.) / c(w1,.) * P_cont(w2)
+#   P_cont(w2)  = N1+(.,w2) / N1+(.,.)
+#
+# with discount D = 0.75, N1+ the distinct-continuation counts. Unlike
+# the MLE bigram model (`docs_bigram_logprob`), every probability is
+# nonzero, so the score is defined for unseen-within-doc pairs too,
+# and frequent-but-predictable words are discounted by their
+# continuation diversity — the property that made KN the standard.
+#
+# Determinism: D = 0.75 is exactly representable; P_KN is one IEEE
+# expression over exact integer counts (bit-identical across
+# engines); each pair's ln rounds to 6 and sums as DECIMAL(27,6).
+# Scale: identical shape to docs_bigram_logprob — corpus-bounded LM
+# tables joined back to the pair stream, map-side-combined per-doc
+# sums; the two continuation tables are rollups of the SAME bigram
+# aggregate (no extra corpus scan).
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "docs_kn_bigram_logprob",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+               AS pair
+      FROM t WHERE len(toks) >= 2
+    ), o2 AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM occ
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM o2 GROUP BY 1, 2
+    ), uni AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS nfol
+      FROM big GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM big GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big
+    ), scored AS (
+      SELECT o2.doc_id,
+        CAST(round(ln(
+          greatest(CAST(b.c2 AS DOUBLE) - {KN_DISCOUNT}, 0)
+            / CAST(u.c1 AS DOUBLE)
+          + ({KN_DISCOUNT} * CAST(u.nfol AS DOUBLE)
+             / CAST(u.c1 AS DOUBLE))
+            * (CAST(k.nprec AS DOUBLE) / CAST(tot.n_types AS DOUBLE))
+        ), 6) AS DECIMAL(27,6)) AS lp
+      FROM o2
+      JOIN big b ON o2.w1 = b.w1 AND o2.w2 = b.w2
+      JOIN uni u ON o2.w1 = u.w1
+      JOIN cont k ON o2.w2 = k.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_kn_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean interpolated-Kneser-Ney bigram log-probability
+    (D = 0.75) — the CCNet-style LM filter signal, closed-form from
+    the corpus's own bigram counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    occ = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("pair"),
+    ).select(
+        "doc_id",
+        F.col("pair.a").alias("w1"),
+        F.col("pair.b").alias("w2"),
+    )
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nfol"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nprec")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d = KN_DISCOUNT
+    p_kn = (
+        F.greatest(F.col("c2").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (d * F.col("nfol").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nprec").cast("double") / F.col("n_types").cast("double"))
+    )
+    scored = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(p_kn), 6).cast("decimal(27,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_kn_logprob"),
+    )

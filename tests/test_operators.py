@@ -2366,3 +2366,90 @@ def test_tfidf_top_terms_planted(spark):
         (3, 2): ("apple", 1, lo),
     }
     assert got == want
+
+
+def test_kn_bigram_logprob_matches_python(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scores equal a full sequential
+    Python recompute (same counts, same D=0.75 formula, same
+    6-decimal micro-unit accumulation)."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from clickhouse_batcher_spark.operators.corpus import (
+        KN_DISCOUNT,
+        docs_kn_bigram_logprob,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    def micro6(x):
+        return int(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    pairs = {}
+    big = Counter()
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        ps = list(zip(ts, ts[1:]))
+        if ps:
+            pairs[d["doc_id"]] = ps
+            big.update(ps)
+    c1 = Counter()
+    nfol = Counter()
+    nprec = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        nfol[w1] += 1
+        nprec[w2] += 1
+    n_types = len(big)
+    d75 = KN_DISCOUNT
+    lp = {}
+    for (w1, w2), c in big.items():
+        p = max(c - d75, 0.0) / c1[w1] + (d75 * nfol[w1] / c1[w1]) * (
+            nprec[w2] / n_types
+        )
+        lp[(w1, w2)] = micro6(math.log(p))
+    rows = docs_kn_bigram_logprob(spark, sf_dir).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        ps = pairs[r["doc_id"]]
+        want = sum(lp[p] for p in ps)
+        assert r["n_bigrams"] == len(ps)
+        got_sum = r["avg_kn_logprob"] * len(ps)
+        assert abs(got_sum - want / 1e6) <= 1e-5 * max(1, len(ps)), r[
+            "doc_id"
+        ]
+
+
+def test_curation_funnel_consistent_with_components(spark, sf_dir):
+    """The funnel's per-source counts must agree with the standalone
+    operators it composes: Gopher keeps, exact-dup uniques, totals."""
+    from clickhouse_batcher_spark.operators.classifier import (
+        corpus_curation_funnel,
+    )
+    from clickhouse_batcher_spark.operators.corpus import (
+        quality_filter_gopher,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    funnel = corpus_curation_funnel(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in funnel) == n_docs
+    gopher_keeps = (
+        quality_filter_gopher(spark, sf_dir).filter("keep").count()
+    )
+    assert sum(r["n_pass_gopher"] for r in funnel) == gopher_keeps
+    n_unique_texts = docs.select("text").distinct().count()
+    assert sum(r["n_exact_unique"] for r in funnel) == n_unique_texts
+    for r in funnel:
+        assert r["n_keep"] <= min(r["n_pass_gopher"], r["n_exact_unique"])
+        assert r["n_tokens_kept"] <= r["n_tokens"]
+        assert abs(r["keep_rate"] - r["n_keep"] / r["n_docs"]) < 1e-12
