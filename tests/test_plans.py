@@ -230,6 +230,7 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                      # totals (the 256-row LLR table is
                                      # a hash join)
         "tfidf_top_terms",           # 1-row doc-count frame
+        "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
