@@ -95,7 +95,16 @@ parser rather than silently misbehaving):
   bit shifts emit shiftleft()/shiftright() functions — Spark's
   parser rejects `>>` after a lambda arrow; loud: CAST-to-Tuple,
   toYearWeek, geo distance family, KS/one-sample-t/z tests,
-  quantileInterpolatedWeighted, groupArrayLast/Sample, randConstant``
+  quantileInterpolatedWeighted, groupArrayLast/Sample, randConstant
+  {min,max,avg,sum,any}OrNull/OrDefault MD5/SHA1/SHA224..512 (unhex'd
+  — ClickHouse digests are BINARY, so hex(MD5(x)) round-trips)
+  toDecimal32/128(+OrNull/OrZero) toDate32 toBool char(n-arg)
+  tryBase64Decode ifNotFinite currentDatabase materialize identity
+  ignore roundToExp2 roundDuration roundAge (fixed bucket tables)
+  arrayJaccardIndex arrayUnion; loud: xxHash (near-name, different
+  values), rowNumberInBlock/blockNumber, server/timezone
+  introspection, base58, bitmap*, UUID binary conversions,
+  toDecimal256, -Resample, arrayRandomSample``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -984,16 +993,75 @@ _UNSUPPORTED = (
     # Spark builtin, and they are used for bucketing/sampling where a
     # silent value change silently reshuffles every bucket.
     (
+        # xxHash64/32 included: Spark's xxhash64() exists but hashes
+        # the INTERNAL ROW ENCODING with seed 42 — near-identical name,
+        # different values, the worst silent-divergence shape.
         r"\b(?:sipHash64|sipHash128|cityHash64|farmHash64|"
         r"farmFingerprint64|murmurHash2_32|murmurHash2_64|"
         r"murmurHash3_32|murmurHash3_64|murmurHash3_128|"
-        r"intHash32|intHash64|halfMD5|javaHash|hiveHash)\s*\(",
-        "sipHash/cityHash/farmHash/murmurHash/intHash/halfMD5",
+        r"intHash32|intHash64|halfMD5|javaHash|hiveHash|"
+        r"xxHash64|xxHash32|xxh3)\s*\(",
+        "sipHash/cityHash/farmHash/murmurHash/intHash/halfMD5/xxHash",
         "no Spark builtin reproduces these exact values; for "
         "engine-portable deterministic bucketing use the sha2-prefix "
         "hash (operators.sampling.hash_bucket — identical in Spark "
         "and DuckDB), or xxhash64() if only in-engine stability "
         "matters",
+    ),
+    (
+        r"\b(?:rowNumberInBlock|rowNumberInAllBlocks|blockNumber"
+        r"|blockSize)\s*\(",
+        "rowNumberInBlock/blockNumber (physical block introspection)",
+        "block boundaries do not exist in Spark's model — use "
+        "row_number() OVER an explicit ORDER BY",
+    ),
+    (
+        r"\b(?:hostName|transactionID|serverTimezone|timezoneOf"
+        r"|toTimezone|currentProfiles|currentRoles|sleep"
+        r"|sleepEachRow)\s*\(",
+        "server/timezone introspection family",
+        "these read ClickHouse server state; Spark sessions run in "
+        "the session timezone — use current_timezone()/"
+        "current_database() deliberately if Spark's values are wanted",
+    ),
+    (
+        r"\bbase58(?:Encode|Decode)\s*\(",
+        "base58Encode/Decode",
+        "no Spark builtin — use base64Encode/Decode (translated) or "
+        "encode upstream",
+    ),
+    (
+        r"\bbitmap\w+\s*\(",
+        "roaring-bitmap function family",
+        "bitmap states are engine-internal — aggregate with "
+        "collect_set/array functions, or count with the sketch "
+        "operators (operators.sketch)",
+    ),
+    (
+        r"\bUUID(?:StringToNum|NumToString)\s*\(",
+        "UUID binary representation conversion",
+        "Spark has no 16-byte UUID type — keep UUIDs as strings "
+        "(uuid() generates them) or unhex(replace(u, '-', '')) for "
+        "the raw bytes",
+    ),
+    (
+        r"\btoDecimal256\w*\s*\(",
+        "toDecimal256 (76-digit decimal)",
+        "Spark decimals cap at 38 digits — use toDecimal128 (-> "
+        "DECIMAL(38, s)) or split the value",
+    ),
+    (
+        r"\b\w+Resample\s*\(",
+        "-Resample aggregate combinator",
+        "bucket explicitly: GROUP BY the resample key's CASE/width_"
+        "bucket bins — same result, visible plan",
+    ),
+    (
+        r"\barrayRandomSample\s*\(",
+        "arrayRandomSample (seeded per-row sampling)",
+        "ClickHouse's RNG is not reproducible here — use "
+        "slice(shuffle(arr), 1, k) if nondeterminism is acceptable, "
+        "or a sha-bucket filter for a deterministic sample",
     ),
 )
 
@@ -3260,7 +3328,151 @@ def translate(
     # quantileGK(accuracy, level)(x) -> percentile_approx(x, level,
     # accuracy) — Spark's is the same Greenwald-Khanna family.
     out = _rewrite_curried_fn(out, "quantileGK", _quantile_gk)
+
+    # --- round-7 probe-hunt batch 6 (OrNull/OrDefault combinators,
+    # binary hashes, decimal widths, bucketing helpers) ----------------
+    # -OrNull/-OrDefault combinators over the common aggregates.
+    # Spark's min/max/avg/sum/any already return NULL over zero rows —
+    # exactly -OrNull; -OrDefault coalesces to the type default.
+    for base, sp in (
+        ("min", "min"),
+        ("max", "max"),
+        ("avg", "avg"),
+        ("sum", "sum"),
+        ("any", "any_value"),
+    ):
+        out = _rewrite_calls(
+            out, f"{base}OrNull", lambda a, s=sp: f"{s}({a[0]})"
+        )
+        out = _rewrite_calls(
+            out,
+            f"{base}OrDefault",
+            lambda a, s=sp: f"coalesce({s}({a[0]}), 0)",
+        )
+    # ClickHouse MD5/SHA* return BINARY digests (users wrap hex(..));
+    # Spark's md5/sha1/sha2 return hex STRINGS — translating to the
+    # unhex'd form keeps hex(MD5(x)) and length(SHA256(x)) faithful.
+    out = _rewrite_calls(out, "MD5", lambda a: f"unhex(md5({a[0]}))")
+    out = _rewrite_calls(out, "SHA1", lambda a: f"unhex(sha1({a[0]}))")
+    for bits in (224, 256, 384, 512):
+        out = _rewrite_calls(
+            out,
+            f"SHA{bits}",
+            lambda a, b=bits: f"unhex(sha2({a[0]}, {b}))",
+        )
+    for ch, p in (("toDecimal32", 9), ("toDecimal128", 38)):
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, pr=p: f"CAST({a[0]} AS DECIMAL({pr}, {int(a[1])}))",
+        )
+    for ch, p in (
+        ("toDecimal32", 9),
+        ("toDecimal64", 18),
+        ("toDecimal128", 38),
+    ):
+        out = _rewrite_calls(
+            out,
+            f"{ch}OrNull",
+            lambda a, pr=p: (
+                f"try_cast({a[0]} AS DECIMAL({pr}, {int(a[1])}))"
+            ),
+        )
+        out = _rewrite_calls(
+            out,
+            f"{ch}OrZero",
+            lambda a, pr=p: (
+                f"coalesce(try_cast({a[0]} AS DECIMAL({pr}, {int(a[1])}))"
+                f", 0)"
+            ),
+        )
+    out = _rewrite_calls(out, "toDate32", lambda a: f"CAST({a[0]} AS DATE)")
+    out = _rewrite_calls(out, "toBool", lambda a: f"CAST({a[0]} AS BOOLEAN)")
+    # char(a, b, ...): ClickHouse concatenates one byte per argument.
+    out = _rewrite_calls(
+        out,
+        "char",
+        lambda a: f"char({a[0]})"
+        if len(a) == 1
+        else "concat(" + ", ".join(f"char({x})" for x in a) + ")",
+    )
+    out = _rewrite_calls(
+        out,
+        "tryBase64Decode",
+        # '' on failure (ClickHouse), not NULL
+        lambda a: (
+            f"coalesce(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "ifNotFinite",
+        lambda a: (
+            f"(CASE WHEN isnan({a[0]}) OR abs(CAST({a[0]} AS DOUBLE)) = "
+            f"CAST('Infinity' AS DOUBLE) THEN {a[1]} ELSE {a[0]} END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "currentDatabase", lambda a: "current_database()"
+    )
+    # materialize/identity are ClickHouse optimizer hints — semantic
+    # no-ops; ignore() evaluates and returns 0.
+    out = _rewrite_calls(out, "materialize", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "identity", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "ignore", lambda a: "0")
+    # roundToExp2: largest power of two <= x (0 for x < 1); log2 of a
+    # power of two is IEEE-exact, so the floor is safe.
+    out = _rewrite_calls(
+        out,
+        "roundToExp2",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+            f"CAST(pow(2, floor(log2({a[0]}))) AS BIGINT) END)"
+        ),
+    )
+    out = _rewrite_calls(out, "roundDuration", _round_bucket_duration)
+    out = _rewrite_calls(out, "roundAge", _round_bucket_age)
+    out = _rewrite_calls(
+        out,
+        "arrayJaccardIndex",
+        lambda a: (
+            f"(CAST(size(array_intersect({_as_array_expr(a[0])}, "
+            f"{_as_array_expr(a[1])})) AS DOUBLE) / "
+            f"CAST(size(array_union({_as_array_expr(a[0])}, "
+            f"{_as_array_expr(a[1])})) AS DOUBLE))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayUnion",
+        lambda a: (
+            f"array_union({_as_array_expr(a[0])}, {_as_array_expr(a[1])})"
+        ),
+    )
     return out
+
+
+# ClickHouse's fixed bucketing tables (deterministic CASE chains).
+_DURATION_BUCKETS = (
+    1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200,
+    18000, 36000,
+)
+_AGE_BUCKETS = ((1, 0), (18, 17), (25, 18), (35, 25), (45, 35), (55, 45))
+
+
+def _round_bucket_duration(args: list[str]) -> str:
+    x = args[0]
+    whens = " ".join(
+        f"WHEN ({x}) < {b} THEN {prev}"
+        for prev, b in zip((0,) + _DURATION_BUCKETS[:-1], _DURATION_BUCKETS)
+    )
+    return f"(CASE {whens} ELSE {_DURATION_BUCKETS[-1]} END)"
+
+
+def _round_bucket_age(args: list[str]) -> str:
+    x = args[0]
+    whens = " ".join(f"WHEN ({x}) < {b} THEN {v}" for b, v in _AGE_BUCKETS)
+    return f"(CASE {whens} ELSE 55 END)"
 
 
 def _quantile_gk(p_parts: list[str], x_parts: list[str]) -> str:

@@ -2582,3 +2582,85 @@ def test_probe_batch5_rand_distributions():
     assert translate("SELECT randUniform(5, 7)") == (
         "SELECT ((5) + ((7) - (5)) * rand())"
     )
+
+
+def test_probe_batch6_scalars(spark, sf_dir):
+    """Round-7 probe batch 6: binary-digest hashes (ClickHouse MD5/
+    SHA* return BINARY — hex(MD5(x)) must round-trip), decimal widths,
+    fixed bucketing tables, misc scalars."""
+    got = run_sql(
+        spark,
+        "SELECT hex(MD5('abc')) AS h5, "
+        "length(SHA256('abc')) AS l256, "
+        "hex(SHA1('abc')) AS h1, "
+        "CAST(toDecimal32('1.5', 2) AS STRING) AS d32, "
+        "CAST(toDecimal128('1.5', 10) AS STRING) AS d128, "
+        "toDecimal32OrNull('xx', 2) AS d32n, "
+        "CAST(toDecimal64OrZero('xx', 3) AS STRING) AS d64z, "
+        "CAST(toDate32('2020-01-01') AS STRING) AS dd, "
+        "toBool('true') AS tb, "
+        "char(65, 66, 67) AS ch3, "
+        "tryBase64Decode('YQ==') AS b64, "
+        "tryBase64Decode('!!bad!!') AS b64f, "
+        "ifNotFinite(7.0, 42.0) AS inf1, "
+        "materialize(5) AS mz, identity(6) AS idn, ignore(123) AS ig, "
+        "roundToExp2(100) AS re2, roundDuration(95) AS rdur, "
+        "roundAge(16) AS rage, "
+        "arrayJaccardIndex([1, 2], [2, 3]) AS ajc, "
+        "arrayUnion([1, 2], [2, 3]) AS aun",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["h5"] == "900150983CD24FB0D6963F7D28E17F72"
+    assert got["l256"] == 32
+    assert got["h1"] == "A9993E364706816ABA3E25717850C26C9CD0D89D"
+    assert got["d32"] == "1.50" and got["d128"] == "1.5000000000"
+    assert got["d32n"] is None and got["d64z"] == "0.000"
+    assert got["dd"] == "2020-01-01" and got["tb"] is True
+    assert got["ch3"] == "ABC"
+    assert got["b64"] == "a" and got["b64f"] == ""
+    assert got["inf1"] == 7.0
+    assert (got["mz"], got["idn"], got["ig"]) == (5, 6, 0)
+    assert got["re2"] == 64 and got["rdur"] == 60 and got["rage"] == 17
+    assert abs(got["ajc"] - 1 / 3) < 1e-12
+    assert got["aun"] == [1, 2, 3]
+
+
+def test_probe_batch6_ornull_combinators(spark, sf_dir):
+    """-OrNull keeps Spark's NULL-on-empty; -OrDefault coalesces to
+    the type default — checked on empty and nonempty groups."""
+    got = run_sql(
+        spark,
+        "SELECT sumOrNull(x) AS sn, sumOrDefault(x) AS sd, "
+        "minOrNull(x) AS mn, avgOrDefault(x) AS ad "
+        "FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE false)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["sn"] is None and got["sd"] == 0
+    assert got["mn"] is None and got["ad"] == 0
+    got = run_sql(
+        spark,
+        "SELECT sumOrNull(value) AS sn, anyOrNull(event_type) AS an "
+        "FROM events",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["sn"] is not None and got["an"] is not None
+
+
+def test_probe_batch6_louds():
+    for sql, frag in [
+        ("SELECT xxHash64(s) FROM t", "xxHash"),
+        ("SELECT rowNumberInBlock() FROM t", "row_number"),
+        ("SELECT hostName()", "server"),
+        ("SELECT toTimezone(ts, 'UTC') FROM t", "timezone"),
+        ("SELECT base58Encode(s) FROM t", "base64"),
+        ("SELECT bitmapBuild([1, 2])", "collect_set"),
+        ("SELECT UUIDStringToNum(u) FROM t", "16-byte"),
+        ("SELECT toDecimal256(x, 10) FROM t", "38 digits"),
+        ("SELECT sumResample(0, 10, 1)(x, k) FROM t", "Resample"),
+        ("SELECT arrayRandomSample(a, 2) FROM t", "RNG"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
