@@ -53,6 +53,7 @@ def load_all() -> None:
         asof,
         attribution,
         bloomjoin,
+        bucketing,
         chagg,
         chagg2,
         classifier,
