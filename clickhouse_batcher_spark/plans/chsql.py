@@ -104,7 +104,13 @@ parser rather than silently misbehaving):
   arrayJaccardIndex arrayUnion; loud: xxHash (near-name, different
   values), rowNumberInBlock/blockNumber, server/timezone
   introspection, base58, bitmap*, UUID binary conversions,
-  toDecimal256, -Resample, arrayRandomSample``
+  toDecimal256, -Resample, arrayRandomSample
+  simpleJSON{Has,Extract*} (visitParam aliases) JSONHas (2-arg)
+  JSONExtractUInt toJSONString isValidJSON to/fromModifiedJulianDay
+  arraySymmetricDifference; * EXCEPT passes through (native Spark
+  3.4+ star syntax); loud: * APPLY / * REPLACE / COLUMNS('re')
+  (need the schema), JSONType/AllPaths/ExtractArrayRaw, the
+  experimental NLP family, the extended string-distance family``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -1062,6 +1068,54 @@ _UNSUPPORTED = (
         "ClickHouse's RNG is not reproducible here — use "
         "slice(shuffle(arr), 1, k) if nondeterminism is acceptable, "
         "or a sha-bucket filter for a deterministic sample",
+    ),
+    (
+        # star modifiers: * EXCEPT translates natively (Spark 3.4+),
+        # APPLY/REPLACE/COLUMNS need the schema at translate time.
+        r"\*\s*APPLY\s*\(",
+        "SELECT * APPLY(fn) star modifier",
+        "expansion needs the schema — list the aggregated columns, or "
+        "build the projection programmatically from df.columns",
+    ),
+    (
+        r"\*\s*REPLACE\s*\(",
+        "SELECT * REPLACE(expr AS col) star modifier",
+        "Spark's star has EXCEPT but not REPLACE — project "
+        "* EXCEPT (col) plus the replacement expression aliased to "
+        "the column name",
+    ),
+    (
+        r"\bCOLUMNS\s*\(\s*'",
+        "COLUMNS('regex') dynamic column matcher",
+        "expansion needs the schema — select from df.columns with a "
+        "regex filter in the host language",
+    ),
+    (
+        r"\bJSON(?:Type|AllPaths\w*|ExtractArrayRaw|"
+        r"ExtractKeysAndValues\w*)\s*\(",
+        "JSONType/JSONAllPaths/JSONExtractArrayRaw/KeysAndValues",
+        "ClickHouse-specific JSON introspection shapes — compose "
+        "get_json_object + from_json with an explicit schema "
+        "(JSONExtractRaw/JSONExtractKeys translate)",
+    ),
+    (
+        r"\b(?:stem|lemmatize|synonyms|detectLanguage\w*"
+        r"|detectCharset|detectTonality|detectProgrammingLanguage)"
+        r"\s*\(",
+        "experimental NLP function family",
+        "model/dictionary-backed NLP is not relational — the engine's "
+        "text operators (langid_predict heuristic, operators/ngrams "
+        "tokenization) are the Spark-native path; heavier NLP belongs "
+        "in an Arrow-batched mapInPandas stage",
+    ),
+    (
+        r"\b(?:damerauLevenshteinDistance|jaroSimilarity"
+        r"|jaroWinklerSimilarity|stringJaccardIndex"
+        r"|byteHammingDistance|editDistanceUTF8)\s*\(",
+        "extended string-distance family",
+        "editDistance translates (-> levenshtein); the others have no "
+        "Spark builtin — operators/fuzzy.py's deletion-neighborhood "
+        "matcher covers the near-match join use case",
     ),
 )
 
@@ -2770,18 +2824,56 @@ def translate(
         ("visitParamExtractInt", "BIGINT"),
         ("visitParamExtractFloat", "DOUBLE"),
         ("visitParamExtractBool", "BOOLEAN"),
+        # simpleJSON* is the modern spelling of the visitParam family
+        ("simpleJSONExtractString", None),
+        ("simpleJSONExtractRaw", None),
+        ("simpleJSONExtractInt", "BIGINT"),
+        ("simpleJSONExtractFloat", "DOUBLE"),
+        ("simpleJSONExtractBool", "BOOLEAN"),
+        # JSONExtractUInt: same extraction, unsigned range fits BIGINT
+        ("JSONExtractUInt", "BIGINT"),
     ):
         out = _rewrite_calls(
             out, ch, lambda a, t=cast_to, n=ch: _json_extract(n, a, t)
         )
+    for ch in ("visitParamHas", "simpleJSONHas", "JSONHas"):
+        out = _rewrite_calls(
+            out,
+            ch,
+            # key PRESENCE, not value non-nullness: get_json_object
+            # returns NULL for a present-but-null value where ClickHouse
+            # returns 1, so test membership in the top-level key set.
+            # JSONHas's nested-path (3+-arg) form is loud.
+            lambda a, n=ch: (
+                f"array_contains(json_object_keys({a[0]}), {a[1]})"
+                if len(a) == 2
+                else _raise(
+                    ValueError(
+                        f"{n} with a nested path has no Spark "
+                        "translation — test "
+                        "get_json_object(j, '$.a.b') IS NOT NULL "
+                        "(NULL-valued keys read as absent there)"
+                    )
+                )
+            ),
+        )
+    out = _rewrite_calls(out, "toJSONString", lambda a: f"to_json({a[0]})")
     out = _rewrite_calls(
         out,
-        "visitParamHas",
-        # key PRESENCE, not value non-nullness: get_json_object
-        # returns NULL for a present-but-null value where ClickHouse
-        # returns 1, so test membership in the top-level key set
-        # (visitParam* only ever reads top-level keys).
-        lambda a: f"array_contains(json_object_keys({a[0]}), {a[1]})",
+        "isValidJSON",
+        # get_json_object returns NULL only on malformed input (the
+        # JSON literal null round-trips as the string 'null')
+        lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+    )
+    out = _rewrite_calls(
+        out,
+        "arraySymmetricDifference",
+        lambda a: (
+            f"array_except(array_union({_as_array_expr(a[0])}, "
+            f"{_as_array_expr(a[1])}), "
+            f"array_intersect({_as_array_expr(a[0])}, "
+            f"{_as_array_expr(a[1])}))"
+        ),
     )
     out = _rewrite_calls(
         out, "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"
@@ -3448,6 +3540,21 @@ def translate(
         lambda a: (
             f"array_union({_as_array_expr(a[0])}, {_as_array_expr(a[1])})"
         ),
+    )
+    # Modified Julian Day (epoch 1858-11-17): registered HERE, after
+    # the ClickHouse dateDiff('unit', ..) rewrite has run — the
+    # emitted Spark datediff(end, start) would otherwise be rescanned
+    # by that case-insensitive handler and rejected as a 2-arg
+    # dateDiff.
+    out = _rewrite_calls(
+        out,
+        "toModifiedJulianDay",
+        lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1858-11-17')",
+    )
+    out = _rewrite_calls(
+        out,
+        "fromModifiedJulianDay",
+        lambda a: f"date_add(DATE '1858-11-17', CAST({a[0]} AS INT))",
     )
     return out
 

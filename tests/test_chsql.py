@@ -2664,3 +2664,61 @@ def test_probe_batch6_louds():
     ]:
         with pytest.raises(ValueError, match=frag):
             translate(sql)
+
+
+def test_probe_batch7_json_and_dates(spark, sf_dir):
+    """Round-7 probe batch 7: simpleJSON aliases, JSONHas/UInt,
+    toJSONString/isValidJSON, Modified Julian Day, symmetric diff."""
+    got = run_sql(
+        spark,
+        "SELECT JSONHas('{\"a\": 1}', 'a') AS jh1, "
+        "JSONHas('{\"a\": 1}', 'b') AS jh0, "
+        "simpleJSONHas('{\"a\": 1}', 'a') AS sh, "
+        "simpleJSONExtractString('{\"a\": \"x\"}', 'a') AS ss, "
+        "JSONExtractUInt('{\"a\": 12}', 'a') AS ju, "
+        "toJSONString(map('a', 1)) AS js, "
+        "isValidJSON('{\"a\": 1}') AS v1, "
+        "isValidJSON('{bad') AS v0, "
+        "isValidJSON('null') AS vn, "
+        "toModifiedJulianDay('2020-01-01') AS mjd, "
+        "CAST(fromModifiedJulianDay(58849) AS STRING) AS mjr, "
+        "arraySymmetricDifference([1, 2], [2, 3]) AS sd",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["jh1"] is True and got["jh0"] is False and got["sh"] is True
+    assert got["ss"] == "x" and got["ju"] == 12
+    assert got["js"] == '{"a":1}'
+    assert got["v1"] is True and got["v0"] is False and got["vn"] is True
+    assert got["mjd"] == 58849 and got["mjr"] == "2020-01-01"
+    assert got["sd"] == [1, 3]
+
+
+def test_probe_batch7_star_except_passthrough(spark, sf_dir):
+    """ClickHouse's * EXCEPT (col) is valid Spark 3.4+ star syntax —
+    it must pass through and run."""
+    row = run_sql(
+        spark,
+        "SELECT * EXCEPT (props, ts) FROM events LIMIT 1",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert "props" not in row.asDict() and "ts" not in row.asDict()
+    assert "event_id" in row.asDict()
+
+
+def test_probe_batch7_louds():
+    for sql, frag in [
+        ("SELECT * APPLY (sum) FROM t", "schema"),
+        ("SELECT * REPLACE (x + 1 AS x) FROM t", "EXCEPT"),
+        ("SELECT COLUMNS('^c') FROM t", "regex"),
+        ("SELECT JSONType(j, 'k') FROM t", "introspection"),
+        ("SELECT JSONExtractArrayRaw(j, 'k') FROM t", "introspection"),
+        ("SELECT JSONHas(j, 'a', 1, 'b') FROM t", "nested path"),
+        ("SELECT stem('en', 'running')", "NLP"),
+        ("SELECT detectLanguage(s) FROM t", "langid_predict"),
+        ("SELECT jaroWinklerSimilarity(a, b) FROM t", "fuzzy"),
+        ("SELECT byteHammingDistance(a, b) FROM t", "levenshtein"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(sql)
