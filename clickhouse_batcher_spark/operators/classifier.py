@@ -188,18 +188,9 @@ def _nbq_oracle() -> str:
     """
 
 
-def nb_quality_scores(docs: DataFrame) -> DataFrame:
-    """Train-and-score the distilled NB over any ``(doc_id, text)``
-    frame (input-agnostic core of ``quality_classifier_nb``).
-
-    Per doc: teacher label, exact token count, the NB log-odds
-    (prior + sum of per-bucket log-likelihood ratios, Laplace +1
-    smoothing on both class distributions and the prior), and the
-    learned verdict ``nb_keep = log-odds > 0``. Log-odds accumulate
-    as DECIMAL(27,6) of 6-rounded per-bucket ratios, so the score —
-    and therefore the sign decision — is engine- and order-exact.
-    """
-    lab = docs.select(
+def _labeled(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, n_tokens, label) — the shared prep frame."""
+    return docs.select(
         "doc_id",
         tokens("text").alias("toks"),
     ).select(
@@ -208,14 +199,38 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
         _gopher_keep(F.col("toks")).alias("label"),
     )
+
+
+def nb_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the distilled NB on a reference corpus: returns the
+    broadcastable model — ``(llr, pri)`` where ``llr`` is the
+    (bucket, lr DECIMAL(27,6)) log-likelihood-ratio table (<=
+    NBQ_BUCKETS rows) and ``pri`` the 1-row prior frame. The split
+    from :func:`nb_score` is what lets the SAME model score a batch
+    corpus and a micro-batch stream (streaming/qualitygate.py) with
+    bit-identical results."""
+    lab = _labeled(docs)
     bk = lab.select(
         "doc_id", "label", F.explode("toks").alias("token")
     ).select("doc_id", "label", _nbq_bucket(F.col("token")).alias("bucket"))
-
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
-    cls = bk.groupBy("bucket").agg(
-        one_if(F.col("label")).cast("bigint").alias("c1"),
-        one_if(~F.col("label")).cast("bigint").alias("c0"),
+    # densify over ALL buckets so a model trained on one corpus scores
+    # buckets the training corpus never produced with the correct
+    # smoothed (0-count) ratio instead of silently contributing 0
+    all_buckets = docs.sparkSession.range(NBQ_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    cls = all_buckets.join(
+        bk.groupBy("bucket").agg(
+            one_if(F.col("label")).cast("bigint").alias("c1"),
+            one_if(~F.col("label")).cast("bigint").alias("c0"),
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce("c0", F.lit(0)).cast("bigint").alias("c0"),
     )
     tots = cls.agg(
         F.sum("c1").cast("bigint").alias("t1"),
@@ -238,11 +253,6 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
         .cast("decimal(27,6)")
         .alias("lr"),
     )
-    per = (
-        bk.join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum("lr").alias("s"))
-    )
     prior = (
         F.round(
             F.log((F.col("n1").cast("double") + 1) / (F.col("n0").cast("double") + 1)),
@@ -251,7 +261,27 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
         .cast("decimal(27,6)")
         .alias("prior")
     )
-    pri = nd.select(prior)
+    return llr, nd.select(prior)
+
+
+def nb_score(
+    docs: DataFrame, llr: DataFrame, pri: DataFrame
+) -> DataFrame:
+    """Score any ``(doc_id, text)`` frame with a trained model from
+    :func:`nb_train`. The model is dense over all NBQ_BUCKETS, so
+    every token — including ones the training corpus never produced —
+    scores with its correctly smoothed ratio; identical inputs give
+    bit-identical scores whether scored in one batch job or across
+    micro-batches (the streaming gate's equivalence property)."""
+    lab = _labeled(docs)
+    bk = lab.select("doc_id", F.explode("toks").alias("token")).select(
+        "doc_id", _nbq_bucket(F.col("token")).alias("bucket")
+    )
+    per = (
+        bk.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("s"))
+    )
     zero = F.lit(0).cast("decimal(27,6)")
     logodds = F.col("prior") + F.coalesce(F.col("s"), zero)
     return (
@@ -265,6 +295,21 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
             (logodds > 0).alias("nb_keep"),
         )
     )
+
+
+def nb_quality_scores(docs: DataFrame) -> DataFrame:
+    """Train-and-score the distilled NB over any ``(doc_id, text)``
+    frame (input-agnostic core of ``quality_classifier_nb``).
+
+    Per doc: teacher label, exact token count, the NB log-odds
+    (prior + sum of per-bucket log-likelihood ratios, Laplace +1
+    smoothing on both class distributions and the prior), and the
+    learned verdict ``nb_keep = log-odds > 0``. Log-odds accumulate
+    as DECIMAL(27,6) of 6-rounded per-bucket ratios, so the score —
+    and therefore the sign decision — is engine- and order-exact.
+    """
+    llr, pri = nb_train(docs)
+    return nb_score(docs, llr, pri)
 
 
 @query("quality_classifier_nb", oracle=None)

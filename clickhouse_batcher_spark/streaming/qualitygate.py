@@ -1,0 +1,85 @@
+"""Streaming at-ingestion quality gate.
+
+The reference engine's whole job is micro-batched ingestion
+(`hashes.go:33-66` — size-or-time flush into ClickHouse); a training
+-data pipeline's ingestion adds one step to that loop: score each
+arriving document and keep/flag it BEFORE it lands. This module
+composes the engine's two quality signals — the Gopher structural
+rule and the distilled NB classifier (operators/classifier.py) —
+into a `readStream` -> `foreachBatch` gate, the same shape as the
+near-dup gates in `streaming/neardup.py`.
+
+The model is trained ONCE on a reference corpus (`nb_train`, a
+256-row broadcastable LLR table + 1-row prior) and applied unchanged
+to every micro-batch (`nb_score`). Because scores are decimal-exact,
+the gate's verdicts are bit-identical to scoring the same documents
+in one batch job — pinned by the stream==batch equivalence test, cut
+-invariant by construction (per-doc scores never cross batch
+boundaries).
+
+Scale: the model is constant-size (broadcast); each micro-batch does
+one token explode + one broadcast join + one doc-keyed sum — no
+state store, no growth. Output is parquet partitioned by `_batch_id`
+(the `foreachBatch` idempotence convention used engine-wide).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_batcher_spark.operators.classifier import (
+    nb_score,
+    nb_train,
+)
+
+
+def train_gate_model(reference_docs: DataFrame):
+    """Train the gate's model on the reference corpus; the caller
+    should cache/materialize both frames (they are tiny)."""
+    return nb_train(reference_docs)
+
+
+def score_batch(
+    batch: DataFrame, llr: DataFrame, pri: DataFrame
+) -> DataFrame:
+    """Verdict frame for one micro-batch: (doc_id, teacher_keep,
+    n_tokens, nb_logodds, nb_keep)."""
+    return nb_score(batch, llr, pri)
+
+
+def _write_batch_scores(llr, pri, out_dir, batch: DataFrame, batch_id: int):
+    (
+        score_batch(batch, llr, pri)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/_batch_id={batch_id}")
+    )
+
+
+def run_streaming_quality_gate(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    llr: DataFrame,
+    pri: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a file-source document stream through the quality gate
+    (availableNow, so tests and backfills terminate)."""
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    (
+        source.writeStream.foreachBatch(
+            partial(_write_batch_scores, llr, pri, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

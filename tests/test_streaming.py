@@ -774,3 +774,65 @@ def test_selfindex_batch_replay_is_idempotent(spark, sf_dir, tmp_root):
     )
     assert first == again
     assert first  # twins across the parity split guarantee matches
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_root):
+    """At-ingestion quality gate: a model trained once on a reference
+    corpus must give BIT-IDENTICAL verdicts (decimal-exact log-odds)
+    whether the incoming documents are scored in one batch job or
+    drained through the stream in 1-file micro-batches."""
+    from clickhouse_batcher_spark.streaming.qualitygate import (
+        run_streaming_quality_gate,
+        score_batch,
+        train_gate_model,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+
+    llr, pri = train_gate_model(reference)
+    llr = llr.cache()
+    pri = pri.cache()
+    llr.count(), pri.count()
+
+    src = f"{tmp_root}/qg_src"
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+    out = f"{tmp_root}/qg_out"
+    run_streaming_quality_gate(
+        spark,
+        src,
+        incoming.schema,
+        llr,
+        pri,
+        out,
+        f"{tmp_root}/qg_ckpt",
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        r["doc_id"]: (
+            r["teacher_keep"],
+            r["n_tokens"],
+            r["nb_logodds"],
+            r["nb_keep"],
+        )
+        for r in spark.read.parquet(f"{out}/_batch_id=*").collect()
+    }
+    batch = {
+        r["doc_id"]: (
+            r["teacher_keep"],
+            r["n_tokens"],
+            r["nb_logodds"],
+            r["nb_keep"],
+        )
+        for r in score_batch(incoming, llr, pri).collect()
+    }
+    assert streamed == batch  # exact — decimal scores, no tolerance
+    assert len(batch) == incoming.count()
+    # the gate actually gates: the teacher rule has a real pass/fail
+    # mix on this corpus (the NB verdict may legitimately collapse to
+    # the majority side on the weak-lexical-signal synthetic corpus)
+    teachers = {v[0] for v in batch.values()}
+    assert teachers == {True, False}
+    llr.unpersist(), pri.unpersist()
