@@ -110,7 +110,15 @@ parser rather than silently misbehaving):
   arraySymmetricDifference; * EXCEPT passes through (native Spark
   3.4+ star syntax); loud: * APPLY / * REPLACE / COLUMNS('re')
   (need the schema), JSONType/AllPaths/ExtractArrayRaw, the
-  experimental NLP family, the extended string-distance family``
+  experimental NLP family, the extended string-distance family
+  plus/minus/multiply/divide/negate splitByRegexp arrayWithConstant
+  widthBucket hasSubstr quantilesGK; the multi-array higher-order
+  forms (arrayMap/Filter/Exists/All/Count/First/Last/FirstIndex over
+  TWO arrays) translate via zip_with — the 1-array emission would
+  have bound the second lambda parameter to Spark's element INDEX
+  (3+ arrays loud); ClickHouse [..] array LITERALS become array(..)
+  and integer subscripts ident[n] become element_at (ClickHouse is
+  1-based with negative-from-end — Spark's [] is 0-based)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -819,7 +827,14 @@ _UNSUPPORTED = (
         "IPv6 upstream or add a vectorized UDF",
     ),
     (
-        r"\btoTypeName\s*\(",
+        r"\bextractGroups\s*\(",
+        "extractGroups (all capture groups of the first match)",
+        "Spark's regexp_extract returns ONE group — array(regexp_"
+        "extract(s, re, 1), regexp_extract(s, re, 2), ...) for a "
+        "known group count",
+    ),
+    (
+        r"\bto(?:Column)?TypeName\s*\(",
         "toTypeName (ClickHouse type introspection)",
         "Spark's typeof() exists but reports SPARK type names "
         "(BIGINT, not UInt64) — a silent vocabulary change; use "
@@ -2930,30 +2945,79 @@ def translate(
     )
     # Higher-order functions: ClickHouse puts the lambda FIRST, Spark
     # puts the array first; `x -> expr` lambda syntax is shared.
+    # The MULTI-ARRAY forms (arrayMap(lambda, a1, a2)) must NOT fall
+    # through to the 1-array emission: Spark's 2-param transform/filter
+    # lambda binds the second parameter to the element INDEX, so the
+    # old emission silently evaluated `y` as 0,1,2,... and dropped the
+    # second array entirely — the 2-array forms now go through
+    # zip_with; 3+ arrays are loud.
     out = _rewrite_calls(
-        out, "arrayMap", lambda a: f"transform({a[1]}, {a[0]})"
+        out,
+        "arrayMap",
+        lambda a: f"transform({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        if len(a) == 3
+        else _hof_too_many("arrayMap"),
     )
     out = _rewrite_calls(
-        out, "arrayFilter", lambda a: f"filter({a[1]}, {a[0]})"
+        out,
+        "arrayFilter",
+        lambda a: f"filter({a[1]}, {a[0]})"
+        if len(a) == 2
+        else _filter_two_arrays(a)
+        if len(a) == 3
+        else _hof_too_many("arrayFilter"),
     )
     out = _rewrite_calls(
-        out, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})"
+        out,
+        "arrayExists",
+        lambda a: f"exists({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"exists(zip_with({a[1]}, {a[2]}, {a[0]}), __he -> __he)"
+        if len(a) == 3
+        else _hof_too_many("arrayExists"),
     )
-    out = _rewrite_calls(out, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
     out = _rewrite_calls(
-        out, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))"
+        out,
+        "arrayAll",
+        lambda a: f"forall({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"forall(zip_with({a[1]}, {a[2]}, {a[0]}), __ha -> __ha)"
+        if len(a) == 3
+        else _hof_too_many("arrayAll"),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayCount",
+        lambda a: f"size(filter({a[1]}, {a[0]}))"
+        if len(a) == 2
+        else (
+            f"size(filter(zip_with({a[1]}, {a[2]}, {a[0]}), "
+            f"__hc -> __hc))"
+        )
+        if len(a) == 3
+        else _hof_too_many("arrayCount"),
     )
     out = _rewrite_calls(
         out,
         "arrayFirst",
         # caveat: no match is NULL here; ClickHouse returns the element
         # type's default (0/'')
-        lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+        lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)"
+        if len(a) == 2
+        else f"element_at({_filter_two_arrays(a)}, 1)"
+        if len(a) == 3
+        else _hof_too_many("arrayFirst"),
     )
     out = _rewrite_calls(
         out,
         "arrayLast",
-        lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)",
+        lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)"
+        if len(a) == 2
+        else f"element_at({_filter_two_arrays(a)}, -1)"
+        if len(a) == 3
+        else _hof_too_many("arrayLast"),
     )
     out = _rewrite_calls(
         out,
@@ -2962,7 +3026,14 @@ def translate(
         lambda a: (
             f"coalesce(CAST(array_position(transform({a[1]}, {a[0]}),"
             f" true) AS BIGINT), CAST(0 AS BIGINT))"
-        ),
+        )
+        if len(a) == 2
+        else (
+            f"coalesce(CAST(array_position(zip_with({a[1]}, {a[2]}, "
+            f"{a[0]}), true) AS BIGINT), CAST(0 AS BIGINT))"
+        )
+        if len(a) == 3
+        else _hof_too_many("arrayFirstIndex"),
     )
     out = _rewrite_calls(
         out,
@@ -3556,7 +3627,162 @@ def translate(
         "fromModifiedJulianDay",
         lambda a: f"date_add(DATE '1858-11-17', CAST({a[0]} AS INT))",
     )
+    # --- round-7 probe-hunt batch 8 (operator-function aliases,
+    # subsequence/regexp-split, GK plural) -----------------------------
+    for ch, op in (
+        ("plus", "+"),
+        ("minus", "-"),
+        ("multiply", "*"),
+        ("divide", "/"),
+    ):
+        out = _rewrite_calls(
+            out, ch, lambda a, o=op: f"(({a[0]}) {o} ({a[1]}))"
+        )
+    out = _rewrite_calls(out, "negate", lambda a: f"(-({a[0]}))")
+    out = _rewrite_calls(
+        out,
+        "splitByRegexp",
+        lambda a: f"split({a[1]}, {a[0]})",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayWithConstant",
+        lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
+    )
+    out = _rewrite_calls(
+        out,
+        "widthBucket",
+        lambda a: f"width_bucket({', '.join(a)})",
+    )
+    # hasSubstr: contiguous-subsequence containment via an offset scan
+    # (array equality on each window). Empty needle is contained.
+    out = _rewrite_calls(out, "hasSubstr", _has_substr)
+    # quantilesGK(accuracy, l1, l2, ...)(x) -> the array form
+    out = _rewrite_curried_fn(out, "quantilesGK", _quantiles_gk)
+    # LAST (so every handler above sees the original spelling and
+    # every emitted fragment is covered too):
+    # 1. ClickHouse subscripts are 1-BASED (arr[1] = first element,
+    #    arr[-1] = last); Spark's [] is 0-based — the nastiest silent
+    #    divergence in the whole dialect. Rewrite integer subscripts
+    #    on (qualified) identifiers to element_at (1-based, negative
+    #    supported). String-key map access (m['k']) is key-based in
+    #    both dialects and passes through.
+    out = _rewrite_int_subscripts(out)
+    # 2. ClickHouse [..] array literals -> Spark array(..) (Spark has
+    #    no bracket array literal; without this every literal-bearing
+    #    query died with an opaque parse error). A '[' right after an
+    #    identifier/')'/']' is subscript syntax and is left alone.
+    out = _bracket_literals(out)
     return out
+
+
+_INT_SUBSCRIPT_PAT = re.compile(
+    r"\b([A-Za-z_][\w.]*)\[\s*(-?\d+)\s*\]"
+)
+
+
+def _rewrite_int_subscripts(out: str) -> str:
+    """``ident[n]`` -> ``element_at(ident, n)`` (1-based, negative
+    supported — ClickHouse subscript semantics; Spark's ``[]`` is
+    0-based, the silent off-by-one this rewrite exists to kill).
+    Identifier-adjacent brackets only; string-literal content and
+    string-key map access are untouched."""
+    pos = 0
+    while True:
+        m = _INT_SUBSCRIPT_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
+        repl = f"element_at({m.group(1)}, {m.group(2)})"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
+def _bracket_literals(sql: str) -> str:
+    """ClickHouse ``[a, b]`` array literals -> ``array(a, b)``.
+
+    A ``[`` whose previous non-space char is an identifier char, a
+    ``)`` or a ``]`` is subscript/indexing syntax and is preserved
+    (integer subscripts were already rewritten to element_at by this
+    point, so what remains is string-key map access). Nested literals
+    convert recursively; string literals are never touched.
+    """
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            # copy the whole string literal verbatim ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "[":
+            # subscript only when '[' is IMMEDIATELY adjacent to an
+            # identifier/')'/']' — `SELECT [1,2]` has a space before
+            # the bracket and is a literal
+            prev = out[-1][-1:] if out and out[-1] else ""
+            if prev and (prev.isalnum() or prev in "_)]"):
+                out.append(ch)  # subscript — leave
+                i += 1
+                continue
+            depth = 0
+            j = i
+            while j < n:
+                if sql[j] == "'":
+                    k = j + 1
+                    while k < n and sql[k] != "'":
+                        k += 1
+                    j = k + 1
+                    continue
+                if sql[j] == "[":
+                    depth += 1
+                elif sql[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:  # unbalanced — leave untouched
+                out.append(ch)
+                i += 1
+                continue
+            inner = _bracket_literals(sql[i + 1 : j])
+            out.append(f"array({inner})")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _has_substr(args: list[str]) -> str:
+    a, b = args[0], args[1]
+    return (
+        f"(CASE WHEN size({b}) = 0 THEN true "
+        f"WHEN size({b}) > size({a}) THEN false "
+        f"ELSE exists(sequence(1, size({a}) - size({b}) + 1), "
+        f"__hs -> slice({a}, __hs, size({b})) = {b}) END)"
+    )
+
+
+def _quantiles_gk(p_parts: list[str], x_parts: list[str]) -> str:
+    if len(p_parts) < 2:
+        raise ValueError(
+            "quantilesGK takes (accuracy, level1[, level2, ...]) "
+            "parameters"
+        )
+    acc, levels = p_parts[0], p_parts[1:]
+    return (
+        f"percentile_approx({x_parts[0]}, "
+        f"array({', '.join(levels)}), {acc})"
+    )
 
 
 # ClickHouse's fixed bucketing tables (deterministic CASE chains).
@@ -3592,6 +3818,45 @@ def _quantile_gk(p_parts: list[str], x_parts: list[str]) -> str:
             "quantileGK takes (accuracy, level) or (level) parameters"
         )
     return f"percentile_approx({x_parts[0]}, {p}, {acc})"
+
+
+def _hof_too_many(name: str) -> str:
+    raise ValueError(
+        f"ClickHouse {name} with 3+ arrays has no Spark translation — "
+        "zip_with is binary; nest zip_with calls or arrays_zip the "
+        "inputs into structs first"
+    )
+
+
+def _hof_lambda_parts(lam: str) -> tuple[list[str], str]:
+    """Split ``(x, y) -> body`` into (params, body) textually."""
+    i = lam.find("->")
+    if i < 0:
+        raise ValueError(f"expected a lambda, got {lam!r}")
+    params = lam[:i].strip()
+    body = lam[i + 2 :].strip()
+    if params.startswith("(") and params.endswith(")"):
+        plist = [p.strip() for p in params[1:-1].split(",")]
+    else:
+        plist = [params]
+    return plist, body
+
+
+def _filter_two_arrays(a: list[str]) -> str:
+    """arrayFilter(lambda, a1, a2): elements of a1 where
+    lambda(x1, x2) holds — zip both arrays, keep flagged structs,
+    project the first element back out."""
+    plist, body = _hof_lambda_parts(a[0])
+    if len(plist) != 2:
+        raise ValueError(
+            "arrayFilter over two arrays needs a 2-parameter lambda"
+        )
+    p0, p1 = plist
+    return (
+        f"transform(filter(zip_with({a[1]}, {a[2]}, ({p0}, {p1}) -> "
+        f"named_struct('e', {p0}, 'k', ({body}))), __hf -> __hf.k), "
+        f"__hf -> __hf.e)"
+    )
 
 
 def _as_array_expr(expr: str) -> str:

@@ -2722,3 +2722,84 @@ def test_probe_batch7_louds():
     ]:
         with pytest.raises(ValueError, match=frag):
             translate(sql)
+
+
+def test_probe_batch8_multi_array_hofs(spark, sf_dir):
+    """Multi-array higher-order forms: the old 1-array emission bound
+    the second lambda parameter to Spark's element INDEX (silent
+    wrong results) — now zip_with-based and value-checked."""
+    got = run_sql(
+        spark,
+        "SELECT arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS am, "
+        "arrayFilter((x, y) -> x > y, [1, 5, 2], [2, 3, 9]) AS af, "
+        "arrayExists((x, y) -> x > y, [1, 2], [2, 1]) AS ae, "
+        "arrayAll((x, y) -> x >= y, [2, 3], [2, 1]) AS aa, "
+        "arrayCount((x, y) -> x = y, [1, 2, 3], [1, 9, 3]) AS ac, "
+        "arrayFirst((x, y) -> y > 1, [7, 8, 9], [0, 2, 3]) AS afi, "
+        "arrayLast((x, y) -> y > 1, [7, 8, 9], [0, 2, 3]) AS al, "
+        "arrayFirstIndex((x, y) -> y > 1, [7, 8, 9], [0, 2, 3]) AS ax",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["am"] == [11, 22]
+    assert got["af"] == [5]
+    assert got["ae"] is True and got["aa"] is True
+    assert got["ac"] == 2
+    assert (got["afi"], got["al"], got["ax"]) == (8, 9, 2)
+    with pytest.raises(ValueError, match="3\\+ arrays"):
+        translate("SELECT arrayMap((x,y,z) -> x, [1], [2], [3])")
+
+
+def test_probe_batch8_brackets_and_subscripts(spark, sf_dir):
+    """ClickHouse [..] array literals become array(..); integer
+    subscripts become element_at (ClickHouse is 1-BASED and supports
+    negative indices — Spark's [] is 0-based, the silent off-by-one
+    these rewrites kill). String literals and string-key map access
+    pass through."""
+    got = run_sql(
+        spark,
+        "SELECT [1, 2, 3] AS lit, [[1], [2]] AS nested, "
+        "['a,b', 'c'] AS strs, '[keep]' AS s, "
+        "element_at([10, 20, 30], 1) AS ea",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(got["lit"]) == [1, 2, 3]
+    assert [list(x) for x in got["nested"]] == [[1], [2]]
+    assert list(got["strs"]) == ["a,b", "c"]
+    assert got["s"] == "[keep]" and got["ea"] == 10
+    # 1-based and negative subscripts on a real column
+    rows = run_sql(
+        spark,
+        "SELECT toks[1] AS first, toks[-1] AS last, toks AS all "
+        "FROM (SELECT splitByChar(' ', 'a b c') AS toks)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert rows["first"] == "a" and rows["last"] == "c"
+    assert list(rows["all"]) == ["a", "b", "c"]
+
+
+def test_probe_batch8_scalars(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT plus(1, 2) AS pl, minus(1, 2) AS mi, "
+        "multiply(2, 3) AS mu, divide(7, 2) AS dv, negate(5) AS ng, "
+        "splitByRegexp('\\\\d', 'a1b2c') AS sr, "
+        "arrayWithConstant(3, 'x') AS awc, "
+        "widthBucket(5.0, 0.0, 10.0, 5) AS wb, "
+        "hasSubstr([1, 2, 3, 4], [2, 3]) AS hs1, "
+        "hasSubstr([1, 2, 3, 4], [2, 4]) AS hs0, "
+        "hasSubstr([1, 2], []) AS hse, "
+        "quantilesGK(100, 0.25, 0.75)(event_id) AS qgk "
+        "FROM events",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["pl"], got["mi"], got["mu"], got["ng"]) == (3, -1, 6, -5)
+    assert got["dv"] == 3.5
+    assert list(got["sr"]) == ["a", "b", "c"]
+    assert list(got["awc"]) == ["x", "x", "x"]
+    assert got["wb"] == 3
+    assert got["hs1"] is True and got["hs0"] is False and got["hse"] is True
+    assert len(got["qgk"]) == 2
