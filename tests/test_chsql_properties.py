@@ -122,3 +122,92 @@ def test_literals_never_rewritten(parts):
 def test_translated_queries_run_on_spark(spark, sf_dir, q):
     rows = run_sql(spark, q, sf_dir, dialect="clickhouse").limit(3).collect()
     assert rows is not None
+
+
+@st.composite
+def ch_array_literal(draw):
+    """Random ClickHouse [..] literal (flat, or uniformly nested one
+    level — heterogeneous nesting is invalid in BOTH dialects) plus
+    its Python value."""
+    if draw(st.booleans()):
+        items = draw(
+            st.lists(st.integers(-99, 99), min_size=0, max_size=4)
+        )
+        sp = draw(st.sampled_from(["", " ", "  "]))
+        return (
+            "[" + sp + (", ".join(str(i) for i in items)) + sp + "]",
+            list(items),
+        )
+    subs = draw(
+        st.lists(
+            st.lists(st.integers(-99, 99), min_size=1, max_size=3),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(i) for i in sub) + "]" for sub in subs
+        )
+        + "]",
+        [list(sub) for sub in subs],
+    )
+
+
+@given(lit=ch_array_literal())
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bracket_literals_evaluate(spark, sf_dir, lit):
+    """Any ClickHouse [..] literal (nested, spaced, empty) must
+    translate to a Spark array(..) that evaluates to the same Python
+    value; appending a 1-based subscript must pick the right element."""
+    sql_lit, value = lit
+
+    def norm(v):
+        if hasattr(v, "__iter__") and not isinstance(v, str):
+            return [norm(x) for x in v]
+        return v
+
+    got = run_sql(
+        spark, f"SELECT {sql_lit} AS a", sf_dir, dialect="clickhouse"
+    ).collect()[0]["a"]
+    # an empty literal has no element type: comparing lengths suffices
+    if value:
+        assert norm(got) == value
+    else:
+        assert got is None or list(got) == []
+    if value:
+        got1 = run_sql(
+            spark,
+            f"SELECT element_at({sql_lit}, 1) AS a",
+            sf_dir,
+            dialect="clickhouse",
+        ).collect()[0]["a"]
+        assert norm(got1) == value[0]
+
+
+@given(
+    idx=st.integers(-3, 3).filter(lambda i: i != 0),
+    vals=st.lists(st.integers(-99, 99), min_size=3, max_size=3),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_integer_subscripts_are_one_based(spark, sf_dir, idx, vals):
+    """ident[n] must follow ClickHouse subscript semantics: 1-based
+    from the front, negative from the back."""
+    got = run_sql(
+        spark,
+        f"SELECT arr[{idx}] AS v FROM "
+        f"(SELECT array({', '.join(map(str, vals))}) AS arr)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]["v"]
+    want = vals[idx - 1] if idx > 0 else vals[idx]
+    assert got == want
