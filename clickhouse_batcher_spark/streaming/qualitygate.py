@@ -83,3 +83,74 @@ def run_streaming_quality_gate(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# The full at-ingestion pipeline: quality gate -> self-indexing dedup
+# gate, composed in ONE foreachBatch — the reference's micro-batch
+# ingest loop (hashes.go:33-66) with the two curation stages a
+# training-data pipeline runs before rows land. Rejected documents
+# never reach the dedup index (the real pipelines' property: junk
+# must not shadow later good near-dups), and the dedup stage inherits
+# the self-indexing gate's replay safety unchanged.
+# ---------------------------------------------------------------------------
+def _pipeline_batch(
+    llr,
+    pri,
+    verdicts_dir: str,
+    dedup_out_dir: str,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    from clickhouse_batcher_spark.streaming.neardup import _ingest_batch
+
+    verdicts = score_batch(batch, llr, pri).cache()
+    verdicts.write.mode("overwrite").parquet(
+        f"{verdicts_dir}/_batch_id={batch_id}"
+    )
+    kept_ids = verdicts.filter("teacher_keep").select("doc_id")
+    kept = batch.join(kept_ids, "doc_id")
+    _ingest_batch(index_dir, dedup_out_dir, kept, batch_id)
+    verdicts.unpersist()
+
+
+def run_streaming_ingest_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    llr: DataFrame,
+    pri: DataFrame,
+    verdicts_dir: str,
+    dedup_out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Quality-gate then dedup-gate every micro-batch; both outputs
+    are parquet partitioned by ``_batch_id`` (replay-idempotent)."""
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    query = (
+        source.writeStream.foreachBatch(
+            partial(
+                _pipeline_batch,
+                llr,
+                pri,
+                verdicts_dir,
+                dedup_out_dir,
+                index_dir,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        query.awaitTermination()

@@ -836,3 +836,103 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_root):
     teachers = {v[0] for v in batch.values()}
     assert teachers == {True, False}
     llr.unpersist(), pri.unpersist()
+
+
+def test_streaming_ingest_pipeline_quality_then_dedup(
+    spark, sf_dir, tmp_root
+):
+    """The composed at-ingestion pipeline (quality gate -> self-
+    indexing dedup gate in one foreachBatch): verdicts must equal the
+    batch scoring, and the dedup pair set must equal the batch
+    detector's collisions over ONLY the quality-kept documents —
+    rejected docs never enter the index."""
+    from clickhouse_batcher_spark.operators.dedup import (
+        band_signatures,
+        shingle_set,
+        tokenized_corpus,
+    )
+    from clickhouse_batcher_spark.streaming.qualitygate import (
+        run_streaming_ingest_pipeline,
+        score_batch,
+        train_gate_model,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 3 == 2)
+    incoming = docs.filter(F.col("doc_id") % 3 != 2)
+
+    llr, pri = train_gate_model(reference)
+    llr = llr.cache()
+    pri = pri.cache()
+    llr.count(), pri.count()
+
+    src = f"{tmp_root}/pl_src"
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    vd, dd, ix = (
+        f"{tmp_root}/pl_verdicts",
+        f"{tmp_root}/pl_pairs",
+        f"{tmp_root}/pl_index",
+    )
+    run_streaming_ingest_pipeline(
+        spark,
+        src,
+        incoming.schema,
+        llr,
+        pri,
+        vd,
+        dd,
+        ix,
+        f"{tmp_root}/pl_ckpt",
+        max_files_per_trigger=1,
+    )
+    streamed_verdicts = {
+        r["doc_id"]: (r["teacher_keep"], r["nb_logodds"], r["nb_keep"])
+        for r in spark.read.parquet(f"{vd}/_batch_id=*").collect()
+    }
+    batch_verdicts = {
+        r["doc_id"]: (r["teacher_keep"], r["nb_logodds"], r["nb_keep"])
+        for r in score_batch(incoming, llr, pri).collect()
+    }
+    assert streamed_verdicts == batch_verdicts
+
+    kept = incoming.join(
+        score_batch(incoming, llr, pri)
+        .filter("teacher_keep")
+        .select("doc_id"),
+        "doc_id",
+    )
+    sigs = band_signatures(shingle_set(tokenized_corpus(kept)))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want_pairs = {
+        (r["d1"], r["d2"])
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+        .collect()
+    }
+    got_pairs = {
+        (min(r["doc_id"], r["index_doc_id"]), max(r["doc_id"], r["index_doc_id"]))
+        for r in spark.read.parquet(f"{dd}/_batch_id=*").collect()
+    }
+    assert got_pairs == want_pairs
+    assert want_pairs  # twin construction guarantees collisions
+    # no rejected doc ever entered the index (tokenized_corpus also
+    # signs each doc's planted truncated twin at doc_id+TWIN_ID_OFFSET)
+    from clickhouse_batcher_spark.operators.dedup import TWIN_ID_OFFSET
+
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{ix}/_batch_id=*").collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    allowed = kept_ids | {i + TWIN_ID_OFFSET for i in kept_ids}
+    assert indexed <= allowed
+    llr.unpersist(), pri.unpersist()
