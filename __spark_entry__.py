@@ -95,13 +95,13 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",
     "docs_kn_bigram_logprob",
     "corpus_curation_funnel",
+    "dsir_resample_docs",
     # --- changed-implementation re-checks (round-7 memoized pair
     #     frame + single-action CC feed these) ---
     "dedup_minhash_lsh",
     "dedup_consensus",
     # --- second-green backfill: the oldest single-green queries (green
     #     only in r2), every one a family representative ---
-    "doc_fingerprint",
     "bitext_margin_mining",
     "dedup_lines_transform",
     "media_metadata",
@@ -235,7 +235,11 @@ _PRIORITY: list[str] = [
 # langid_predict and merge_upsert_orders second-green backfills (both
 # keep their r2 greens; the langid family keeps
 # token_fertility_by_lang in-window, the merge family its pytest
-# parity).
+# parity). Swap 5: dsir_resample_docs (the DSIR execution step —
+# deterministic Bernoulli thinning toward the target; its recompute
+# test caught the 16-bit sha-prefix squash) replaces the
+# doc_fingerprint backfill (green r2; fingerprints keep
+# winnow_fingerprints pytest parity).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -1057,3 +1057,103 @@ def docs_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_kn_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING — the execution step the weights exist
+# for (Xie et al. 2023 §3: sample raw docs with probability
+# proportional to their importance weight). Deterministic engine
+# restatement: acceptance probability = exp(logweight - max_logweight)
+# (self-normalized so the best-matched doc is kept with p = 1),
+# rounded to 6 (the repo's transcendental convention) and compared
+# against the doc's sha-bucket in [0, 1) — a replayable Bernoulli
+# thinning, no RNG.
+#
+# Scale: composes the DSIR weight aggregate (broadcast 256-bucket
+# model) with ONE extra 1-row max broadcast; acceptance is a per-row
+# expression. The exact-decimal compare (prob * 1e6 vs integer
+# bucket) keeps the kept SET engine-exact, not just the counts.
+# ---------------------------------------------------------------------------
+_DSIR_RS_SALT = "dsirrs"
+_DSIR_RS_SPACE = 1_000_000
+
+
+def _dsir_resample_oracle() -> str:
+    # 8 hex digits (32 bits), NOT the 4-digit _sql_bucket: a 16-bit
+    # prefix maxes at 65535, so "% 1e6" would squash every bucket
+    # below 0.066 and the thinning would keep ~everything (found by
+    # the recompute test keeping 500/500).
+    h = (
+        f"substring(sha256('{_DSIR_RS_SALT}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8)"
+    )
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    )
+    val = " + ".join(f"{digit(i)} * {16 ** (8 - i)}" for i in range(1, 9))
+    hb = f"(({val}) % {_DSIR_RS_SPACE})"
+    return f"""
+    WITH w AS ({_dsir_oracle()}),
+    m AS (SELECT MAX(dsir_logweight) AS mx FROM w),
+    s AS (
+      SELECT w.doc_id, w.n_tokens, w.dsir_logweight,
+        CAST(round(exp(w.dsir_logweight - m.mx), 6) AS DECIMAL(10,6))
+          AS p6,
+        {hb} AS hb
+      FROM w CROSS JOIN m
+    )
+    SELECT doc_id, n_tokens, dsir_logweight,
+           CAST(p6 AS DOUBLE) AS accept_prob
+    FROM s
+    WHERE hb < p6 * {_DSIR_RS_SPACE}
+    """
+
+
+@query("dsir_resample_docs", oracle=None)
+def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents DSIR keeps: deterministic Bernoulli thinning with
+    p = exp(logweight - max logweight) via the portable sha-bucket —
+    the resampled-toward-target corpus as an actual row set."""
+    w = dsir_importance_weights(spark, sf_dir)
+    m = w.agg(F.max("dsir_logweight").alias("mx"))
+    # 8 hex digits — see the oracle-side comment (4 digits max at
+    # 65535 and would defeat the %1e6 thinning)
+    hb = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(_DSIR_RS_SALT),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _DSIR_RS_SPACE
+    )
+    p6 = F.round(F.exp(F.col("dsir_logweight") - F.col("mx")), 6).cast(
+        "decimal(10,6)"
+    )
+    s = w.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logweight",
+        p6.alias("p6"),
+        hb.alias("hb"),
+    )
+    return s.filter(
+        F.col("hb") < F.col("p6") * _DSIR_RS_SPACE
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logweight",
+        F.col("p6").cast("double").alias("accept_prob"),
+    )
+
+
+_ORACLES2["dsir_resample_docs"] = " ".join(_dsir_resample_oracle().split())

@@ -38,7 +38,15 @@ def hash_bucket(key: Column | str, buckets: int = 100, salt: str = "") -> Column
 
 
 def _sql_bucket(key_sql: str, buckets: int = 100, salt: str = "") -> str:
-    """DuckDB-portable hex-prefix-to-int: positional digit arithmetic."""
+    """DuckDB-portable hex-prefix-to-int: positional digit arithmetic.
+
+    CAUTION: the prefix is 4 hex digits = 16 bits, so the value space
+    is [0, 65535]. ``buckets`` beyond 65536 do NOT add resolution —
+    as a probability variate that squashes everything below
+    65536/buckets (found the hard way in dsir_resample_docs, which
+    uses its own 8-digit variant). >65536 is acceptable only for
+    deterministic ORDERING with a tie-break (docs_lang_quota_sample).
+    """
     h = f"substring(sha256('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 4)"
     digit = (
         lambda i: f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"

@@ -2453,3 +2453,49 @@ def test_curation_funnel_consistent_with_components(spark, sf_dir):
         assert r["n_keep"] <= min(r["n_pass_gopher"], r["n_exact_unique"])
         assert r["n_tokens_kept"] <= r["n_tokens"]
         assert abs(r["keep_rate"] - r["n_keep"] / r["n_docs"]) < 1e-12
+
+
+def test_dsir_resample_matches_python_recompute(spark, sf_dir):
+    """The DSIR resample's kept SET equals a Python recompute of the
+    acceptance rule (exp(lw - max) rounded half-up to 6, sha-bucket
+    Bernoulli), and the best-matched doc is always kept (p = 1)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from clickhouse_batcher_spark.operators.corpus import (
+        _DSIR_RS_SALT,
+        _DSIR_RS_SPACE,
+        dsir_importance_weights,
+        dsir_resample_docs,
+    )
+
+    weights = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+    mx = max(weights.values())
+    best = max(weights, key=lambda d: weights[d])
+
+    def hb(doc_id):
+        h = hashlib.sha256(
+            (_DSIR_RS_SALT + str(doc_id)).encode()
+        ).hexdigest()[:8]
+        return int(h, 16) % _DSIR_RS_SPACE
+
+    def p6_micro(lw):
+        q = Decimal(repr(math.exp(lw - mx))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return int(q * _DSIR_RS_SPACE)
+
+    want = {d for d, lw in weights.items() if hb(d) < p6_micro(lw)}
+    got = {
+        r["doc_id"]: r["accept_prob"]
+        for r in dsir_resample_docs(spark, sf_dir).collect()
+    }
+    assert set(got) == want
+    assert best in got and got[best] == 1.0
+    assert all(0 < p <= 1.0 for p in got.values())
+    # thinning actually thins (docs far from the target drop out)
+    assert 0 < len(got) < len(weights)
