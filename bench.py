@@ -181,6 +181,11 @@ HEADLINE = [
     "doc_novelty_ratio",
     "boilerplate_spans_top",
     "vocab_growth_curve",
+    "quality_classifier_nb",
+    "tfidf_top_terms",
+    "docs_kn_bigram_logprob",
+    "corpus_curation_funnel",
+    "dsir_resample_docs",
 ]
 
 
