@@ -231,6 +231,8 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                      # a hash join)
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
+        "dsir_resample_docs",        # 1-row max-logweight frame (+ the
+                                     # inherited 1-row DSIR totals)
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
