@@ -144,7 +144,18 @@ def connected_components(
             break
     adj_loops.unpersist()
     adj.unpersist()
-    return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+    # Final lineage cut: the convergence loop leaves ``labels`` as a
+    # cache over up to CHECKPOINT_EVERY chained actions, and cached
+    # plans print (and re-analyze) their whole ancestry recursively —
+    # downstream composers (cluster sizes, leakage split) inherited a
+    # multi-thousand-node plan. The labels are vertex-sized and already
+    # materialized, so an eager localCheckpoint costs one tiny job and
+    # returns a plan that is just a scan.
+    out = labels.select(
+        F.col("v").alias("vertex"), F.col("label").alias("component")
+    ).localCheckpoint()
+    prev_cached.unpersist()
+    return out
 
 
 # Component memo: dedup_cluster_sizes (and any future consumer of the
