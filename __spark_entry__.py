@@ -108,10 +108,15 @@ _PRIORITY: list[str] = [
     "profile_events",
     "range_join_orders_window",
     "hard_negative_triplets",
-    # --- r4-era single-greens ---
+    # --- r4-era single-green ---
     "events_day_over_day",
-    "events_hourly_interpolate",
-    "value_histogram_quantiles",
+    # --- third-continuation additions (first green): Zipf corpus
+    #     diagnostic + embedding-class cohesion. They take the two
+    #     slots events_hourly_interpolate / value_histogram_quantiles
+    #     held (both single-green r4, pytest parity retained) — a
+    #     first row on a never-checked query beats a second green. ---
+    "token_zipf_fit",
+    "embedding_label_cohesion",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
 # (green in BOTH r1+r2), similarity_topk, embedding_neardup,

@@ -186,6 +186,8 @@ HEADLINE = [
     "docs_kn_bigram_logprob",
     "corpus_curation_funnel",
     "dsir_resample_docs",
+    "token_zipf_fit",
+    "embedding_label_cohesion",
 ]
 
 

@@ -1157,3 +1157,105 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES2["dsir_resample_docs"] = " ".join(_dsir_resample_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit per language (corpus-mixture diagnostic)
+# ---------------------------------------------------------------------------
+@query(
+    "token_zipf_fit",
+    oracle=f"""
+    WITH occ AS (
+      SELECT lang, unnest({SQL_TOKENS}) AS token FROM documents
+    ), vocab AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM occ GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, cnt,
+        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+          AS rnk
+      FROM vocab
+    ), pts AS (
+      SELECT lang, cnt,
+        CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+        CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT lang,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_vocab, total_tokens,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        AS zipf_intercept,
+      round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of ln(frequency) on ln(rank)
+    over the vocabulary, plus r^2 for how power-law-like the corpus is.
+
+    The classic corpus-health diagnostic for a training-data mixture:
+    natural text sits near slope -1; machine-generated or boilerplate-
+    heavy slices flatten or steepen the curve, and a LOW r^2 flags a
+    corpus whose frequency structure is not Zipfian at all (template
+    spam, OCR noise). Run per source/lang before fixing mixture
+    weights.
+
+    Scale: token occurrences collapse to the vocabulary with ONE
+    map-side-combinable groupBy — everything after runs on vocab-sized
+    data (zipf-bounded, millions of rows at 100 TB, never corpus-
+    sized). Ranks come from a window partitioned BY LANGUAGE over that
+    vocab frame (each language's vocabulary fits one partition by
+    construction; no global single-partition sort). Exactness follows
+    the repo's linreg convention: ln() terms round to 6 on both
+    engines, moment sums accumulate as exact DECIMAL
+    ((12,6)^2 -> (25,12), n*vocab far below overflow), and the
+    closed-form slope/intercept/r^2 is evaluated once in DOUBLE from
+    identical inputs.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    vocab = occ.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    ranked = vocab.withColumn("rnk", F.row_number().over(w))
+    dec = "decimal(12,6)"
+    pts = ranked.select(
+        "lang",
+        "cnt",
+        F.round(F.log(F.col("rnk").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).cast(dec).alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        "lang",
+        n.cast("bigint").alias("n_vocab"),
+        "total_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

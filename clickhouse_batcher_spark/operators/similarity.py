@@ -1374,3 +1374,100 @@ def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("neg_cos"),
         F.round(F.col("pos_cos") - F.col("cos_sim"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid cohesion (embedding-space mixture diagnostic)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_label_cohesion",
+    oracle="""
+    WITH long AS (
+      SELECT label, vec_id,
+        CAST(round(unnest(embedding), 6) AS DECIMAL(7,6)) AS v6,
+        unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    ), sums AS (
+      SELECT label, pos, SUM(v6) AS s
+      FROM long GROUP BY 1, 2
+    ), dots AS (
+      SELECT l.label, l.vec_id,
+        SUM(l.v6 * s.s) AS dot,
+        SUM(l.v6 * l.v6) AS vv
+      FROM long l JOIN sums s USING (label, pos) GROUP BY 1, 2
+    ), snorm AS (
+      SELECT label, SUM(s * s) AS ss FROM sums GROUP BY 1
+    ), cosv AS (
+      SELECT d.label,
+        CAST(round(CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(d.vv AS DOUBLE))
+                      * sqrt(CAST(n.ss AS DOUBLE))), 6)
+             AS DECIMAL(9,6)) AS c
+      FROM dots d JOIN snorm n USING (label)
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_cos_to_centroid,
+      CAST(MIN(c) AS DOUBLE) AS min_cos_to_centroid
+    FROM cosv GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding cohesion: each vector's cosine to its
+    class centroid, rolled up to (mean, min) per label.
+
+    The embedding-space mixture diagnostic: a label whose mean
+    cosine-to-centroid is low (or whose min is deeply negative) is a
+    heterogeneous / mislabeled slice — the signal SemDeDup-style
+    pruning and cluster-balanced sampling decisions key off. Cosine is
+    scale-invariant, so the "centroid" is the exact DECIMAL element-
+    wise SUM vector (never divided by n): both engines feed identical
+    exact moments into one double division, sidestepping cross-engine
+    decimal-division scale rules entirely.
+
+    Scale: the long format is a bounded 64x row expansion (dim *
+    vectors — linear, not pairwise). Centroid sums are one map-side-
+    combinable groupBy to labels*dim rows; that tiny frame broadcasts
+    back onto the long stream (no shuffle of the big side), and the
+    per-vector dot is a second map-side-combinable groupBy. Nothing
+    here is O(n^2) and no step holds a whole class in one task.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(7,6)").alias("v6"),
+    )
+    sums = long.groupBy("label", "pos").agg(F.sum("v6").alias("s"))
+    dots = (
+        long.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v6") * F.col("s")).alias("dot"),
+            F.sum(F.col("v6") * F.col("v6")).alias("vv"),
+        )
+    )
+    snorm = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    cosv = dots.join(F.broadcast(snorm), "label").select(
+        "label",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("vv").cast("double")) * F.sqrt(F.col("ss").cast("double"))),
+            6,
+        )
+        .cast("decimal(9,6)")
+        .alias("c"),
+    )
+    return (
+        cosv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_cos_to_centroid"),
+            F.min("c").cast("double").alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )

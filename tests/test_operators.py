@@ -41,6 +41,8 @@ ORACLED = [
     "value_histogram_quantiles",
     "docs_unigram_logprob",
     "docs_bigram_logprob",
+    "token_zipf_fit",
+    "embedding_label_cohesion",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2499,3 +2501,76 @@ def test_dsir_resample_matches_python_recompute(spark, sf_dir):
     assert all(0 < p <= 1.0 for p in got.values())
     # thinning actually thins (docs far from the target drop out)
     assert 0 < len(got) < len(weights)
+
+
+def test_token_zipf_fit_matches_numpy_lstsq(spark, sf_dir):
+    """Independent formulation: rebuild each language's rank/frequency
+    points in pure Python (collections.Counter) and fit with
+    numpy.polyfit — the operator's closed-form moments must agree to
+    float tolerance, and the synthetic corpus must actually look
+    Zipf-ish (negative slope)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    by_lang: dict[str, Counter] = {}
+    for r in docs:
+        toks = [t for t in r["text"].lower().split() if t]
+        by_lang.setdefault(r["lang"], Counter()).update(toks)
+    got = {
+        r["lang"]: r
+        for r in catalog.QUERIES["token_zipf_fit"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, cnts in by_lang.items():
+        ranked = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.array(
+            [round(math.log(i + 1), 6) for i in range(len(ranked))]
+        )
+        y = np.array([round(math.log(c), 6) for _, c in ranked])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[lang]
+        assert r["n_vocab"] == len(ranked)
+        assert r["total_tokens"] == sum(cnts.values())
+        assert abs(r["zipf_slope"] - slope) < 1e-4
+        assert abs(r["zipf_intercept"] - intercept) < 1e-4
+        assert r["zipf_slope"] < 0  # frequency falls with rank
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_embedding_label_cohesion_matches_numpy(spark, sf_dir):
+    """Independent formulation: NumPy centroid (true mean) cosine —
+    scale-invariance means the operator's sum-vector trick must agree;
+    and every cosine stat is a valid cosine."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=np.float64), 6)
+        )
+    got = {
+        r["label"]: r
+        for r in catalog.QUERIES["embedding_label_cohesion"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        m = np.stack(vecs)
+        centroid = m.mean(axis=0)
+        cos = (m @ centroid) / (
+            np.linalg.norm(m, axis=1) * np.linalg.norm(centroid)
+        )
+        r = got[label]
+        assert r["n_vectors"] == len(vecs)
+        assert abs(r["avg_cos_to_centroid"] - cos.mean()) < 1e-4
+        assert abs(r["min_cos_to_centroid"] - cos.min()) < 1e-4
+        assert -1.0 <= r["min_cos_to_centroid"] <= r["avg_cos_to_centroid"] <= 1.0
