@@ -2078,6 +2078,18 @@ def translate(
     )
     out = _rewrite_calls(
         out,
+        "arrayCumSumNonNegative",
+        # same scan, with ClickHouse's clamp: a running sum that dips
+        # below zero is replaced by zero AND propagates as zero
+        lambda a: (
+            f"aggregate({a[0]}, CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__cn_acc, __cn_x) -> __cn_acc || array(greatest(coalesce("
+            f"try_element_at(__cn_acc, -1), CAST(0 AS DOUBLE)) + __cn_x, "
+            f"CAST(0 AS DOUBLE))))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
         "arrayDifference",
         # [0, a2-a1, a3-a2, ...] — ClickHouse's leading-zero convention
         lambda a: (
@@ -3102,6 +3114,15 @@ def translate(
     out = _rewrite_calls(
         out, "rightPad", lambda a: f"rpad({', '.join(a)})"
     )
+    # The UTF8 pad variants map to the SAME lpad/rpad: Spark strings
+    # are character-addressed already (it is the byte-addressed plain
+    # CH variant that is the approximation, on non-ASCII fill).
+    out = _rewrite_calls(
+        out, "leftPadUTF8", lambda a: f"lpad({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "rightPadUTF8", lambda a: f"rpad({', '.join(a)})"
+    )
     out = _rewrite_calls(out, "trimBoth", lambda a: f"trim({a[0]})")
     out = _rewrite_calls(
         out, "substringUTF8", lambda a: f"substring({', '.join(a)})"
@@ -3133,8 +3154,79 @@ def translate(
             lambda a, u=unit: f"timestampadd({u}, -({a[1]}), {a[0]})",
         )
     out = _rewrite_calls(
-        out, "yesterday", lambda a: "date_sub(current_date(), 1)"
+        out, "yesterday", lambda a: "(current_date() - 1)"
     )
+
+    # ClickHouse's generic date arithmetic comes in TWO shapes: the
+    # 2-arg interval form (dateAdd(ts, INTERVAL 3 DAY) — Spark has no
+    # such overload, but plain +/- interval arithmetic is identical)
+    # and the 3-arg unit form (dateAdd(DAY, 3, ts) — already native
+    # Spark dateadd/timestampadd; dateSub/timestampSub have NO Spark
+    # spelling and need the negated timestampadd).
+    def _date_arith(op: str, a: list[str]) -> str:
+        if len(a) == 2:
+            return f"(({a[0]}) {op} ({a[1]}))"
+        if op == "+":
+            return f"timestampadd({a[0]}, {a[1]}, {a[2]})"
+        return f"timestampadd({a[0]}, -({a[1]}), {a[2]})"
+
+    for ch, sign in (
+        ("dateAdd", "+"),
+        ("date_add", "+"),
+        ("addDate", "+"),
+        ("timestampAdd", "+"),
+        ("timestamp_add", "+"),
+        ("dateSub", "-"),
+        ("date_sub", "-"),
+        ("subDate", "-"),
+        ("timestampSub", "-"),
+        ("timestamp_sub", "-"),
+    ):
+        out = _rewrite_calls(
+            out, ch, lambda a, s=sign: _date_arith(s, a)
+        )
+
+    # ClickHouse DateTime -> time-of-day anchored on 1970-01-02 (the
+    # documented toTime contract; the date part is fixed by design)
+    out = _rewrite_calls(
+        out,
+        "toTime",
+        lambda a: (
+            f"CAST(concat('1970-01-02 ', date_format({a[0]},"
+            f" 'HH:mm:ss')) AS TIMESTAMP)"
+        ),
+    )
+
+    # Variadic logical-function forms. The NAMES collide with SQL
+    # keywords ("x AND (y)" matches the same text as a call), so only
+    # a match with >= 2 top-level args is provably the function form;
+    # 1-arg matches are reconstructed verbatim. xor has no Spark
+    # builtin at all: fold as boolean inequality (NULL-propagating,
+    # matching ClickHouse).
+    def _logic_chain(kw: str, a: list[str]) -> str:
+        if len(a) < 2:
+            # keyword usage ("x AND (y)") — reconstruct with the SAME
+            # "KW (arg)" spacing the chain emission below uses, so a
+            # re-translate reproduces its own output byte-for-byte
+            # (the idempotence contract)
+            return f"{kw} ({', '.join(a)})"
+        return "(" + f" {kw} ".join(f"({x})" for x in a) + ")"
+
+    out = _rewrite_calls(out, "and", lambda a: _logic_chain("AND", a))
+    out = _rewrite_calls(out, "or", lambda a: _logic_chain("OR", a))
+
+    def _xor_chain(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError(
+                "ClickHouse xor() needs >= 2 arguments — nothing to"
+                " translate for fewer"
+            )
+        expr = f"({a[0]})"
+        for x in a[1:]:
+            expr = f"(CAST({expr} AS BOOLEAN) <> CAST(({x}) AS BOOLEAN))"
+        return expr
+
+    out = _rewrite_calls(out, "xor", _xor_chain)
     out = _rewrite_calls(out, "trimLeft", lambda a: f"ltrim({a[0]})")
     out = _rewrite_calls(out, "trimRight", lambda a: f"rtrim({a[0]})")
     out = _rewrite_calls(
@@ -3275,7 +3367,7 @@ def translate(
         "makeDate",
         lambda a: f"make_date({', '.join(a)})"
         if len(a) == 3
-        else f"date_add(make_date({a[0]}, 1, 1), CAST({a[1]} AS INT) - 1)",
+        else f"(make_date({a[0]}, 1, 1) + (CAST({a[1]} AS INT) - 1))",
     )
     out = _rewrite_calls(out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})")
     # toRelative*Num: epoch-anchored unit counters (the CH fixed point
@@ -3625,7 +3717,7 @@ def translate(
     out = _rewrite_calls(
         out,
         "fromModifiedJulianDay",
-        lambda a: f"date_add(DATE '1858-11-17', CAST({a[0]} AS INT))",
+        lambda a: f"(DATE '1858-11-17' + CAST({a[0]} AS INT))",
     )
     # --- round-7 probe-hunt batch 8 (operator-function aliases,
     # subsequence/regexp-split, GK plural) -----------------------------

@@ -639,7 +639,7 @@ def test_aggregate_batch3_end_to_end(spark, sf_dir):
         ),
         (
             "SELECT trimLeft(lang), trimRight(lang), yesterday()",
-            "SELECT ltrim(lang), rtrim(lang), date_sub(current_date(), 1)",
+            "SELECT ltrim(lang), rtrim(lang), (current_date() - 1)",
         ),
     ],
 )
@@ -2803,3 +2803,63 @@ def test_probe_batch8_scalars(spark, sf_dir):
     assert got["wb"] == 3
     assert got["hs1"] is True and got["hs0"] is False and got["hse"] is True
     assert len(got["qgk"]) == 2
+
+
+def test_probe_batch9_date_arith_and_pads(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT dateAdd(toDateTime('2024-01-01 00:00:00'), INTERVAL 3 DAY)"
+        " AS da2, "
+        "dateSub(MONTH, 1, toDateTime('2024-03-15 00:00:00')) AS ds3, "
+        "addDate(toDateTime('2024-01-01 00:00:00'), INTERVAL 2 HOUR)"
+        " AS ad, "
+        "subDate(toDateTime('2024-01-01 00:00:00'), INTERVAL 2 HOUR)"
+        " AS sd, "
+        "timestampSub(MINUTE, 30, toDateTime('2024-01-01 01:00:00'))"
+        " AS tss, "
+        "toTime(toDateTime('2024-03-15 07:08:09')) AS tt, "
+        "leftPadUTF8('x', 4, '*') AS lp, rightPadUTF8('x', 3, '*') AS rp",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert str(got["da2"]) == "2024-01-04 00:00:00"
+    assert str(got["ds3"]) == "2024-02-15 00:00:00"
+    assert str(got["ad"]) == "2024-01-01 02:00:00"
+    assert str(got["sd"]) == "2023-12-31 22:00:00"
+    assert str(got["tss"]) == "2024-01-01 00:30:00"
+    # ClickHouse toTime anchors the date part at 1970-01-02 by contract
+    assert str(got["tt"]) == "1970-01-02 07:08:09"
+    assert got["lp"] == "***x" and got["rp"] == "x**"
+
+
+def test_probe_batch9_logic_fns_and_cumsum(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT and(true, true, false) AS a3, or(false, false, true)"
+        " AS o3, xor(true, false) AS x2, xor(true, true, true) AS x3, "
+        "xor(true, NULL) AS xn, "
+        "arrayCumSumNonNegative([1, 1, -4, 1]) AS nn, "
+        "arrayCumSum([1, 1, -4, 1]) AS cs",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a3"] is False and got["o3"] is True
+    assert got["x2"] is True and got["x3"] is True and got["xn"] is None
+    assert list(got["nn"]) == [1.0, 2.0, 0.0, 1.0]
+    assert list(got["cs"]) == [1.0, 2.0, -2.0, -1.0]
+
+
+def test_probe_batch9_keyword_and_or_untouched(spark, sf_dir):
+    """The and()/or() function rewrites must NOT disturb ordinary
+    keyword usage followed by a parenthesized expression — and the
+    translation must stay a fixpoint either way."""
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q in (
+        "SELECT 1 AS r WHERE true AND (1 > 0)",
+        "SELECT 1 AS r WHERE (true) and ((1 > 0))",
+        "SELECT CASE WHEN true OR (false) THEN 1 ELSE 0 END AS r",
+    ):
+        t = translate(q)
+        assert translate(t) == t
+        assert spark.sql(t).collect()[0]["r"] == 1
