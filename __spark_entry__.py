@@ -108,8 +108,10 @@ _PRIORITY: list[str] = [
     "profile_events",
     "range_join_orders_window",
     "hard_negative_triplets",
-    # --- r4-era single-green ---
-    "events_day_over_day",
+    # --- third-continuation additions (first green), continued:
+    #     events_day_over_day (single-green r4) gives its slot to the
+    #     calibration report ---
+    "classifier_calibration_bins",
     # --- third-continuation additions (first green): Zipf corpus
     #     diagnostic + embedding-class cohesion. They take the two
     #     slots events_hourly_interpolate / value_histogram_quantiles

@@ -188,6 +188,7 @@ HEADLINE = [
     "dsir_resample_docs",
     "token_zipf_fit",
     "embedding_label_cohesion",
+    "classifier_calibration_bins",
 ]
 
 

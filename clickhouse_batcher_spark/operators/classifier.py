@@ -550,3 +550,82 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["corpus_curation_funnel"] = " ".join(_funnel_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Calibration of the distilled classifier against its teacher
+# ---------------------------------------------------------------------------
+def _calibration_oracle() -> str:
+    return f"""
+    WITH nbq AS ({_nbq_oracle()}),
+    p AS (
+      SELECT teacher_keep,
+        CAST(round(1.0 / (1.0 + exp(-nb_logodds)), 6) AS DECIMAL(9,6))
+          AS p6
+      FROM nbq
+    ), b AS (
+      SELECT teacher_keep, p6,
+        CAST(least(floor(p6 * 10), 9) AS BIGINT) AS bin
+      FROM p
+    )
+    SELECT bin,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN teacher_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_teacher_keep,
+      round(CAST(SUM(p6) AS DOUBLE) / COUNT(*), 6) AS mean_pred_p,
+      round(CAST(SUM(CASE WHEN teacher_keep THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS teacher_keep_rate
+    FROM b GROUP BY bin ORDER BY bin
+    """
+
+
+@query("classifier_calibration_bins")  # oracle composed below
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the distilled NB classifier vs its
+    Gopher teacher: sigmoid(log-odds) bucketed into ten fixed-width
+    probability bins, each with the mean predicted probability and the
+    teacher's empirical keep rate.
+
+    The standard distillation QA step (a fastText/CCNet-style student
+    is only usable for threshold tuning if its scores are calibrated):
+    a bin whose mean predicted p sits far from the teacher rate says
+    the log-odds cannot be thresholded at anything but 0. Fixed-width
+    probability bins (not score deciles) keep the operator free of any
+    global sort: binning is a pure per-row expression.
+
+    Exactness: the probability is the one transcendental step —
+    rounded to 6 on both engines (repo convention), then cast to
+    DECIMAL(9,6) so the x10-floor bin assignment and the per-bin sums
+    are integer/decimal-exact everywhere.
+    """
+    scores = nb_quality_scores(load_table(spark, sf_dir, "documents"))
+    p6 = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("nb_logodds"))), 6
+    ).cast("decimal(9,6)")
+    b = scores.select(
+        "teacher_keep",
+        p6.alias("p6"),
+    ).withColumn(
+        "bin",
+        F.least(F.floor(F.col("p6") * 10), F.lit(9)).cast("bigint"),
+    )
+    keep1 = F.sum(F.when(F.col("teacher_keep"), 1).otherwise(0))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            keep1.cast("bigint").alias("n_teacher_keep"),
+            F.round(
+                F.sum("p6").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_pred_p"),
+            F.round(
+                keep1.cast("double") / F.count(F.lit(1)), 6
+            ).alias("teacher_keep_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLES["classifier_calibration_bins"] = " ".join(
+    _calibration_oracle().split()
+)

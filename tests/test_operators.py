@@ -43,6 +43,7 @@ ORACLED = [
     "docs_bigram_logprob",
     "token_zipf_fit",
     "embedding_label_cohesion",
+    "classifier_calibration_bins",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2574,3 +2575,25 @@ def test_embedding_label_cohesion_matches_numpy(spark, sf_dir):
         assert abs(r["avg_cos_to_centroid"] - cos.mean()) < 1e-4
         assert abs(r["min_cos_to_centroid"] - cos.min()) < 1e-4
         assert -1.0 <= r["min_cos_to_centroid"] <= r["avg_cos_to_centroid"] <= 1.0
+
+
+def test_classifier_calibration_bins_consistency(spark, sf_dir):
+    """Bins partition the corpus; per-bin means stay inside their bin;
+    totals agree with the underlying classifier output."""
+    from clickhouse_batcher_spark.tables import load_table
+
+    bins = catalog.QUERIES["classifier_calibration_bins"](
+        spark, sf_dir
+    ).collect()
+    scored = catalog.QUERIES["quality_classifier_nb"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in bins) == n_docs == len(scored)
+    assert sum(r["n_teacher_keep"] for r in bins) == sum(
+        1 for r in scored if r["teacher_keep"]
+    )
+    for r in bins:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        # rounding to 6 can put a boundary value a hair outside
+        assert lo - 1e-6 <= r["mean_pred_p"] <= hi + 1e-6
+        assert 0.0 <= r["teacher_keep_rate"] <= 1.0

@@ -229,6 +229,8 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "quality_classifier_nb",     # 1-row prior frame + 1-row class
                                      # totals (the 256-row LLR table is
                                      # a hash join)
+        "classifier_calibration_bins",  # composes nb_score: same 1-row
+                                        # prior broadcast as above
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
