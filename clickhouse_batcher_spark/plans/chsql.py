@@ -586,10 +586,29 @@ _TRUNC_UNITS = {
     "toStartOfMinute": "minute",
     "toStartOfHour": "hour",
     "toStartOfDay": "day",
-    "toStartOfWeek": "week",
+    # toStartOfWeek is NOT here: ClickHouse's default mode 0 starts
+    # weeks on SUNDAY while date_trunc('week') starts them on Monday —
+    # it gets a mode-aware handler (silent-wrong-results class, same
+    # as toDayOfWeek's ISO offset)
     "toStartOfMonth": "month",
     "toStartOfYear": "year",
 }
+
+
+def _to_start_of_week(a: list[str]) -> str:
+    mode = a[1].strip() if len(a) > 1 else "0"
+    if mode == "0":
+        # Sunday start: weekday() is Monday=0..Sunday=6, so days since
+        # the last Sunday = (weekday + 1) % 7; ClickHouse returns Date
+        return f"(CAST({a[0]} AS DATE) - ((weekday({a[0]}) + 1) % 7))"
+    if mode == "1":
+        return f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+    raise ValueError(
+        "toStartOfWeek: only modes 0 (Sunday start, the ClickHouse "
+        "default) and 1 (Monday start) translate; modes 2-9 "
+        "(year-boundary variants) have no Spark equivalent — "
+        f"got mode {mode!r}"
+    )
 
 _INT_CASTS = {
     "toUInt8": "INT",
@@ -1131,6 +1150,70 @@ _UNSUPPORTED = (
         "editDistance translates (-> levenshtein); the others have no "
         "Spark builtin — operators/fuzzy.py's deletion-neighborhood "
         "matcher covers the near-match join use case",
+    ),
+    # --- probe-hunt batch 10 ---
+    (
+        r"\bngram(?:Distance|Search)(?:CaseInsensitive)?(?:UTF8)?\s*\(",
+        "ngramDistance/ngramSearch",
+        "no Spark builtin computes 4-gram profile distance; "
+        "operators/fuzzy.py (deletion neighborhoods) or "
+        "dedup_ngram_jaccard cover the fuzzy-match use cases",
+    ),
+    (
+        r"\b(?:arrayFill|arrayReverseFill|arraySplit"
+        r"|arrayReverseSplit)\s*\(",
+        "arrayFill/arraySplit (stateful array scans)",
+        "no Spark builtin carries values between elements; express "
+        "the scan as aggregate() explicitly (see the arrayCumSum "
+        "translation for the accumulating-fold shape)",
+    ),
+    (
+        r"\bgroupArrayInsertAt\s*\(",
+        "groupArrayInsertAt (position-keyed gather)",
+        "aggregate to (pos, value) pairs and sort_array(collect_list("
+        "struct(pos, value))) — same result with explicit ordering",
+    ),
+    (
+        r"\b(?:proportionsZTest|minSampleSizeConversion"
+        r"|minSampleSizeContinuous|meanZTest)\s*\(",
+        "z-test / sample-size planning family",
+        "use operators/chagg2.py's exact Welch t-test / Mann-Whitney "
+        "shapes, or compute the closed form from count/avg/stddev "
+        "aggregates",
+    ),
+    (
+        r"\b(?:corrMatrix|covarSampMatrix|covarPopMatrix)\s*\(",
+        "matrix aggregate family",
+        "corr/covar_samp/covar_pop translate pairwise — cross every "
+        "column pair explicitly, or use operators/pca.py's bounded "
+        "Gram-matrix path for dense covariance",
+    ),
+    (
+        r"\b(?:byteSize|defaultValueOfArgumentType|"
+        r"defaultValueOfTypeName|tupleToNameValuePairs)\s*\(",
+        "type/value introspection family",
+        "these read ClickHouse's internal representation; no Spark "
+        "equivalent exists",
+    ),
+    (
+        r"\bbitSlice\s*\(",
+        "bitSlice (sub-byte string slicing)",
+        "Spark has no bit-addressed strings; use substring for byte "
+        "granularity or getbit() per bit",
+    ),
+    (
+        r"\bkostikConsistentHash\s*\(",
+        "kostikConsistentHash",
+        "no Spark builtin reproduces these exact values (same class "
+        "as the sipHash/cityHash family) — use pmod(<portable hash>, "
+        "n) for engine-portable slot assignment",
+    ),
+    (
+        r"\btoStartOfNanosecond\s*\(",
+        "toStartOfNanosecond",
+        "Spark timestamps are microsecond-precision; nanosecond "
+        "truncation cannot be represented (Millisecond/Microsecond "
+        "variants translate)",
     ),
 )
 
@@ -2316,6 +2399,7 @@ def translate(
     # units via make_dt_interval (both add correctly to timestamps)
     for ch_iv, sp_iv in (
         ("toIntervalYear", "make_interval({x})"),
+        ("toIntervalQuarter", "make_interval(0, 3 * ({x}))"),
         ("toIntervalMonth", "make_interval(0, {x})"),
         ("toIntervalWeek", "make_interval(0, 0, {x})"),
         ("toIntervalDay", "make_dt_interval({x})"),
@@ -2458,6 +2542,140 @@ def translate(
         out = _rewrite_calls(
             out, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})"
         )
+    out = _rewrite_calls(out, "toStartOfWeek", _to_start_of_week)
+
+    # --- probe-hunt batch 10 -------------------------------------------
+    # sub-second truncation: Spark timestamps are micros internally
+    out = _rewrite_calls(
+        out,
+        "toStartOfMillisecond",
+        lambda a: (
+            f"timestamp_micros((unix_micros({a[0]}) DIV 1000) * 1000)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "toStartOfMicrosecond",
+        lambda a: f"timestamp_micros(unix_micros({a[0]}))",
+    )
+    # DateTime64 epoch extractors/constructors at each precision
+    out = _rewrite_calls(
+        out,
+        "toUnixTimestamp64Milli",
+        lambda a: f"(unix_micros({a[0]}) DIV 1000)",
+    )
+    out = _rewrite_calls(
+        out, "toUnixTimestamp64Micro", lambda a: f"unix_micros({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "toUnixTimestamp64Nano",
+        lambda a: f"(unix_micros({a[0]}) * 1000)",
+    )
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Milli", lambda a: f"timestamp_millis({a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "fromUnixTimestamp64Micro", lambda a: f"timestamp_micros({a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "fromUnixTimestamp64Nano",
+        lambda a: f"timestamp_micros(({a[0]}) DIV 1000)",
+    )
+    # timeSlots(start, duration[, size=1800]): slot starts from start
+    # rounded down to size, stepping size, while <= start + duration
+    out = _rewrite_calls(
+        out,
+        "timeSlots",
+        lambda a: (
+            f"sequence(timestamp_seconds((unix_timestamp({a[0]})"
+            f" DIV {a[2] if len(a) > 2 else 1800})"
+            f" * {a[2] if len(a) > 2 else 1800}), "
+            f"timestamp_seconds(((unix_timestamp({a[0]}) + ({a[1]}))"
+            f" DIV {a[2] if len(a) > 2 else 1800})"
+            f" * {a[2] if len(a) > 2 else 1800}), "
+            f"make_dt_interval(0, 0, 0, {a[2] if len(a) > 2 else 1800}))"
+        ),
+    )
+    # variadic bit tests: 0/1 like bitTest
+    out = _rewrite_calls(
+        out,
+        "bitTestAll",
+        lambda a: (
+            "(CASE WHEN "
+            + " AND ".join(
+                f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
+            )
+            + " THEN 1 ELSE 0 END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "bitTestAny",
+        lambda a: (
+            "(CASE WHEN "
+            + " OR ".join(
+                f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
+            )
+            + " THEN 1 ELSE 0 END)"
+        ),
+    )
+    # typed empty-array constructors
+    for ch_t, sp_t in (
+        ("UInt8", "INT"), ("UInt16", "INT"), ("UInt32", "BIGINT"),
+        ("UInt64", "BIGINT"), ("Int8", "INT"), ("Int16", "INT"),
+        ("Int32", "INT"), ("Int64", "BIGINT"), ("Float32", "FLOAT"),
+        ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+        ("DateTime", "TIMESTAMP"),
+    ):
+        out = _rewrite_calls(
+            out,
+            f"emptyArray{ch_t}",
+            lambda a, t=sp_t: f"CAST(array() AS ARRAY<{t}>)",
+        )
+    out = _rewrite_calls(
+        out, "regexpExtract", lambda a: f"regexp_extract({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "isZeroOrNull", lambda a: f"(({a[0]}) IS NULL OR ({a[0]}) = 0)"
+    )
+    # index-pruning hint: a no-op predicate wrapper in ClickHouse;
+    # Spark's pruning comes from the predicate itself
+    out = _rewrite_calls(out, "indexHint", lambda a: f"({a[0]})")
+    # arrayShingles(a, n): all length-n contiguous windows; empty when
+    # n > size (slice-guarded so sequence() never runs backwards)
+    out = _rewrite_calls(
+        out,
+        "arrayShingles",
+        lambda a: (
+            f"slice(transform(sequence(1, greatest(size({a[0]}) -"
+            f" ({a[1]}) + 1, 1)), __sh -> slice({a[0]}, __sh, {a[1]})), "
+            f"1, greatest(size({a[0]}) - ({a[1]}) + 1, 0))"
+        ),
+    )
+
+    # elementwise map arithmetic (Map-typed args; ClickHouse also has a
+    # legacy tuple-of-arrays form, which Spark's map_zip_with covers
+    # once the data is an actual MAP)
+    def _map_arith(op: str, a: list[str]) -> str:
+        # zero-valued result keys are KEPT (ClickHouse's documented
+        # mapSubtract example returns a 0 entry; only sumMap drops
+        # zeros)
+        expr = a[0]
+        for nxt in a[1:]:
+            expr = (
+                f"map_zip_with({expr}, {nxt}, "
+                f"(__mk, __m1, __m2) -> coalesce(__m1, 0) {op} "
+                f"coalesce(__m2, 0))"
+            )
+        return expr
+
+    out = _rewrite_calls(out, "mapAdd", lambda a: _map_arith("+", a))
+    out = _rewrite_calls(out, "mapSubtract", lambda a: _map_arith("-", a))
+    # strict cast: ClickHouse raises on overflow; Spark's behavior
+    # follows spark.sql.ansi.enabled (documented best-effort mapping)
+    out = _rewrite_calls(out, "accurateCast", _accurate_cast_strict)
     out = _rewrite_calls(
         out, "toYYYYMM", lambda a: f"date_format({a[0]}, 'yyyyMM')"
     )
@@ -3973,6 +4191,22 @@ def _accurate_cast_or_null(args: list[str]) -> str:
             f"type {ch!r}"
         )
     return f"try_cast({args[0]} AS {_CH_TYPE_NAMES[ch]})"
+
+
+def _accurate_cast_strict(args: list[str]) -> str:
+    """accurateCast(x, 'Type'): ClickHouse raises on out-of-range; the
+    closest Spark spelling is a plain CAST, whose overflow behavior
+    follows spark.sql.ansi.enabled (error when on, null/wrap when
+    off). Documented best-effort — the type mapping itself is exact."""
+    t = args[1].strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        raise ValueError("accurateCast translates only literal type names")
+    ch = t[1:-1]
+    if ch not in _CH_TYPE_NAMES:
+        raise ValueError(
+            f"accurateCast: no Spark mapping for ClickHouse type {ch!r}"
+        )
+    return f"CAST({args[0]} AS {_CH_TYPE_NAMES[ch]})"
 
 
 def _format_braces(args: list[str]) -> str:

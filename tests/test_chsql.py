@@ -2863,3 +2863,83 @@ def test_probe_batch9_keyword_and_or_untouched(spark, sf_dir):
         t = translate(q)
         assert translate(t) == t
         assert spark.sql(t).collect()[0]["r"] == 1
+
+
+def test_probe_batch10_week_start_and_subsecond(spark, sf_dir):
+    got = run_sql(
+        spark,
+        # 2024-03-15 is a Friday: CH default mode 0 = Sunday start
+        "SELECT toStartOfWeek(toDateTime('2024-03-15 07:08:09')) AS w0, "
+        "toStartOfWeek(toDateTime('2024-03-10 01:00:00')) AS w0s, "
+        "toStartOfWeek(toDateTime('2024-03-15 07:08:09'), 1) AS w1, "
+        "toStartOfMillisecond(toDateTime('2024-01-01 00:00:00')) AS ms, "
+        "toUnixTimestamp64Milli(toDateTime('1970-01-01 00:00:01')) AS um, "
+        "fromUnixTimestamp64Milli(1500) AS fm",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert str(got["w0"]) == "2024-03-10"    # back to Sunday
+    assert str(got["w0s"]) == "2024-03-10"   # Sunday stays
+    assert str(got["w1"]) == "2024-03-11"    # ISO Monday mode
+    assert got["um"] == 1000
+    assert str(got["fm"]) == "1970-01-01 00:00:01.500000"
+
+
+def test_probe_batch10_week_mode_2_is_loud():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    with _pytest.raises(ValueError, match="toStartOfWeek"):
+        translate("SELECT toStartOfWeek(ts, 2) FROM t")
+
+
+def test_probe_batch10_bits_arrays_maps(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT bitTestAll(5, 0, 2) AS ba1, bitTestAll(5, 0, 1) AS ba0, "
+        "bitTestAny(5, 1, 3) AS bn0, bitTestAny(5, 1, 2) AS bn1, "
+        "emptyArrayInt64() AS ea, "
+        "arrayShingles([1, 2, 3, 4], 3) AS sh, "
+        "arrayShingles([1, 2], 5) AS she, "
+        "mapAdd(map('a', 1, 'b', 2), map('b', 3, 'c', 4)) AS ma, "
+        "mapSubtract(map('a', 2), map('a', 2, 'b', 1)) AS ms, "
+        "isZeroOrNull(0) AS z1, isZeroOrNull(NULL) AS z2, "
+        "isZeroOrNull(3) AS z0, "
+        "regexpExtract('a12b', '(\\\\d+)', 1) AS re, "
+        "accurateCast('42', 'UInt32') AS ac, "
+        "timeSlots(toDateTime('2024-01-01 00:10:00'), 600, 300) AS tsl",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["ba1"], got["ba0"], got["bn0"], got["bn1"]) == (1, 0, 0, 1)
+    assert list(got["ea"]) == []
+    assert [list(x) for x in got["sh"]] == [[1, 2, 3], [2, 3, 4]]
+    assert list(got["she"]) == []
+    assert dict(got["ma"]) == {"a": 1, "b": 5, "c": 4}
+    # zero-valued keys are KEPT (mapSubtract doc example) — only
+    # sumMap drops zeros
+    assert dict(got["ms"]) == {"a": 0, "b": -1}
+    assert (got["z1"], got["z2"], got["z0"]) == (True, True, False)
+    assert got["re"] == "12" and got["ac"] == 42
+    assert len(got["tsl"]) == 3  # 00:10, 00:15, 00:20
+
+
+def test_probe_batch10_louds():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q, frag in (
+        ("SELECT ngramDistance(a, b) FROM t", "ngramDistance"),
+        ("SELECT arrayFill(x -> x > 0, a) FROM t", "arrayFill"),
+        ("SELECT groupArrayInsertAt(x, i) FROM t", "groupArrayInsertAt"),
+        ("SELECT proportionsZTest(1, 2, 3, 4, 0.9, 'u')", "z-test"),
+        ("SELECT corrMatrix(x, y) FROM t", "matrix aggregate"),
+        ("SELECT byteSize(x) FROM t", "introspection"),
+        ("SELECT bitSlice(s, 1, 4) FROM t", "bitSlice"),
+        ("SELECT kostikConsistentHash(x, 4) FROM t", "kostik"),
+        ("SELECT toStartOfNanosecond(ts) FROM t", "Nanosecond"),
+    ):
+        with _pytest.raises(ValueError, match=frag):
+            translate(q)
