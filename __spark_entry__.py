@@ -104,7 +104,6 @@ _PRIORITY: list[str] = [
     #     only in r2), every one a family representative ---
     "bitext_margin_mining",
     "dedup_lines_transform",
-    "media_metadata",
     "profile_events",
     "range_join_orders_window",
     "hard_negative_triplets",
@@ -112,6 +111,7 @@ _PRIORITY: list[str] = [
     #     events_day_over_day (single-green r4) gives its slot to the
     #     calibration report ---
     "classifier_calibration_bins",
+    "dedup_threshold_sweep",
     # --- third-continuation additions (first green): Zipf corpus
     #     diagnostic + embedding-class cohesion. They take the two
     #     slots events_hourly_interpolate / value_histogram_quantiles

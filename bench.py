@@ -189,6 +189,7 @@ HEADLINE = [
     "token_zipf_fit",
     "embedding_label_cohesion",
     "classifier_calibration_bins",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1280,3 +1280,71 @@ def dedup_lines_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("bigint").alias("n_kept"),
         F.sha2(F.array_join("kept", " "), 256).alias("cleaned_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep over the verified near-dup pairs (tuning table)
+# ---------------------------------------------------------------------------
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _threshold_sweep_oracle() -> str:
+    mh = _ORACLES["dedup_minhash_lsh"]
+    ths = ", ".join(str(t) for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH mh AS ({mh}),
+    th AS (SELECT unnest([{ths}]) AS threshold),
+    f AS (
+      SELECT th.threshold, mh.doc_a, mh.doc_b
+      FROM mh JOIN th ON mh.jaccard >= th.threshold
+    ),
+    p AS (
+      SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM f GROUP BY 1
+    ),
+    d AS (
+      SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc FROM f)
+      GROUP BY 1
+    )
+    SELECT p.threshold, p.n_pairs, d.n_docs
+    FROM p JOIN d ON d.threshold = p.threshold
+    """
+
+
+@query("dedup_threshold_sweep")  # oracle composed below
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning table: for each candidate Jaccard cutoff, how many
+    verified near-dup pairs survive and how many documents they touch.
+
+    The decision a pipeline owner actually makes is "which threshold?"
+    — this renders the trade-off (pairs removed vs corpus touched) as
+    one table before committing a cutoff. Composes the memoized
+    verified-pair frame (exact integer-ratio Jaccard), so the sweep
+    itself is a 5x broadcast fan-out + two map-side-combinable
+    aggregates over the pair set — pair-set-sized work, never
+    corpus-sized, at any scale.
+    """
+    pairs = minhash_pairs_cached(spark, sf_dir)
+    ths = F.explode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    th = spark.range(1).select(ths)
+    f = pairs.join(
+        F.broadcast(th), F.col("jaccard") >= F.col("threshold")
+    ).select("threshold", "doc_a", "doc_b")
+    p = f.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    d = (
+        f.select(
+            "threshold",
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").cast("bigint").alias("n_docs"))
+    )
+    return p.join(d, "threshold")
+
+
+_ORACLES["dedup_threshold_sweep"] = " ".join(_threshold_sweep_oracle().split())

@@ -44,6 +44,7 @@ ORACLED = [
     "token_zipf_fit",
     "embedding_label_cohesion",
     "classifier_calibration_bins",
+    "dedup_threshold_sweep",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2597,3 +2598,23 @@ def test_classifier_calibration_bins_consistency(spark, sf_dir):
         # rounding to 6 can put a boundary value a hair outside
         assert lo - 1e-6 <= r["mean_pred_p"] <= hi + 1e-6
         assert 0.0 <= r["teacher_keep_rate"] <= 1.0
+
+
+def test_dedup_threshold_sweep_monotonic(spark, sf_dir):
+    """Raising the cutoff can only shrink the pair set and the touched
+    docs; the 0.5 row equals the full verified pair frame."""
+    rows = {
+        r["threshold"]: r
+        for r in catalog.QUERIES["dedup_threshold_sweep"](
+            spark, sf_dir
+        ).collect()
+    }
+    pairs = catalog.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert rows[0.5]["n_pairs"] == pairs.count()
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+        assert rows[lo]["n_docs"] >= rows[hi]["n_docs"]
+    for r in rows.values():
+        # every pair touches 2 docs; distinct docs <= 2 * pairs
+        assert r["n_docs"] <= 2 * r["n_pairs"]
