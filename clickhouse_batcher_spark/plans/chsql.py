@@ -1215,6 +1215,20 @@ _UNSUPPORTED = (
         "truncation cannot be represented (Millisecond/Microsecond "
         "variants translate)",
     ),
+    (
+        r"\bINTO\s+OUTFILE\b",
+        "INTO OUTFILE (client-side file export)",
+        "write results through the engine's sinks "
+        "(sinks/parquet_sink.py or df.write) — the clause is a "
+        "clickhouse-client feature, not a query semantic",
+    ),
+    (
+        r"\bPASTE\s+JOIN\b",
+        "PASTE JOIN (positional row pairing)",
+        "give both sides an explicit position with "
+        "functions.with_global_index and equi-join on it — positional "
+        "pairing without a key is nondeterministic under shuffling",
+    ),
 )
 
 
@@ -1242,6 +1256,53 @@ def _top_level_search(sql: str, pattern: str) -> re.Match | None:
         if not _in_string(sql, m.start()) and _depth_at(sql, m.start()) == 0:
             return m
     return None
+
+
+def _qualify(sql: str) -> str:
+    """Translate a top-level ``QUALIFY <pred>``: Spark has no QUALIFY,
+    but filtering the SELECT's output in a wrapping subquery is
+    equivalent as long as the predicate references OUTPUT COLUMNS (a
+    window alias). A predicate with an inline OVER(...) cannot be
+    hoisted that way and goes loud with the aliasing fix."""
+    m = _top_level_search(sql, r"\bQUALIFY\b")
+    if m is None:
+        return sql
+    rest = sql[m.end() :]
+    end = _next_clause(rest)
+    pred = rest[:end].strip()
+    tail = rest[end:]
+    if re.search(r"\bOVER\s*\(", pred, flags=re.IGNORECASE):
+        raise ValueError(
+            "QUALIFY with an inline window expression has no direct "
+            "Spark translation — alias the window function in the "
+            "SELECT list and QUALIFY the alias"
+        )
+    head = sql[: m.start()].rstrip()
+    out = f"SELECT * FROM ({head}) AS __qualify WHERE {pred}"
+    return f"{out} {tail.strip()}".rstrip()
+
+
+_LIMIT_COMMA_PAT = re.compile(
+    # MySQL-style LIMIT offset, count — ClickHouse supports it and
+    # Spark does not; the BY form (LIMIT n, m BY) is already loud
+    r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*(?:,|BY\b))",
+    re.IGNORECASE,
+)
+
+
+def _limit_offset_comma(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _LIMIT_COMMA_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
+        repl = f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
 
 
 def _limit_by(sql: str) -> str:
@@ -1841,6 +1902,8 @@ def _clauses(
         out,
     )
     out = _suffix_casts(out)
+    out = _qualify(out)
+    out = _limit_offset_comma(out)
     return _with_ties(_limit_by(_distinct_on(_named_params(out))))
 
 

@@ -2943,3 +2943,41 @@ def test_probe_batch10_louds():
     ):
         with _pytest.raises(ValueError, match=frag):
             translate(q)
+
+
+def test_probe_batch11_qualify_and_limit_offset(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id)"
+        " AS rn FROM (SELECT user_id, count() AS n FROM events GROUP BY"
+        " user_id) QUALIFY rn <= 3 ORDER BY rn",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert [r["rn"] for r in got] == [1, 2, 3]
+    assert got[0]["n"] >= got[1]["n"] >= got[2]["n"]
+    lim = run_sql(
+        spark,
+        "SELECT user_id FROM (SELECT DISTINCT user_id FROM events)"
+        " ORDER BY user_id LIMIT 2, 3",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    assert [r["user_id"] for r in lim] == [2, 3, 4]  # offset 2, count 3
+
+
+def test_probe_batch11_louds():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q, frag in (
+        (
+            "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x) = 1",
+            "QUALIFY with an inline window",
+        ),
+        ("SELECT * FROM t INTO OUTFILE 'o.csv'", "INTO OUTFILE"),
+        ("SELECT 1 FROM a PASTE JOIN b", "PASTE JOIN"),
+    ):
+        with _pytest.raises(ValueError, match=frag):
+            translate(q)
