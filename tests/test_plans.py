@@ -231,6 +231,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                      # a hash join)
         "classifier_calibration_bins",  # composes nb_score: same 1-row
                                         # prior broadcast as above
+        "dedup_threshold_sweep",        # 5-row threshold frame fanned
+                                        # out by a non-equi broadcast
+                                        # (jaccard >= t) — bounded side
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
