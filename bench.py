@@ -190,6 +190,7 @@ HEADLINE = [
     "embedding_label_cohesion",
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
+    "join_key_skew_report",
 ]
 
 

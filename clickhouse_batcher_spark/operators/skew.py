@@ -130,3 +130,107 @@ def salted_sum_count(
         F.sum("_psum").cast("double").alias("sum_value"),
         F.sum("_pcnt").cast("bigint").alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (the salting decision's input)
+# ---------------------------------------------------------------------------
+def key_skew_stats(tbl: DataFrame, key: str, side: str) -> DataFrame:
+    """One summary row for ``key``'s distribution in ``tbl``:
+    (side, n_rows, n_keys, max_key_rows, avg_key_rows, skew_ratio,
+    top_key). ``skew_ratio`` = heaviest key's rows over the mean —
+    the number the salt-or-not decision reads. Deterministic: the
+    top key breaks count ties by MIN key id.
+
+    One map-side-combinable groupBy to key-distinct rows, then 1-row
+    aggregates (the crossJoins below broadcast 1-row frames — bounded
+    by construction at any scale)."""
+    counts = tbl.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+    )
+    top = (
+        counts.join(
+            F.broadcast(stats), F.col("c") == F.col("max_key_rows")
+        )
+        .agg(F.min("k").cast("bigint").alias("top_key"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return stats.crossJoin(F.broadcast(top)).select(
+        F.lit(side).alias("side"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(avg, 6).alias("avg_key_rows"),
+        F.round(F.col("max_key_rows").cast("double") / avg, 6).alias(
+            "skew_ratio"
+        ),
+        "top_key",
+    )
+
+
+def _skew_side_sql(table: str, key: str, side: str) -> str:
+    return f"""
+      SELECT '{side}' AS side, s.n_rows, s.n_keys, s.max_key_rows,
+        round(CAST(s.n_rows AS DOUBLE) / s.n_keys, 6) AS avg_key_rows,
+        round(CAST(s.max_key_rows AS DOUBLE)
+              / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 6) AS skew_ratio,
+        t.top_key
+      FROM (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+      ) s CROSS JOIN (
+        SELECT CAST(MIN(k) AS BIGINT) AS top_key
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1) cc
+        WHERE cc.c = (
+          SELECT MAX(c)
+          FROM (SELECT {key} AS k2, COUNT(*) AS c FROM {table} GROUP BY 1)
+        )
+      ) t
+    """
+
+
+@query(
+    "join_key_skew_report",
+    oracle=f"""
+    {_skew_side_sql('lineitem', 'l_orderkey', 'lineitem.l_orderkey')}
+    UNION ALL
+    {_skew_side_sql('orders', 'o_custkey', 'orders.o_custkey')}
+    UNION ALL
+    {_skew_side_sql('events', 'user_id', 'events.user_id')}
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution report for the repo's three big join keys —
+    the pre-flight check a 100 TB pipeline runs before choosing plain
+    vs salted vs AQE-skew join. ``skew_ratio`` near 1 = uniform keys
+    (plain shuffle join is fine); large = a hot key that one reducer
+    would own (salt it — ``salted_join`` above — or let AQE split it
+    and verify the plan)."""
+    return (
+        key_skew_stats(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "lineitem.l_orderkey",
+        )
+        .unionByName(
+            key_skew_stats(
+                load_table(spark, sf_dir, "orders"),
+                "o_custkey",
+                "orders.o_custkey",
+            )
+        )
+        .unionByName(
+            key_skew_stats(
+                load_table(spark, sf_dir, "events"),
+                "user_id",
+                "events.user_id",
+            )
+        )
+    )

@@ -2245,6 +2245,27 @@ _CH_ONLY_PROBES = [
     "SELECT mapContains(m, 'k'), mapUpdate(m1, m2), mapApply((k,v) -> (k,v), m) FROM t",
     "SELECT arrayRotateLeft(arr, 2), arrayResize(arr, 5, 0), arrayAUC(s2, l) FROM t",
     "SELECT monthName(d), timeDiff(a, b), now64() FROM t",
+    # batches 9-11
+    "SELECT leftPadUTF8(s, 5), rightPadUTF8(s, 5) FROM t",
+    "SELECT dateSub(MONTH, 1, ts), timestampSub(DAY, 1, ts) FROM t",
+    "SELECT addDate(ts, INTERVAL 1 DAY), subDate(ts, INTERVAL 1 DAY) FROM t",
+    "SELECT toTime(ts), toStartOfMillisecond(ts) FROM t",
+    "SELECT and(a, b, c), or(a, b, c), xor(a, b) FROM t",
+    "SELECT arrayCumSumNonNegative(arr), arrayShingles(arr, 2) FROM t",
+    "SELECT toUnixTimestamp64Milli(ts), fromUnixTimestamp64Milli(m) FROM t",
+    "SELECT timeSlots(ts, 3600), bitTestAll(x, 1, 2), bitTestAny(x, 1) FROM t",
+    "SELECT emptyArrayInt64(), emptyArrayString() FROM t",
+    "SELECT isZeroOrNull(x), indexHint(x > 1) FROM t",
+    "SELECT mapAdd(m1, m2), mapSubtract(m1, m2) FROM t",
+    "SELECT accurateCast(x, 'UInt32'), toIntervalQuarter(2) FROM t",
+    "SELECT toStartOfWeek(ts), toStartOfWeek(ts, 1) FROM t",
+    "SELECT ngramDistance(a, b) FROM t",
+    "SELECT arrayFill(x -> x, arr), groupArrayInsertAt(x, i) FROM t",
+    "SELECT byteSize(x), kostikConsistentHash(x, 4) FROM t",
+    "SELECT x FROM t QUALIFY rn = 1",
+    "SELECT x FROM t LIMIT 5, 10",
+    "SELECT * FROM t INTO OUTFILE 'f.csv'",
+    "SELECT 1 FROM a PASTE JOIN b",
 ]
 
 

@@ -45,6 +45,7 @@ ORACLED = [
     "embedding_label_cohesion",
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
+    "join_key_skew_report",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2618,3 +2619,35 @@ def test_dedup_threshold_sweep_monotonic(spark, sf_dir):
     for r in rows.values():
         # every pair touches 2 docs; distinct docs <= 2 * pairs
         assert r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_join_key_skew_report_matches_recompute(spark, sf_dir):
+    """Each side's stats must agree with a pure-Python recount, and
+    the skew ratio is >= 1 by construction."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    spec = {
+        "lineitem.l_orderkey": ("lineitem", "l_orderkey"),
+        "orders.o_custkey": ("orders", "o_custkey"),
+        "events.user_id": ("events", "user_id"),
+    }
+    got = {
+        r["side"]: r
+        for r in catalog.QUERIES["join_key_skew_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(spec)
+    for side, (table, key) in spec.items():
+        cnt = Counter(
+            r[key] for r in load_table(spark, sf_dir, table).select(key).collect()
+        )
+        r = got[side]
+        assert r["n_rows"] == sum(cnt.values())
+        assert r["n_keys"] == len(cnt)
+        mx = max(cnt.values())
+        assert r["max_key_rows"] == mx
+        assert r["top_key"] == min(k for k, c in cnt.items() if c == mx)
+        assert r["skew_ratio"] >= 1.0

@@ -234,6 +234,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "dedup_threshold_sweep",        # 5-row threshold frame fanned
                                         # out by a non-equi broadcast
                                         # (jaccard >= t) — bounded side
+        "join_key_skew_report",         # three 1-row stats frames
+                                        # crossed with 1-row top-key
+                                        # frames — all bounded
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
