@@ -104,7 +104,6 @@ _PRIORITY: list[str] = [
     #     only in r2), every one a family representative ---
     "bitext_margin_mining",
     "dedup_lines_transform",
-    "range_join_orders_window",
     "hard_negative_triplets",
     # --- third-continuation additions (first green), continued:
     #     events_day_over_day (single-green r4) gives its slot to the
@@ -112,6 +111,7 @@ _PRIORITY: list[str] = [
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
     "join_key_skew_report",
+    "quality_budget_curve",
     # --- third-continuation additions (first green): Zipf corpus
     #     diagnostic + embedding-class cohesion. They take the two
     #     slots events_hourly_interpolate / value_histogram_quantiles

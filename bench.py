@@ -191,6 +191,7 @@ HEADLINE = [
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
     "join_key_skew_report",
+    "quality_budget_curve",
 ]
 
 

@@ -629,3 +629,88 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["classifier_calibration_bins"] = " ".join(
     _calibration_oracle().split()
 )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold budget curve (choose the cutoff under a token budget)
+# ---------------------------------------------------------------------------
+BUDGET_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _budget_curve_oracle() -> str:
+    ths = ", ".join(str(t) for t in BUDGET_THRESHOLDS)
+    return f"""
+    WITH nbq AS ({_nbq_oracle()}),
+    p AS (
+      SELECT doc_id, n_tokens,
+        CAST(round(1.0 / (1.0 + exp(-nb_logodds)), 6) AS DECIMAL(9,6))
+          AS p6
+      FROM nbq
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM p
+    ),
+    th AS (SELECT unnest([{ths}]) AS threshold),
+    f AS (
+      SELECT th.threshold, p.n_tokens
+      FROM p JOIN th ON CAST(p.p6 AS DOUBLE) >= th.threshold
+    )
+    SELECT f.threshold,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(f.n_tokens) AS BIGINT) AS tokens_kept,
+      round(CAST(SUM(f.n_tokens) AS DOUBLE) / tot.total_tokens, 6)
+        AS token_share
+    FROM f CROSS JOIN tot
+    GROUP BY f.threshold, tot.total_tokens
+    """
+
+
+@query("quality_budget_curve")  # oracle composed below
+def quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curve over the quality classifier: for each
+    probability cutoff, how many documents and tokens survive, and
+    the surviving share of the corpus's tokens.
+
+    The DataComp/FineWeb-style decision this renders: given a target
+    training-token budget, read the row whose tokens_kept matches it
+    and that row's threshold IS the filter setting. Same engine-exact
+    binning as the calibration report (sigmoid rounded to 6 ->
+    DECIMAL(9,6); the >= comparison runs on identical doubles in both
+    engines), and the same bounded fan-out shape as the dedup
+    threshold sweep: scores x 9 thresholds by broadcast, one
+    map-side-combinable rollup, a 1-row total broadcast for the share.
+    """
+    scores = nb_quality_scores(load_table(spark, sf_dir, "documents"))
+    p6 = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("nb_logodds"))), 6
+    ).cast("decimal(9,6)")
+    p = scores.select("doc_id", "n_tokens", p6.alias("p6"))
+    tot = p.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in BUDGET_THRESHOLDS])
+        ).alias("threshold")
+    )
+    f = p.join(
+        F.broadcast(th), F.col("p6").cast("double") >= F.col("threshold")
+    )
+    return (
+        f.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_docs",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept").cast("double") / F.col("total_tokens"),
+                6,
+            ).alias("token_share"),
+        )
+    )
+
+
+_ORACLES["quality_budget_curve"] = " ".join(_budget_curve_oracle().split())

@@ -46,6 +46,7 @@ ORACLED = [
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
     "join_key_skew_report",
+    "quality_budget_curve",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2651,3 +2652,31 @@ def test_join_key_skew_report_matches_recompute(spark, sf_dir):
         assert r["max_key_rows"] == mx
         assert r["top_key"] == min(k for k, c in cnt.items() if c == mx)
         assert r["skew_ratio"] >= 1.0
+
+
+def test_quality_budget_curve_monotonic_and_consistent(spark, sf_dir):
+    """Raising the quality bar can only shrink docs/tokens; shares are
+    valid fractions; the curve agrees with the scored frame."""
+    curve = {
+        r["threshold"]: r
+        for r in catalog.QUERIES["quality_budget_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    scored = catalog.QUERIES["quality_classifier_nb"](spark, sf_dir).collect()
+    import math
+
+    total = sum(r["n_tokens"] for r in scored)
+    ts = sorted(curve)
+    for lo, hi in zip(ts, ts[1:]):
+        assert curve[lo]["n_docs"] >= curve[hi]["n_docs"]
+        assert curve[lo]["tokens_kept"] >= curve[hi]["tokens_kept"]
+    for t, r in curve.items():
+        keep = [
+            s
+            for s in scored
+            if round(1.0 / (1.0 + math.exp(-s["nb_logodds"])), 6) >= t
+        ]
+        assert r["n_docs"] == len(keep)
+        assert r["tokens_kept"] == sum(s["n_tokens"] for s in keep)
+        assert abs(r["token_share"] - r["tokens_kept"] / total) < 1e-6

@@ -237,6 +237,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "join_key_skew_report",         # three 1-row stats frames
                                         # crossed with 1-row top-key
                                         # frames — all bounded
+        "quality_budget_curve",         # 9-row threshold fan-out +
+                                        # 1-row token total — bounded
+                                        # (and the NB prior, as above)
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
