@@ -1215,6 +1215,69 @@ _UNSUPPORTED = (
         "truncation cannot be represented (Millisecond/Microsecond "
         "variants translate)",
     ),
+    # --- probe-hunt batch 12 ---
+    (
+        r"\bnonNegativeDerivative\s*\(",
+        "nonNegativeDerivative (window rate-of-change)",
+        "compute (v - lag(v)) / (ts - lag(ts)) OVER an explicit window "
+        "and clamp with greatest(..., 0) — the CH function is that "
+        "expression with implicit ordering",
+    ),
+    (
+        r"\b(?:cramersV|cramersVBiasCorrected|theilsU|contingency"
+        r"|rankCorr)\s*\(",
+        "association-statistic aggregate family",
+        "these need multi-stage shapes, provided first-class: "
+        "events_cramers_v (+ contingency + bias-corrected V), "
+        "events_theils_u, events_rank_corr in operators/chagg2.py — "
+        "hash-exact vs DuckDB",
+    ),
+    (
+        r"\bcategoricalInformationValue\s*\(",
+        "categoricalInformationValue",
+        "provided first-class as props_information_value "
+        "(operators/corr.py) — per-category WoE x (p_good - p_bad)",
+    ),
+    (
+        r"\bstochastic(?:Linear|Logistic)Regression\s*\(",
+        "stochasticLinearRegression/stochasticLogisticRegression",
+        "in-engine SGD training has no Spark-SQL translation — "
+        "events_ols_fit (exact closed-form OLS) and "
+        "quality_classifier_nb (the trained quality filter) cover the "
+        "modeling use cases",
+    ),
+    (
+        r"\b(?:max|min|sum|avg)MappedArrays\s*\(",
+        "*MappedArrays (parallel-array map aggregates)",
+        "use the minMap/maxMap/sumMap shapes "
+        "(user_type_minmax_map / user_type_sum_map): explode to "
+        "(key, value), groupBy, re-gather",
+    ),
+    (
+        r"\bmultiFuzzyMatch\w*\s*\(",
+        "multiFuzzyMatch* (hyperscan fuzzy regex)",
+        "no Spark analogue for edit-distance regex matching; "
+        "operators/fuzzy.py's deletion-neighborhood matcher covers "
+        "bounded-distance token matching",
+    ),
+    (
+        r"\b(?:toFixedString|toStringCutToZero)\s*\(",
+        "FixedString family",
+        "FixedString is a ClickHouse storage type; Spark strings are "
+        "unpadded — use rpad/substring deliberately if the padded "
+        "bytes are really wanted",
+    ),
+    (
+        r"\breinterpretAs\w+\s*\(",
+        "reinterpretAs* (raw byte reinterpretation)",
+        "byte-layout reinterpretation is engine-internal; decode "
+        "explicitly (unhex/conv/CAST) instead",
+    ),
+    (
+        r"\b(?:flameGraph|getSetting|isConstant)\s*\(",
+        "server/query introspection (flameGraph/getSetting/isConstant)",
+        "these read ClickHouse execution state; no Spark equivalent",
+    ),
     (
         r"\bINTO\s+OUTFILE\b",
         "INTO OUTFILE (client-side file export)",
@@ -2279,6 +2342,49 @@ def translate(
         out, "extractAll", lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)"
     )
     out = _rewrite_calls(out, "multiSearchAny", _multi_search_any)
+    # leftmost match offset over all needles (0 when none)
+    out = _rewrite_calls(
+        out,
+        "multiSearchFirstPosition",
+        lambda a: (
+            f"coalesce(array_min(filter(transform({a[1]}, "
+            f"__msn -> locate(__msn, {a[0]})), __msp -> __msp > 0)), 0)"
+        ),
+    )
+    # 1-based index of the needle whose occurrence is LEFTMOST in the
+    # haystack (not first in needle order), 0 when none
+    out = _rewrite_calls(
+        out,
+        "multiSearchFirstIndex",
+        lambda a: (
+            f"coalesce(array_position(transform({a[1]}, "
+            f"__msn -> locate(__msn, {a[0]})), "
+            f"array_min(filter(transform({a[1]}, "
+            f"__msn -> locate(__msn, {a[0]})), __msp -> __msp > 0))), 0)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "countMatchesCaseInsensitive",
+        lambda a: (
+            f"size(regexp_extract_all({a[0]}, "
+            f"concat('(?i)', {a[1]}), 0))"
+        ),
+    )
+    # "Stable" = numerically-stable accumulation order; the statistic
+    # is identical, so the plain Spark aggregates apply
+    out = _rewrite_calls(out, "corrStable", lambda a: f"corr({', '.join(a)})")
+    out = _rewrite_calls(
+        out, "covarPopStable", lambda a: f"covar_pop({', '.join(a)})"
+    )
+    out = _rewrite_calls(
+        out, "covarSampStable", lambda a: f"covar_samp({', '.join(a)})"
+    )
+    # sum that wraps at the input width; Spark's non-ANSI sum wraps at
+    # int64 — the documented best-effort twin of the sumKahan mapping
+    out = _rewrite_calls(
+        out, "sumWithOverflow", lambda a: f"sum({a[0]})"
+    )
     # OrNull / OrZero parsing variants across the whole numeric cast
     # family (toInt64OrNull, toUInt32OrZero, toFloat64OrNull, ...)
     for ch_cast, sp_type in {**_INT_CASTS, "toFloat64": "DOUBLE"}.items():

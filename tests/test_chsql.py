@@ -2266,6 +2266,16 @@ _CH_ONLY_PROBES = [
     "SELECT x FROM t LIMIT 5, 10",
     "SELECT * FROM t INTO OUTFILE 'f.csv'",
     "SELECT 1 FROM a PASTE JOIN b",
+    # batch 12
+    "SELECT cramersV(a, b), theilsU(a, b), rankCorr(a, b) FROM t",
+    "SELECT multiSearchFirstPosition(s, ['a']), multiSearchFirstIndex(s, ['a']) FROM t",
+    "SELECT countMatchesCaseInsensitive(s, 'x'), sumWithOverflow(x) FROM t",
+    "SELECT corrStable(a, b), covarPopStable(a, b), covarSampStable(a, b) FROM t",
+    "SELECT nonNegativeDerivative(v, ts) OVER (ORDER BY ts) FROM t",
+    "SELECT stochasticLinearRegression(x, y), categoricalInformationValue(a, l) FROM t",
+    "SELECT maxMappedArrays(k, v), multiFuzzyMatchAny(s, 2, ['ab']) FROM t",
+    "SELECT toFixedString(s, 8), reinterpretAsUInt32(s) FROM t",
+    "SELECT lagInFrame(x) OVER (ORDER BY ts), leadInFrame(x) OVER (ORDER BY ts) FROM t",
 ]
 
 
@@ -2999,6 +3009,53 @@ def test_probe_batch11_louds():
         ),
         ("SELECT * FROM t INTO OUTFILE 'o.csv'", "INTO OUTFILE"),
         ("SELECT 1 FROM a PASTE JOIN b", "PASTE JOIN"),
+    ):
+        with _pytest.raises(ValueError, match=frag):
+            translate(q)
+
+
+def test_probe_batch12_multisearch_and_stable(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT multiSearchFirstPosition('hello world', ['wor', 'ell'])"
+        " AS p1, "
+        "multiSearchFirstPosition('hello', ['xx']) AS p0, "
+        # leftmost OCCURRENCE wins, not needle order
+        "multiSearchFirstIndex('hello world', ['wor', 'ell']) AS i2, "
+        "multiSearchFirstIndex('hello world', ['zzz', 'wor']) AS iz, "
+        "multiSearchFirstIndex('hello', ['a']) AS i0, "
+        "countMatchesCaseInsensitive('aAaA', 'a') AS cm, "
+        "sumWithOverflow(n) AS so, corrStable(n, n) AS cs "
+        "FROM (SELECT CAST(1 AS BIGINT) AS n UNION ALL SELECT 2)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (got["p1"], got["p0"]) == (2, 0)
+    assert (got["i2"], got["iz"], got["i0"]) == (2, 2, 0)
+    assert got["cm"] == 4 and got["so"] == 3
+    assert abs(got["cs"] - 1.0) < 1e-9
+
+
+def test_probe_batch12_louds():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q, frag in (
+        ("SELECT cramersV(a, b) FROM t", "first-class"),
+        ("SELECT rankCorr(a, b) FROM t", "events_rank_corr"),
+        (
+            "SELECT nonNegativeDerivative(v, ts) OVER (ORDER BY ts) FROM t",
+            "nonNegativeDerivative",
+        ),
+        ("SELECT categoricalInformationValue(a, l) FROM t",
+         "props_information_value"),
+        ("SELECT stochasticLinearRegression(x, y) FROM t", "SGD"),
+        ("SELECT maxMappedArrays(k, v) FROM t", "MappedArrays"),
+        ("SELECT multiFuzzyMatchAny(s, 2, ['ab']) FROM t", "hyperscan"),
+        ("SELECT toFixedString(s, 8) FROM t", "FixedString"),
+        ("SELECT reinterpretAsUInt32(s) FROM t", "reinterpret"),
+        ("SELECT getSetting('max_threads')", "introspection"),
     ):
         with _pytest.raises(ValueError, match=frag):
             translate(q)
