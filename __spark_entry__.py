@@ -103,7 +103,6 @@ _PRIORITY: list[str] = [
     # --- second-green backfill: the oldest single-green queries (green
     #     only in r2), every one a family representative ---
     "bitext_margin_mining",
-    "dedup_lines_transform",
     "hard_negative_triplets",
     # --- third-continuation additions (first green), continued:
     #     events_day_over_day (single-green r4) gives its slot to the
@@ -112,6 +111,7 @@ _PRIORITY: list[str] = [
     "dedup_threshold_sweep",
     "join_key_skew_report",
     "quality_budget_curve",
+    "source_distinctive_terms",
     # --- third-continuation additions (first green): Zipf corpus
     #     diagnostic + embedding-class cohesion. They take the two
     #     slots events_hourly_interpolate / value_histogram_quantiles

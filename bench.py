@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "join_key_skew_report",
     "quality_budget_curve",
+    "source_distinctive_terms",
 ]
 
 

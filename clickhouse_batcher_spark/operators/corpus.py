@@ -1259,3 +1259,116 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive vocabulary per source (smoothed log-odds keyness)
+# ---------------------------------------------------------------------------
+KEYNESS_TOP_K = 5
+
+
+@query(
+    "source_distinctive_terms",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({SQL_TOKENS}) AS token FROM documents
+    ), st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM occ GROUP BY 1, 2
+    ), tok AS (
+      SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), src AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM tok
+    ), scored AS (
+      SELECT st.source, st.token, st.c_st,
+        round(ln(
+          ((CAST(st.c_st AS DOUBLE) + 1)
+           / (CAST(src.t_s AS DOUBLE) + tot.v))
+          / ((CAST(tok.c_t - st.c_st AS DOUBLE) + 1)
+             / (CAST(tot.t - src.t_s AS DOUBLE) + tot.v))
+        ), 6) AS keyness
+      FROM st
+      JOIN tok ON tok.token = st.token
+      JOIN src ON src.source = st.source
+      CROSS JOIN tot
+    ), ranked AS (
+      SELECT source, token, c_st, keyness,
+        row_number() OVER (
+          PARTITION BY source ORDER BY keyness DESC, token
+        ) AS rnk
+      FROM scored
+    )
+    SELECT source, token, c_st AS n_in_source, keyness,
+      CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {KEYNESS_TOP_K}
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most DISTINCTIVE tokens per source: smoothed log-odds of
+    the token inside the source vs the rest of the corpus (+1
+    Laplace, vocabulary-size prior mass).
+
+    The corpus-understanding twin of the mixture weights: before
+    temperature-mixing sources, this says what each source actually
+    contributes (a source whose keyness list is navigation chrome or
+    code tokens gets down-weighted for prose training). Unlike raw
+    frequency, the contrast against the REST of the corpus surfaces
+    what is over-represented, not just common.
+
+    Scale: one explode collapses to (source x vocab) with a map-side-
+    combined groupBy; the global token and per-source totals are
+    rollups of that frame; both broadcast back (vocab-sized and
+    n_sources-sized). Ranking windows partition BY SOURCE over
+    vocab-sized rows. The one ln() rounds to 6 on both engines; ties
+    break on the token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(tokens("text")).alias("token"))
+    st = occ.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    tok = st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    src = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("t_s"))
+    tot = tok.agg(
+        F.sum("c_t").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    j = (
+        st.join(F.broadcast(tok), "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    keyness = F.round(
+        F.log(
+            (
+                (F.col("c_st").cast("double") + 1)
+                / (F.col("t_s").cast("double") + F.col("v"))
+            )
+            / (
+                ((F.col("c_t") - F.col("c_st")).cast("double") + 1)
+                / ((F.col("t") - F.col("t_s")).cast("double") + F.col("v"))
+            )
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("keyness").desc(), "token"
+    )
+    return (
+        j.select("source", "token", "c_st", keyness.alias("keyness"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= KEYNESS_TOP_K)
+        .select(
+            "source",
+            "token",
+            F.col("c_st").alias("n_in_source"),
+            "keyness",
+            "rnk",
+        )
+    )

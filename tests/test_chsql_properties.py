@@ -211,3 +211,57 @@ def test_integer_subscripts_are_one_based(spark, sf_dir, idx, vals):
     ).collect()[0]["v"]
     want = vals[idx - 1] if idx > 0 else vals[idx]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Logic-function chains vs keyword usage (batch 9's riskiest rewrite:
+# the same text "AND (" can be a variadic and() call or the SQL
+# keyword — a wrong guess silently changes the predicate)
+# ---------------------------------------------------------------------------
+@st.composite
+def bool_expr(draw, depth=0):
+    """Random boolean expression mixing ClickHouse's function-form
+    and(...)/or(...)/xor(...)/not(...) with keyword AND/OR/NOT and
+    parenthesized literals; returns (ch_sql, python_value)."""
+    if depth >= 3 or draw(st.booleans()):
+        v = draw(st.booleans())
+        return ("true" if v else "false"), v
+    kind = draw(st.sampled_from(["and", "or", "xor", "not", "kw_and",
+                                 "kw_or", "paren"]))
+    if kind == "not":
+        s, v = draw(bool_expr(depth + 1))
+        return f"not({s})", (not v)
+    if kind == "paren":
+        s, v = draw(bool_expr(depth + 1))
+        return f"({s})", v
+    n = draw(st.integers(2, 4))
+    parts = [draw(bool_expr(depth + 1)) for _ in range(n)]
+    ss = [p[0] for p in parts]
+    vs = [p[1] for p in parts]
+    if kind == "and":
+        return f"and({', '.join(ss)})", all(vs)
+    if kind == "or":
+        return f"or({', '.join(ss)})", any(vs)
+    if kind == "xor":
+        acc = vs[0]
+        for x in vs[1:]:
+            acc = acc != x
+        return f"xor({', '.join(ss)})", acc
+    kw = " AND " if kind == "kw_and" else " OR "
+    joined = kw.join(f"({s})" for s in ss)
+    return f"({joined})", all(vs) if kind == "kw_and" else any(vs)
+
+
+@given(e=bool_expr())
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_logic_chain_rewrite_truth_table(spark, e):
+    ch, want = e
+    q = f"SELECT {ch} AS r"
+    t = translate(q)
+    assert translate(t) == t  # fixpoint
+    got = spark.sql(t).collect()[0]["r"]
+    assert got is want or got == want, f"{q!r} -> {t!r}: {got} != {want}"

@@ -47,6 +47,7 @@ ORACLED = [
     "dedup_threshold_sweep",
     "join_key_skew_report",
     "quality_budget_curve",
+    "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
     "funnel_conversion",
@@ -2680,3 +2681,52 @@ def test_quality_budget_curve_monotonic_and_consistent(spark, sf_dir):
         assert r["n_docs"] == len(keep)
         assert r["tokens_kept"] == sum(s["n_tokens"] for s in keep)
         assert abs(r["token_share"] - r["tokens_kept"] / total) < 1e-6
+
+
+def test_source_distinctive_terms_matches_recompute(spark, sf_dir):
+    """Pure-Python recompute of the smoothed log-odds keyness: the
+    per-source top-k and their scores must agree exactly."""
+    import math
+    from collections import Counter
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    by_src: dict[str, Counter] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], Counter()).update(
+            t for t in r["text"].lower().split() if t
+        )
+    glob = Counter()
+    for c in by_src.values():
+        glob.update(c)
+    T, V = sum(glob.values()), len(glob)
+    got: dict[str, list] = {}
+    for r in catalog.QUERIES["source_distinctive_terms"](spark, sf_dir).collect():
+        got.setdefault(r["source"], []).append(r)
+    assert set(got) == set(by_src)
+    for source, cnts in by_src.items():
+        ts = sum(cnts.values())
+        scored = sorted(
+            (
+                (
+                    round(
+                        math.log(
+                            ((c + 1) / (ts + V))
+                            / ((glob[tok] - c + 1) / (T - ts + V))
+                        ),
+                        6,
+                    ),
+                    tok,
+                    c,
+                )
+                for tok, c in cnts.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        rows = sorted(got[source], key=lambda r: r["rnk"])
+        assert [(r["token"], r["n_in_source"]) for r in rows] == [
+            (tok, c) for _, tok, c in scored
+        ]
+        for r, (k, _, _) in zip(rows, scored):
+            assert abs(r["keyness"] - k) < 1e-9
