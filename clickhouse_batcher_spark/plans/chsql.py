@@ -312,6 +312,67 @@ def _rewrite_calls(
         pos = m.start() + len(repl)
 
 
+# Keywords after which an expression STARTS — a logic-function name
+# here must be the function form, not the binary keyword.
+_EXPR_START_KW = {
+    "select", "where", "when", "then", "else", "on", "having", "by",
+    "and", "or", "not", "in", "case", "like", "ilike", "between",
+    "all", "any", "exists", "distinct", "as", "union", "intersect",
+    "except", "filter", "qualify", "prewhere", "if", "values",
+}
+
+
+def _rewrite_logic_fn(sql: str, fname: str, kw: str) -> str:
+    """Rewrite ClickHouse's variadic ``and(...)``/``or(...)`` function
+    form to a keyword chain, leaving keyword usage ("x AND (y)",
+    "x AND (a, b) IN ...") byte-untouched. A match is the function
+    form only when preceded by nothing, a punctuation that starts an
+    expression, or an expression-starting keyword."""
+    pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
+    out = sql
+    pos = 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        # what precedes the name?
+        j = m.start() - 1
+        while j >= 0 and out[j].isspace():
+            j -= 1
+        if j >= 0:
+            c = out[j]
+            if c.isalnum() or c == "_":
+                k = j
+                while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                    k -= 1
+                word = out[k + 1 : j + 1].lower()
+                is_fn = word in _EXPR_START_KW
+            else:
+                # punctuation: an operand ends with ')' / ']' / a
+                # quote — anything else starts an expression
+                is_fn = c not in ")]'\"`"
+        else:
+            is_fn = True
+        if not is_fn:
+            pos = m.end()
+            continue
+        open_idx = out.index("(", m.start())
+        close_idx = _find_matching_paren(out, open_idx)
+        inner = _rewrite_logic_fn(
+            out[open_idx + 1 : close_idx], fname, kw
+        )
+        args = _split_top_level(inner) if inner.strip() else []
+        if len(args) < 2:
+            repl = f"{kw} ({', '.join(args)})"
+        else:
+            repl = "(" + f" {kw} ".join(f"({x})" for x in args) + ")"
+        out = out[: m.start()] + repl + out[close_idx + 1 :]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_curried(
     sql: str, fname: str, spark_fn: str | None, fmt: str | None = None
 ) -> str:
@@ -596,6 +657,16 @@ _TRUNC_UNITS = {
 
 
 def _to_start_of_week(a: list[str]) -> str:
+    if len(a) > 2:
+        # same loud-on-untranslatable convention as modes 2-9: a
+        # timezone argument silently discarded would shift the week
+        # boundary — the exact silent-divergence class this handler
+        # exists to fix
+        raise ValueError(
+            "toStartOfWeek with a timezone argument has no Spark "
+            "translation — convert with from_utc_timestamp/"
+            "to_utc_timestamp explicitly, then truncate"
+        )
     mode = a[1].strip() if len(a) > 1 else "0"
     if mode == "0":
         # Sunday start: weekday() is Monday=0..Sunday=6, so days since
@@ -2759,11 +2830,11 @@ def translate(
         "timeSlots",
         lambda a: (
             f"sequence(timestamp_seconds((unix_timestamp({a[0]})"
-            f" DIV {a[2] if len(a) > 2 else 1800})"
-            f" * {a[2] if len(a) > 2 else 1800}), "
+            f" DIV ({a[2] if len(a) > 2 else 1800}))"
+            f" * ({a[2] if len(a) > 2 else 1800})), "
             f"timestamp_seconds(((unix_timestamp({a[0]}) + ({a[1]}))"
-            f" DIV {a[2] if len(a) > 2 else 1800})"
-            f" * {a[2] if len(a) > 2 else 1800}), "
+            f" DIV ({a[2] if len(a) > 2 else 1800}))"
+            f" * ({a[2] if len(a) > 2 else 1800})), "
             f"make_dt_interval(0, 0, 0, {a[2] if len(a) > 2 else 1800}))"
         ),
     )
@@ -3585,22 +3656,17 @@ def translate(
     )
 
     # Variadic logical-function forms. The NAMES collide with SQL
-    # keywords ("x AND (y)" matches the same text as a call), so only
-    # a match with >= 2 top-level args is provably the function form;
-    # 1-arg matches are reconstructed verbatim. xor has no Spark
-    # builtin at all: fold as boolean inequality (NULL-propagating,
-    # matching ClickHouse).
-    def _logic_chain(kw: str, a: list[str]) -> str:
-        if len(a) < 2:
-            # keyword usage ("x AND (y)") — reconstruct with the SAME
-            # "KW (arg)" spacing the chain emission below uses, so a
-            # re-translate reproduces its own output byte-for-byte
-            # (the idempotence contract)
-            return f"{kw} ({', '.join(a)})"
-        return "(" + f" {kw} ".join(f"({x})" for x in a) + ")"
-
-    out = _rewrite_calls(out, "and", lambda a: _logic_chain("AND", a))
-    out = _rewrite_calls(out, "or", lambda a: _logic_chain("OR", a))
+    # keywords: "x AND (y)" matches the same text as a call, and the
+    # argument count alone cannot disambiguate — "x AND (a, b) IN
+    # (...)" is a keyword followed by a TUPLE. The decisive test is
+    # what PRECEDES the name: a binary keyword needs a left operand
+    # (identifier / literal / closing paren), while a function call
+    # sits where an expression STARTS (after '(', ',', an operator,
+    # or a clause keyword). Only provable function calls rewrite; xor
+    # has no keyword form (and no Spark builtin): fold as boolean
+    # inequality (NULL-propagating, matching ClickHouse).
+    out = _rewrite_logic_fn(out, "and", "AND")
+    out = _rewrite_logic_fn(out, "or", "OR")
 
     def _xor_chain(a: list[str]) -> str:
         if len(a) < 2:

@@ -2912,6 +2912,7 @@ def test_probe_batch10_week_start_and_subsecond(spark, sf_dir):
     assert str(got["w0"]) == "2024-03-10"    # back to Sunday
     assert str(got["w0s"]) == "2024-03-10"   # Sunday stays
     assert str(got["w1"]) == "2024-03-11"    # ISO Monday mode
+    assert str(got["ms"]) == "2024-01-01 00:00:00"
     assert got["um"] == 1000
     assert str(got["fm"]) == "1970-01-01 00:00:01.500000"
 
@@ -3059,3 +3060,50 @@ def test_probe_batch12_louds():
     ):
         with _pytest.raises(ValueError, match=frag):
             translate(q)
+
+
+def test_logic_fn_keyword_tuple_in_untouched(spark, sf_dir):
+    """Regression: 'x AND (a, b) IN (...)' is the AND keyword followed
+    by a TUPLE — the variadic and()/or() rewrite must not consume the
+    conjunction (it did when the only guard was the argument count)."""
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    q = (
+        "SELECT count() AS r FROM events WHERE user_id >= 0"
+        " AND (user_id, event_type) IN ((CAST(1 AS BIGINT), 'click'))"
+    )
+    t = translate(q)
+    assert "AND (user_id, event_type) IN" in t
+    assert translate(t) == t
+    got = run_sql(spark, q, sf_dir, dialect="clickhouse").collect()[0]["r"]
+    direct = spark.sql(
+        f"SELECT count(*) AS r FROM parquet.`{sf_dir}/events.parquet`"
+        " WHERE user_id = 1 AND event_type = 'click'"
+    ).collect()[0]["r"]
+    assert got == direct and got > 0
+
+
+def test_to_start_of_week_tz_is_loud():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    with _pytest.raises(ValueError, match="timezone"):
+        translate("SELECT toStartOfWeek(ts, 0, 'Asia/Tokyo') FROM t")
+
+
+def test_timeslots_expression_size(spark, sf_dir):
+    """Regression: a non-atomic slot-size expression must bind as one
+    operand of DIV/* (it was interpolated unparenthesized)."""
+    got = run_sql(
+        spark,
+        "SELECT timeSlots(toDateTime('2024-01-01 00:10:00'), 600,"
+        " 200 + 100) AS r",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]["r"]
+    assert [str(x) for x in got] == [
+        "2024-01-01 00:10:00",
+        "2024-01-01 00:15:00",
+        "2024-01-01 00:20:00",
+    ]
