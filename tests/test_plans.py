@@ -240,6 +240,8 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "quality_budget_curve",         # 9-row threshold fan-out +
                                         # 1-row token total — bounded
                                         # (and the NB prior, as above)
+        "source_distinctive_terms",     # 1-row corpus-totals frame
+                                        # crossed onto the vocab frame
         "tfidf_top_terms",           # 1-row doc-count frame
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
