@@ -1286,6 +1286,53 @@ _UNSUPPORTED = (
         "truncation cannot be represented (Millisecond/Microsecond "
         "variants translate)",
     ),
+    # --- probe-hunt batch 13 ---
+    (
+        r"\b(?:splitByNonAlpha|tokens)\s*\(",
+        "splitByNonAlpha/tokens (tokenizer-defined splitting)",
+        "the separator class is ClickHouse-version-defined — use "
+        "splitByRegexp with an explicit character class (translates), "
+        "or functions.tokens for the repo's whitespace convention",
+    ),
+    (
+        r"\b(?:geoToH3|h3[A-Z]\w*|geohash(?:Encode|Decode|esInBox)"
+        r"|readWKT\w+|polygonsWithin\w*|svg)\s*\(",
+        "H3 / geohash / WKT geo family",
+        "no Spark builtin; for bucketing use an explicit lat/lon grid "
+        "(floor division) — it is deterministic and joinable",
+    ),
+    (
+        r"\bnormalizeUTF8NF(?:C|D|KC|KD)\s*\(",
+        "Unicode normalization family",
+        "Spark has no NFC/NFD builtin; normalize upstream at ingest "
+        "or in an Arrow UDF if the corpus genuinely mixes forms",
+    ),
+    (
+        r"\b(?:normalizeQuery|normalizedQueryHash)\s*\(",
+        "query-fingerprinting family",
+        "these canonicalize ClickHouse SQL text server-side; no Spark "
+        "equivalent",
+    ),
+    (
+        r"\btoValidUTF8\s*\(",
+        "toValidUTF8",
+        "Spark strings are validated on read (invalid sequences are "
+        "already replaced); a byte-level re-validation has no Spark "
+        "spelling",
+    ),
+    (
+        r"\b(?:punycode|idna)(?:Encode|Decode)\w*\s*\(",
+        "punycode/IDNA family",
+        "no Spark builtin; decode internationalized domains upstream "
+        "or in an Arrow UDF",
+    ),
+    (
+        r"\b(?:generateULID|serverUUID)\s*\(",
+        "ULID/server-UUID generators",
+        "uuid() exists in Spark but is nondeterministic per retry — "
+        "for reproducible ids derive from row content "
+        "(functions.sha256_hex / portable_hash64)",
+    ),
     # --- probe-hunt batch 12 ---
     (
         r"\bnonNegativeDerivative\s*\(",
@@ -3014,6 +3061,17 @@ def translate(
     )
     out = _rewrite_calls(
         out,
+        "L2SquaredDistance",
+        # the L2 fold without the sqrt
+        lambda a: (
+            f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__vx, __vy) -> (CAST(__vx AS DOUBLE) - __vy) * "
+            f"(CAST(__vx AS DOUBLE) - __vy)), {_d0}, "
+            f"(__vs, __vv) -> __vs + __vv)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
         "L1Distance",
         lambda a: (
             f"aggregate(zip_with({a[0]}, {a[1]}, "
@@ -3682,6 +3740,29 @@ def translate(
     out = _rewrite_calls(out, "xor", _xor_chain)
     out = _rewrite_calls(out, "trimLeft", lambda a: f"ltrim({a[0]})")
     out = _rewrite_calls(out, "trimRight", lambda a: f"rtrim({a[0]})")
+    # runs of whitespace as separators; no empty pieces (CH contract)
+    out = _rewrite_calls(
+        out,
+        "splitByWhitespace",
+        lambda a: (
+            f"filter(split({a[0]}, '\\\\s+'), __sw -> __sw != '')"
+        ),
+    )
+    # character n-grams, slice-guarded like arrayShingles so n >
+    # length yields [] (Spark's sequence would run backwards)
+    out = _rewrite_calls(
+        out,
+        "ngrams",
+        lambda a: (
+            f"slice(transform(sequence(1, greatest(char_length({a[0]})"
+            f" - ({a[1]}) + 1, 1)), __ng -> substring({a[0]}, __ng,"
+            f" {a[1]})), 1, greatest(char_length({a[0]}) - ({a[1]})"
+            f" + 1, 0))"
+        ),
+    )
+    # Spark's initcap is character-addressed already (the UTF8 alias
+    # maps to the same builtin, like the pad family)
+    out = _rewrite_calls(out, "initcapUTF8", lambda a: f"initcap({a[0]})")
     out = _rewrite_calls(
         out,
         "countSubstrings",

@@ -2276,6 +2276,12 @@ _CH_ONLY_PROBES = [
     "SELECT maxMappedArrays(k, v), multiFuzzyMatchAny(s, 2, ['ab']) FROM t",
     "SELECT toFixedString(s, 8), reinterpretAsUInt32(s) FROM t",
     "SELECT lagInFrame(x) OVER (ORDER BY ts), leadInFrame(x) OVER (ORDER BY ts) FROM t",
+    # batch 13
+    "SELECT splitByWhitespace(s), ngrams(s, 3), initcapUTF8(s) FROM t",
+    "SELECT L2SquaredDistance(a, b), tokens(s) FROM t",
+    "SELECT geoToH3(lon, lat, 9), geohashEncode(lon, lat) FROM t",
+    "SELECT normalizeUTF8NFC(s), toValidUTF8(s), punycodeEncode(s) FROM t",
+    "SELECT generateULID(), splitByNonAlpha(s) FROM t",
 ]
 
 
@@ -3107,3 +3113,40 @@ def test_timeslots_expression_size(spark, sf_dir):
         "2024-01-01 00:15:00",
         "2024-01-01 00:20:00",
     ]
+
+
+def test_probe_batch13_strings_and_vectors(spark, sf_dir):
+    got = run_sql(
+        spark,
+        "SELECT splitByWhitespace('a  b c') AS sw, "
+        "ngrams('abcd', 3) AS ng, ngrams('ab', 5) AS nge, "
+        "initcapUTF8('hello world') AS ic, "
+        "round(L2SquaredDistance(array(1.0, 2.0), array(4.0, 6.0)), 6)"
+        " AS l2s",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(got["sw"]) == ["a", "b", "c"]
+    assert list(got["ng"]) == ["abc", "bcd"] and list(got["nge"]) == []
+    assert got["ic"] == "Hello World"
+    assert got["l2s"] == 25.0
+
+
+def test_probe_batch13_louds():
+    import pytest as _pytest
+
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q, frag in (
+        ("SELECT tokens(s) FROM t", "tokenizer"),
+        ("SELECT splitByNonAlpha(s) FROM t", "tokenizer"),
+        ("SELECT geoToH3(a, b, 9) FROM t", "geo family"),
+        ("SELECT h3ToGeo(h) FROM t", "geo family"),
+        ("SELECT normalizeUTF8NFC(s) FROM t", "normalization"),
+        ("SELECT toValidUTF8(s) FROM t", "toValidUTF8"),
+        ("SELECT punycodeEncode(s) FROM t", "punycode"),
+        ("SELECT generateULID() FROM t", "reproducible"),
+        ("SELECT normalizeQuery(s) FROM t", "fingerprinting"),
+    ):
+        with _pytest.raises(ValueError, match=frag):
+            translate(q)
