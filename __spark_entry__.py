@@ -51,74 +51,69 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
-    # --- ROUND 7 window: coverage closure. The 26 oracled queries with
-    #     ZERO hash-green driver rows across r1-r6 (computed from the
-    #     CORRECTNESS_r0*.json history): the r6 red row re-checked
-    #     after the HUGEINT CAST fix, the rotation tail VERDICT r6
-    #     lists, the r6 late additions, the newly-oracled OLS fit, and
-    #     the three new transpiler-gated chsql queries. After this
-    #     window every oracled catalog query has >=1 green row. ---
-    "tpch_q12_late_lines_by_status",
-    "dedup_clusters",
-    "dedup_cluster_sizes",
-    "source_overlap_matrix",
-    "doc_novelty_ratio",
-    "boilerplate_spans_top",
-    "duplicate_line_ratio",
-    "vocab_growth_curve",
-    "docs_bigram_logprob",
-    "dsir_importance_weights",
-    "token_fertility_by_lang",
-    "quality_filter_c4",
-    "perplexity_bucket_sample",
-    "temperature_mix_sample",
-    "weighted_sample_docs",
-    "delta_sum_by_type",
-    "bounding_ratio_by_user",
-    "events_sparkbar_hourly",
-    "user_type_minmax_map",
-    "user_sequence_logprob",
-    "topk_weighted_users",
-    "kmv_union_intersection",
-    "events_ols_fit",
-    "chsql_limit_by_top_users",
-    "chsql_array_join_token_stats",
-    "chsql_final_sample_latest_state",
-    "chsql_prewhere_totals_by_status",
-    "chsql_positional_params_count",
-    "chsql_window_funnel_default",
-    "chsql_retention_seq_counts",
-    # --- new round-7 operators (first green) ---
-    "leakage_safe_split",
-    "lang_token_budget_plan",
-    "quality_classifier_nb",
-    "tfidf_top_terms",
-    "docs_kn_bigram_logprob",
-    "corpus_curation_funnel",
-    "dsir_resample_docs",
-    # --- changed-implementation re-checks (round-7 memoized pair
-    #     frame + single-action CC feed these) ---
-    "dedup_minhash_lsh",
-    "dedup_consensus",
-    # --- second-green backfill: the oldest single-green queries (green
-    #     only in r2), every one a family representative ---
-    "bitext_margin_mining",
-    "hard_negative_triplets",
-    # --- third-continuation additions (first green), continued:
-    #     events_day_over_day (single-green r4) gives its slot to the
-    #     calibration report ---
-    "classifier_calibration_bins",
-    "dedup_threshold_sweep",
-    "join_key_skew_report",
-    "quality_budget_curve",
-    "source_distinctive_terms",
-    # --- third-continuation additions (first green): Zipf corpus
-    #     diagnostic + embedding-class cohesion. They take the two
-    #     slots events_hourly_interpolate / value_histogram_quantiles
-    #     held (both single-green r4, pytest parity retained) — a
-    #     first row on a never-checked query beats a second green. ---
-    "token_zipf_fit",
-    "embedding_label_cohesion",
+    # --- ROUND 8 window. r7 went 50/50 green, leaving exactly ONE
+    #     oracled query with zero driver rows (dedup_lines_transform:
+    #     the r7 swap-4 comment promised it a slot but the list never
+    #     got the entry — VERDICT r7 "what's wrong" #1). It leads.
+    #     The rest of the window is SECOND-green backfill, oldest
+    #     single-green first (r2 vintage, then r4, then r5, then the
+    #     oldest r6 entries), computed from CORRECTNESS_r0*.json.
+    #     New round-8 operators swap into the tail slots as they land
+    #     (a first green beats a second green; a second green beats a
+    #     third). ---
+    "dedup_lines_transform",
+    # r2-vintage single greens (all 17)
+    "text_stats",
+    "langid_predict",
+    "token_histogram",
+    "token_count_bpeish",
+    "redact_docs",
+    "doc_fingerprint",
+    "winnow_fingerprints",
+    "merge_upsert_orders",
+    "media_metadata",
+    "media_frame_sample",
+    "profile_events",
+    "range_join_orders_window",
+    "events_rollup_hierarchy",
+    "similarity_topk",
+    "embedding_neardup",
+    "retrieval_topk_docs",
+    "token_count_min_sketch",
+    # r4-vintage single greens (all 3)
+    "events_hourly_interpolate",
+    "events_day_over_day",
+    "value_histogram_quantiles",
+    # r5-vintage single greens (all 21)
+    "tpch_q3_unshipped",
+    "tpch_q5_regional_share",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q18_big_orders",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "events_ohlc_hourly",
+    "user_event_sequences",
+    "user_retention_flags",
+    "sequence_match_counts",
+    "uniq_up_to_types_per_user",
+    "events_ema_hourly_counts",
+    "shard_documents_for_training",
+    "pack_sequences_budget",
+    # tail: oldest r6-vintage single greens — these six slots are the
+    # first to yield to new round-8 operators
+    "langid_confusion",
+    "orders_transfer_checksum",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
 # (green in BOTH r1+r2), similarity_topk, embedding_neardup,
