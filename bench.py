@@ -389,14 +389,37 @@ def main() -> None:
         "neardup_gate_index_partitions": gate_index_partitions,
     }
     print(json.dumps(full))
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_detail.json"), "w"
-        ) as fh:
+        with open(os.path.join(repo, "bench_detail.json"), "w") as fh:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # detail file is best-effort; stdout line already has it
+    # VERDICT r7 item 2: bench_detail.json is untracked and
+    # overwritten, so per-query r(N-1)->rN regressions were not
+    # auditable from git. Also write a ROUND-STAMPED copy meant to be
+    # committed: the current round is one past the newest BENCH_r*.json
+    # the driver has recorded (the driver writes BENCH_r{N} after the
+    # round's bench run, so while round N is in flight the max on disk
+    # is N-1). Re-runs within a round overwrite the same file.
+    try:
+        import glob as _glob
+        import re as _re
+
+        seen = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            for m in [_re.match(r"BENCH_r(\d+)\.json$",
+                                os.path.basename(f))]
+            if m
+        ]
+        rnd = (max(seen) + 1) if seen else 1
+        with open(
+            os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
     canaries = {
         n: timings[n]
         for n in ("tpch_q1", "dedup_minhash_lsh", "coactivity_pagerank")

@@ -80,16 +80,21 @@ SQL_SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_i
 
 
 # --- shared Spark-side builders -------------------------------------------
-def tokenized_corpus(docs: DataFrame) -> DataFrame:
+def tokenized_corpus(docs: DataFrame, spread: bool = True) -> DataFrame:
     """documents + truncated twins as (doc_id, tokens).
 
     Repartitioned to the session's parallelism: the documents table
     arrives as a couple of parquet splits, which would leave the
     downstream per-row hash folds (shingling, minhash, simhash) on a
     fraction of the cores. The shuffle moves only (id, tokens) rows —
-    trivial next to the compute it parallelizes.
+    trivial next to the compute it parallelizes. ``spread=False``
+    skips it for callers whose input is already a small micro-batch
+    (the streaming gate) where a 32-task stage is pure overhead.
     """
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    if spread:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     toks = docs.select("doc_id", tokens("text").alias("tokens"))
     twins = toks.filter(F.size("tokens") >= MIN_TWIN_TOKENS).select(
         (F.col("doc_id") + TWIN_ID_OFFSET).alias("doc_id"),
@@ -278,6 +283,11 @@ def band_signatures(shingles: DataFrame) -> DataFrame:
             "signature"
         ),
     )
+    return _explode_bands(sig)
+
+
+def _explode_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, signature) -> (doc_id, band_id, band_sig)."""
     return sig.select(
         "doc_id",
         "signature",
@@ -289,6 +299,61 @@ def band_signatures(shingles: DataFrame) -> DataFrame:
             "band_sig"
         ),
     )
+
+
+def band_signatures_inline(docs: DataFrame) -> DataFrame:
+    """``band_signatures(shingle_set(tokenized_corpus(docs)))`` —
+    same salts, same hashes, bit-identical (doc_id, band_id,
+    band_sig) rows — computed WITHOUT a single shuffle.
+
+    The batch pipeline hashes each distinct shingle once and
+    broadcast-joins the vocabulary back: right when the corpus is
+    large and shingles repeat across documents, pure overhead when
+    the input is a streaming micro-batch of a few hundred rows (the
+    vocab distinct + broadcast build + per-doc MIN aggregation cost
+    the at-ingestion gate ~2.5 s of fixed latency per micro-batch —
+    67% of its wall time, measured round 8). Here each row keeps its
+    shingle ARRAY and takes ``array_min`` over the 16 per-permutation
+    hash transforms — narrow projections end to end, nothing leaves
+    the row. Duplicate shingles within a doc do not move a MIN, so
+    skipping the batch path's ``distinct()`` preserves signatures
+    exactly (the equivalence test pins this).
+    """
+    corpus = tokenized_corpus(docs, spread=False)
+    k = SHINGLE_K
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    sh = corpus.filter(F.size("tokens") >= k).select(
+        "doc_id", mk.alias("shingles")
+    )
+    def _perm_hash(i: int):
+        # single-parameter closure: a 2-param lambda would make
+        # F.transform bind the array INDEX as the second argument
+        salt = f"{i:02d}|"
+        return lambda s: F.substring(
+            F.sha2(F.concat(F.lit(salt), s), 256), 1, 16
+        )
+
+    mins = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shingles", _perm_hash(i))).alias(
+                f"mh{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    sig = mins.select(
+        "doc_id",
+        F.concat(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias(
+            "signature"
+        ),
+    )
+    return _explode_bands(sig)
 
 
 

@@ -365,8 +365,18 @@ def _rewrite_logic_fn(sql: str, fname: str, kw: str) -> str:
             out[open_idx + 1 : close_idx], fname, kw
         )
         args = _split_top_level(inner) if inner.strip() else []
-        if len(args) < 2:
-            repl = f"{kw} ({', '.join(args)})"
+        if not args:
+            # Splicing a dangling keyword ("AND ()") would surface as
+            # an opaque Spark parse error — violate loudly instead.
+            raise ValueError(
+                f"ClickHouse {fname}() with zero arguments has no "
+                f"defined value — pass at least one argument"
+            )
+        if len(args) == 1:
+            # ClickHouse's and(x)/or(x)/xor(x) is the identity on its
+            # single argument; emitting the bare keyword here ("AND
+            # (x)") was round-7's invalid-SQL bug.
+            repl = f"({args[0]})"
         else:
             repl = "(" + f" {kw} ".join(f"({x})" for x in args) + ")"
         out = out[: m.start()] + repl + out[close_idx + 1 :]
@@ -541,6 +551,214 @@ def _window_funnel_expr(p_parts: list[str], x_parts: list[str]) -> str:
         "__wf_x -> __wf_x IS NOT NULL)) AS INT)"
     )
     return f"aggregate({events}, {init}, {step}, {finish})"
+
+
+def _window_funnel_windowed(sql: str) -> str:
+    """``translate(..., funnel_windowed=True)``: rewrite a
+    ``SELECT keys..., windowFunnel(w)(ts, c1..cn) AS a FROM src
+    [WHERE ...] GROUP BY keys`` query into the RANGE-window cascade of
+    ``operators.chagg2.window_funnel_levels`` instead of the per-group
+    ``collect_list`` fold.
+
+    Why: the fold is ClickHouse's own algorithm and per-group memory
+    matches ClickHouse's (O(matching events)), but ONE pathological
+    group concentrates that state on one task (SCALE.md's windowFunnel
+    note). The cascade never materializes a group: each stage-k event
+    learns its next-stage successor from a RANGE window, successor
+    maps are joined level-to-level (n-2 equi-joins on vertex-sized
+    frames), and groups aggregate a per-anchor MAX — every frame is
+    keyed and spillable.
+
+    Semantics: in the DEFAULT mode the cascade is exactly the fold
+    (proof sketch in the emitted plan's comment: the fold's level-k
+    state anchor only ever advances, so per-anchor earliest-successor
+    chains dominate and are dominated by the fold's witnesses). In
+    ``strict_increase`` mode the cascade computes the true maximal
+    strictly-increasing chain per anchor, which can EXCEED ClickHouse
+    in one corner: CH's unconditional level-state overwrite can
+    replace a live chain's last-event timestamp with a later one and
+    then fail the strictly-after check that the discarded chain would
+    have passed. The hint is opt-in; default translate() keeps exact
+    fold parity.
+
+    Recognized shape (loud otherwise): one windowFunnel aggregate,
+    every other select item a bare column listed in GROUP BY, a plain
+    FROM source, optional WHERE, optional trailing ORDER BY / LIMIT.
+    """
+    pat = re.compile(r"\bwindowFunnel\s*\(", re.IGNORECASE)
+    m = pat.search(sql)
+    if not m or _in_string(sql, m.start()):
+        return sql
+    if pat.search(sql, m.end()):
+        raise ValueError(
+            "funnel_windowed=True handles exactly one windowFunnel "
+            "per statement — split the query"
+        )
+    p_open = sql.index("(", m.start())
+    p_close = _find_matching_paren(sql, p_open)
+    x_open = sql.index("(", p_close + 1)
+    x_close = _find_matching_paren(sql, x_open)
+    p_parts = _split_top_level(sql[p_open + 1 : p_close])
+    x_parts = _split_top_level(sql[x_open + 1 : x_close])
+    strict = (
+        len(p_parts) == 2
+        and p_parts[1].strip().strip("'") == "strict_increase"
+    )
+    if not strict and len(p_parts) != 1:
+        raise ValueError(
+            "funnel_windowed supports the default and "
+            "'strict_increase' windowFunnel modes only"
+        )
+    if len(x_parts) < 2:
+        raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
+    w, ts, conds = p_parts[0], x_parts[0], x_parts[1:]
+    n = len(conds)
+
+    # paren-depth-aware clause boundaries (a subquery source's own
+    # WHERE/GROUP BY must not fool the split)
+    def _top_level_kw(kw_pat: str, start: int = 0) -> int:
+        pat_kw = re.compile(kw_pat, re.IGNORECASE)
+        depth = 0
+        i = start
+        while i < len(sql):
+            c = sql[i]
+            if c == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0:
+                mm = pat_kw.match(sql, i)
+                if mm and (i == 0 or not (sql[i - 1].isalnum()
+                                          or sql[i - 1] == "_")):
+                    return i
+            i += 1
+        return -1
+
+    sel_start = _top_level_kw(r"SELECT\b")
+    from_at = _top_level_kw(r"FROM\b")
+    where_at = _top_level_kw(r"WHERE\b")
+    group_at = _top_level_kw(r"GROUP\s+BY\b")
+    having_at = _top_level_kw(r"HAVING\b")
+    tail_at = _top_level_kw(r"(?:ORDER\s+BY|LIMIT)\b")
+    if sel_start != 0 or from_at < 0 or group_at < 0:
+        raise ValueError(
+            "funnel_windowed=True needs the shape SELECT keys..., "
+            "windowFunnel(...)(...) AS alias FROM src [WHERE ...] "
+            "GROUP BY keys [ORDER BY/LIMIT ...] — use the default "
+            "fold translation for anything richer"
+        )
+    if having_at >= 0:
+        raise ValueError(
+            "funnel_windowed does not restructure HAVING — filter in "
+            "an outer query"
+        )
+    sel_text = sql[len("SELECT"): from_at]
+    src_end = where_at if where_at >= 0 else group_at
+    src_text = sql[from_at + len("FROM"): src_end]
+    where_text = (
+        sql[where_at + len("WHERE"): group_at] if where_at >= 0 else None
+    )
+    keys_end = tail_at if tail_at >= 0 else len(sql)
+    m_gb = re.match(r"GROUP\s+BY", sql[group_at:], re.IGNORECASE)
+    keys_text = sql[group_at + m_gb.end(): keys_end].strip().rstrip(";")
+    tail_text = (" " + sql[tail_at:].rstrip().rstrip(";")
+                 if tail_at >= 0 else "")
+    keys = [k.strip() for k in _split_top_level(keys_text)]
+    if not keys or not all(re.fullmatch(r"[A-Za-z_]\w*", k) for k in keys):
+        raise ValueError(
+            "funnel_windowed needs plain-column GROUP BY keys "
+            "(alias expressions in a subquery first)"
+        )
+    alias = None
+    others: list[str] = []
+    for item in _split_top_level(sel_text):
+        item = item.strip()
+        am = re.match(
+            r"^windowFunnel\b.*\)\s+AS\s+([A-Za-z_]\w*)$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            alias = am.group(1)
+        elif re.fullmatch(r"[A-Za-z_]\w*", item) and item in keys:
+            others.append(item)
+        else:
+            raise ValueError(
+                f"funnel_windowed cannot carry select item {item!r} — "
+                "only GROUP BY keys and the aliased windowFunnel"
+            )
+    if alias is None:
+        raise ValueError(
+            "funnel_windowed needs the windowFunnel aliased "
+            "(... AS level)"
+        )
+
+    src = src_text.strip()
+    where = where_text
+    tail = tail_text
+    klist = ", ".join(keys)
+    win_us = f"(CAST({w} AS BIGINT) * 1000000)"
+    lo = "1 FOLLOWING" if strict else "CURRENT ROW"
+    per_row = ", ".join(
+        f"IF({c}, {i + 1}, NULL)" for i, c in enumerate(conds)
+    )
+    nxt_cols = ", ".join(
+        f"MIN(CASE WHEN __wfw_stage = {k} THEN __wfw_t END) OVER ("
+        f"PARTITION BY {klist} ORDER BY __wfw_t RANGE BETWEEN {lo} "
+        f"AND UNBOUNDED FOLLOWING) AS __wfw_n{k}"
+        for k in range(2, n + 1)
+    )
+    maps = ", ".join(
+        f"__wfw_m{k} AS (SELECT {klist}, __wfw_t AS __wfw_mt, "
+        f"MIN(__wfw_n{k + 1}) AS __wfw_v{k + 1} FROM __wfw_nxt "
+        f"WHERE __wfw_stage = {k} GROUP BY {klist}, __wfw_t)"
+        for k in range(2, n)
+    )
+    # chain value for level k as seen from the anchor row `s`
+    chain_val = {2: "__wfw_s.__wfw_n2"}
+    for k in range(3, n + 1):
+        chain_val[k] = f"__wfw_m{k - 1}.__wfw_v{k}"
+    joins = []
+    for k in range(2, n):
+        prev = chain_val[k]
+        on_keys = " AND ".join(
+            f"__wfw_m{k}.{c} <=> __wfw_s.{c}" for c in keys
+        )
+        joins.append(
+            f"LEFT JOIN __wfw_m{k} ON {on_keys} "
+            f"AND __wfw_m{k}.__wfw_mt = {prev}"
+        )
+    branches = " ".join(
+        f"WHEN {chain_val[k]} IS NOT NULL AND {chain_val[k]} - "
+        f"__wfw_s.__wfw_t <= {win_us} THEN {k}"
+        for k in range(n, 1, -1)
+    )
+    s_keys = ", ".join(f"__wfw_s.{c} AS {c}" for c in keys)
+    g_on = " AND ".join(f"__wfw_l.{c} <=> __wfw_g.{c}" for c in keys)
+    g_keys = ", ".join(f"__wfw_g.{c} AS {c}" for c in keys)
+    g_grp = ", ".join(f"__wfw_g.{c}" for c in keys)
+    where_sql = f" WHERE {where.strip()}" if where else ""
+    return (
+        f"WITH __wfw_src AS (SELECT * FROM {src}{where_sql}), "
+        f"__wfw_ev AS (SELECT {klist}, "
+        f"unix_micros(CAST({ts} AS TIMESTAMP)) AS __wfw_t, __wfw_stage "
+        f"FROM __wfw_src LATERAL VIEW explode(filter(array({per_row}), "
+        f"__wfw_x -> __wfw_x IS NOT NULL)) __wfw_e AS __wfw_stage), "
+        f"__wfw_nxt AS (SELECT {klist}, __wfw_t, __wfw_stage, "
+        f"{nxt_cols} FROM __wfw_ev), "
+        + (maps + ", " if maps else "")
+        + f"__wfw_lvl AS (SELECT {s_keys}, CASE {branches} ELSE 1 END "
+        f"AS __wfw_l FROM (SELECT * FROM __wfw_nxt WHERE "
+        f"__wfw_stage = 1) __wfw_s {' '.join(joins)}) "
+        f"SELECT {g_keys}, CAST(COALESCE(MAX(__wfw_l.__wfw_l), 0) "
+        f"AS INT) AS {alias} FROM (SELECT DISTINCT {klist} FROM "
+        f"__wfw_src) __wfw_g LEFT JOIN __wfw_lvl __wfw_l ON {g_on} "
+        f"GROUP BY {g_grp}{tail}"
+    )
 
 
 _SEQ_PATTERN_TOKEN = re.compile(r"\(\?(\d+)\)|\.\*|\.")
@@ -991,9 +1209,12 @@ _UNSUPPORTED = (
     (
         r"\bquantileInterpolatedWeighted\s*\(",
         "quantileInterpolatedWeighted",
-        "weight-interpolated quantiles have no Spark analog — "
-        "quantileExactWeighted translates (weight-expanded exact "
-        "rank); use that or pre-expand weights",
+        "ClickHouse's weight-interpolation convention has no Spark "
+        "analog — quantileExactWeighted translates exactly (first "
+        "element whose cumulative weight reaches p*total, no "
+        "interpolation); percentile(x, p, w) interpolates over the "
+        "weight-expanded multiset under a DIFFERENT convention — "
+        "pick one deliberately",
     ),
     (
         r"\bgroupArrayLast\s*\(",
@@ -2311,6 +2532,7 @@ def translate(
     sql: str,
     sample_keys: dict[str, str] | None = None,
     final_keys: dict[str, tuple] | None = None,
+    funnel_windowed: bool = False,
 ) -> str:
     """Translate the supported ClickHouse-dialect subset to Spark SQL.
 
@@ -2318,6 +2540,11 @@ def translate(
     DDL's ``SAMPLE BY`` expression), enabling ``SAMPLE f`` translation.
     ``final_keys`` maps table name -> (key columns, version column)
     (the DDL's ORDER BY key + version), enabling ``FINAL`` translation.
+    ``funnel_windowed=True`` emits windowFunnel as the RANGE-window
+    cascade (scale path — no per-group collect_list state; see
+    ``_window_funnel_windowed`` for shape requirements and the one
+    documented strict_increase divergence) instead of ClickHouse's
+    exact fold.
     """
     out = _clauses(sql, sample_keys, final_keys)
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
@@ -2757,14 +2984,53 @@ def translate(
             f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
         ),
     )
-    # quantileExactWeighted(p)(x, w): Spark's percentile takes a
-    # frequency argument — exact-to-exact for the integer weights
-    # ClickHouse requires (UInt weight type).
-    out = _rewrite_curried_fn(
-        out,
-        "quantileExactWeighted",
-        lambda p, x: f"percentile({x[0]}, {p[0]}, {x[1]})",
-    )
+    # quantileExactWeighted(p)(x, w): ClickHouse does NOT interpolate —
+    # it sorts the distinct values and returns the FIRST element whose
+    # cumulative weight reaches p * total_weight. Spark's
+    # percentile(x, p, w) linearly interpolates over the
+    # weight-expanded multiset, which diverges at crossing levels
+    # ((1,w=1),(2,w=1) at p=0.5 is 1 in ClickHouse, 1.5 under
+    # percentile — the round-7 translation's silent divergence).
+    # Reproduce the element selection: collect (v, w) pairs (nulls
+    # skipped, as CH skips rows with a NULL argument), sort by value,
+    # fold to the 1-based index of the first element with
+    # running_weight >= p * sum(w) (falling back to the last element,
+    # CH's it==end backstop), then element_at(...).v — the result
+    # keeps the value column's own type, like ClickHouse. All
+    # JVM-side array expressions; the pair list is per-group bounded
+    # by the distinct-value count a CH user already accepts for this
+    # exact-family aggregate.
+    def _qew(p: list[str], x: list[str]) -> str:
+        pair = (
+            f"IF({x[0]} IS NOT NULL AND {x[1]} IS NOT NULL, "
+            f"named_struct('v', {x[0]}, 'w', CAST({x[1]} AS DOUBLE)), "
+            f"NULL)"
+        )
+        sorted_pairs = f"array_sort(collect_list({pair}))"
+        zero = (
+            f"named_struct('i', CAST(0 AS BIGINT), "
+            f"'acc', CAST(0 AS DOUBLE), "
+            f"'found', CAST(0 AS BIGINT), "
+            f"'thr', CAST({p[0]} AS DOUBLE) * "
+            f"sum(IF({x[0]} IS NOT NULL, CAST({x[1]} AS DOUBLE), NULL)))"
+        )
+        step = (
+            "(s, e) -> CASE WHEN s.found > 0 THEN s "
+            "WHEN s.acc + e.w >= s.thr THEN named_struct("
+            "'i', s.i + 1, 'acc', s.acc + e.w, 'found', s.i + 1, "
+            "'thr', s.thr) "
+            "ELSE named_struct('i', s.i + 1, 'acc', s.acc + e.w, "
+            "'found', CAST(0 AS BIGINT), 'thr', s.thr) END"
+        )
+        finish = "s -> IF(s.found > 0, s.found, s.i)"
+        idx = f"aggregate({sorted_pairs}, {zero}, {step}, {finish})"
+        return (
+            f"(CASE WHEN size({sorted_pairs}) = 0 THEN NULL "
+            f"ELSE element_at({sorted_pairs}, CAST({idx} AS INT)).v "
+            f"END)"
+        )
+
+    out = _rewrite_curried_fn(out, "quantileExactWeighted", _qew)
     out = _rewrite_curried(
         out,
         "quantilesTiming",
@@ -2812,6 +3078,8 @@ def translate(
     # Sequence aggregates: pure aggregate-expression translations (see
     # the handlers' docstrings for the exact ClickHouse semantics each
     # reproduces and the documented divergence caveats).
+    if funnel_windowed:
+        out = _window_funnel_windowed(out)
     out = _rewrite_curried_fn(out, "windowFunnel", _window_funnel_expr)
     out = _rewrite_curried_fn(
         out,
@@ -3727,11 +3995,14 @@ def translate(
     out = _rewrite_logic_fn(out, "or", "OR")
 
     def _xor_chain(a: list[str]) -> str:
-        if len(a) < 2:
+        if not a:
             raise ValueError(
-                "ClickHouse xor() needs >= 2 arguments — nothing to"
-                " translate for fewer"
+                "ClickHouse xor() with zero arguments has no defined "
+                "value — pass at least one argument"
             )
+        if len(a) == 1:
+            # identity on a single argument, like and(x)/or(x)
+            return f"({a[0]})"
         expr = f"({a[0]})"
         for x in a[1:]:
             expr = f"(CAST({expr} AS BOOLEAN) <> CAST(({x}) AS BOOLEAN))"
@@ -3944,14 +4215,21 @@ def translate(
     # Skewness/kurtosis: Spark's skewness IS the population form
     # (m3/m2^1.5) and its kurtosis is EXCESS (m4/m2^2 - 3), both
     # verified numerically; ClickHouse kurtPop is non-excess and the
-    # Samp variants divide by (n-1) moments — exact algebraic
-    # adjustments ((n-1)/n factors), no approximation.
+    # Samp variants divide the POPULATION central moment by the
+    # SAMPLE variance raised to the moment's power: skewSamp =
+    # m3/sampleVar^1.5 = skewPop*((n-1)/n)^1.5 and kurtSamp =
+    # m4/sampleVar^2 = kurtPop*((n-1)/n)^2 (sampleVar = m2*n/(n-1),
+    # so the ratio (m2/sampleVar)^k = ((n-1)/n)^k carries the FULL
+    # exponent of the moment, 1.5 and 2 — not 0.5/1, the round-7 bug:
+    # kurtSamp([3,5,9]) is 0.667 in ClickHouse, and the old factor
+    # gave 1.0). Exact algebraic adjustments, no approximation.
     out = _rewrite_calls(out, "skewPop", lambda a: f"skewness({a[0]})")
     out = _rewrite_calls(
         out,
         "skewSamp",
         lambda a: (
-            f"(skewness({a[0]}) * sqrt((count({a[0]}) - 1) / count({a[0]})))"
+            f"(skewness({a[0]}) * "
+            f"pow((count({a[0]}) - 1) / count({a[0]}), 1.5))"
         ),
     )
     out = _rewrite_calls(out, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
@@ -3959,8 +4237,8 @@ def translate(
         out,
         "kurtSamp",
         lambda a: (
-            f"(((kurtosis({a[0]}) + 3) * (count({a[0]}) - 1)) / "
-            f"count({a[0]}))"
+            f"(((kurtosis({a[0]}) + 3) * (count({a[0]}) - 1) * "
+            f"(count({a[0]}) - 1)) / (count({a[0]}) * count({a[0]})))"
         ),
     )
     for ch, sp in (

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.operators.dedup import (
     band_signatures,
+    band_signatures_inline,
     shingle_set,
     tokenized_corpus,
 )
@@ -49,7 +50,9 @@ def match_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
     (doc_id, index_doc_id) distinct pairs. The verification step
     (shingle Jaccard, as in the batch detector) is the caller's
     choice — candidates are already rare."""
-    sigs = band_signatures(shingle_set(tokenized_corpus(batch)))
+    # narrow per-row signatures: a micro-batch is far below the
+    # vocab-broadcast crossover the batch pipeline is shaped for
+    sigs = band_signatures_inline(batch)
     return (
         sigs.join(index, ["band_id", "band_sig"])
         .select("doc_id", "index_doc_id")
@@ -118,7 +121,11 @@ def _ingest_batch(
     from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
-    sigs = band_signatures(shingle_set(tokenized_corpus(batch))).cache()
+    # band_signatures_inline: bit-identical signatures, zero shuffles —
+    # the batch pipeline's vocab distinct + broadcast + per-doc MIN
+    # aggregation cost this gate ~2.5 s of fixed latency per
+    # micro-batch (67% of wall time, round-8 profile)
+    sigs = band_signatures_inline(batch).cache()
 
     # Probe the index through Spark's own filesystem layer (an absent
     # or empty index raises at read time) — a driver-local os.path

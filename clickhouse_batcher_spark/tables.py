@@ -102,6 +102,7 @@ def run_sql(
     sample_keys: dict[str, str] | None = None,
     final_keys: dict[str, tuple] | None = None,
     params: list | dict | None = None,
+    funnel_windowed: bool = False,
 ) -> DataFrame:
     """The SQL switching path: register the tables as views and run a
     query against them — ``dialect="clickhouse"`` first translates the
@@ -118,7 +119,12 @@ def run_sql(
     if dialect == "clickhouse":
         from clickhouse_batcher_spark.plans.chsql import translate
 
-        sql = translate(sql, sample_keys=sample_keys, final_keys=final_keys)
+        sql = translate(
+            sql,
+            sample_keys=sample_keys,
+            final_keys=final_keys,
+            funnel_windowed=funnel_windowed,
+        )
     elif dialect != "spark":
         raise ValueError(f"unknown dialect: {dialect!r}")
     if params is not None:

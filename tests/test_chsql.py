@@ -1848,6 +1848,90 @@ def test_quantile_exact_weighted_and_plural_timing(spark, sf_dir):
     assert got["qt"][1] == 30000  # timing family saturates at 30 s
 
 
+def test_quantile_exact_weighted_element_selection(spark, sf_dir):
+    """ClickHouse quantileExactWeighted does NOT interpolate: it
+    returns the first sorted element whose cumulative weight reaches
+    p * total_weight. The crossing-level case (1,w=1),(2,w=1) at
+    p=0.5 is 1 in ClickHouse — percentile(x, 0.5, w) would say 1.5
+    (the round-7 silent divergence)."""
+    got = run_sql(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(v, w) AS med, "
+        "quantileExactWeighted(0)(v, w) AS lo, "
+        "quantileExactWeighted(1)(v, w) AS hi "
+        "FROM (SELECT * FROM VALUES (1, 1), (2, 1) AS t(v, w))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["med"] == 1  # NOT 1.5 — no interpolation
+    assert isinstance(got["med"], int)  # value type preserved
+    assert got["lo"] == 1 and got["hi"] == 2
+    # Cumulative rule with real weights: total=4, threshold=2 ->
+    # cumulative 1:1, 2:3 >= 2 -> 2. NULL value/weight rows are
+    # skipped like ClickHouse skips NULL aggregate arguments.
+    got = run_sql(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(v, w) AS med, "
+        "count(*) AS n "
+        "FROM (SELECT * FROM VALUES (3, 2), (1, 1), (2, 1), "
+        "(NULL, 9), (7, NULL) AS t(v, w))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["med"] == 2
+    # empty group -> NULL, no element_at(arr, 0) error
+    got = run_sql(
+        spark,
+        "SELECT quantileExactWeighted(0.5)(v, w) AS med "
+        "FROM (SELECT * FROM VALUES (1, 1) AS t(v, w)) WHERE v > 99",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["med"] is None
+
+
+def test_logic_fn_unary_and_zero_arg(spark, sf_dir):
+    """ClickHouse and(x)/or(x)/xor(x) is the identity on its single
+    argument; the round-7 rewrite spliced a dangling keyword ('AND
+    (x)') — an opaque Spark parse error. Zero arguments goes loud."""
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    got = run_sql(
+        spark,
+        "SELECT and(true) AS a1, or(1 > 2) AS o1, xor(false) AS x1, "
+        "and(or(true)) AS nested FROM (SELECT 1 AS d)",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a1"] is True and got["o1"] is False
+    assert got["x1"] is False and got["nested"] is True
+    for fn in ("and", "or", "xor"):
+        with pytest.raises(ValueError, match="zero arguments"):
+            translate(f"SELECT {fn}() FROM t")
+
+
+def test_skew_kurt_samp_worked_example(spark, sf_dir):
+    """kurtSamp([3,5,9]) is m4/sampleVar^2 = 0.666667 in ClickHouse;
+    the round-7 factor ((n-1)/n instead of ((n-1)/n)^2) gave 1.0.
+    Same class of bug for skewSamp (power 0.5 instead of 1.5)."""
+    got = run_sql(
+        spark,
+        "SELECT round(skewSamp(v), 6) AS ss, "
+        "round(kurtSamp(v), 6) AS ks FROM (SELECT * FROM VALUES "
+        "(3.0), (5.0), (9.0) AS t(v))",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    vals = [3.0, 5.0, 9.0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    samp_var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+    assert got["ks"] == round(m4 / samp_var**2, 6) == 0.666667
+    assert got["ss"] == round(m3 / samp_var**1.5, 6)
+
+
 def test_review_fixes_round8(spark, sf_dir):
     # sequenceCount with '.*' must count non-overlapping chains
     # LAZILY (CH resumes after each completed chain): over a,b,a,b
@@ -2489,7 +2573,6 @@ def test_probe_batch4_aggregates(spark, sf_dir):
         sf_dir,
         dialect="clickhouse",
     ).collect()[0]
-    import math
 
     vals = [3.0, 5.0, 9.0]
     n = len(vals)
@@ -2497,10 +2580,17 @@ def test_probe_batch4_aggregates(spark, sf_dir):
     m2 = sum((v - mu) ** 2 for v in vals) / n
     m3 = sum((v - mu) ** 3 for v in vals) / n
     m4 = sum((v - mu) ** 4 for v in vals) / n
+    # ClickHouse Samp variants divide the POPULATION moment by the
+    # SAMPLE variance to the moment's power (first principles, not the
+    # translation's own formula): skewSamp = m3/sampleVar^1.5,
+    # kurtSamp = m4/sampleVar^2, sampleVar = m2*n/(n-1). For [3,5,9]
+    # kurtSamp is 0.666667 (the round-7 factor gave 1.0).
+    samp_var = m2 * n / (n - 1)
     assert got["sp"] == round(m3 / m2**1.5, 6)
-    assert got["ss"] == round(m3 / m2**1.5 * math.sqrt((n - 1) / n), 6)
+    assert got["ss"] == round(m3 / samp_var**1.5, 6)
     assert got["kp"] == round(m4 / m2**2, 6)
-    assert got["ks"] == round(m4 / m2**2 * (n - 1) / n, 6)
+    assert got["ks"] == round(m4 / samp_var**2, 6)
+    assert got["ks"] == round(2.0 / 3.0, 6)  # pin the worked example
     # least-squares fit of v on x by hand
     xs = [1.0, 2.0, 3.0]
     mx = sum(xs) / n
@@ -3150,3 +3240,124 @@ def test_probe_batch13_louds():
     ):
         with _pytest.raises(ValueError, match=frag):
             translate(q)
+
+
+def test_funnel_windowed_matches_fold_on_fixture(spark, sf_dir):
+    """funnel_windowed=True (RANGE-window cascade, VERDICT r7 task 5)
+    must agree with the exact fold on the hand-computed fixture —
+    including u4's equal-timestamp chain (default mode allows ties)
+    and u5's no-anchor 0."""
+    q = (
+        "SELECT user_id, windowFunnel(3600)(ts, et = 'A', et = 'B', "
+        f"et = 'C') AS lvl FROM ({_SEQ_FIXTURE}) GROUP BY user_id"
+    )
+    fold = {
+        r["user_id"]: r["lvl"]
+        for r in run_sql(spark, q, sf_dir, dialect="clickhouse").collect()
+    }
+    windowed = {
+        r["user_id"]: r["lvl"]
+        for r in run_sql(
+            spark, q, sf_dir, dialect="clickhouse", funnel_windowed=True
+        ).collect()
+    }
+    assert windowed == fold == {
+        "u1": 3, "u2": 1, "u3": 1, "u4": 2, "u5": 0,
+    }
+    # and the rewrite really did take the windowed path
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    t = translate(q, funnel_windowed=True)
+    assert "RANGE BETWEEN CURRENT ROW" in t and "collect_list" not in t
+    assert translate(t, funnel_windowed=True) == t  # fixpoint
+
+
+def test_funnel_windowed_random_groups_match_fold(spark, sf_dir):
+    """Default-mode equivalence proof, checked empirically: 60 seeded
+    random groups, cascade vs fold — the fold already matches an
+    exhaustive chain search (test_window_funnel_random_groups_match_
+    reference), so agreement here closes cascade == exhaustive too."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = []
+    for g in range(60):
+        for _ in range(rng.randint(0, 14)):
+            rows.append((g, rng.randint(0, 150), rng.randint(1, 4)))
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "g INT, t INT, lvl INT")
+    df.createOrReplaceTempView("__wfw_rand")
+    q = (
+        "SELECT g, windowFunnel(40)("
+        "CAST(timestamp_seconds(t) AS TIMESTAMP), "
+        "lvl = 1, lvl = 2, lvl = 3, lvl = 4) AS lvl "
+        "FROM __wfw_rand GROUP BY g"
+    )
+    fold = {r["g"]: r["lvl"] for r in spark.sql(translate(q)).collect()}
+    win = {
+        r["g"]: r["lvl"]
+        for r in spark.sql(translate(q, funnel_windowed=True)).collect()
+    }
+    assert win == fold
+
+
+def test_funnel_windowed_skewed_group_and_where(spark, sf_dir):
+    """The scale motivation: one user owning most of the events (the
+    fold would collect its whole history on one task). Same answers
+    from both forms, WHERE and a subquery source handled (the source's
+    own WHERE must not confuse the clause split), strict_increase
+    supported."""
+    import random
+
+    rng = random.Random(8)
+    rows = [("whale", t, rng.randint(1, 3)) for t in
+            rng.sample(range(100000), 3000)]
+    rows += [(f"u{i}", rng.randint(0, 100000), rng.randint(1, 3))
+             for i in range(50) for _ in range(rng.randint(1, 4))]
+    spark.createDataFrame(
+        rows, "uid STRING, t INT, lvl INT"
+    ).createOrReplaceTempView("__wfw_skew")
+    q = (
+        "SELECT uid, windowFunnel(600, 'strict_increase')("
+        "CAST(timestamp_seconds(t) AS TIMESTAMP), "
+        "lvl = 1, lvl = 2, lvl = 3) AS lvl "
+        "FROM (SELECT * FROM __wfw_skew WHERE lvl >= 1) "
+        "WHERE t >= 0 GROUP BY uid"
+    )
+    fold = {r["uid"]: r["lvl"] for r in spark.sql(translate(q)).collect()}
+    win = {
+        r["uid"]: r["lvl"]
+        for r in spark.sql(translate(q, funnel_windowed=True)).collect()
+    }
+    # strict_increase: the cascade's per-anchor earliest-successor
+    # chain can only ever EXCEED the fold's greedy state (documented
+    # corner: CH's unconditional state overwrite). Equality holds on
+    # non-adversarial data; never below.
+    assert set(win) == set(fold)
+    for u in fold:
+        assert win[u] >= fold[u], (u, win[u], fold[u])
+    assert sum(1 for u in fold if win[u] != fold[u]) == 0
+
+
+def test_funnel_windowed_loud_shapes():
+    from clickhouse_batcher_spark.plans.chsql import translate
+
+    for q, frag in (
+        ("SELECT windowFunnel(60)(ts, a, b) AS l, "
+         "windowFunnel(60)(ts, b, a) AS l2 FROM t GROUP BY g",
+         "exactly one"),
+        ("SELECT g, windowFunnel(60)(ts, a, b) AS l FROM t "
+         "GROUP BY g HAVING l > 1", "HAVING"),
+        ("SELECT g, count() AS n, windowFunnel(60)(ts, a, b) AS l "
+         "FROM t GROUP BY g", "select item"),
+        ("SELECT windowFunnel(60)(ts, a, b) AS l FROM t", "shape"),
+        ("SELECT g, windowFunnel(60)(ts, a, b) FROM t GROUP BY g",
+         "aliased"),
+        ("SELECT g + 1, windowFunnel(60)(ts, a, b) AS l FROM t "
+         "GROUP BY g + 1", "plain-column"),
+    ):
+        with pytest.raises(ValueError, match=frag):
+            translate(q, funnel_windowed=True)
+    # no windowFunnel at all: the flag is a no-op
+    assert translate(
+        "SELECT count() AS n FROM t", funnel_windowed=True
+    ) == translate("SELECT count() AS n FROM t")

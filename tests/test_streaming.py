@@ -936,3 +936,34 @@ def test_streaming_ingest_pipeline_quality_then_dedup(
     allowed = kept_ids | {i + TWIN_ID_OFFSET for i in kept_ids}
     assert indexed <= allowed
     llr.unpersist(), pri.unpersist()
+
+
+def test_band_signatures_inline_bit_identical(spark, sf_dir):
+    """The gate's narrow per-row signature path (round-8 throughput
+    fix: zero shuffles, no vocab broadcast) must emit EXACTLY the
+    batch pipeline's (doc_id, band_id, band_sig) rows — same salts,
+    same sha2 prefixes, twins included, short docs excluded."""
+    from clickhouse_batcher_spark.operators.dedup import (
+        band_signatures,
+        band_signatures_inline,
+        shingle_set,
+        tokenized_corpus,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_rows = {
+        (r["doc_id"], r["band_id"], r["band_sig"])
+        for r in band_signatures(
+            shingle_set(tokenized_corpus(docs))
+        ).collect()
+    }
+    inline_rows = {
+        (r["doc_id"], r["band_id"], r["band_sig"])
+        for r in band_signatures_inline(docs).collect()
+    }
+    assert inline_rows == batch_rows
+    assert batch_rows
+    # and the inline plan really is shuffle-free
+    plan = band_signatures_inline(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
