@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Eager lineage cut for the CC loop's vertex-sized label frames.
+
+    ``localCheckpoint()`` stores blocks on executors — exactly right in
+    local mode (and the cheapest cut available), but on a real cluster
+    an executor loss makes the truncated lineage unrecoverable
+    mid-loop. When the session has a RELIABLE checkpoint directory
+    configured (``spark.sparkContext.setCheckpointDir(...)`` pointing
+    at HDFS/object storage — SCALE.md's prescription for cluster
+    runs), use ``checkpoint()`` instead: same eager materialization
+    and plan truncation, storage that survives executor death. The
+    caller opts in purely through session state; no operator signature
+    changes.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 MAX_ITERATIONS = 30
 # Truncate lineage every N actions: each action stacks join+aggs on
 # the plan, and on high-diameter graphs (chains) the un-truncated DAG
@@ -127,7 +147,7 @@ def connected_components(
         )
         if (it + 1) % CHECKPOINT_EVERY == 0:
             # eager: materializes AND truncates lineage in one job
-            new_labels = new_labels.localCheckpoint()
+            new_labels = _cut_lineage(new_labels)
         else:
             new_labels = new_labels.cache()
         # single action: materializes the cache/checkpoint and returns
@@ -151,9 +171,11 @@ def connected_components(
     # multi-thousand-node plan. The labels are vertex-sized and already
     # materialized, so an eager localCheckpoint costs one tiny job and
     # returns a plan that is just a scan.
-    out = labels.select(
-        F.col("v").alias("vertex"), F.col("label").alias("component")
-    ).localCheckpoint()
+    out = _cut_lineage(
+        labels.select(
+            F.col("v").alias("vertex"), F.col("label").alias("component")
+        )
+    )
     prev_cached.unpersist()
     return out
 

@@ -2730,3 +2730,48 @@ def test_source_distinctive_terms_matches_recompute(spark, sf_dir):
         ]
         for r, (k, _, _) in zip(rows, scored):
             assert abs(r["keyness"] - k) < 1e-9
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """When the session has a reliable checkpoint dir configured
+    (setCheckpointDir — SCALE.md's cluster-run prescription), the CC
+    loop's lineage cuts go through .checkpoint() instead of
+    localCheckpoint(): same labels, and the checkpoint dir actually
+    receives RDD data (proving the reliable path ran)."""
+    import os
+
+    from clickhouse_batcher_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # a 7-chain (forces multiple actions + a mid-loop cut) plus a
+        # separate triangle
+        [(i, i + 1) for i in range(7)] + [(100, 101), (101, 102), (100, 102)],
+        "doc_a LONG, doc_b LONG",
+    )
+    baseline = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    ckpt = str(tmp_path / "reliable_ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        reliable = {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert reliable == baseline
+        assert baseline[6] == 0 and baseline[102] == 100
+        # the reliable dir holds at least one materialized RDD
+        found = []
+        for root, _dirs, files in os.walk(ckpt):
+            found += [os.path.join(root, f) for f in files]
+        assert found, "checkpoint dir received no RDD data"
+    finally:
+        # unset so the shared test session reverts to localCheckpoint
+        scala_none = getattr(
+            getattr(sc._jvm.scala, "None$"), "MODULE$"
+        )
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
