@@ -284,9 +284,22 @@ def _raise(exc: Exception) -> str:
 
 
 def _rewrite_calls(
-    sql: str, fname: str, handler: Callable[[list[str]], str]
+    sql: str,
+    fname: str,
+    handler: Callable[[list[str]], str],
+    skip_preceded_by: tuple[str, ...] = (),
+    skip_if_prefix: str | None = None,
 ) -> str:
-    """Replace every top-level call ``fname(...)`` via handler(args)."""
+    """Replace every top-level call ``fname(...)`` via handler(args).
+
+    ``skip_preceded_by``: words (lowercase) before which a match is NOT
+    this function — e.g. ``range`` after FROM/JOIN is the numbers()
+    rewrite's emitted Spark TVF, not ClickHouse's array range().
+    ``skip_if_prefix``: literal text (lowercase) immediately before the
+    match that marks our OWN emission — e.g. the digest rewrites emit
+    ``unhex(md5(x))`` and must not re-wrap it on a second translate()
+    (fixpoint contract; found by the differential corpus, round 8).
+    """
     pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
     out = sql
     pos = 0
@@ -297,6 +310,21 @@ def _rewrite_calls(
         if _in_string(out, m.start()):
             pos = m.end()
             continue
+        if skip_preceded_by:
+            j = m.start() - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            k = j
+            while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                k -= 1
+            if out[k + 1 : j + 1].lower() in skip_preceded_by:
+                pos = m.end()
+                continue
+        if skip_if_prefix and out[: m.start()].lower().endswith(
+            skip_if_prefix
+        ):
+            pos = m.end()
+            continue
         open_idx = out.index("(", m.start())
         close_idx = _find_matching_paren(out, open_idx)
         inner = out[open_idx + 1 : close_idx]
@@ -305,7 +333,9 @@ def _rewrite_calls(
         # rand() -> ...rand()... cannot loop), which would otherwise
         # silently skip a same-name call spliced in via the args
         # (lowerUTF8(lowerUTF8(s)), CAST(CAST(s, 'T'), 'U')).
-        inner = _rewrite_calls(inner, fname, handler)
+        inner = _rewrite_calls(
+            inner, fname, handler, skip_preceded_by, skip_if_prefix
+        )
         args = _split_top_level(inner) if inner.strip() else []
         repl = handler(args)
         out = out[: m.start()] + repl + out[close_idx + 1 :]
@@ -2781,6 +2811,9 @@ def translate(
         out,
         "range",
         # NOT sequence(): Spark's sequence steps -1 when start > stop,
+        # (skip after FROM/JOIN: that position is the numbers()
+        # rewrite's emitted Spark range() TVF, not CH's array range —
+        # re-translating the emission must be a fixpoint)
         # so range(0) would yield [0, -1] where ClickHouse yields [].
         # transform over array_repeat is empty-safe for any bound.
         lambda a: (
@@ -2804,6 +2837,7 @@ def translate(
                 )
             )
         ),
+        skip_preceded_by=("from", "join"),
     )
     # groupArray(n)(x) (curried cap) BEFORE the plain form; both keep
     # Spark's collect_list non-determinism, matching ClickHouse's own
@@ -4419,13 +4453,24 @@ def translate(
     # ClickHouse MD5/SHA* return BINARY digests (users wrap hex(..));
     # Spark's md5/sha1/sha2 return hex STRINGS — translating to the
     # unhex'd form keeps hex(MD5(x)) and length(SHA256(x)) faithful.
-    out = _rewrite_calls(out, "MD5", lambda a: f"unhex(md5({a[0]}))")
-    out = _rewrite_calls(out, "SHA1", lambda a: f"unhex(sha1({a[0]}))")
+    out = _rewrite_calls(
+        out,
+        "MD5",
+        lambda a: f"unhex(md5({a[0]}))",
+        skip_if_prefix="unhex(",
+    )
+    out = _rewrite_calls(
+        out,
+        "SHA1",
+        lambda a: f"unhex(sha1({a[0]}))",
+        skip_if_prefix="unhex(",
+    )
     for bits in (224, 256, 384, 512):
         out = _rewrite_calls(
             out,
             f"SHA{bits}",
             lambda a, b=bits: f"unhex(sha2({a[0]}, {b}))",
+            skip_if_prefix="unhex(",
         )
     for ch, p in (("toDecimal32", 9), ("toDecimal128", 38)):
         out = _rewrite_calls(
@@ -4994,6 +5039,14 @@ def _date_diff(args: list[str]) -> str:
     """ClickHouse dateDiff('unit', a, b): the number of UNIT BOUNDARIES
     crossed between a and b (not elapsed time) — so both sides truncate
     to the unit first, then difference. Literal units only."""
+    if len(args) == 2:
+        # Spark's own 2-argument datediff(end, start) — either already
+        # in the user's query or OUR emission (toDaysSinceYearZero,
+        # toModifiedJulianDay, toRelativeDayNum). ClickHouse has no
+        # 2-arg dateDiff, so normalizing to lowercase pass-through is
+        # unambiguous and keeps translate() a fixpoint (round-8
+        # differential-corpus find).
+        return f"datediff({args[0]}, {args[1]})"
     if len(args) != 3:
         raise ValueError("dateDiff needs ('unit', start, end)")
     unit = args[0].strip().strip("'").lower()

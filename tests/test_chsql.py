@@ -3361,3 +3361,20 @@ def test_funnel_windowed_loud_shapes():
     assert translate(
         "SELECT count() AS n FROM t", funnel_windowed=True
     ) == translate("SELECT count() AS n FROM t")
+
+
+def test_differential_corpus_spark_side(spark, sf_dir):
+    """The differential corpus (tests/test_chsql_differential.py)
+    compares against real ClickHouse only when a docker server is up —
+    but its SPARK side must hold in plain CI: every entry translates
+    (or is legitimately pure ANSI) and executes. A corpus entry that
+    stops translating or emits unparseable SQL breaks here, server or
+    not."""
+    from tests.test_chsql_differential import DIFFERENTIAL_CORPUS
+
+    assert len(DIFFERENTIAL_CORPUS) >= 50
+    for sql in DIFFERENTIAL_CORPUS:
+        translated = translate(sql)
+        assert translate(translated) == translated, sql  # fixpoint
+        rows = spark.sql(translated).collect()
+        assert rows, f"no rows from {sql!r}"
