@@ -327,8 +327,12 @@ def band_signatures_inline(docs: DataFrame) -> DataFrame:
             " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(k)]
         ),
     )
+    # in-row dedup before hashing: repeated shingles cannot move a
+    # MIN, and each duplicate dropped saves 16 sha2 calls — on the
+    # small-vocabulary test corpus this trims the hash count ~2x for
+    # an O(n) array pass
     sh = corpus.filter(F.size("tokens") >= k).select(
-        "doc_id", mk.alias("shingles")
+        "doc_id", F.array_distinct(mk).alias("shingles")
     )
     def _perm_hash(i: int):
         # single-parameter closure: a 2-param lambda would make

@@ -92,17 +92,19 @@ def run_streaming_neardup(
         .parquet(src_dir)
     )
 
+    # availableNow: batches run back-to-back (maxFilesPerTrigger still
+    # caps each one) and the query self-terminates — no per-batch
+    # trigger-period idle, which was ~10% of gate wall time
     query = (
         source.writeStream.foreachBatch(partial(_write_batch_matches, index, out_dir))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="200 milliseconds")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        query.processAllAvailable()
+        query.awaitTermination()
     finally:
         query.stop()
-        query.awaitTermination()
 
 
 # --- self-building index: the full at-ingestion dedup loop -----------------
@@ -133,7 +135,14 @@ def _ingest_batch(
     # every batch only against itself.
     try:
         prior = (
-            spark.read.option("basePath", index_dir)
+            spark.read.schema(
+                # explicit schema: skips per-batch parquet footer
+                # inference over an index whose partition count grows
+                # with every committed batch
+                "doc_id BIGINT, band_id INT, band_sig STRING, "
+                "_batch_id INT"
+            )
+            .option("basePath", index_dir)
             .parquet(f"{index_dir}/_batch_id=*")
             .filter(F.col("_batch_id") < F.lit(batch_id))
             .select("band_id", "band_sig", F.col("doc_id").alias("index_doc_id"))
@@ -202,11 +211,10 @@ def run_streaming_neardup_selfindex(
             partial(_ingest_batch, index_dir, out_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="200 milliseconds")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        query.processAllAvailable()
+        query.awaitTermination()
     finally:
         query.stop()
-        query.awaitTermination()
