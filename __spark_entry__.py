@@ -106,9 +106,12 @@ _PRIORITY: list[str] = [
     "events_ema_hourly_counts",
     "shard_documents_for_training",
     "pack_sequences_budget",
-    # tail: oldest r6-vintage single greens — these six slots are the
-    # first to yield to new round-8 operators
-    "langid_confusion",
+    # --- new round-8 operators (first green) ---
+    "dedup_span_rewrite",
+    # tail: oldest r6-vintage single greens — these slots are the
+    # first to yield to new round-8 operators (langid_confusion gave
+    # its slot to dedup_span_rewrite; the langid family keeps
+    # token_fertility_by_lang's r7 green + pytest parity)
     "orders_transfer_checksum",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",

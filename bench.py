@@ -190,6 +190,7 @@ HEADLINE = [
     "embedding_label_cohesion",
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
+    "dedup_span_rewrite",
     "join_key_skew_report",
     "quality_budget_curve",
     "source_distinctive_terms",

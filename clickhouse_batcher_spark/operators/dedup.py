@@ -1417,3 +1417,142 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["dedup_threshold_sweep"] = " ".join(_threshold_sweep_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span rewrite (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+SPAN_REWRITE_K = 5  # tokens per marked span (Lee et al. use 50 BPE
+# tokens at web scale; 5 keeps the synthetic corpus's removal rate
+# informative)
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM documents
+    ), shp AS (
+      SELECT doc_id, g.i AS pos,
+        array_to_string(ts[g.i : g.i + {SPAN_REWRITE_K - 1}], ' ') AS sh
+      FROM toks,
+        unnest(generate_series(1, len(ts) - {SPAN_REWRITE_K - 1}))
+          AS g(i)
+      WHERE len(ts) >= {SPAN_REWRITE_K}
+    ), dup AS (
+      SELECT sh FROM shp GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT s.doc_id, u.p
+      FROM shp s JOIN dup USING (sh),
+        unnest(generate_series(s.pos, s.pos + {SPAN_REWRITE_K - 1}))
+          AS u(p)
+    ), pos AS (
+      SELECT doc_id, g.i AS i, ts[g.i] AS tok
+      FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+    ), kept AS (
+      SELECT p.doc_id,
+        string_agg(p.tok, ' ' ORDER BY p.i) AS clean_text
+      FROM pos p
+      LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.i
+      WHERE c.p IS NULL
+      GROUP BY p.doc_id
+    ), covn AS (
+      SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+      CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(covn.n_cov, 0) AS BIGINT) AS n_removed,
+      sha256(COALESCE(kept.clean_text, '')) AS cleaned_sha256
+    FROM toks t
+    LEFT JOIN kept ON kept.doc_id = t.doc_id
+    LEFT JOIN covn ON covn.doc_id = t.doc_id
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document span dedup as a TRANSFORM — the ExactSubstr
+    cleanup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), where `dedup_lines_transform` rewrites
+    only WITHIN a document and `boilerplate_spans_top` only reports:
+    every {SPAN_REWRITE_K}-token span that occurs in two or more
+    DISTINCT documents is removed from all of them, and each document
+    ships back as (n_tokens, n_removed, sha256(cleaned text) — the
+    repo's text-identity convention).
+
+    Scale shape (the reason ExactSubstr is tractable where pair
+    enumeration is not): MARKING is linear — one positional shingle
+    explode (token-linear), one shingle-keyed aggregate for the
+    distinct-doc count, one equi-join back to occurrences (linear in
+    occurrences — a shingle shared by a million docs marks a million
+    positions but never forms pairs), one doc-keyed aggregate
+    collecting covered positions. The per-doc rewrite is in-row array
+    arithmetic: covered position set via flatten+array_distinct, kept
+    tokens via an index-aware transform (the 0-based lambda index is
+    deliberate — array_contains checks i + 1 against the 1-based
+    positions). O(len * covered) membership per doc is bounded by
+    document length, the same trade `docs_repetition_signals`
+    documents; book-length docs flip to a sorted-merge via
+    array_sort + a fold.
+
+    The suffix-array machinery of the paper finds VARIABLE-length
+    maximal repeats; fixed-K shingle marking covers every repeat of
+    length >= K (any such repeat contains a K-shingle that also
+    repeats... and marks slightly wider: the K-shingle's window). The
+    fixed-K relaxation is what makes the operator a 3-shuffle
+    DataFrame plan instead of a distributed suffix array.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ts"))
+    span = ", ".join(
+        f"element_at(ts, CAST(i + {j} AS INT))"
+        for j in range(SPAN_REWRITE_K)
+    )
+    mk = F.expr(
+        f"transform(sequence(1, size(ts) - {SPAN_REWRITE_K - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', {span}) AS sh))"
+    )
+    shp = (
+        toks.filter(F.size("ts") >= SPAN_REWRITE_K)
+        .select("doc_id", F.explode(mk).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.sh").alias("sh"))
+    )
+    dup = (
+        shp.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    cov = (
+        shp.join(dup, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.expr(f"sequence(pos, pos + {SPAN_REWRITE_K - 1})")
+                    )
+                )
+            ).alias("cov")
+        )
+    )
+    joined = toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "ts",
+        F.coalesce(
+            F.col("cov"), F.expr("CAST(array() AS ARRAY<INT>)")
+        ).alias("cov"),
+    )
+    clean = F.expr(
+        "array_join(filter(transform(ts, (t, i) -> "
+        "IF(array_contains(cov, CAST(i + 1 AS INT)), NULL, t)), "
+        "x -> x IS NOT NULL), ' ')"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+        F.sha2(clean, 256).alias("cleaned_sha256"),
+    )

@@ -3378,3 +3378,18 @@ def test_differential_corpus_spark_side(spark, sf_dir):
         assert translate(translated) == translated, sql  # fixpoint
         rows = spark.sql(translated).collect()
         assert rows, f"no rows from {sql!r}"
+
+
+def test_funnel_windowed_plan_shape(spark, sf_dir):
+    """The scale hint must emit a scale-shaped plan: no cartesian
+    product, no broadcast nested loop — successor maps join on keys."""
+    q = (
+        "SELECT user_id, windowFunnel(21600)(ts, event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase') AS lvl "
+        "FROM events GROUP BY user_id"
+    )
+    df = run_sql(spark, q, sf_dir, dialect="clickhouse",
+                 funnel_windowed=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

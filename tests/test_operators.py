@@ -2775,3 +2775,62 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
             getattr(sc._jvm.scala, "None$"), "MODULE$"
         )
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
+def test_dedup_span_rewrite_brute_force(spark, tmp_path):
+    """dedup_span_rewrite vs an independent brute-force recompute on a
+    hand fixture: doc 1 and 2 share one 5-token span (removed from
+    BOTH, partially covering each), doc 3 and its exact copy doc 4 are
+    fully covered (empty cleaned text), doc 5 is shorter than the span
+    length (no shingles, untouched)."""
+    import hashlib
+
+    from clickhouse_batcher_spark.operators.dedup import (
+        SPAN_REWRITE_K,
+        dedup_span_rewrite,
+    )
+
+    d1 = "the quick brown fox jumps over a lazy dog today"
+    d2 = "once more the quick brown fox jumps elsewhere entirely now"
+    d3 = "completely unrelated text with nothing shared at all here"
+    d4 = d3
+    d5 = "tiny doc"
+    rows = [(1, d1), (2, d2), (3, d3), (4, d4), (5, d5)]
+    out_dir = str(tmp_path / "span_docs")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(f"{out_dir}/documents.parquet")
+
+    # independent recompute (plain Python, set-based)
+    k = SPAN_REWRITE_K
+    toks = {i: t.lower().split() for i, t in rows}
+    by_span = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            by_span.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    want = {}
+    for i, ts in toks.items():
+        cov = set()
+        for p in range(len(ts) - k + 1):
+            if len(by_span[tuple(ts[p : p + k])]) >= 2:
+                cov.update(range(p, p + k))
+        clean = " ".join(t for j, t in enumerate(ts) if j not in cov)
+        want[i] = (
+            len(ts),
+            len(cov),
+            hashlib.sha256(clean.encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_sha256"])
+        for r in dedup_span_rewrite(spark, out_dir).collect()
+    }
+    assert got == want
+    # semantic spot checks beyond the recompute
+    assert got[4][1] == got[4][0]  # exact copy: fully covered
+    assert got[4][2] == hashlib.sha256(b"").hexdigest()
+    assert got[3][1] == got[3][0]  # the copied doc is fully covered too
+    assert got[5][1] == 0  # too short for any shingle
+    assert 0 < got[1][1] < got[1][0]  # partial removal on doc 1
+    assert 0 < got[2][1] < got[2][0]  # and on doc 2
