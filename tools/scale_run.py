@@ -44,6 +44,7 @@ QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dedup_span_rewrite",
     "similarity_topk",
     "similarity_ann_lsh",
     "embedding_neardup",
