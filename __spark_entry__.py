@@ -108,11 +108,15 @@ _PRIORITY: list[str] = [
     "pack_sequences_budget",
     # --- new round-8 operators (first green) ---
     "dedup_span_rewrite",
+    # chsql_window_funnel_windowed takes orders_transfer_checksum's
+    # slot (single-green r6; the checksum family keeps pytest parity
+    # and its driver row): the funnel_windowed scale hint gets its
+    # proof under the driver hash gate next to the fold form.
+    "chsql_window_funnel_windowed",
     # tail: oldest r6-vintage single greens — these slots are the
     # first to yield to new round-8 operators (langid_confusion gave
     # its slot to dedup_span_rewrite; the langid family keeps
     # token_fertility_by_lang's r7 green + pytest parity)
-    "orders_transfer_checksum",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q9_profit_by_nation",

@@ -147,6 +147,7 @@ HEADLINE = [
     # the native windowed formulation above — the dialect path's cost
     # has a tracked number
     "chsql_window_funnel_default",
+    "chsql_window_funnel_windowed",
     "chsql_limit_by_top_users",
     "temperature_mix_sample",
     "events_sparkbar_hourly",

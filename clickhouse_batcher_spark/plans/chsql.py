@@ -289,6 +289,7 @@ def _rewrite_calls(
     handler: Callable[[list[str]], str],
     skip_preceded_by: tuple[str, ...] = (),
     skip_if_prefix: str | None = None,
+    skip_if_suffix: str | None = None,
 ) -> str:
     """Replace every top-level call ``fname(...)`` via handler(args).
 
@@ -299,6 +300,9 @@ def _rewrite_calls(
     match that marks our OWN emission — e.g. the digest rewrites emit
     ``unhex(md5(x))`` and must not re-wrap it on a second translate()
     (fixpoint contract; found by the differential corpus, round 8).
+    ``skip_if_suffix``: same contract for text immediately AFTER the
+    call's closing paren — rand()'s emission signature is the
+    ``* 4294967296`` range-map that follows it.
     """
     pat = re.compile(rf"\b{re.escape(fname)}\s*\(", re.IGNORECASE)
     out = sql
@@ -327,6 +331,11 @@ def _rewrite_calls(
             continue
         open_idx = out.index("(", m.start())
         close_idx = _find_matching_paren(out, open_idx)
+        if skip_if_suffix and out[close_idx + 1 :].lower().startswith(
+            skip_if_suffix
+        ):
+            pos = close_idx + 1
+            continue
         inner = out[open_idx + 1 : close_idx]
         # Rewrite nested SAME-NAME calls inner-first: the scan resumes
         # AFTER each replacement (so self-embedding handlers like
@@ -334,7 +343,12 @@ def _rewrite_calls(
         # silently skip a same-name call spliced in via the args
         # (lowerUTF8(lowerUTF8(s)), CAST(CAST(s, 'T'), 'U')).
         inner = _rewrite_calls(
-            inner, fname, handler, skip_preceded_by, skip_if_prefix
+            inner,
+            fname,
+            handler,
+            skip_preceded_by,
+            skip_if_prefix,
+            skip_if_suffix,
         )
         args = _split_top_level(inner) if inner.strip() else []
         repl = handler(args)
@@ -616,8 +630,11 @@ def _window_funnel_windowed(sql: str) -> str:
     FROM source, optional WHERE, optional trailing ORDER BY / LIMIT.
     """
     pat = re.compile(r"\bwindowFunnel\s*\(", re.IGNORECASE)
+    if not pat.search(sql):
+        return sql
+    sql = sql.strip()
     m = pat.search(sql)
-    if not m or _in_string(sql, m.start()):
+    if _in_string(sql, m.start()):
         return sql
     if pat.search(sql, m.end()):
         raise ValueError(
@@ -3611,6 +3628,7 @@ def translate(
                 "sampling"
             )
         ),
+        skip_if_suffix=" * 4294967296",
     )
     # tuple(a, b) -> positional struct; tupleElement(t, N) / .name —
     # CH numbers tuple fields from 1, so the two compose round-trip.

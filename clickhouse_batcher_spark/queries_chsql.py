@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.catalog import ORACLES, query
 from clickhouse_batcher_spark.operators.sampling import _sql_bucket
 from clickhouse_batcher_spark.tables import run_sql
 
@@ -396,3 +396,42 @@ def chsql_retention_seq_counts(
         sf_dir,
         dialect="clickhouse",
     )
+
+
+@query("chsql_window_funnel_windowed")  # oracle shared below
+def chsql_window_funnel_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME ClickHouse windowFunnel query as
+    `chsql_window_funnel_default`, executed through the round-8
+    ``funnel_windowed=True`` scale hint: the per-user funnel is
+    emitted as the RANGE-window cascade (no per-group collect_list
+    state) and the level histogram is aggregated on top. Default-mode
+    cascade == fold is a proved equivalence (plans.chsql.
+    _window_funnel_windowed's docstring + the random-groups test);
+    sharing `chsql_window_funnel_default`'s oracle puts that proof
+    under the driver's hash gate too — a third formulation (DuckDB's
+    order-independent successor chains) agreeing with both.
+    """
+    from clickhouse_batcher_spark.plans.chsql import translate
+    from clickhouse_batcher_spark.tables import register_views
+
+    inner = translate(
+        f"""
+        SELECT user_id, windowFunnel({_WF_WINDOW_S})(ts,
+          event_type = 'view', event_type = 'click',
+          event_type = 'purchase') AS lvl
+        FROM events GROUP BY user_id
+        """,
+        funnel_windowed=True,
+    )
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"SELECT lvl AS level, CAST(count(*) AS BIGINT) AS n_users "
+        f"FROM ({inner}) GROUP BY lvl ORDER BY lvl"
+    )
+
+
+ORACLES["chsql_window_funnel_windowed"] = ORACLES[
+    "chsql_window_funnel_default"
+]

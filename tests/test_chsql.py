@@ -3393,3 +3393,18 @@ def test_funnel_windowed_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_probe_list_translations_are_fixpoints():
+    """Systematic fixpoint sweep (round 8): for EVERY probe in the
+    no-silent-pass-through list that translates, a second translate()
+    over the output must be byte-identical. The differential corpus
+    found three violations (digest re-wrap, range-TVF re-consumption,
+    2-arg datediff); this closes the class over the whole probe list
+    (rand()'s range-map was the fourth, caught by this very test)."""
+    for q in _CH_ONLY_PROBES:
+        try:
+            t = translate(q)
+        except ValueError:
+            continue  # loud-by-design probes have no output to check
+        assert translate(t) == t, f"not a fixpoint: {q!r}\n  -> {t!r}"
