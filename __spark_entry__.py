@@ -113,11 +113,14 @@ _PRIORITY: list[str] = [
     # and its driver row): the funnel_windowed scale hint gets its
     # proof under the driver hash gate next to the fold form.
     "chsql_window_funnel_windowed",
+    # span_dedup_savings_by_source takes tpch_q2's slot (single-green
+    # r6; the TPC-H family keeps 20 other in-window entries this
+    # round plus every r5/r6 green)
+    "span_dedup_savings_by_source",
     # tail: oldest r6-vintage single greens — these slots are the
     # first to yield to new round-8 operators (langid_confusion gave
     # its slot to dedup_span_rewrite; the langid family keeps
     # token_fertility_by_lang's r7 green + pytest parity)
-    "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q9_profit_by_nation",
     "tpch_q11_important_parts",

@@ -192,6 +192,7 @@ HEADLINE = [
     "classifier_calibration_bins",
     "dedup_threshold_sweep",
     "dedup_span_rewrite",
+    "span_dedup_savings_by_source",
     "join_key_skew_report",
     "quality_budget_curve",
     "source_distinctive_terms",

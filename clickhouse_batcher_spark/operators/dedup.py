@@ -1556,3 +1556,120 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cov").cast("bigint").alias("n_removed"),
         F.sha2(clean, 256).alias("cleaned_sha256"),
     )
+
+
+@query(
+    "span_dedup_savings_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t <> '') AS ts
+      FROM documents
+    ), shp AS (
+      SELECT doc_id, g.i AS pos,
+        array_to_string(ts[g.i : g.i + {SPAN_REWRITE_K - 1}], ' ') AS sh
+      FROM toks,
+        unnest(generate_series(1, len(ts) - {SPAN_REWRITE_K - 1}))
+          AS g(i)
+      WHERE len(ts) >= {SPAN_REWRITE_K}
+    ), dup AS (
+      SELECT sh FROM shp GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT s.doc_id, u.p
+      FROM shp s JOIN dup USING (sh),
+        unnest(generate_series(s.pos, s.pos + {SPAN_REWRITE_K - 1}))
+          AS u(p)
+    ), covn AS (
+      SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id
+    )
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(t.ts)) AS BIGINT) AS n_tokens,
+      CAST(SUM(COALESCE(covn.n_cov, 0)) AS BIGINT) AS n_removed,
+      CAST(SUM(CASE WHEN COALESCE(covn.n_cov, 0) = len(t.ts)
+                    AND len(t.ts) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied,
+      CAST((SUM(COALESCE(covn.n_cov, 0)) * 1000000)
+           // SUM(len(t.ts)) AS BIGINT) AS removed_ppm
+    FROM documents d
+    JOIN toks t ON t.doc_id = d.doc_id
+    LEFT JOIN covn ON covn.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def span_dedup_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The commit-or-not report for `dedup_span_rewrite`: per source,
+    how many tokens the cross-document span cleanup would remove, and
+    how many documents it would empty entirely — the two numbers a
+    curation owner reads before applying the transform to a corpus
+    slice (token savings vs docs destroyed).
+
+    Same linear marking pipeline as `dedup_span_rewrite` (positional
+    shingles -> distinct-doc-count filter -> occurrence join -> per-doc
+    covered positions), then one source-keyed rollup; the removal
+    ratio ships as integer parts-per-million (floor division on both
+    engines) — cross-engine decimal division rounds differently at
+    the last digit, integer arithmetic never does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens("text").alias("ts"))
+    span = ", ".join(
+        f"element_at(ts, CAST(i + {j} AS INT))"
+        for j in range(SPAN_REWRITE_K)
+    )
+    mk = F.expr(
+        f"transform(sequence(1, size(ts) - {SPAN_REWRITE_K - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', {span}) AS sh))"
+    )
+    shp = (
+        toks.filter(F.size("ts") >= SPAN_REWRITE_K)
+        .select("doc_id", F.explode(mk).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.sh").alias("sh"))
+    )
+    dup = (
+        shp.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    covn = (
+        shp.join(dup, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.expr(
+                                f"sequence(pos, pos + {SPAN_REWRITE_K - 1})"
+                            )
+                        )
+                    )
+                )
+            ).alias("n_cov")
+        )
+    )
+    per_doc = toks.join(covn, "doc_id", "left").select(
+        "source",
+        F.size("ts").alias("n_toks"),
+        F.coalesce(F.col("n_cov"), F.lit(0)).alias("n_cov"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_cov").cast("bigint").alias("n_removed"),
+        F.sum(
+            F.when(
+                (F.col("n_cov") == F.col("n_toks")) & (F.col("n_toks") > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_emptied"),
+        F.expr("CAST((sum(n_cov) * 1000000) DIV sum(n_toks) AS BIGINT)")
+        .alias("removed_ppm"),
+    )

@@ -2834,3 +2834,34 @@ def test_dedup_span_rewrite_brute_force(spark, tmp_path):
     assert got[5][1] == 0  # too short for any shingle
     assert 0 < got[1][1] < got[1][0]  # partial removal on doc 1
     assert 0 < got[2][1] < got[2][0]  # and on doc 2
+
+
+def test_span_savings_consistent_with_rewrite(spark, sf_dir):
+    """span_dedup_savings_by_source must be exactly the per-source
+    rollup of dedup_span_rewrite's per-doc outputs (two plans, one
+    truth)."""
+    from clickhouse_batcher_spark.operators.dedup import (
+        dedup_span_rewrite,
+        span_dedup_savings_by_source,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    per_doc = dedup_span_rewrite(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    want = {}
+    for r in per_doc.join(src, "doc_id").collect():
+        a = want.setdefault(r["source"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_tokens"]
+        a[2] += r["n_removed"]
+        a[3] += int(r["n_removed"] == r["n_tokens"] and r["n_tokens"] > 0)
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["n_removed"], r["n_emptied"],
+            r["removed_ppm"],
+        )
+        for r in span_dedup_savings_by_source(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for s, (nd, nt, nr, ne) in want.items():
+        assert got[s] == (nd, nt, nr, ne, nr * 1_000_000 // nt)
