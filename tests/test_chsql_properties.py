@@ -265,3 +265,45 @@ def test_logic_chain_rewrite_truth_table(spark, e):
     assert translate(t) == t  # fixpoint
     got = spark.sql(t).collect()[0]["r"]
     assert got is want or got == want, f"{q!r} -> {t!r}: {got} != {want}"
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    p_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quantile_exact_weighted_reference(spark, data, p_pct):
+    """quantileExactWeighted vs a first-principles Python reference of
+    ClickHouse's element selection: sort distinct values, return the
+    FIRST whose cumulative weight reaches p * total_weight (last
+    element as the it==end backstop). Random multisets sweep the
+    crossing levels where the round-7 percentile() translation
+    silently interpolated."""
+    p = p_pct / 100.0
+    pairs = sorted(data)
+    total = sum(w for _, w in pairs)
+    thr = p * total
+    acc = 0.0
+    want = pairs[-1][0]
+    for v, w in pairs:
+        acc += w
+        if acc >= thr:
+            want = v
+            break
+    rows = " UNION ALL ".join(f"SELECT {v} AS v, {w} AS w" for v, w in data)
+    q = f"SELECT quantileExactWeighted({p})(v, w) AS r FROM ({rows})"
+    t = translate(q)
+    assert translate(t) == t  # fixpoint
+    got = spark.sql(t).collect()[0]["r"]
+    assert got == want, f"p={p} data={data}: {got} != {want}"
