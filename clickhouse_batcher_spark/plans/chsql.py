@@ -2233,6 +2233,27 @@ def _cast_fn_form(args: list[str]) -> str:
                     f"a bare Spark type would silently drop)"
                 )
             return f"CAST({args[0]} AS {sp})"
+    if len(args) == 1:
+        # AS form with a ClickHouse type name: CAST(x AS Int64) would
+        # otherwise reach Spark's parser verbatim (opaque
+        # UNSUPPORTED_DATATYPE, the round-8 differential-corpus find).
+        # Map KNOWN bare CH names through the same table as the
+        # fn-form; Spark's own type names and parameterized types
+        # (already loud or already valid) pass through.
+        m = re.search(
+            r"\s+AS\s+(?:Nullable\s*\(\s*(\w+)\s*\)|(\w+))\s*$",
+            args[0],
+            re.IGNORECASE,
+        )
+        if m:
+            ch = m.group(1) or m.group(2)
+            if ch in _CH_TYPE_NAMES:
+                # Nullable(T) unwraps like the fn-form: every Spark
+                # type is nullable
+                return (
+                    f"CAST({args[0][: m.start()]} AS "
+                    f"{_CH_TYPE_NAMES[ch]})"
+                )
     return f"CAST({', '.join(args)})"
 
 

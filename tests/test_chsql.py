@@ -3408,3 +3408,85 @@ def test_probe_list_translations_are_fixpoints():
         except ValueError:
             continue  # loud-by-design probes have no output to check
         assert translate(t) == t, f"not a fixpoint: {q!r}\n  -> {t!r}"
+
+
+def test_differential_harness_machinery():
+    """The docker-gated differential harness must not bit-rot while no
+    server is around: drive _ch_rows against a stdlib fake serving
+    canned ClickHouse JSONCompact, and pin _norm's engine-neutral
+    forms (bool->int, datetime/date strings, float rounding, nested
+    lists, Decimal)."""
+    import datetime
+    import decimal
+    import http.server
+    import json as _json
+    import threading
+
+    import tests.test_chsql_differential as diff
+
+    captured = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            captured["sql"] = self.rfile.read(n).decode()
+            captured["path"] = self.path
+            body = _json.dumps(
+                {"data": [[1, "2024-03-10", [1, 2]], [0, None, []]]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    old = diff.CH_URL
+    try:
+        diff.CH_URL = f"http://127.0.0.1:{srv.server_address[1]}"
+        rows = diff._ch_rows("SELECT 1")
+    finally:
+        diff.CH_URL = old
+        srv.shutdown()
+    assert rows == [[1, "2024-03-10", [1, 2]], [0, None, []]]
+    assert captured["sql"] == "SELECT 1"
+    # the two settings the harness depends on must be in the URL
+    assert "default_format=JSONCompact" in captured["path"]
+    assert "output_format_json_quote_64bit_integers=0" in captured["path"]
+
+    n = diff._norm
+    assert n(True) == 1 and n(False) == 0
+    assert n(datetime.datetime(2024, 3, 15, 7, 8, 9)) == "2024-03-15 07:08:09"
+    assert n(datetime.date(2024, 3, 10)) == "2024-03-10"
+    assert n(decimal.Decimal("1.5")) == 1.5
+    assert n(0.1 + 0.2) == round(0.30000000000000004, 9) == 0.3
+    assert n(float("nan")) == "nan"
+    assert n([True, [datetime.date(2024, 1, 1)]]) == [1, ["2024-01-01"]]
+    assert n("2024-01-01 00:00:01.000000") == "2024-01-01 00:00:01"
+
+
+def test_cast_as_form_ch_type_names(spark, sf_dir):
+    """CAST(x AS Int64) — the AS form with ClickHouse type names —
+    maps through the same table as the fn-form CAST(x, 'Int64')
+    (round-8 differential-corpus find: it previously reached Spark's
+    parser verbatim). Spark's own names and unknown/parameterized
+    types pass through untouched."""
+    got = run_sql(
+        spark,
+        "SELECT CAST(1 AS Int64) AS a, CAST(2.9 AS UInt8) AS b, "
+        "CAST('1.5' AS Float64) AS c, CAST(7 AS String) AS d, "
+        "CAST(1 AS Nullable(Int64)) AS e, CAST(3 AS BIGINT) AS f",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()[0]
+    assert got["a"] == 1 and isinstance(got["a"], int)
+    assert got["b"] == 2  # integer cast truncates on both engines
+    assert got["c"] == 1.5 and got["d"] == "7"
+    assert got["e"] == 1 and got["f"] == 3
+    assert translate("SELECT CAST(x AS DOUBLE) FROM t") == (
+        "SELECT CAST(x AS DOUBLE) FROM t"
+    )

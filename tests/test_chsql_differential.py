@@ -261,6 +261,54 @@ DIFFERENTIAL_CORPUS = [
     "SELECT roundToExp2(33) AS a, roundDuration(45) AS b, "
     "roundAge(23) AS c",
     "SELECT number AS n FROM numbers(3) ORDER BY n",
+    # --- round-8 expansion: boundary cases in the families above ---
+    "SELECT addMonths(toDate('2024-01-31'), 1) AS r",  # month-end clamp
+    "SELECT subtractMonths(toDate('2024-03-31'), 1) AS r",
+    "SELECT toLastDayOfMonth(toDate('2024-02-01')) AS r",  # leap year
+    "SELECT toDayOfYear(toDate('2024-12-31')) AS r",  # 366
+    "SELECT toISOWeek(toDate('2023-01-01')) AS r",  # week of prior year
+    "SELECT toISOWeek(toDate('2024-01-01')) AS r",
+    "SELECT toStartOfWeek(toDate('2024-01-01'), 1) AS r",  # year boundary
+    "SELECT toMonday(toDate('2024-01-07')) AS r",  # a Sunday
+    "SELECT dateDiff('week', toDate('2024-03-09'), toDate('2024-03-11')) AS r",
+    "SELECT dateDiff('year', toDateTime('2023-12-31 23:59:59'), "
+    "toDateTime('2024-01-01 00:00:01')) AS r",
+    "SELECT age('month', toDate('2024-01-31'), toDate('2024-02-29')) AS r",
+    "SELECT toStartOfInterval(toDateTime('2024-03-15 07:08:09'), "
+    "INTERVAL 7 MINUTE) AS r",
+    "SELECT makeDate(2024, 60) AS a, makeDate(2024, 2, 29) AS b",
+    "SELECT makeDateTime(2024, 2, 29, 23, 59, 58) AS r",
+    "SELECT toRelativeMonthNum(toDate('2024-03-15')) AS r",
+    "SELECT toStartOfTenMinutes(toDateTime('2024-03-15 07:08:09')) AS r",
+    "SELECT formatDateTime(toDate('2024-03-15'), '%m/%d/%Y') AS r",
+    "SELECT quantilesExact(0.25, 0.5, 0.75)(v) AS r FROM "
+    "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
+    "UNION ALL SELECT 4.0)",
+    "SELECT uniqUpTo(2)(v) AS r FROM (SELECT 1 AS v UNION ALL "
+    "SELECT 2 UNION ALL SELECT 3)",
+    "SELECT sumOrNull(v) AS a, maxOrDefault(v) AS b FROM "
+    "(SELECT 1 AS v WHERE 1 = 0)",
+    "SELECT minIf(v, v > 1) AS a, maxIf(v, v < 3) AS b FROM "
+    "(SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 3)",
+    "SELECT quantileDeterministic(0.5)(v, 42) AS r FROM "
+    "(SELECT 1.0 AS v UNION ALL SELECT 3.0)",
+    f"SELECT retention(et = 'A', et = 'B', et = 'C', et = 'Z') AS r "
+    f"FROM {_SEQ}",
+    f"SELECT windowFunnel(7200, 'strict_increase')(ts, et = 'A', "
+    f"et = 'B', et = 'C') AS r FROM {_SEQ}",
+    "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], "
+    "CAST(10 AS Int64)) AS r",
+    "SELECT arrayEnumerateUniq([10, 20, 10, 10]) AS r",
+    "SELECT arrayPushBack([1, 2], 3) AS a, arrayPopFront([1, 2, 3]) AS b",
+    "SELECT countSubstrings('aaaa', 'aa') AS r",  # non-overlap count
+    "SELECT multiSearchAnyCaseInsensitive('Hello', ['WORLD', 'HELL']) AS r",
+    "SELECT splitByChar(',', ',a,,b,') AS r",  # empty pieces kept
+    "SELECT roundBankers(0.5) AS a, roundBankers(-2.5) AS b, "
+    "roundBankers(1.5) AS c",
+    "SELECT bitTestAll(7, 0, 1, 2) AS a, bitTestAny(4, 0, 1) AS b",
+    "SELECT g, v FROM (SELECT 'a' AS g, 1 AS v UNION ALL "
+    "SELECT 'a', 2 UNION ALL SELECT 'b', 3) "
+    "ORDER BY g, v LIMIT 1 BY g",
 ]
 
 
