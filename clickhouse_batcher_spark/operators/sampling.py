@@ -536,3 +536,179 @@ def lang_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs, 6).alias("epochs"),
         F.round(F.least(F.lit(1.0), epochs), 6).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+# Group-DRO over data domains — upweight domains whose proxy-model
+# excess loss is highest, then smooth toward uniform. The full method
+# alternates proxy training with exponentiated-gradient updates; the
+# distributed data-engine step is exactly what runs here: given a
+# per-domain proxy loss, produce the next round's domain mixture
+# (baseline-share * exp(eta * clipped excess loss), normalized, mixed
+# with uniform). The proxy loss is the corpus unigram LM (the same
+# model-free stand-in docs_unigram_logprob uses; swap per-token
+# losses from a real proxy model in deployment — the plan shape is
+# identical: token-level aggregate per domain, 1 tiny window).
+#
+# Determinism: per-token ln(p) is rounded to 6 and summed as
+# DECIMAL(27,6) (order-free); the exp() boost is rounded to 6 (the
+# transcendental convention); the unnormalized weight is fixed to
+# integer parts-per-million via floor(x*1e6 + 0.5) — positive-range
+# half-up that both engines compute identically — so the normalizing
+# sum is an exact BIGINT sum and every division is one IEEE op on
+# identical operands.
+#
+# Scale (100 TB): one token-shuffle for the vocab aggregate (zipf-
+# small result, broadcast back), one per-domain aggregate, then
+# window sums over the ≤#domains-row frame (bounded; the same
+# whitelisted single-partition shape as temperature_mix_sample).
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 2.0      # exponentiated-gradient step size
+DOREMI_SMOOTH = 0.10  # uniform-mixture smoothing (paper's c, scaled
+                      # up so the effect is visible at test SF)
+
+
+def _doremi_oracle() -> str:
+    from clickhouse_batcher_spark.operators.text import SQL_TOKENS
+
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, source, unnest({SQL_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT o.source, o.doc_id,
+             CAST(round(ln(CAST(v.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)),
+                        6) AS DECIMAL(27,6)) AS lp
+      FROM occ o JOIN vocab v ON o.token = v.token CROSS JOIN tot
+    ),
+    dom AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lp) AS DECIMAL(27,6)) AS sum_lp
+      FROM scored GROUP BY source
+    ),
+    g AS (
+      SELECT source, n_docs, n_tokens, sum_lp,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+             CAST(SUM(sum_lp) OVER () AS DECIMAL(27,6)) AS tot_lp,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_domains
+      FROM dom
+    ),
+    x AS (
+      SELECT source, n_docs, n_tokens, n_domains,
+             CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+               AS token_share,
+             -(CAST(sum_lp AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               AS domain_loss,
+             -(CAST(tot_lp AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+               AS ref_loss
+      FROM g
+    ),
+    y AS (
+      SELECT source, n_docs, n_tokens, n_domains, token_share, domain_loss,
+             greatest(0.0, domain_loss - ref_loss) AS excess_loss,
+             CAST(floor(
+               token_share
+               * round(exp({DOREMI_ETA}
+                           * greatest(0.0, domain_loss - ref_loss)), 6)
+               * 1000000 + 0.5) AS BIGINT) AS u_ppm
+      FROM x
+    ),
+    z AS (
+      SELECT y.*, CAST(SUM(u_ppm) OVER () AS BIGINT) AS u_tot FROM y
+    )
+    SELECT source, n_docs, n_tokens, token_share, domain_loss, excess_loss,
+           CAST(u_ppm AS DOUBLE) / CAST(u_tot AS DOUBLE) AS doremi_weight,
+           (1.0 - {DOREMI_SMOOTH})
+             * (CAST(u_ppm AS DOUBLE) / CAST(u_tot AS DOUBLE))
+             + {DOREMI_SMOOTH} / CAST(n_domains AS DOUBLE) AS final_weight
+    FROM z
+    """
+
+
+@query("doremi_domain_weights", oracle=_doremi_oracle())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient step over source domains.
+
+    Per source: token share (the baseline mixture), unigram proxy
+    loss, clipped excess loss vs the corpus reference, and the updated
+    mixture weight — baseline * exp(eta * excess), normalized, then
+    smoothed toward uniform. Domains whose text the corpus-wide LM
+    finds hardest gain weight; the smoothing floor keeps every domain
+    sampled (arXiv:2305.10429 §3, Algorithm 1's lambda update).
+    """
+    from clickhouse_batcher_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("token")
+    )
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    lp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+    ).cast("decimal(27,6)")
+    scored = (
+        occ.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select("source", "doc_id", lp.alias("lp"))
+    )
+    dom = scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("lp").cast("decimal(27,6)").alias("sum_lp"),
+    )
+    w_all = Window.partitionBy()
+    g = dom.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sum_lp",
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("tot_tokens"),
+        F.sum("sum_lp").over(w_all).cast("decimal(27,6)").alias("tot_lp"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_domains"),
+    )
+    token_share = F.col("n_tokens").cast("double") / F.col(
+        "tot_tokens"
+    ).cast("double")
+    domain_loss = -(
+        F.col("sum_lp").cast("double") / F.col("n_tokens").cast("double")
+    )
+    ref_loss = -(
+        F.col("tot_lp").cast("double") / F.col("tot_tokens").cast("double")
+    )
+    excess = F.greatest(F.lit(0.0), domain_loss - ref_loss)
+    boost = F.round(F.exp(F.lit(DOREMI_ETA) * excess), 6)
+    u_ppm = F.floor(token_share * boost * 1000000 + F.lit(0.5)).cast("bigint")
+    y = g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_domains",
+        token_share.alias("token_share"),
+        domain_loss.alias("domain_loss"),
+        excess.alias("excess_loss"),
+        u_ppm.alias("u_ppm"),
+    )
+    z = y.withColumn(
+        "u_tot", F.sum("u_ppm").over(w_all).cast("bigint")
+    )
+    w = F.col("u_ppm").cast("double") / F.col("u_tot").cast("double")
+    return z.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        "domain_loss",
+        "excess_loss",
+        w.alias("doremi_weight"),
+        (
+            F.lit(1.0 - DOREMI_SMOOTH) * w
+            + F.lit(DOREMI_SMOOTH) / F.col("n_domains").cast("double")
+        ).alias("final_weight"),
+    )

@@ -246,6 +246,10 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "docs_kn_bigram_logprob",    # 1-row bigram-type-total frame
         "dsir_resample_docs",        # 1-row max-logweight frame (+ the
                                      # inherited 1-row DSIR totals)
+        "doremi_domain_weights",     # 1-row vocabulary-total frame
+                                     # (same broadcast as logprob); the
+                                     # window sums run over the
+                                     # <=#domains-row frame
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():

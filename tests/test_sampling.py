@@ -21,6 +21,7 @@ SAMPLING = [
     "redact_docs",
     "weighted_sample_docs",
     "perplexity_bucket_sample",
+    "doremi_domain_weights",
 ]
 
 
@@ -90,3 +91,37 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
     )
     sample_mean = sum(r["weight"] for r in sampled) / len(sampled)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_doremi_update_invariants(spark, sf_dir):
+    """The exponentiated-gradient step must (a) produce a proper
+    distribution, (b) keep every domain above the uniform-smoothing
+    floor, and (c) move weight monotonically with excess loss: among
+    equal-share domains, higher excess loss => weight ratio vs the
+    baseline share never decreases."""
+    from clickhouse_batcher_spark.operators.sampling import (
+        DOREMI_SMOOTH,
+        doremi_domain_weights,
+    )
+
+    rows = doremi_domain_weights(spark, sf_dir).collect()
+    n = len(rows)
+    assert abs(sum(r["final_weight"] for r in rows) - 1.0) < 1e-6
+    floor = DOREMI_SMOOTH / n
+    assert all(r["final_weight"] >= floor - 1e-12 for r in rows)
+    # boost factor implied by the update is monotone in excess loss
+    # (tolerance: u_ppm is quantized to 0.5 parts-per-million, so the
+    # implied ratio carries up to ~1e-4 relative quantization noise on
+    # the smallest shares)
+    tol = 1e-4
+    ranked = sorted(rows, key=lambda r: r["excess_loss"])
+    ratios = [r["doremi_weight"] / r["token_share"] for r in ranked]
+    assert all(b >= a - tol for a, b in zip(ratios, ratios[1:]))
+    # zero-excess domains share one (minimal) boost ratio
+    zero = [
+        r["doremi_weight"] / r["token_share"]
+        for r in rows
+        if r["excess_loss"] == 0.0
+    ]
+    assert zero and max(zero) - min(zero) < tol
+    assert min(zero) <= min(ratios) + tol
