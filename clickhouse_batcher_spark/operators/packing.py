@@ -247,3 +247,116 @@ def concat_block_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing / padding-waste report: the third packing
+# regime next to first-fit bins (pack_sequences_budget) and zero-pad
+# concat blocks (concat_block_packing). Batch-shaped training and
+# inference pad every sequence in a batch to a common length; bucketing
+# by length caps that waste. This report quantifies the choice: for a
+# power-of-two bucket ladder, per bucket — document count, real
+# tokens, padded tokens at the bucket cap, and waste in integer ppm —
+# plus what the SAME documents would cost padded to the global max cap
+# (the no-bucketing baseline). Everything is integer arithmetic, so
+# the driver hash is exact by construction.
+#
+# Scale: one zero-shuffle per-row token count + a CASE ladder, then a
+# map-side-combinable aggregate to len(ladder) rows. Nothing here
+# depends on corpus size.
+# ---------------------------------------------------------------------------
+
+PAD_BUCKET_CAPS = [16, 32, 64, 128, 256, 512]
+
+
+def _pad_oracle() -> str:
+    caps = PAD_BUCKET_CAPS
+    ladder = " ".join(
+        f"WHEN n_toks <= {c} THEN {c}" for c in caps[:-1]
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '')) AS n_toks
+      FROM documents
+    ), nz AS (SELECT * FROM toks WHERE n_toks > 0),
+    b AS (
+      SELECT doc_id,
+        CASE {ladder} ELSE {caps[-1]} END AS bucket_cap,
+        least(n_toks, {caps[-1]}) AS kept_toks,
+        CASE WHEN n_toks > {caps[-1]} THEN 1 ELSE 0 END AS truncated
+      FROM nz
+    )
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(truncated) AS BIGINT) AS n_truncated,
+      CAST(SUM(kept_toks) AS BIGINT) AS real_tokens,
+      CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens,
+      CAST(floor((CAST(COUNT(*) * bucket_cap AS DOUBLE)
+                  - CAST(SUM(kept_toks) AS DOUBLE))
+                 / CAST(COUNT(*) * bucket_cap AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS waste_ppm,
+      CAST(COUNT(*) * {caps[-1]} AS BIGINT) AS maxlen_padded_tokens
+    FROM b GROUP BY bucket_cap
+    """
+
+
+@query("padding_efficiency_report", oracle=_pad_oracle())
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per length-bucket padding accounting for batch-shaped export.
+
+    Buckets are the PAD_BUCKET_CAPS ladder (smallest cap that fits;
+    over-length documents truncate to the top cap and are counted).
+    ``waste_ppm`` is the padding overhead inside the bucket;
+    ``maxlen_padded_tokens`` is the no-bucketing baseline cost of the
+    same documents, so SUM(padded)/SUM(maxlen_padded) across the
+    report is the bucketing win.
+    """
+    caps = PAD_BUCKET_CAPS
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    )
+    nz = docs.select("doc_id", n_toks.alias("n_toks")).filter(
+        F.col("n_toks") > 0
+    )
+    bucket = F.lit(caps[-1])
+    for c in reversed(caps[:-1]):
+        bucket = F.when(F.col("n_toks") <= c, c).otherwise(bucket)
+    b = nz.select(
+        bucket.alias("bucket_cap"),
+        F.least(F.col("n_toks"), F.lit(caps[-1])).alias("kept_toks"),
+        F.when(F.col("n_toks") > caps[-1], 1).otherwise(0).alias("truncated"),
+    )
+    return (
+        b.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("truncated").cast("bigint").alias("n_truncated"),
+            F.sum("kept_toks").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            F.col("bucket_cap").cast("bigint").alias("bucket_cap"),
+            "n_docs",
+            "n_truncated",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_cap"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.floor(
+                (
+                    (F.col("n_docs") * F.col("bucket_cap")).cast("double")
+                    - F.col("real_tokens").cast("double")
+                )
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+            (F.col("n_docs") * caps[-1])
+            .cast("bigint")
+            .alias("maxlen_padded_tokens"),
+        )
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark import catalog
 
@@ -17,10 +18,42 @@ from clickhouse_batcher_spark.operators.packing import (
 
 
 @pytest.mark.parametrize(
-    "name", ["shard_documents_for_training", "pack_sequences_budget"]
+    "name",
+    [
+        "shard_documents_for_training",
+        "pack_sequences_budget",
+        "padding_efficiency_report",
+    ],
 )
 def test_packing_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_padding_report_accounting(spark, sf_dir):
+    """The bucket ladder must (a) never lose a document, (b) never pad
+    below the real token count, and (c) beat the no-bucketing
+    baseline in total padded tokens."""
+    from clickhouse_batcher_spark.operators.packing import (
+        PAD_BUCKET_CAPS,
+        padding_efficiency_report,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = padding_efficiency_report(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_nonempty = docs.filter(
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+        > 0
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_nonempty
+    assert {r["bucket_cap"] for r in rows} <= set(PAD_BUCKET_CAPS)
+    for r in rows:
+        assert r["real_tokens"] <= r["padded_tokens"]
+        assert r["padded_tokens"] <= r["maxlen_padded_tokens"]
+        assert 0 <= r["waste_ppm"] <= 1_000_000
+    total_padded = sum(r["padded_tokens"] for r in rows)
+    total_maxlen = sum(r["maxlen_padded_tokens"] for r in rows)
+    assert total_padded < total_maxlen
 
 
 def test_shard_positions_contiguous_and_complete(spark, sf_dir):
