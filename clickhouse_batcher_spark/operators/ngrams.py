@@ -441,3 +441,300 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
         F.col("cum_doc_tokens").cast("bigint").alias("cum_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's second algorithm — Kudo 2018,
+# arXiv:1804.10959), the companion trainer to BPE above. Where BPE
+# grows a vocabulary bottom-up by greedy merges, the unigram LM starts
+# from a large candidate set and fits piece probabilities with EM over
+# the best segmentation (hard/Viterbi EM here), then prunes to the
+# target vocabulary.
+#
+# Distribution shape (100 TB): every statistic runs over the DISTINCT
+# WORD frame (Heaps-law sublinear in corpus size), weighted by word
+# frequency — the corpus itself is scanned exactly once to build that
+# frame. Candidate-substring counting is an in-row expansion bounded
+# by word_len * MAX_PIECE_LEN. Each EM round is one Arrow-batched
+# mapInPandas over the words frame (the piece table rides along in
+# the task closure — it is vocabulary-bounded) followed by one
+# map-side-combinable integer aggregate; only the bounded piece table
+# ever reaches the driver (the BPE/k-means bounded-driver-traffic
+# pattern). Encoding applies the same Viterbi per row — a pure map.
+#
+# Determinism: Viterbi runs on INTEGER micro-log-probs
+# (round(ln(p)*1e6)) with total-ordered tie-breaks (score, then fewer
+# pieces, then longest last piece), so segmentations are exact and
+# platform-independent; all aggregated counts are integers. No DuckDB
+# oracle: k chained EM rounds with an in-loop DP are not one SQL
+# statement — the correctness check is an exact sequential recompute
+# in pytest (the bpe_learn_merges pattern).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 4
+UNIGRAM_SEED_MULTI = 96    # multi-char seed pieces (chars always kept)
+UNIGRAM_FINAL_VOCAB = 64   # pruned vocabulary (incl. all single chars)
+UNIGRAM_EM_ROUNDS = 3
+
+
+def _build_viterbi():
+    """Factory returning the Viterbi segmenter as a LOCAL def: kernels
+    that ship to Python workers must capture it by value (cloudpickle
+    serializes module-level functions by reference, and the package is
+    not importable on executor workers — the round-3
+    ModuleNotFoundError, see operators/multimodal.py)."""
+
+    def viterbi_pieces(
+        word: str, scores: dict[str, int], max_len: int
+    ) -> list[str]:
+        """Best segmentation of ``word`` under integer micro-log-prob
+        ``scores``. Ties: higher score, then fewer pieces, then the
+        longest possible last piece (smallest split point). Single
+        characters absent from ``scores`` get a large negative floor
+        so coverage is total."""
+        n = len(word)
+        floor = min(scores.values(), default=0) - 10_000_000
+        # dp[j] = (score, -n_pieces, back_index) for prefix word[:j]
+        dp = [(0, 0, 0)] + [None] * n
+        for j in range(1, n + 1):
+            best = None
+            for i in range(max(0, j - max_len), j):
+                if dp[i] is None:
+                    continue
+                piece = word[i:j]
+                sc = scores.get(piece)
+                if sc is None:
+                    if j - i > 1:
+                        continue
+                    sc = floor
+                cand = (dp[i][0] + sc, dp[i][1] - 1, i)
+                # tuple compare implements (score, fewer pieces); the
+                # explicit tie on back_index prefers the SMALLER i
+                # (longer last piece)
+                if (
+                    best is None
+                    or cand[:2] > best[:2]
+                    or (cand[:2] == best[:2] and cand[2] < best[2])
+                ):
+                    best = cand
+            dp[j] = best
+        out = []
+        j = n
+        while j > 0:
+            i = dp[j][2]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    return viterbi_pieces
+
+
+# driver-side alias (tests, learn loop); kernels rebuild their own
+_viterbi_pieces = _build_viterbi()
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _estep_counts(wf: DataFrame, scores: dict[str, int]) -> DataFrame:
+    """One hard-EM expectation pass: piece usage counts over the word
+    frame, weighted by word frequency. Integer-only."""
+    max_len = UNIGRAM_MAX_PIECE_LEN
+    viterbi = _build_viterbi()  # local def -> shipped by value
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                for piece in viterbi(word, scores, max_len):
+                    c[piece] += int(cnt)
+            if c:
+                yield pd.DataFrame(
+                    {"piece": list(c.keys()), "used": list(c.values())}
+                )
+
+    return wf.mapInPandas(run, "piece string, used long")
+
+
+def _micro_scores(counts: dict[str, int]) -> dict[str, int]:
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(round(math.log(c / total) * 1_000_000))
+        for p, c in counts.items()
+    }
+
+
+def _learn_unigram_vocab(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, int]]:
+    """Returns the final piece table [(piece, cnt, lp_micro)]."""
+    wf = _word_freqs(spark, sf_dir).cache()
+    try:
+        # seed candidates: all substrings up to MAX_PIECE_LEN, counted
+        # weighted by word frequency (in-row expansion, one aggregate)
+        # NB: sequence(1, 0) is DESCENDING [1, 0], not empty — piece
+        # lengths beyond the word need the explicit empty-array branch
+        # or every short word double-counts itself
+        subs = F.flatten(
+            F.expr(
+                f"transform(sequence(1, {UNIGRAM_MAX_PIECE_LEN}), l -> "
+                "CASE WHEN length(word) >= l THEN "
+                "transform(sequence(1, length(word) - l + 1),"
+                " i -> substring(word, i, l)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END)"
+            )
+        )
+        cand = (
+            wf.select(F.explode(subs).alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("wcnt"))
+        )
+        chars = cand.filter(F.length("piece") == 1).collect()
+        multi = (
+            cand.filter(F.length("piece") > 1)
+            .orderBy(F.desc("wcnt"), F.asc("piece"))
+            .limit(UNIGRAM_SEED_MULTI)
+            .collect()
+        )
+        counts = {r["piece"]: int(r["wcnt"]) for r in chars}
+        counts.update({r["piece"]: int(r["wcnt"]) for r in multi})
+        char_set = {r["piece"] for r in chars}
+        scores = _micro_scores(counts)
+
+        def em_pass(sc: dict[str, int]) -> dict[str, int]:
+            used = {
+                r["piece"]: int(r["used"])
+                for r in _estep_counts(wf, sc)
+                .groupBy("piece")
+                .agg(F.sum("used").alias("used"))
+                .collect()
+            }
+            # chars never drop (total coverage); add-one floor keeps
+            # ln() defined for a char every current segmentation skips
+            for ch in char_set:
+                used.setdefault(ch, 1)
+            return used
+
+        for _ in range(UNIGRAM_EM_ROUNDS):
+            counts = em_pass(scores)
+            scores = _micro_scores(counts)
+
+        # prune: all single chars + top multi-char pieces by count
+        multi_sorted = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        keep = char_set | {
+            p
+            for p, _ in multi_sorted[
+                : max(0, UNIGRAM_FINAL_VOCAB - len(char_set))
+            ]
+        }
+        scores = {p: s for p, s in scores.items() if p in keep}
+        # one final pass so reported counts reflect the pruned vocab
+        counts = em_pass(scores)
+        scores = _micro_scores(counts)
+        return sorted(
+            ((p, counts[p], scores[p]) for p in counts),
+            key=lambda t: (-t[1], t[0]),
+        )
+    finally:
+        wf.unpersist()
+
+
+_UNIGRAM_CACHE: dict[str, list[tuple[str, int, int]]] = {}
+
+
+def _learned_unigram(spark, sf_dir: str) -> list[tuple[str, int, int]]:
+    if sf_dir not in _UNIGRAM_CACHE:
+        _UNIGRAM_CACHE[sf_dir] = _learn_unigram_vocab(spark, sf_dir)
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+@query("unigram_lm_learn", oracle=None)  # rows-only: iterative EM
+def unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned unigram-LM tokenizer vocabulary: (piece, piece_len,
+    cnt, logprob, rank), rank by (cnt desc, piece) — total-ordered and
+    engine-independent. Correctness is pinned by an exact sequential
+    recompute test (tests/test_ngrams_unigram.py)."""
+    table = _learn_unigram_vocab(spark, sf_dir)
+    rows = [
+        (p, len(p), int(c), lp / 1_000_000.0, i + 1)
+        for i, (p, c, lp) in enumerate(table)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "piece STRING, piece_len INT, cnt BIGINT, logprob DOUBLE, rank INT",
+    )
+
+
+@query("unigram_lm_encode_docs", oracle=None)  # rows-only: learned state
+def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-encode every document with the learned unigram
+    vocabulary: per doc — word count, piece count, fertility
+    (pieces/word, the tokenizer-efficiency metric token_fertility_by_
+    lang tracks for the whitespace tokenizer), and the first 8 pieces.
+
+    The piece table is vocabulary-bounded and ships in the task
+    closure; encoding is one Arrow-batched map over documents —
+    scales with the scan, never with vocabulary or corpus size.
+    """
+    table = _learned_unigram(spark, sf_dir)
+    scores = {p: lp for p, _, lp in table}
+    max_len = UNIGRAM_MAX_PIECE_LEN
+    viterbi = _build_viterbi()  # local def -> shipped by value
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in ws.split(text.lower()) if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(viterbi(w, scores, max_len))
+                n_words = len(words)
+                n_pieces = len(pieces)
+                out.append(
+                    (
+                        int(doc_id),
+                        n_words,
+                        n_pieces,
+                        round(n_pieces / n_words, 6) if n_words else 0.0,
+                        "|".join(pieces[:8]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_words",
+                    "n_pieces",
+                    "fertility",
+                    "head_pieces",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id bigint, n_words bigint, n_pieces bigint, "
+        "fertility double, head_pieces string",
+    )
