@@ -117,12 +117,17 @@ _PRIORITY: list[str] = [
     # r6; the TPC-H family keeps 20 other in-window entries this
     # round plus every r5/r6 green)
     "span_dedup_savings_by_source",
-    # tail: oldest r6-vintage single greens — these slots are the
-    # first to yield to new round-8 operators (langid_confusion gave
-    # its slot to dedup_span_rewrite; the langid family keeps
+    # doremi_domain_weights and padding_efficiency_report (new round-8
+    # operators, both hash-oracled) take the tpch_q4/tpch_q9 tail
+    # slots: a first green beats a second green, and the TPC-H family
+    # keeps 20 other in-window entries this round plus every r5/r6
+    # green.
+    "doremi_domain_weights",
+    "padding_efficiency_report",
+    # tail: oldest r6-vintage single green — the first slot to yield
+    # to further new operators (langid_confusion gave its slot to
+    # dedup_span_rewrite; the langid family keeps
     # token_fertility_by_lang's r7 green + pytest parity)
-    "tpch_q4_order_priority",
-    "tpch_q9_profit_by_nation",
     "tpch_q11_important_parts",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs

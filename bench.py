@@ -196,6 +196,10 @@ HEADLINE = [
     "join_key_skew_report",
     "quality_budget_curve",
     "source_distinctive_terms",
+    "doremi_domain_weights",
+    "padding_efficiency_report",
+    "unigram_lm_learn",
+    "unigram_lm_encode_docs",
 ]
 
 
