@@ -124,11 +124,12 @@ _PRIORITY: list[str] = [
     # green.
     "doremi_domain_weights",
     "padding_efficiency_report",
-    # tail: oldest r6-vintage single green — the first slot to yield
-    # to further new operators (langid_confusion gave its slot to
-    # dedup_span_rewrite; the langid family keeps
-    # token_fertility_by_lang's r7 green + pytest parity)
-    "tpch_q11_important_parts",
+    # coactivity_kcore (new round-8 operator, hash-oracled fixed-
+    # unroll peeling) takes the last tail slot from
+    # tpch_q11_important_parts (single-green r6; the TPC-H family
+    # keeps its 20 other in-window entries): a first green beats a
+    # second green.
+    "coactivity_kcore",
 ]
 # Third-session swap: delete_where_counts, tpch_q1, dedup_exact_docs
 # (green in BOTH r1+r2), similarity_topk, embedding_neardup,

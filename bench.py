@@ -200,6 +200,7 @@ HEADLINE = [
     "padding_efficiency_report",
     "unigram_lm_learn",
     "unigram_lm_encode_docs",
+    "coactivity_kcore",
 ]
 
 

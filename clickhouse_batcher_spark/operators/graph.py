@@ -211,7 +211,10 @@ PR_SCALE = 1_000_000_000  # rank unit = 1e-9 (9 digits of PR precision)
 PR_ITERS = 3              # unrolled in both engines
 PR_TOPK = 20
 
-_PR_EDGE_SQL = f"""
+# Shared CTE text: the co-activity edge build (ah0 -> d), used by the
+# PageRank AND k-core oracles — one definition so the density cap and
+# hash constants cannot drift between them.
+_COACT_EDGE_SQL = f"""
     ah0 AS (
       SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
       FROM events
@@ -233,7 +236,11 @@ _PR_EDGE_SQL = f"""
       SELECT ua AS src, ub AS dst FROM e
       UNION ALL
       SELECT ub AS src, ua AS dst FROM e
-    ),
+    )
+"""
+
+_PR_EDGE_SQL = f"""
+    {_COACT_EDGE_SQL},
     deg AS (
       SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY 1
     ),
@@ -469,3 +476,126 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.desc("together"), "part_a", "part_b"
     ).limit(BASKET_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (round-8): the densest-region extractor next to the
+# triangle census and PageRank — the standard graph-cleaning step for
+# spam/bot clusters (nodes surviving a k-core are mutually, not just
+# individually, well-connected). Exact full decomposition needs a
+# data-dependent number of rounds; the engine operator fixes the
+# round count (KCORE_ROUNDS synchronous peels — Matula/Beck's
+# algorithm truncated), which makes the semantics a pure function of
+# the data that BOTH engines unroll identically, hash-oracle
+# included — the PageRank fixed-iteration pattern. The parity test
+# additionally asserts the fixture CONVERGED within the unroll (one
+# more peel removes nothing), so at test scale the output IS the
+# exact k-core.
+#
+# Scale shape: each peel is one semi-join of the cached edge frame
+# against the surviving-node frame (both endpoints) + one map-side-
+# combinable degree count. Node frames are broadcast here (bounded
+# graphs); web-scale graphs drop the hint and take keyed shuffles.
+# Lineage is cut every 3 peels via the CC loop's checkpoint helper.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _kcore_iter_sql(r: int, k: int) -> str:
+    prev = "d" if r == 1 else f"kc{r - 1}"
+    inner = (
+        "d"
+        if r == 1
+        else f"""(
+          SELECT d.src, d.dst FROM d
+          JOIN kc{r - 1} a ON d.src = a.node
+          JOIN kc{r - 1} b ON d.dst = b.node
+        ) d"""
+    )
+    return f"""
+    kc{r} AS (
+      SELECT d.src AS node FROM {inner}
+      GROUP BY d.src HAVING count(*) >= {k}
+    )
+    """
+
+
+@query(
+    "coactivity_kcore",
+    oracle=f"""
+    WITH {_COACT_EDGE_SQL},
+    {",".join(_kcore_iter_sql(r, KCORE_K) for r in range(1, KCORE_ROUNDS + 1))},
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS total_deg
+      FROM d GROUP BY 1
+    ),
+    core AS (
+      SELECT d.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM d
+      JOIN kc{KCORE_ROUNDS} a ON d.src = a.node
+      JOIN kc{KCORE_ROUNDS} b ON d.dst = b.node
+      GROUP BY 1
+    )
+    SELECT CAST(core.node AS BIGINT) AS node, deg.total_deg, core.core_deg
+    FROM core JOIN deg ON deg.node = core.node
+    """,
+)
+def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users surviving KCORE_ROUNDS synchronous k=KCORE_K peels of the
+    co-activity graph, with their total and in-core degrees.
+
+    Every surviving node has >= KCORE_K surviving neighbors, so
+    core_deg >= KCORE_K >= (some nodes') pre-peel shortfall — the
+    membership a per-node degree filter gets wrong (degree >= k does
+    NOT imply k-core membership; peeling cascades)."""
+    from clickhouse_batcher_spark.operators.cluster import _cut_lineage
+
+    e = coactivity_edges_cached(spark, sf_dir)
+    directed = (
+        e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(
+            e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .cache()
+    )
+    directed.count()  # eager: consumed by every peel + both degree aggs
+
+    def surviving(edges: DataFrame) -> DataFrame:
+        return (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+
+    def within(nodes: DataFrame) -> DataFrame:
+        return directed.join(
+            F.broadcast(nodes.select(F.col("node").alias("src"))), "src"
+        ).join(
+            F.broadcast(nodes.select(F.col("node").alias("dst"))), "dst"
+        )
+
+    rem = surviving(directed)
+    for r in range(2, KCORE_ROUNDS + 1):
+        rem = surviving(within(rem))
+        if r % 3 == 0:
+            rem = _cut_lineage(rem)
+    core = (
+        within(rem)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+    )
+    deg = directed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_deg")
+    )
+    return (
+        core.join(deg, core["node"] == deg["src"])
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "total_deg",
+            "core_deg",
+        )
+    )

@@ -96,3 +96,45 @@ def test_pagerank_matches_python_recompute(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+def test_kcore_parity(spark, sf_dir):
+    assert_parity(spark, "coactivity_kcore", sf_dir)
+
+
+def test_kcore_matches_exact_peel_to_fixpoint(spark, sf_dir):
+    """The fixed KCORE_ROUNDS unroll must CONVERGE on the fixture —
+    i.e. equal the exact k-core, recomputed here by peeling a plain
+    Python adjacency map to fixpoint (no round limit)."""
+    from clickhouse_batcher_spark.operators.graph import (
+        KCORE_K,
+        coactivity_edges_cached,
+        coactivity_kcore,
+    )
+
+    edges = [
+        (r["ua"], r["ub"])
+        for r in coactivity_edges_cached(spark, sf_dir).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    total_deg = {n: len(v) for n, v in adj.items()}
+    rem = {n: set(v) for n, v in adj.items()}
+    while True:
+        drop = [n for n, v in rem.items() if len(v) < KCORE_K]
+        if not drop:
+            break
+        for n in drop:
+            for m in rem[n]:
+                if m in rem:
+                    rem[m].discard(n)
+            del rem[n]
+    got = {
+        r["node"]: (r["total_deg"], r["core_deg"])
+        for r in coactivity_kcore(spark, sf_dir).collect()
+    }
+    want = {n: (total_deg[n], len(v)) for n, v in rem.items()}
+    assert got == want
+    assert all(cd >= KCORE_K for _, cd in got.values())
