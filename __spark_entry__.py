@@ -72,7 +72,10 @@ _PRIORITY: list[str] = [
     "winnow_fingerprints",
     "merge_upsert_orders",
     "media_metadata",
-    "media_frame_sample",
+    # knn_label_agreement (new round-8 operator, hash-oracled) takes
+    # media_frame_sample's second-green backfill slot (green r2; the
+    # multimodal family keeps media_metadata in-window)
+    "knn_label_agreement",
     "profile_events",
     "range_join_orders_window",
     "events_rollup_hierarchy",

@@ -201,6 +201,7 @@ HEADLINE = [
     "unigram_lm_learn",
     "unigram_lm_encode_docs",
     "coactivity_kcore",
+    "knn_label_agreement",
 ]
 
 

@@ -1471,3 +1471,152 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label agreement (round-8): neighborhood-based label QA — the
+# confident-learning / deep-kNN signal (Northcutt et al. 2021,
+# arXiv:1911.00068 use model probabilities; the embedding-space kNN
+# variant flags a vector whose nearest neighbors mostly carry OTHER
+# labels as a mislabel/boundary candidate). Complements
+# embedding_label_cohesion: cohesion is centroid-global (a diffuse
+# class scores low wholesale), agreement is local (pinpoints the
+# individual suspect rows).
+#
+# Scale shape: the exact top-k uses the SAME tile-pair GEMM as
+# embedding_neardup — each group emits only its per-vector PARTIAL
+# top-k (k rows per vector per tile), so the global window ranks
+# <= T*k candidates per vector, never n. Beyond the documented GEMM
+# crossover (~10M vectors, SCALE.md) the candidate source swaps to
+# lsh_buckets/IVF and this operator's window + label join are
+# unchanged.
+# ---------------------------------------------------------------------------
+
+KNN_K = 10
+
+
+@query(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS nb,
+        b.label AS lb,
+        round(
+          list_sum(list_transform(generate_series(1, 64),
+                                  i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+          AS cos_sim
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qa, la, lb,
+        row_number() OVER (PARTITION BY qa
+                           ORDER BY cos_sim DESC, nb) AS rn
+      FROM sims
+    )
+    SELECT qa AS vec_id, la AS label,
+      CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+      CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS DOUBLE)
+        / {KNN_K} AS agree_ratio
+    FROM ranked WHERE rn <= {KNN_K}
+    GROUP BY qa, la
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: how many of its KNN_K exact cosine neighbors share
+    its label. Low agree_ratio = mislabel / class-boundary candidate.
+
+    Ties at the rank-k boundary break on (cos_sim desc, neighbor_id) —
+    identical in the kernel's lexsort and the oracle's window."""
+    emb = _embeddings(spark, sf_dir)
+    corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
+    t = NEARDUP_TILES
+    k = KNN_K
+    tiled = (
+        corpus.withColumn("tile", F.pmod(F.col("vec_id"), F.lit(t)).cast("int"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(t - 1))))
+        .withColumn("ti", F.least("tile", "other"))
+        .withColumn("tj", F.greatest("tile", "other"))
+    )
+
+    def knn_part(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+        )
+        if pdf.empty:
+            return empty
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        a = pdf[pdf["tile"] == ti]
+        b = pdf[pdf["tile"] == tj] if tj != ti else a
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.asarray(a["v"].tolist(), dtype=np.float64)
+        mb = (
+            np.asarray(b["v"].tolist(), dtype=np.float64) if tj != ti else ma
+        )
+        na = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        nb = (
+            mb / np.linalg.norm(mb, axis=1, keepdims=True)
+            if tj != ti
+            else na
+        )
+        sims = np.round(na @ nb.T, 6)
+        frames = []
+
+        def partial_topk(ids_q, ids_c, s):
+            s = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, s)
+            for qi in range(s.shape[0]):
+                order = np.lexsort((ids_c, -s[qi]))[:k]
+                keep = order[np.isfinite(s[qi][order])]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(ids_q[qi], len(keep)),
+                            "neighbor_id": ids_c[keep],
+                            "cos_sim": s[qi][keep],
+                        }
+                    )
+                )
+
+        partial_topk(ids_a, ids_b, sims)
+        if tj != ti:
+            partial_topk(ids_b, ids_a, sims.T)
+        return pd.concat(frames) if frames else empty
+
+    partial = tiled.groupBy("ti", "tj").applyInPandas(
+        knn_part, schema="vec_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    knn = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    n_label = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    own = corpus.select("vec_id", "label")
+    n_same = F.sum(
+        F.when(F.col("nl") == F.col("label"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        knn.join(n_label, "neighbor_id")
+        .join(own, "vec_id")
+        .groupBy("vec_id", "label")
+        .agg(n_same.alias("n_same"))
+        .select(
+            "vec_id",
+            "label",
+            "n_same",
+            (F.col("n_same").cast("double") / k).alias("agree_ratio"),
+        )
+    )

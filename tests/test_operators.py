@@ -22,6 +22,7 @@ ORACLED = [
     "dedup_simhash",
     "similarity_topk",
     "embedding_neardup",
+    "knn_label_agreement",
     "media_metadata",
     "media_frame_sample",
     "asof_events_orders",
