@@ -69,7 +69,10 @@ _PRIORITY: list[str] = [
     "token_count_bpeish",
     "redact_docs",
     "doc_fingerprint",
-    "winnow_fingerprints",
+    # user_survival_km (new round-8 operator, hash-oracled) takes
+    # winnow_fingerprints' second-green backfill slot (green r2; the
+    # fingerprint family keeps doc_fingerprint in-window)
+    "user_survival_km",
     "merge_upsert_orders",
     "media_metadata",
     # knn_label_agreement (new round-8 operator, hash-oracled) takes

@@ -202,6 +202,7 @@ HEADLINE = [
     "unigram_lm_encode_docs",
     "coactivity_kcore",
     "knn_label_agreement",
+    "user_survival_km",
 ]
 
 

@@ -167,3 +167,161 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "sample_custkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier user survival (round-8): the right-censored lifetime
+# curve the retention matrix above approximates in weekly buckets.
+# Duration = whole hours between a user's first and last event
+# (exact integer microsecond arithmetic — engines disagree on
+# calendar date_diff boundary counting, so durations divide epoch
+# micros); users whose last event falls within KM_CENSOR_HOURS of the
+# corpus end are right-censored (still alive), everyone else churns
+# at their duration. The product-limit estimator runs as
+# exp(cumulative sum of ln(1 - d_i/n_i)): each ln term is rounded to
+# 6 and summed as DECIMAL (the repo's order-free transcendental
+# convention), the exp is rounded to 6, and the d_i == n_i row (a
+# true zero the log-space form cannot represent) is handled by a
+# cumulative hit-zero flag.
+#
+# Scale: one per-user min/max aggregate, one duration histogram
+# (map-side combinable), then windows over the histogram frame —
+# bounded by the observation window in hours (a collection-time
+# constant, not a data-volume quantity). The 1-row corpus-end frame
+# broadcasts (whitelisted BNLJ).
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_HOURS = 6
+_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "user_survival_km",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    u AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM ev GROUP BY user_id
+    ),
+    obs AS (SELECT max(ts) AS e FROM ev),
+    d AS (
+      SELECT user_id,
+        (epoch_us(l) - epoch_us(f)) // {_US_PER_HOUR} AS dur_h,
+        CASE WHEN (epoch_us(obs.e) - epoch_us(l))
+                  <= {KM_CENSOR_HOURS} * {_US_PER_HOUR}
+             THEN 0 ELSE 1 END AS churned
+      FROM u CROSS JOIN obs
+    ),
+    h AS (
+      SELECT dur_h, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(SUM(churned) AS BIGINT) AS n_churned
+      FROM d GROUP BY dur_h
+    ),
+    r AS (
+      SELECT dur_h, n_all, n_churned,
+        CAST(SUM(n_all) OVER () AS BIGINT)
+          - CAST(COALESCE(SUM(n_all) OVER (
+              ORDER BY dur_h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_risk
+      FROM h
+    ),
+    s AS (
+      SELECT dur_h, n_risk, n_churned,
+        CAST(SUM(CASE WHEN n_churned < n_risk THEN
+            CAST(round(ln(1.0 - CAST(n_churned AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE)), 6)
+                 AS DECIMAL(27,6))
+          ELSE CAST(0 AS DECIMAL(27,6)) END)
+          OVER (ORDER BY dur_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DECIMAL(27,6)) AS cum_lp,
+        MAX(CASE WHEN n_churned >= n_risk THEN 1 ELSE 0 END)
+          OVER (ORDER BY dur_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS hit_zero
+      FROM r
+    )
+    SELECT CAST(dur_h AS BIGINT) AS duration_h, n_risk, n_churned,
+      CASE WHEN hit_zero = 1 THEN 0.0
+           ELSE round(exp(CAST(cum_lp AS DOUBLE)), 6) END AS survival
+    FROM s WHERE n_churned > 0
+    """,
+)
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit (Kaplan-Meier) survival over user lifetimes with
+    right censoring at the corpus end: one row per churn time —
+    at-risk count, churn count, and S(t)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    obs = ev.agg(F.max("ts").alias("e"))
+    # explicit integer div — a cast-after-float-divide would round
+    dur = F.expr(f"(unix_micros(l) - unix_micros(f)) div {_US_PER_HOUR}")
+    churned = F.when(
+        (F.unix_micros("e") - F.unix_micros("l"))
+        <= KM_CENSOR_HOURS * _US_PER_HOUR,
+        0,
+    ).otherwise(1)
+    d = u.crossJoin(F.broadcast(obs)).select(
+        dur.alias("dur_h"), churned.alias("churned")
+    )
+    h = d.groupBy("dur_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur_h",
+        "n_churned",
+        (
+            F.sum("n_all").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)).cast(
+                "bigint"
+            )
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_churned") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_churned").cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            6,
+        ).cast("decimal(27,6)"),
+    ).otherwise(F.lit(0).cast("decimal(27,6)"))
+    s = r.select(
+        "dur_h",
+        "n_risk",
+        "n_churned",
+        F.sum(term).over(w_cum).cast("decimal(27,6)").alias("cum_lp"),
+        F.max(
+            F.when(F.col("n_churned") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return s.filter(F.col("n_churned") > 0).select(
+        F.col("dur_h").cast("bigint").alias("duration_h"),
+        "n_risk",
+        "n_churned",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_lp").cast("double")), 6))
+        .alias("survival"),
+    )

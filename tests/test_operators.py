@@ -58,6 +58,7 @@ ORACLED = [
     "distinct_users_linear_count",
     "event_type_value_correlation",
     "cohort_retention_weekly",
+    "user_survival_km",
     "fuzzy_token_matches",
     "events_zorder_bucket_stats",
     "inverted_index_postings",
@@ -2866,3 +2867,27 @@ def test_span_savings_consistent_with_rewrite(spark, sf_dir):
     assert set(got) == set(want)
     for s, (nd, nt, nr, ne) in want.items():
         assert got[s] == (nd, nt, nr, ne, nr * 1_000_000 // nt)
+
+
+def test_survival_km_is_a_proper_survival_function(spark, sf_dir):
+    """KM invariants the hash oracle cannot express as intent: S is a
+    non-increasing function in (0, 1], the risk set shrinks over time,
+    the first risk set is every user, and each step multiplies exactly
+    by (1 - d/n) within the log-rounding tolerance."""
+    rows = (
+        catalog.QUERIES["user_survival_km"](spark, sf_dir)
+        .orderBy("duration_h")
+        .collect()
+    )
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    assert rows
+    n_users = _lt(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[0]["n_risk"] <= n_users
+    prev_s, prev_risk = 1.0, n_users + 1
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        assert 0 < r["n_churned"] <= r["n_risk"] < prev_risk + 1
+        step = 1.0 - r["n_churned"] / r["n_risk"]
+        assert r["survival"] == pytest.approx(prev_s * step, abs=2e-4)
+        prev_s, prev_risk = r["survival"], r["n_risk"]

@@ -250,6 +250,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                      # (same broadcast as logprob); the
                                      # window sums run over the
                                      # <=#domains-row frame
+        "user_survival_km",          # 1-row corpus-end frame; windows
+                                     # run over the duration histogram
+                                     # (bounded by observation hours)
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
