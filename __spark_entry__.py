@@ -73,7 +73,10 @@ _PRIORITY: list[str] = [
     # winnow_fingerprints' second-green backfill slot (green r2; the
     # fingerprint family keeps doc_fingerprint in-window)
     "user_survival_km",
-    "merge_upsert_orders",
+    # events_theil_sen_trend (new round-8 operator, hash-oracled)
+    # takes merge_upsert_orders' second-green backfill slot (green r2;
+    # the merge family keeps full pytest parity + that green row)
+    "events_theil_sen_trend",
     "media_metadata",
     # knn_label_agreement (new round-8 operator, hash-oracled) takes
     # media_frame_sample's second-green backfill slot (green r2; the

@@ -203,6 +203,7 @@ HEADLINE = [
     "coactivity_kcore",
     "knn_label_agreement",
     "user_survival_km",
+    "events_theil_sen_trend",
 ]
 
 

@@ -215,3 +215,103 @@ def events_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "feature STRING, beta DOUBLE, r_squared DOUBLE, n BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (round-8): the median-of-pairwise-slopes
+# estimator (Theil 1950 / Sen 1968) — the robust companion to the OLS
+# fit above; a single anomalous day moves OLS but not the pairwise
+# median (breakdown point ~29%). Slopes run over the per-type DAILY
+# count series, so the pair expansion is bounded by the observation
+# window in days squared — a collection-time constant, independent of
+# event volume (the k-core / KM boundedness argument). The median is
+# SELECTED, not interpolated: order by (slope, d1, d2) and take the
+# lower-median row — deterministic in both engines, no float
+# interpolation to diverge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.d AS d1, b.d AS d2,
+        CAST(b.c - a.c AS DOUBLE)
+          / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+      FROM daily a
+      JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY slope, d1, d2) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    )
+    SELECT r.event_type, nd.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope AS ts_slope
+    FROM ranked r JOIN nd ON nd.event_type = r.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the Theil-Sen slope of the daily-count series
+    (lower median of all pairwise slopes, ties broken on day pair)."""
+    from pyspark.sql.window import Window
+
+    from clickhouse_batcher_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = (
+        a.join(b, (a["event_type"] == b["et2"]) & (a["d1"] < b["d2"]))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    ).filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    return ranked.join(nd, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("ts_slope"),
+    )

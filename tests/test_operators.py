@@ -59,6 +59,7 @@ ORACLED = [
     "event_type_value_correlation",
     "cohort_retention_weekly",
     "user_survival_km",
+    "events_theil_sen_trend",
     "fuzzy_token_matches",
     "events_zorder_bucket_stats",
     "inverted_index_postings",
@@ -2891,3 +2892,41 @@ def test_survival_km_is_a_proper_survival_function(spark, sf_dir):
         step = 1.0 - r["n_churned"] / r["n_risk"]
         assert r["survival"] == pytest.approx(prev_s * step, abs=2e-4)
         prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
+    """Independent recompute: collect the daily series, enumerate all
+    pairwise slopes in Python, and select the same lower median."""
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    daily = (
+        _lt(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("d"),
+        )
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["count"]))
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["ts_slope"])
+        for r in catalog.QUERIES["events_theil_sen_trend"](
+            spark, sf_dir
+        ).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        slopes = [
+            ((c2 - c1) / (d2 - d1).days, d1, d2)
+            for i, (d1, c1) in enumerate(pts)
+            for d2, c2 in pts[i + 1 :]
+        ]
+        slopes.sort()
+        n = len(slopes)
+        want = slopes[(n + 1) // 2 - 1][0]
+        assert got[et] == (len(pts), n, pytest.approx(want, abs=0)), et
