@@ -44,53 +44,59 @@ _OUT_SCHEMA = (
 )
 
 
-def lttb_select(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
-    """Indices of the LTTB-selected points (reference sequential form).
+def _build_lttb_select():
+    """Factory: the kernel ships to Python workers inside the
+    applyInPandas closure, so it must be a LOCAL def (cloudpickle
+    serializes module-level functions by reference and this package is
+    not importable on executor workers when the driver runs from a
+    different cwd — operators/multimodal.py's round-3 lesson)."""
 
-    Buckets split the interior points evenly; the first and last points
-    are always kept. For each bucket, the point maximizing the triangle
-    area with (previous selected point, mean of the NEXT bucket) is
-    chosen; ties keep the earliest point (strict >).
-    """
-    n = len(x)
-    if n_out >= n or n_out <= 2:
-        return np.arange(n)
-    # Interior bucket boundaries over points 1..n-2, evenly spaced.
-    edges = (
-        np.linspace(1, n - 1, n_out - 1).round().astype(np.int64)
-    )
-    out = [0]
-    prev = 0
-    for b in range(n_out - 2):
-        lo, hi = edges[b], edges[b + 1]
-        if hi <= lo:  # unreachable for n > n_out; defensive
-            continue
-        nlo, nhi = edges[b + 1], (
-            edges[b + 2] if b + 2 < len(edges) else n
+    def lttb_select(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+        """Indices of the LTTB-selected points (reference sequential
+        form).
+
+        Buckets split the interior points evenly; the first and last
+        points are always kept. For each bucket, the point maximizing
+        the triangle area with (previous selected point, mean of the
+        NEXT bucket) is chosen; ties keep the earliest point
+        (strict >)."""
+        import numpy as np
+
+        n = len(x)
+        if n_out >= n or n_out <= 2:
+            return np.arange(n)
+        # Interior bucket boundaries over points 1..n-2, evenly spaced.
+        edges = (
+            np.linspace(1, n - 1, n_out - 1).round().astype(np.int64)
         )
-        # Average of the next bucket (the last bucket averages to the
-        # final point itself).
-        ax = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
-        ay = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
-        px, py = x[prev], y[prev]
-        # Triangle area (×2) for every candidate in this bucket.
-        area = np.abs(
-            (px - ax) * (y[lo:hi] - py) - (px - x[lo:hi]) * (ay - py)
-        )
-        prev = lo + int(np.argmax(area))  # argmax: first max wins
-        out.append(prev)
-    out.append(n - 1)
-    return np.asarray(out, dtype=np.int64)
+        out = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if hi <= lo:  # unreachable for n > n_out; defensive
+                continue
+            nlo, nhi = edges[b + 1], (
+                edges[b + 2] if b + 2 < len(edges) else n
+            )
+            # Average of the next bucket (the last bucket averages to
+            # the final point itself).
+            ax = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
+            ay = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+            px, py = x[prev], y[prev]
+            # Triangle area (×2) for every candidate in this bucket.
+            area = np.abs(
+                (px - ax) * (y[lo:hi] - py) - (px - x[lo:hi]) * (ay - py)
+            )
+            prev = lo + int(np.argmax(area))  # argmax: first max wins
+            out.append(prev)
+        out.append(n - 1)
+        return np.asarray(out, dtype=np.int64)
+
+    return lttb_select
 
 
-def _downsample(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("hour", kind="mergesort").reset_index(drop=True)
-    x = pdf["hour"].astype("int64").to_numpy().astype(np.float64)
-    y = pdf["bar_value"].to_numpy()
-    idx = lttb_select(x, y, LTTB_POINTS)
-    out = pdf.iloc[idx][["event_type", "hour", "bar_value"]].copy()
-    out["pos"] = np.arange(len(idx), dtype=np.int32)
-    return out
+# driver-side alias (tests and the reference recompute use it)
+lttb_select = _build_lttb_select()
 
 
 @query("events_lttb_downsample", oracle=None)  # sequential: rows-only
@@ -119,6 +125,22 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bar_value")
         )
     )
+    select = _build_lttb_select()  # local def -> shipped by value
+    points = LTTB_POINTS
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("hour", kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf["hour"].astype("int64").to_numpy().astype(np.float64)
+        y = pdf["bar_value"].to_numpy()
+        idx = select(x, y, points)
+        out = pdf.iloc[idx][["event_type", "hour", "bar_value"]].copy()
+        out["pos"] = np.arange(len(idx), dtype=np.int32)
+        return out
+
     return bars.groupBy("event_type").applyInPandas(
-        _downsample, schema=_OUT_SCHEMA
+        downsample, schema=_OUT_SCHEMA
     )

