@@ -54,6 +54,15 @@ QUERIES = [
     "docs_kn_bigram_logprob",
     "concat_block_packing",
     "coactivity_pagerank",
+    # round-8 second-session additions
+    "coactivity_kcore",
+    "knn_label_agreement",
+    "doremi_domain_weights",
+    "padding_efficiency_report",
+    "unigram_lm_learn",
+    "unigram_lm_encode_docs",
+    "user_survival_km",
+    "events_theil_sen_trend",
 ]
 
 POINTS = [
