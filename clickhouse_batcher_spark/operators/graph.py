@@ -577,9 +577,26 @@ def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nodes.select(F.col("node").alias("dst"))), "dst"
         )
 
+    # Each peel counts, for EVERY node, its neighbors inside the
+    # surviving set, then keeps count >= k — the "src is itself
+    # surviving" test is provably redundant in synchronous peeling:
+    # rem_t = f(rem_{t-1}) is monotone and decreasing, so a node
+    # dropped at round s has |nb ∩ rem_{t-1}| <= |nb ∩ rem_{s-1}| < k
+    # for every t > s and can never requalify. One join + one
+    # aggregate per round (not two joins), and rem is referenced
+    # ONCE, so the chained plan grows linearly like the PageRank
+    # unroll (lineage still cut every 3 rounds as loop discipline).
+    def next_rem(nodes: DataFrame) -> DataFrame:
+        return surviving(
+            directed.join(
+                F.broadcast(nodes.select(F.col("node").alias("dst"))),
+                "dst",
+            )
+        )
+
     rem = surviving(directed)
     for r in range(2, KCORE_ROUNDS + 1):
-        rem = surviving(within(rem))
+        rem = next_rem(rem)
         if r % 3 == 0:
             rem = _cut_lineage(rem)
     core = (
