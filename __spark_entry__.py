@@ -82,7 +82,10 @@ _PRIORITY: list[str] = [
     # media_frame_sample's second-green backfill slot (green r2; the
     # multimodal family keeps media_metadata in-window)
     "knn_label_agreement",
-    "profile_events",
+    # events_cusum_changepoint (new round-8 operator, hash-oracled)
+    # takes profile_events' second-green backfill slot (green r2; the
+    # profiling family keeps pytest parity + that green row)
+    "events_cusum_changepoint",
     "range_join_orders_window",
     "events_rollup_hierarchy",
     "similarity_topk",

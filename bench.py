@@ -204,6 +204,7 @@ HEADLINE = [
     "knn_label_agreement",
     "user_survival_km",
     "events_theil_sen_trend",
+    "events_cusum_changepoint",
 ]
 
 

@@ -418,3 +418,122 @@ def events_hourly_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("ad").cast("double") / (1.4826 * F.col("mad")), 6
         ).alias("robust_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint (round-8): WHERE did the level shift? The
+# median/MAD detector above flags anomalous hours; the cumulative-sum
+# statistic locates a structural break — the hour at which the
+# cumulative deviation from the global mean peaks (Page 1954's CUSUM,
+# offline form). Everything stays INTEGER: the deviation is scaled
+# through by n (d_i = n*c_i - total, an exact integer that sums to
+# zero over the series), so the running sum, the peak, and the argmax
+# are exact in both engines; only the final before/after means divide.
+#
+# Scale: per-type keyed windows over the hourly frame (bounded by the
+# observation window); one small self-join to split the means at the
+# located break.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS tot
+      FROM hourly GROUP BY 1
+    ),
+    d AS (
+      SELECT h.event_type, h.h, st.n_hours,
+        CAST(SUM(st.n_hours * h.c - st.tot) OVER (
+          PARTITION BY h.event_type ORDER BY h.h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cusum
+      FROM hourly h JOIN st ON st.event_type = h.event_type
+    ),
+    pk AS (
+      SELECT event_type, h AS change_hour, n_hours, cusum,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum) DESC, h) AS rn
+      FROM d
+    )
+    SELECT p.event_type, p.n_hours, p.change_hour,
+      p.cusum AS peak_cusum_scaled,
+      CAST(SUM(CASE WHEN h.h <= p.change_hour THEN h.c END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN h.h <= p.change_hour THEN 1 END) AS DOUBLE)
+        AS mean_before,
+      CAST(SUM(CASE WHEN h.h > p.change_hour THEN h.c END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN h.h > p.change_hour THEN 1 END) AS DOUBLE)
+        AS mean_after
+    FROM pk p JOIN hourly h ON h.event_type = p.event_type
+    WHERE p.rn = 1
+    GROUP BY p.event_type, p.n_hours, p.change_hour, p.cusum
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the hour where the n-scaled CUSUM of hourly
+    counts peaks (the level-shift location), with the mean rate on
+    each side of the break."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        hourly.join(F.broadcast(st), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("n_hours") * F.col("c") - F.col("tot")
+            ).over(w_cum).cast("bigint"),
+        )
+    )
+    w_pk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("h")
+    )
+    pk = (
+        d.withColumn("rn", F.row_number().over(w_pk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            "n_hours",
+            F.col("cusum").alias("peak_cusum_scaled"),
+        )
+    )
+    joined = pk.join(
+        hourly.select(
+            F.col("event_type").alias("et2"),
+            F.col("h").alias("hh"),
+            F.col("c").alias("cc"),
+        ),
+        F.col("event_type") == F.col("et2"),
+    )
+    before = F.col("hh") <= F.col("change_hour")
+    return joined.groupBy(
+        "event_type", "n_hours", "change_hour", "peak_cusum_scaled"
+    ).agg(
+        (
+            F.sum(F.when(before, F.col("cc"))).cast("double")
+            / F.sum(F.when(before, 1)).cast("double")
+        ).alias("mean_before"),
+        (
+            F.sum(F.when(~before, F.col("cc"))).cast("double")
+            / F.sum(F.when(~before, 1)).cast("double")
+        ).alias("mean_after"),
+    )

@@ -18,6 +18,7 @@ TS_QUERIES = [
     "events_hourly_anomalies",
     "event_transition_matrix",
     "events_rolling_median_12h",
+    "events_cusum_changepoint",
 ]
 
 
@@ -182,3 +183,46 @@ def test_purchase_attribution_semantics(spark, sf_dir):
 
 def test_attribution_parity(spark, sf_dir):
     assert_parity(spark, "purchase_attribution", sf_dir)
+
+
+def test_cusum_changepoint_matches_python_argmax(spark, sf_dir):
+    """Independent recompute: the located break must be the argmax of
+    the integer-scaled cumulative deviation, earliest hour on ties,
+    and the two side means must average the split exactly."""
+    from clickhouse_batcher_spark.catalog import QUERIES
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    hourly = (
+        _lt(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        )
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["count"]))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_cusum_changepoint"](spark, sf_dir).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        tot = sum(c for _, c in pts)
+        cusum, peak, peak_h, peak_i = 0, None, None, None
+        for i, (h, c) in enumerate(pts):
+            cusum += n * c - tot
+            if peak is None or abs(cusum) > abs(peak):
+                peak, peak_h, peak_i = cusum, h, i
+        r = got[et]
+        assert r["n_hours"] == n
+        assert r["change_hour"] == peak_h
+        assert r["peak_cusum_scaled"] == peak
+        before = [c for _, c in pts[: peak_i + 1]]
+        after = [c for _, c in pts[peak_i + 1 :]]
+        assert r["mean_before"] == pytest.approx(sum(before) / len(before))
+        if after:
+            assert r["mean_after"] == pytest.approx(sum(after) / len(after))
