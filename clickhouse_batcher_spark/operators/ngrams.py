@@ -577,6 +577,27 @@ def _micro_scores(counts: dict[str, int]) -> dict[str, int]:
     }
 
 
+def _em_pass(
+    wf: DataFrame, scores: dict[str, int], char_set: set[str]
+) -> dict[str, int]:
+    """One full hard-EM round: E-step piece-usage counts over the word
+    frame, aggregated driver-side (vocab-bounded collect). Module-level
+    on purpose — it is pure driver code and must never be captured by a
+    shipped kernel (tests/test_layout.py lint)."""
+    used = {
+        r["piece"]: int(r["used"])
+        for r in _estep_counts(wf, scores)
+        .groupBy("piece")
+        .agg(F.sum("used").alias("used"))
+        .collect()
+    }
+    # chars never drop (total coverage); add-one floor keeps
+    # ln() defined for a char every current segmentation skips
+    for ch in char_set:
+        used.setdefault(ch, 1)
+    return used
+
+
 def _learn_unigram_vocab(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, int, int]]:
@@ -614,22 +635,8 @@ def _learn_unigram_vocab(
         char_set = {r["piece"] for r in chars}
         scores = _micro_scores(counts)
 
-        def em_pass(sc: dict[str, int]) -> dict[str, int]:
-            used = {
-                r["piece"]: int(r["used"])
-                for r in _estep_counts(wf, sc)
-                .groupBy("piece")
-                .agg(F.sum("used").alias("used"))
-                .collect()
-            }
-            # chars never drop (total coverage); add-one floor keeps
-            # ln() defined for a char every current segmentation skips
-            for ch in char_set:
-                used.setdefault(ch, 1)
-            return used
-
         for _ in range(UNIGRAM_EM_ROUNDS):
-            counts = em_pass(scores)
+            counts = _em_pass(wf, scores, char_set)
             scores = _micro_scores(counts)
 
         # prune: all single chars + top multi-char pieces by count
@@ -645,7 +652,7 @@ def _learn_unigram_vocab(
         }
         scores = {p: s for p, s in scores.items() if p in keep}
         # one final pass so reported counts reflect the pruned vocab
-        counts = em_pass(scores)
+        counts = _em_pass(wf, scores, char_set)
         scores = _micro_scores(counts)
         return sorted(
             ((p, counts[p], scores[p]) for p in counts),
@@ -670,7 +677,7 @@ def unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt, logprob, rank), rank by (cnt desc, piece) — total-ordered and
     engine-independent. Correctness is pinned by an exact sequential
     recompute test (tests/test_ngrams_unigram.py)."""
-    table = _learn_unigram_vocab(spark, sf_dir)
+    table = _learned_unigram(spark, sf_dir)
     rows = [
         (p, len(p), int(c), lp / 1_000_000.0, i + 1)
         for i, (p, c, lp) in enumerate(table)
@@ -702,7 +709,13 @@ def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # ASCII whitespace class, NOT r"\s+": the learn side tokenizes
+        # with Spark's split(lower(x), '\\s+') where Java \s is
+        # [ \t\n\x0B\f\r] (ASCII-only); Python \s on str would also
+        # split on Unicode whitespace (NBSP, ideographic space, ...)
+        # and the encoder's word list would diverge from the learned
+        # word frame, skewing n_words/fertility.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):

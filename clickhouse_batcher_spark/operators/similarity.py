@@ -34,6 +34,10 @@ from clickhouse_batcher_spark.tables import load_table
 
 N_QUERY_VECS = 10
 TOP_K = 5
+# Embedding dimensionality, interpolated into every similarity oracle's
+# generate_series bound so a dimension change can't silently truncate
+# the SQL-side dot products while the Spark side folds the full vector.
+EMB_DIM = 64
 NEARDUP_COS_THRESHOLD = 0.97
 TWIN_ID_OFFSET = 100_000
 TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
@@ -99,7 +103,8 @@ def _norm(a: str) -> Column:
 
 # DuckDB oracle fragments: same double-precision fold, left to right.
 _SQL_DOT = (
-    "list_sum(list_transform(generate_series(1, 64), i -> qv[i] * cv[i]))"
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+    " i -> qv[i] * cv[i]))"
 )
 _SQL_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
 _SQL_NORM_C = "sqrt(list_sum(list_transform(cv, x -> x * x)))"
@@ -168,14 +173,14 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, v FROM base
       UNION ALL
       SELECT vec_id + {TWIN_ID_OFFSET},
-             list_transform(generate_series(1, 64),
+             list_transform(generate_series(1, {EMB_DIM}),
                             i -> CASE WHEN i <= {TWIN_ZERO_DIMS}
                                       THEN 0.0 ELSE v[i] END)
       FROM base
     ),
     sims AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        round(list_sum(list_transform(generate_series(1, {EMB_DIM}), i -> a.v[i] * b.v[i]))
               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -1505,7 +1510,7 @@ KNN_K = 10
       SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS nb,
         b.label AS lb,
         round(
-          list_sum(list_transform(generate_series(1, 64),
+          list_sum(list_transform(generate_series(1, {EMB_DIM}),
                                   i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)

@@ -303,14 +303,57 @@ def test_no_module_level_pandas_kernels():
             if isinstance(node, ast.FunctionDef):
                 defs.setdefault(node.name, []).append(node)
         for node in ast.walk(tree):
-            if (
+            if not (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
-                and node.func.attr in ("mapInPandas", "applyInPandas")
-                and node.args
-                and isinstance(node.args[0], ast.Name)
+                and node.func.attr
+                in (
+                    "mapInPandas",
+                    "applyInPandas",
+                    "mapInArrow",
+                    "applyInPandasWithState",
+                )
             ):
-                kname = node.args[0].id
+                continue
+            # the kernel may arrive positionally or as func=...
+            kexprs = list(node.args[:1]) + [
+                kw.value for kw in node.keywords if kw.arg == "func"
+            ]
+            for kexpr in kexprs:
+                # mod.fn / pkg.mod.fn as the kernel: by-reference pickle
+                if isinstance(kexpr, ast.Attribute):
+                    offenders.append(
+                        f"{p.name}:{node.lineno} kernel passed as "
+                        f"attribute .{kexpr.attr} (pickles by reference)"
+                    )
+                    continue
+                # functools.partial(module_fn, ...) still pickles the
+                # wrapped module function by reference
+                if (
+                    isinstance(kexpr, ast.Call)
+                    and (
+                        (
+                            isinstance(kexpr.func, ast.Name)
+                            and kexpr.func.id == "partial"
+                        )
+                        or (
+                            isinstance(kexpr.func, ast.Attribute)
+                            and kexpr.func.attr == "partial"
+                        )
+                    )
+                    and kexpr.args
+                    and isinstance(kexpr.args[0], ast.Name)
+                    and kexpr.args[0].id in mod_funcs
+                ):
+                    offenders.append(
+                        f"{p.name}:{node.lineno} kernel "
+                        f"partial({kexpr.args[0].id}, ...) wraps a "
+                        "module-level function (pickles by reference)"
+                    )
+                    continue
+                if not isinstance(kexpr, ast.Name):
+                    continue  # lambda / factory call: by-value
+                kname = kexpr.id
                 if kname in mod_funcs:
                     offenders.append(
                         f"{p.name}:{node.lineno} kernel {kname} is "

@@ -63,6 +63,7 @@ QUERIES = [
     "unigram_lm_encode_docs",
     "user_survival_km",
     "events_theil_sen_trend",
+    "events_cusum_changepoint",
 ]
 
 POINTS = [
