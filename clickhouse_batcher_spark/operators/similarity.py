@@ -41,6 +41,32 @@ EMB_DIM = 64
 NEARDUP_COS_THRESHOLD = 0.97
 TWIN_ID_OFFSET = 100_000
 TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
+# GEMM -> ANN crossover (round-9). The exact tile-pair GEMM is
+# quadratic by contract (measured sf0.1->sf1 exponent 1.32,
+# SCALE_RUN_r08.json); the LSH band index measures ~flat (0.03). Past
+# ANN_CROSSOVER_VECS corpus vectors every GEMM consumer
+# (embedding_neardup, knn_label_agreement, bitext_margin_mining,
+# hard_negative_triplets) swaps its candidate generator to the LSH
+# index and runs the SAME exact-rerank / threshold / rank algebra over
+# candidates only — identical values on every surviving pair (rerank
+# is exact), recall bounded by the LSH config and measured in
+# tests/test_stateful_ivf.py with the switch forced on.
+# CANDIDATE_SOURCE: 'auto' (count-gated), 'exact', or 'lsh' (forced).
+CANDIDATE_SOURCE = "auto"
+# SCALE.md's crossover analysis: at ~10M 64-dim vectors the GEMM's
+# O(n^2/T) per-group score blocks stop fitting executors at any T that
+# keeps shuffle replication sane; LSH candidates stay O(n * tables).
+ANN_CROSSOVER_VECS = 10_000_000
+
+
+def _resolve_candidate_source(count_vectors) -> str:
+    """'exact' | 'lsh' for this call. ``count_vectors`` is a thunk so
+    'auto' pays its (metadata-cheap) count only when actually gating."""
+    if CANDIDATE_SOURCE in ("exact", "lsh"):
+        return CANDIDATE_SOURCE
+    return "lsh" if count_vectors() > ANN_CROSSOVER_VECS else "exact"
+
+
 # Tiling factor for the exact all-pairs GEMM (embedding_neardup).
 # Sizing: T(T+1)/2 GEMM groups; each group holds <= 2n/T vectors, so
 # per-task memory ~ 2n/T * dim * 8 bytes (plus the n/T x n/T float64
@@ -206,13 +232,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each row to its T groups). Per-group memory is <= 2n/T vectors —
     size ``NEARDUP_TILES`` so that fits an executor (the replication
     cost O(n*T) = O(n^2 / tile_rows) is inherent to EXACT all-pairs;
-    beyond ~10M vectors route candidates through ``lsh_buckets``/IVF
-    and keep this GEMM as the per-bucket rerank kernel).
+    beyond ``ANN_CROSSOVER_VECS`` vectors the CANDIDATE_SOURCE switch
+    routes candidates through ``lsh_buckets`` and keeps the exact
+    cosine as the rerank — see :func:`_neardup_pairs_lsh`).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = _twin_corpus(
         emb.select("vec_id", _dvec("embedding").alias("v"))
     )
+    if _resolve_candidate_source(lambda: 2 * emb.count()) == "lsh":
+        return _neardup_pairs_lsh(corpus)
 
     t = NEARDUP_TILES
     tiled = (
@@ -396,6 +425,54 @@ def lsh_query_probes(
         for name in in_cols
     ) + ", table_id INT, bucket BIGINT"
     return df.mapInPandas(assign, schema=schema)
+
+
+def _lsh_candidate_pairs(vecs: DataFrame) -> DataFrame:
+    """Distinct unordered candidate pairs from the LSH band index: two
+    vectors are candidates iff they share a bucket in ANY table. Input
+    must be (vec_id BIGINT, v ARRAY<DOUBLE>); output
+    (vec_a, va, vec_b, vb) with vec_a < vec_b.
+
+    This is the scale-safe candidate source behind the
+    ``CANDIDATE_SOURCE``/``ANN_CROSSOVER_VECS`` switch: index size is
+    O(n * LSH_TABLES) rows, the bucket equi-join shuffles on
+    (table_id, bucket), and the pair dedup is one keyed shuffle over
+    candidate pairs — never O(n^2)."""
+    idx = lsh_buckets(vecs)
+    a = idx.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        "table_id",
+        "bucket",
+    )
+    b = idx.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        "table_id",
+        "bucket",
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "va", "vec_b", "vb")
+    )
+
+
+def _neardup_pairs_lsh(corpus: DataFrame) -> DataFrame:
+    """LSH-candidate near-dup pairs with exact cosine rerank — the
+    post-crossover plan for :func:`embedding_neardup`. Same output
+    schema and (on surviving pairs) identical values to the exact
+    GEMM; pairs the index misses are the recall cost, measured in
+    tests with the switch forced on."""
+    cand = _lsh_candidate_pairs(corpus)
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
 
 
 IVF_LLOYD_ITERS = 3
@@ -1020,7 +1097,7 @@ def _twin_corpus(base: DataFrame) -> DataFrame:
     twins = base.select(
         (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
         F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
             lambda i: F.when(i <= TWIN_ZERO_DIMS, F.lit(0.0)).otherwise(
                 F.element_at("v", i.cast("int"))
             ),
@@ -1128,6 +1205,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITEXT_KNN = 4
 BITEXT_MARGIN_THRESHOLD = 1.0  # keep pairs scoring above the k-NN mean
 
+def _c6(a: str, b: str) -> Column:
+    """1e6-scaled integer cosine: round to 6 decimals, scale to BIGINT
+    so downstream k-NN sums are EXACT integers on both engines (the
+    bitext determinism contract)."""
+    return (
+        F.round(F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6) * 1_000_000)
+        .cast("bigint")
+        .alias("c6")
+    )
+
+
 _BITEXT_MARGIN = (
     f"round(({2 * BITEXT_KNN} * CAST(c6 AS DOUBLE))"
     f" / (fwd_knn6 + bwd_knn6), 6)"
@@ -1201,35 +1289,49 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual-best rank — all keyed, fully parallel, no driver state. At
     test scale candidates are the exact |src| x |tgt| cross (the
     bounded-kernel class of ``embedding_neardup``, broadcast side =
-    the smaller corpus); at 100 TB the candidate generator swaps to
-    the ANN machinery (`similarity_ann_ivf` cells / `lsh_buckets`) as
-    production miners do with FAISS, feeding the same margin algebra
-    over top-k candidate lists — the scoring never needs more than
-    each pair's cosine plus both sides' k-NN sums.
+    the smaller corpus); past ``ANN_CROSSOVER_VECS`` the
+    CANDIDATE_SOURCE switch swaps the cross for `_lsh_candidate_pairs`
+    — exactly how production miners pair FAISS with the margin — and
+    the same margin algebra runs over the candidate lists: the scoring
+    never needs more than each pair's cosine plus both sides' k-NN
+    sums (over candidates, the paper's top-k neighborhood).
     """
     emb = _embeddings(spark, sf_dir)
-    src = emb.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("src_id"), _dvec("embedding").alias("qv")
-    )
-    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("tgt_id"), _dvec("embedding").alias("cv")
-    )
-    pairs = (
-        F.broadcast(src)
-        .crossJoin(tgt)
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                F.round(
-                    _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
-                )
-                * 1_000_000
-            )
-            .cast("bigint")
-            .alias("c6"),
+    if _resolve_candidate_source(emb.count) == "lsh":
+        cand = _lsh_candidate_pairs(
+            emb.select("vec_id", _dvec("embedding").alias("v"))
         )
-    )
+        a_even = F.col("vec_a") % 2 == 0
+        pairs = (
+            cand.filter((F.col("vec_a") % 2) != (F.col("vec_b") % 2))
+            .select(
+                F.when(a_even, F.col("vec_a"))
+                .otherwise(F.col("vec_b"))
+                .alias("src_id"),
+                F.when(a_even, F.col("va"))
+                .otherwise(F.col("vb"))
+                .alias("qv"),
+                F.when(a_even, F.col("vec_b"))
+                .otherwise(F.col("vec_a"))
+                .alias("tgt_id"),
+                F.when(a_even, F.col("vb"))
+                .otherwise(F.col("va"))
+                .alias("cv"),
+            )
+            .select("src_id", "tgt_id", _c6("qv", "cv"))
+        )
+    else:
+        src = emb.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("src_id"), _dvec("embedding").alias("qv")
+        )
+        tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("tgt_id"), _dvec("embedding").alias("cv")
+        )
+        pairs = (
+            F.broadcast(src)
+            .crossJoin(tgt)
+            .select("src_id", "tgt_id", _c6("qv", "cv"))
+        )
     w_fwd = Window.partitionBy("src_id").orderBy(
         F.col("c6").desc(), F.col("tgt_id")
     )
@@ -1329,28 +1431,53 @@ def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract); rank and positive selection tie-break on the candidate
     id, so the triplet set is engine-independent. Plan shape: one
     broadcast of the bounded query side, one candidate-per-query
-    window shuffle — at corpus scale the cross becomes the ANN
-    candidate generator feeding the same rank/margin algebra (the
-    `bitext_margin_mining` pattern).
+    window shuffle — past ``ANN_CROSSOVER_VECS`` the CANDIDATE_SOURCE
+    switch replaces the cross with multi-probe LSH candidates (the
+    `similarity_ann_lsh` join shape) feeding the same rank/margin
+    algebra.
     """
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
     )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv")
-    )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
-            ).alias("cos_sim"),
+    if _resolve_candidate_source(emb.count) == "lsh":
+        vecs = emb.select("vec_id", _dvec("embedding").alias("v"))
+        probes = lsh_query_probes(
+            vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "table_id",
+            "bucket",
         )
+        index = lsh_buckets(vecs).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            "table_id",
+            "bucket",
+        )
+        cand = (
+            F.broadcast(probes)
+            .join(index, ["table_id", "bucket"])
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "qv", "cand_id", "cv")
+            .dropDuplicates(["query_id", "cand_id"])
+        )
+    else:
+        c = emb.select(
+            F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("cv")
+        )
+        cand = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("cand_id"))
+        )
+    sims = cand.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6
+        ).alias("cos_sim"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -1536,13 +1663,73 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     its label. Low agree_ratio = mislabel / class-boundary candidate.
 
     Ties at the rank-k boundary break on (cos_sim desc, neighbor_id) —
-    identical in the kernel's lexsort and the oracle's window."""
+    identical in the kernel's lexsort and the oracle's window.
+
+    Past ``ANN_CROSSOVER_VECS`` the CANDIDATE_SOURCE switch replaces
+    the tile GEMM with LSH candidate pairs (exact cosine rerank, same
+    window top-k); neighbor recall under the forced switch is measured
+    in tests."""
     emb = _embeddings(spark, sf_dir)
     corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
-    t = NEARDUP_TILES
     k = KNN_K
+    vecs = corpus.select("vec_id", "v")
+    if _resolve_candidate_source(emb.count) == "lsh":
+        knn = _knn_topk_lsh(vecs, k)
+    else:
+        knn = _knn_topk_exact(vecs, k)
+    return _knn_agreement_rollup(knn, corpus, k)
+
+
+def _knn_topk_lsh(vecs: DataFrame, k: int) -> DataFrame:
+    """Top-k neighbor frame (vec_id, neighbor_id, cos_sim, rn) from
+    multi-probe LSH candidates with exact cosine rerank — the
+    post-crossover k-NN source. Every vector is a query here, so the
+    query side is the full corpus fanned out 2^LSH_PROBE_BITS per
+    table (a shuffle equi-join, NOT a broadcast — both sides are
+    corpus-sized); the index side stays one row per (vector, table).
+    Recall vs the exact GEMM is measured in tests with the switch
+    forced on."""
+    probes = lsh_query_probes(vecs).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        "table_id",
+        "bucket",
+    )
+    index = lsh_buckets(vecs).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        probes.join(index, ["table_id", "bucket"])
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        F.col("q_id").alias("vec_id"),
+        "neighbor_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def _knn_topk_exact(vecs: DataFrame, k: int) -> DataFrame:
+    """Top-k neighbor frame via the tile-pair GEMM: each tile group
+    emits only its per-vector PARTIAL top-k (k rows per vector per
+    tile), so the global window ranks <= T*k candidates per vector,
+    never n. Quadratic FLOPs by contract — the CANDIDATE_SOURCE switch
+    bounds where this runs."""
+    t = NEARDUP_TILES
     tiled = (
-        corpus.withColumn("tile", F.pmod(F.col("vec_id"), F.lit(t)).cast("int"))
+        vecs.withColumn("tile", F.pmod(F.col("vec_id"), F.lit(t)).cast("int"))
         .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(t - 1))))
         .withColumn("ti", F.least("tile", "other"))
         .withColumn("tj", F.greatest("tile", "other"))
@@ -1603,9 +1790,18 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    knn = partial.withColumn("rn", F.row_number().over(w)).filter(
+    return partial.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
+
+
+def _knn_agreement_rollup(
+    knn: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of knn_label_agreement: join neighbor + own labels
+    onto the (vec_id, neighbor_id) k-NN frame and roll up agreement.
+    Candidate-source-independent — both the exact GEMM and the LSH
+    path feed it the same schema."""
     n_label = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
     )
