@@ -53,6 +53,13 @@ MINHASH_VERIFY_THRESHOLD = 0.5
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 4
+# Per-(chunk_id, chunk) bucket membership cap: a bucket past this is
+# skipped (loud warning + LAST_SIMHASH_BUCKET_OVERFLOW), bounding every
+# bucket's pair fan-out at cap*(cap-1)/2 — the simhash analogue of
+# MAX_SHINGLE_DF. Never binds on the real fixtures (max bucket 290 at
+# sf0.1); trims the low-entropy synthetic corpus's pathological head.
+SIMHASH_BUCKET_CAP = 512
+LAST_SIMHASH_BUCKET_OVERFLOW = 0
 
 # --- shared SQL fragments (DuckDB oracle side) -----------------------------
 SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -551,10 +558,16 @@ def _simhash(corpus: DataFrame) -> DataFrame:
       SELECT doc_id, sig, c AS chunk_id, substring(sig, c * 16 + 1, 16) AS chunk
       FROM simhash, unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS t(c)
     ),
+    kept AS (
+      SELECT chunk_id, chunk FROM chunks
+      GROUP BY chunk_id, chunk HAVING COUNT(*) <= {SIMHASH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
              c1.sig AS sig_a, c2.sig AS sig_b
-      FROM chunks c1 JOIN chunks c2
+      FROM chunks c1
+      JOIN kept k ON c1.chunk_id = k.chunk_id AND c1.chunk = k.chunk
+      JOIN chunks c2
         ON c1.chunk_id = c2.chunk_id AND c1.chunk = c2.chunk
            AND c1.doc_id < c2.doc_id
     )
@@ -569,11 +582,33 @@ def _simhash(corpus: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Cache: the chunk self-join references the signatures twice; without
-    # this the whole hash pipeline runs twice. (Eager materialization
-    # measured neutral-to-worse here, unlike graph.py — the exchange
-    # already reuses across the self-join branches.)
-    sigs = _simhash(tokenized_corpus(docs)).cache()
+    return _simhash_pairs(docs)
+
+
+def _simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs, bucket-capped (round-9).
+
+    Pair generation mirrors the jaccard shape: group each
+    (chunk_id, chunk) bucket's members and emit the i<j combinations
+    IN-ROW — one groupBy on the bucket key replaces the
+    chunk-frame self-join (the r8 plan shuffled the chunk frame twice
+    and measured exponent 1.35 on the low-entropy synthetic corpus).
+
+    ``SIMHASH_BUCKET_CAP`` bounds every bucket's fan-out at
+    cap*(cap-1)/2 pairs — the simhash analogue of MAX_SHINGLE_DF. A
+    bucket past the cap is SKIPPED (its members can still pair via
+    their other chunks); skipped-bucket counts are
+    counted eagerly and reported loudly via ``warnings.warn`` plus the
+    module-level ``LAST_SIMHASH_BUCKET_OVERFLOW`` (test hook), so a
+    pathological corpus degrades recall measurably instead of
+    exploding the pair frame. Cap sizing: fixture max bucket is 32 at
+    sf0.01 / 290 at sf0.1 (cap never binds -> results unchanged);
+    the synthetic sf1 corpus has 12 buckets over 512 (max 1425, i.e.
+    ~1M pairs from one bucket uncapped)."""
+    global LAST_SIMHASH_BUCKET_OVERFLOW
+    import warnings
+
+    sigs = _simhash(tokenized_corpus(docs))
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -584,21 +619,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id",
         F.expr("substring(sig, chunk_id * 16 + 1, 16)").alias("chunk"),
     )
-    c1 = chunks.alias("c1")
-    c2 = chunks.alias("c2")
-    cand = (
-        c1.join(
-            c2,
-            (F.col("c1.chunk_id") == F.col("c2.chunk_id"))
-            & (F.col("c1.chunk") == F.col("c2.chunk"))
-            & (F.col("c1.doc_id") < F.col("c2.doc_id")),
+    # cached: read once for the overflow count, once for the pairs
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sig"))
+            ).alias("members")
         )
+        .cache()
+    )
+    overflow = buckets.filter(F.size("members") > SIMHASH_BUCKET_CAP).count()
+    LAST_SIMHASH_BUCKET_OVERFLOW = overflow
+    if overflow:
+        warnings.warn(
+            f"dedup_simhash: {overflow} chunk bucket(s) exceed "
+            f"SIMHASH_BUCKET_CAP={SIMHASH_BUCKET_CAP} and were skipped "
+            "(low-entropy corpus); near-dup recall degrades for their "
+            "members — raise the cap or add chunks if this is expected "
+            "data, not replication",
+            stacklevel=2,
+        )
+    pairs = (
+        buckets.filter(F.size("members") <= SIMHASH_BUCKET_CAP)
         .select(
-            F.col("c1.doc_id").alias("doc_a"),
-            F.col("c2.doc_id").alias("doc_b"),
-            F.col("c1.sig").alias("sig_a"),
-            F.col("c2.sig").alias("sig_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members) - i - 1),"
+                    "           y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    "                       x.sig AS sig_a, y.sig AS sig_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
     hamming = F.expr(
@@ -606,7 +660,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
     )
     return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
+        pairs.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -2930,3 +2930,31 @@ def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
         n = len(slopes)
         want = slopes[(n + 1) // 2 - 1][0]
         assert got[et] == (len(pts), n, pytest.approx(want, abs=0)), et
+
+
+def test_simhash_bucket_cap_trips_on_pathological_corpus(spark):
+    """A low-entropy corpus (every doc identical) must trip the
+    SIMHASH_BUCKET_CAP overflow counter and SKIP the overfull buckets
+    instead of exploding the pair frame (the r8 scale run measured
+    exponent 1.35 from exactly this shape); a sub-cap corpus of the
+    same text keeps its full pair set with zero overflow."""
+    from clickhouse_batcher_spark.operators import dedup as D
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    big = spark.createDataFrame(
+        [(i, text, "en", "src") for i in range(D.SIMHASH_BUCKET_CAP + 88)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    pairs = D._simhash_pairs(big)
+    n_over = pairs.count()
+    assert D.LAST_SIMHASH_BUCKET_OVERFLOW >= D.SIMHASH_CHUNKS
+    assert n_over == 0  # every bucket overfull -> all skipped
+
+    small = spark.createDataFrame(
+        [(i, text, "en", "src") for i in range(50)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    pairs_small = D._simhash_pairs(small)
+    n_small = pairs_small.count()
+    assert D.LAST_SIMHASH_BUCKET_OVERFLOW == 0
+    assert n_small >= 50 * 49 // 2  # identical docs all pair at hamming 0
