@@ -501,6 +501,12 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 3
 KCORE_ROUNDS = 6
+# Node frames at or below this row count broadcast in the peel joins
+# (~5M bigint ids ≈ 40 MB serialized — comfortable executor memory);
+# above it the hints drop and the peels run as keyed shuffle joins.
+# Gated by ONE count of the first peel's survivors (peeling is
+# monotone decreasing, so that count bounds every later round).
+KCORE_BROADCAST_MAX_NODES = 5_000_000
 
 
 def _kcore_iter_sql(r: int, k: int) -> str:
@@ -570,11 +576,23 @@ def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"))
         )
 
+    # Broadcast gate (round-9): the node-frame hints are only correct
+    # while the surviving set fits an executor. Peeling is MONOTONE
+    # decreasing, so one count of the first peel's survivors soundly
+    # gates every later round; above the threshold the hints drop and
+    # the peels run as shuffle joins (AQE may still re-plan small
+    # sides at runtime).
+    rem = surviving(directed)
+    bcast = rem.count() <= KCORE_BROADCAST_MAX_NODES
+
+    def hint(nodes: DataFrame) -> DataFrame:
+        return F.broadcast(nodes) if bcast else nodes
+
     def within(nodes: DataFrame) -> DataFrame:
         return directed.join(
-            F.broadcast(nodes.select(F.col("node").alias("src"))), "src"
+            hint(nodes.select(F.col("node").alias("src"))), "src"
         ).join(
-            F.broadcast(nodes.select(F.col("node").alias("dst"))), "dst"
+            hint(nodes.select(F.col("node").alias("dst"))), "dst"
         )
 
     # Each peel counts, for EVERY node, its neighbors inside the
@@ -589,12 +607,11 @@ def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def next_rem(nodes: DataFrame) -> DataFrame:
         return surviving(
             directed.join(
-                F.broadcast(nodes.select(F.col("node").alias("dst"))),
+                hint(nodes.select(F.col("node").alias("dst"))),
                 "dst",
             )
         )
 
-    rem = surviving(directed)
     for r in range(2, KCORE_ROUNDS + 1):
         rem = next_rem(rem)
         if r % 3 == 0:

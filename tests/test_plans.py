@@ -374,3 +374,39 @@ def test_no_module_level_pandas_kernels():
                             f"references module-level {sorted(bad)}"
                         )
     assert not offenders, offenders
+
+
+def test_kcore_broadcast_hint_is_size_gated(spark, sf_dir, monkeypatch):
+    """The k-core peel's node-frame broadcast hints must be conditional
+    on the surviving-set size (round-9): below KCORE_BROADCAST_MAX_NODES
+    the peel joins carry broadcast hints; above it the hints drop and
+    the plan falls back to shuffle joins. autoBroadcastJoinThreshold is
+    disabled during the check so only the HINT decides the join
+    strategy."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators import graph
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = _formatted_plan(
+            catalog.QUERIES["coactivity_kcore"](spark, sf_dir)
+        )
+        # -1, not 0: at tiny sf the first peel can have ZERO survivors
+        # and 0 <= 0 would keep the hints on
+        monkeypatch.setattr(graph, "KCORE_BROADCAST_MAX_NODES", -1)
+        plan_big = _formatted_plan(
+            catalog.QUERIES["coactivity_kcore"](spark, sf_dir)
+        )
+        # the edge-building pipeline keeps its own (legitimate)
+        # broadcasts in both plans; the PEEL joins are the delta:
+        # below the threshold they broadcast, above it they fall back
+        # to shuffle joins
+        assert plan_small.count("BroadcastHashJoin") > plan_big.count(
+            "BroadcastHashJoin"
+        )
+        assert plan_big.count("SortMergeJoin") > plan_small.count(
+            "SortMergeJoin"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
