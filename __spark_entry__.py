@@ -51,6 +51,76 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
+    # --- ROUND 9 window (replaces the r8 list, preserved in the
+    #     ledger comment below). With all 223 oracled queries
+    #     ever-green after r8, this window is (a) changed-
+    #     implementation re-checks for every operator the round-9
+    #     code touched, then (b) second-green backfill, oldest
+    #     single-green vintage first (4 r2 entries, then the r6
+    #     batch, alphabetical within vintage — computed from the
+    #     eight CORRECTNESS files; 62 r6/r7 singles remain queued
+    #     for r10). ---
+    # (a) round-9 changed implementations:
+    #     dedup_simhash — bucket-capped in-row pair generation;
+    #     embedding_neardup / knn_label_agreement /
+    #     bitext_margin_mining / hard_negative_triplets — the
+    #     CANDIDATE_SOURCE crossover touched their bodies (default
+    #     path re-verified);
+    #     coactivity_kcore — size-gated peel broadcast hints.
+    "dedup_simhash",
+    "embedding_neardup",
+    "knn_label_agreement",
+    "bitext_margin_mining",
+    "hard_negative_triplets",
+    "coactivity_kcore",
+    # (b) second-green backfill — r2 vintage (the last four):
+    "media_frame_sample",
+    "merge_upsert_orders",
+    "profile_events",
+    "winnow_fingerprints",
+    # (b) second-green backfill — r6 vintage (first 38 of 47):
+    "ab_mann_whitney_u",
+    "ab_welch_ttest",
+    "asof_forward_events_orders",
+    "asof_nearest_events_orders",
+    "concat_block_packing",
+    "conversion_latency_quantiles",
+    "customer_rfm_segments",
+    "dedup_containment_pairs",
+    "dedup_keep_canonical",
+    "event_type_pmi",
+    "event_type_user_entropy",
+    "events_bit_aggregates",
+    "events_cramers_v",
+    "events_hour_anova",
+    "events_hourly_robust_anomalies",
+    "events_linreg_by_type",
+    "events_rank_corr",
+    "events_rolling_median_12h",
+    "events_skew_kurt_by_type",
+    "events_theils_u",
+    "hll_distinct_users",
+    "hll_state_merge_daily",
+    "hybrid_retrieval_rrf",
+    "kmv_distinct_users",
+    "langid_confusion",
+    "lineitem_weighted_price_median",
+    "max_concurrent_intervals",
+    "next_event_prediction",
+    "orders_transfer_checksum",
+    "part_copurchase_lift",
+    "props_information_value",
+    "repeated_span_stats",
+    "sequence_count_per_user",
+    "supplier_hhi_by_nation",
+    "t5_span_corruption",
+    "topk_heavy_hitters",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_cnt",
+]
+# --- ROUND 8 window ledger (the list above replaced this; every r8
+#     entry went green in CORRECTNESS_r08) ---
+_R8_WINDOW_LEDGER: list[str] = [
     # --- ROUND 8 window. r7 went 50/50 green, leaving exactly ONE
     #     oracled query with zero driver rows (dedup_lines_transform:
     #     the r7 swap-4 comment promised it a slot but the list never
