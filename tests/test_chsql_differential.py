@@ -335,3 +335,4 @@ def test_corpus_size_contract():
     spark_side, so a corpus entry that stops translating breaks CI
     even without a server.)"""
     assert len(DIFFERENTIAL_CORPUS) >= 50
+
