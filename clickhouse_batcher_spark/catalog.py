@@ -61,6 +61,7 @@ def load_all() -> None:
         cohort,
         corr,
         corpus,
+        curriculum,
         dedup,
         funnel,
         fuzzy,

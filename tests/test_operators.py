@@ -48,6 +48,9 @@ ORACLED = [
     "dedup_threshold_sweep",
     "join_key_skew_report",
     "quality_budget_curve",
+    "length_sorted_packing_gain",
+    "docs_code_switch_report",
+    "shingle_novelty_curve",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -2958,3 +2961,137 @@ def test_simhash_bucket_cap_trips_on_pathological_corpus(spark):
     n_small = pairs_small.count()
     assert D.LAST_SIMHASH_BUCKET_OVERFLOW == 0
     assert n_small >= 50 * 49 // 2  # identical docs all pair at hamming 0
+
+
+def test_length_sorted_packing_gain_recompute(spark, sf_dir):
+    """Exact Python recompute of both strategies' padding waste, plus
+    the theory invariant: contiguous batching of the LENGTH-SORTED
+    order minimizes the sum of per-batch maxima over equal-size
+    groups, so its waste can never exceed arrival-order waste."""
+    from clickhouse_batcher_spark.operators.curriculum import (
+        PACK_BATCH_SIZE,
+    )
+    from clickhouse_batcher_spark.functions import tokens as _tokens
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    lens = [
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id", F.size(_tokens("text")).alias("n")
+        ).collect()
+    ]
+
+    def waste(order):
+        total_tok = padded = 0
+        for i in range(0, len(order), PACK_BATCH_SIZE):
+            batch = order[i : i + PACK_BATCH_SIZE]
+            mx = max(n for _, n in batch)
+            padded += mx * len(batch)
+            total_tok += sum(n for _, n in batch)
+        return padded, padded - total_tok
+
+    by_arrival = sorted(lens)
+    by_len = sorted(lens, key=lambda t: (t[1], t[0]))
+    got = {
+        r.strategy: r
+        for r in catalog.QUERIES["length_sorted_packing_gain"](
+            spark, sf_dir
+        ).collect()
+    }
+    for name, order in (("arrival", by_arrival), ("length_sorted", by_len)):
+        padded, w = waste(order)
+        assert got[name].padded_slots == padded, name
+        assert got[name].padding_waste == w, name
+        assert got[name].waste_ppm == w * 1_000_000 // padded, name
+    assert (
+        got["length_sorted"].padding_waste <= got["arrival"].padding_waste
+    )
+
+
+def test_docs_code_switch_entropy_recompute(spark, sf_dir):
+    """Sequential entropy recompute over the same marker sets; entropy
+    bounds: 0 <= H <= ln(5); single-language docs get H == 0."""
+    import math
+    import re
+
+    from clickhouse_batcher_spark.operators.text import (
+        LANG_MARKERS,
+        LANG_ORDER,
+    )
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    rows = {
+        r.doc_id: r
+        for r in catalog.QUERIES["docs_code_switch_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = _lt(spark, sf_dir, "documents").collect()
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for d in docs:
+        toks = [t for t in ws.split(d.text.lower()) if t]
+        hits = [
+            sum(1 for t in toks if t in LANG_MARKERS[lang])
+            for lang in LANG_ORDER
+        ]
+        total = sum(hits)
+        present = sum(1 for h in hits if h > 0)
+        ent = (
+            0.0
+            if total == 0
+            else round(
+                sum(
+                    -(h / total) * math.log(h / total)
+                    for h in hits
+                    if h > 0
+                ),
+                6,
+            )
+        )
+        r = rows[d.doc_id]
+        assert r.total_hits == total, d.doc_id
+        assert r.n_langs_present == present, d.doc_id
+        assert r.mix_entropy == pytest.approx(ent, abs=1e-9), d.doc_id
+        assert r.is_mixed == (1 if present >= 2 else 0), d.doc_id
+        assert 0.0 <= r.mix_entropy <= math.log(5) + 1e-9
+
+
+def test_shingle_novelty_curve_recompute(spark, sf_dir):
+    """Sequential set-based recompute: walk docs in doc_id order,
+    count never-seen-before distinct 3-gram shingles, check counts and
+    exact running totals."""
+    import re
+
+    from clickhouse_batcher_spark.operators.dedup import SHINGLE_K
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    got = sorted(
+        catalog.QUERIES["shingle_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    docs = sorted(
+        _lt(spark, sf_dir, "documents").collect(), key=lambda r: r.doc_id
+    )
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    seen: set = set()
+    cum_new = cum_sh = 0
+    it = iter(got)
+    for d in docs:
+        toks = [t for t in ws.split(d.text.lower()) if t]
+        if len(toks) < SHINGLE_K:
+            continue
+        sh = {
+            " ".join(toks[i : i + SHINGLE_K])
+            for i in range(len(toks) - SHINGLE_K + 1)
+        }
+        new = {s for s in sh if s not in seen}
+        seen |= sh
+        cum_new += len(new)
+        cum_sh += len(sh)
+        r = next(it)
+        assert r.doc_id == d.doc_id
+        assert r.n_shingles == len(sh), d.doc_id
+        assert r.n_new == len(new), d.doc_id
+        assert r.cum_new == cum_new and r.cum_shingles == cum_sh, d.doc_id
+        assert r.novelty_ppm == cum_new * 1_000_000 // cum_sh, d.doc_id
