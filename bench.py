@@ -209,6 +209,8 @@ HEADLINE = [
     "length_sorted_packing_gain",
     "docs_code_switch_report",
     "shingle_novelty_curve",
+    "quality_psi_by_source",
+    "token_budget_waterfill",
 ]
 
 

@@ -737,3 +737,122 @@ def quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["quality_budget_curve"] = " ".join(_budget_curve_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-score drift (Population Stability Index)
+# ---------------------------------------------------------------------------
+PSI_BINS = 10
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH nbq AS ({_nbq_oracle()}),
+    p AS (
+      SELECT nbq.doc_id, d.source,
+        LEAST(CAST(FLOOR(
+          CAST(round(1.0 / (1.0 + exp(-nb_logodds)), 6)
+               AS DECIMAL(9,6)) * 10) AS BIGINT), {PSI_BINS - 1}) AS bin
+      FROM nbq JOIN documents d ON d.doc_id = nbq.doc_id
+    ),
+    srcs AS (SELECT DISTINCT source FROM p),
+    grid AS (
+      SELECT s.source, g.b AS bin
+      FROM srcs s, unnest(generate_series(0, {PSI_BINS - 1})) AS g(b)
+    ),
+    sb AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2
+    ),
+    cb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+    terms AS (
+      SELECT g.source,
+        CAST(round(
+          ((CAST(COALESCE(sb.c, 0) AS DOUBLE) + 1)
+             / (CAST(ns.n AS DOUBLE) + {PSI_BINS})
+           - (CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1)
+             / (CAST(nt.n AS DOUBLE) + {PSI_BINS}))
+          * ln(((CAST(COALESCE(sb.c, 0) AS DOUBLE) + 1)
+                  / (CAST(ns.n AS DOUBLE) + {PSI_BINS}))
+               / ((CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1)
+                  / (CAST(nt.n AS DOUBLE) + {PSI_BINS}))), 6)
+          AS DECIMAL(18,6)) AS term,
+        ns.n AS n_docs
+      FROM grid g
+      LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+      LEFT JOIN cb ON cb.bin = g.bin
+      JOIN ns ON ns.source = g.source
+      CROSS JOIN nt
+    )
+    SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+      CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms GROUP BY source
+    """
+
+
+@query("quality_psi_by_source")  # oracle composed below
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's quality-score
+    distribution against the corpus-wide distribution — the standard
+    drift metric (credit-scoring lineage; PSI > 0.25 = major shift)
+    applied to the curation question "which source's quality profile
+    deviates from the mix?".
+
+    Bins are the calibration report's fixed-width sigmoid(log-odds)
+    deciles (zero-sort binning); counts get Laplace +1 smoothing so
+    empty bins contribute finite terms. Exactness: bin counts are
+    exact integers; each of the 10 PSI terms is one double expression
+    over identical integers, rounded to 6 (the repo's transcendental
+    contract) and summed as DECIMAL — so the sum is order- and
+    engine-exact. The bins-x-sources grid comes from an explode over
+    the distinct-source frame, never a cartesian join.
+    """
+    scores = nb_scores_cached(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p6 = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("nb_logodds"))), 6
+    ).cast("decimal(9,6)")
+    p = scores.join(src, "doc_id").select(
+        "source",
+        F.least(F.floor(p6 * 10), F.lit(PSI_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    sb = p.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sb")
+    )
+    cb = p.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_b")
+    )
+    ns = p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    n_total = p.count()  # one bounded scalar, not per-row driver state
+    grid = ns.withColumn(
+        "bin", F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1)))
+    )
+    j = (
+        grid.join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(cb), "bin", "left")
+        .na.fill({"c_sb": 0, "c_b": 0})
+    )
+    p_s = (F.col("c_sb").cast("double") + 1) / (
+        F.col("n_s").cast("double") + PSI_BINS
+    )
+    q = (F.col("c_b").cast("double") + 1) / (
+        F.lit(float(n_total)) + PSI_BINS
+    )
+    term = F.round((p_s - q) * F.log(p_s / q), 6).cast("decimal(18,6)")
+    return (
+        j.select("source", "n_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.sum("term").cast("double").alias("psi"),
+        )
+    )
+
+
+_ORACLES["quality_psi_by_source"] = " ".join(_psi_oracle().split())

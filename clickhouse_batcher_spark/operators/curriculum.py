@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import (
@@ -318,4 +319,157 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(cum_new AS BIGINT) * 1000000)"
             " DIV CAST(cum_shingles AS BIGINT) AS BIGINT)"
         ).alias("novelty_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling across sources
+# ---------------------------------------------------------------------------
+# Budget = this fraction of total corpus tokens, as an integer DIV so
+# both engines agree to the token.
+WATERFILL_BUDGET_NUM = 1
+WATERFILL_BUDGET_DEN = 2
+
+
+@query(
+    "token_budget_waterfill",
+    oracle=f"""
+    WITH lens AS (
+      SELECT source, CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+        ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS r,
+        SUM(n_tokens) OVER (ORDER BY n_tokens, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        COUNT(*) OVER () AS n,
+        SUM(n_tokens) OVER () AS total
+      FROM lens
+    ),
+    w AS (
+      SELECT *,
+        (total * {WATERFILL_BUDGET_NUM})
+          // {WATERFILL_BUDGET_DEN} AS budget
+      FROM ranked
+    ),
+    kk AS (
+      SELECT MAX(budget) AS budget, MAX(n) AS n, MAX(total) AS total,
+        CAST(SUM(CASE WHEN n_tokens * (n - r) <= budget - p
+                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM w
+    ),
+    pk AS (
+      SELECT kk.*, COALESCE(
+        (SELECT p FROM w WHERE r = kk.k), 0) AS p_k
+      FROM kk
+    ),
+    lvl AS (
+      SELECT *,
+        CASE WHEN k >= n THEN 0
+             ELSE (budget - p_k) // (n - k) END AS base,
+        CASE WHEN k >= n THEN 0
+             ELSE (budget - p_k) % (n - k) END AS rem
+      FROM pk
+    )
+    SELECT w.source, w.n_tokens,
+      CAST(CASE WHEN w.r <= lvl.k THEN w.n_tokens
+                ELSE lvl.base
+                  + (CASE WHEN w.r - lvl.k <= lvl.rem THEN 1 ELSE 0 END)
+           END AS BIGINT) AS alloc_tokens,
+      CAST(CASE WHEN w.r <= lvl.k THEN 1 ELSE 0 END AS BIGINT)
+        AS fully_taken
+    FROM w CROSS JOIN lvl
+    """,
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources under a global
+    budget (half the corpus, integer-exact): sources below the water
+    level keep ALL their tokens, every larger source is clipped to a
+    common level — the max-min-fair quota behind "uniform sampling
+    with per-source caps" data mixes (e.g. the Pile's epoch weights).
+
+    Exact integer algebra end to end: budget = total DIV 2; the
+    saturation count k = #sources with c_r * (n - r) <= B - P_r (the
+    standard monotone feasibility test on the ascending-size order);
+    the level splits as base = (B - P_k) DIV (n - k) with the
+    remainder distributed one token each to the (B - P_k) % (n - k)
+    smallest uncapped sources — fully deterministic, no real-number
+    water level. Invariants (pytest): sum(alloc) == min(B, total),
+    alloc <= n_tokens, capped sources share the level within 1 token.
+
+    Scale shape: everything after the per-source aggregate operates
+    on the SOURCE-cardinality frame (one row per source), so the
+    global windows are bounded — the same bounded-frame class as the
+    cumsum offset table."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", F.size(tokens("text")).cast("bigint").alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    w_ord = Window.orderBy("n_tokens", "source")
+    w_all = Window.partitionBy()
+    ranked = (
+        lens.withColumn("r", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn(
+            "p",
+            F.sum("n_tokens")
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .withColumn("total", F.sum("n_tokens").over(w_all).cast("bigint"))
+        .withColumn(
+            "budget",
+            F.expr(
+                f"(total * {WATERFILL_BUDGET_NUM})"
+                f" DIV {WATERFILL_BUDGET_DEN}"
+            ),
+        )
+    )
+    ranked = ranked.withColumn(
+        "sat",
+        F.when(
+            F.col("n_tokens") * (F.col("n") - F.col("r"))
+            <= F.col("budget") - F.col("p"),
+            1,
+        ).otherwise(0),
+    )
+    k = ranked.withColumn(
+        "k", F.sum("sat").over(w_all).cast("bigint")
+    ).withColumn(
+        "p_k",
+        F.coalesce(
+            F.max(F.when(F.col("r") == F.col("k"), F.col("p"))).over(
+                w_all
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    lvl = k.withColumn(
+        "base",
+        F.when(F.col("k") >= F.col("n"), F.lit(0)).otherwise(
+            F.expr("(budget - p_k) DIV (n - k)")
+        ),
+    ).withColumn(
+        "rem",
+        F.when(F.col("k") >= F.col("n"), F.lit(0)).otherwise(
+            F.expr("(budget - p_k) % (n - k)")
+        ),
+    )
+    return lvl.select(
+        "source",
+        "n_tokens",
+        F.when(F.col("r") <= F.col("k"), F.col("n_tokens"))
+        .otherwise(
+            F.col("base")
+            + F.when(F.col("r") - F.col("k") <= F.col("rem"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.when(F.col("r") <= F.col("k"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("fully_taken"),
     )

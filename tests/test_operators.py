@@ -51,6 +51,8 @@ ORACLED = [
     "length_sorted_packing_gain",
     "docs_code_switch_report",
     "shingle_novelty_curve",
+    "quality_psi_by_source",
+    "token_budget_waterfill",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -3095,3 +3097,108 @@ def test_shingle_novelty_curve_recompute(spark, sf_dir):
         assert r.n_new == len(new), d.doc_id
         assert r.cum_new == cum_new and r.cum_shingles == cum_sh, d.doc_id
         assert r.novelty_ppm == cum_new * 1_000_000 // cum_sh, d.doc_id
+
+
+def test_token_budget_waterfill_invariants(spark, sf_dir):
+    """Exact water-filling invariants + a full Python recompute of the
+    integer allocation."""
+    from clickhouse_batcher_spark.functions import tokens as _tokens
+    from clickhouse_batcher_spark.operators.curriculum import (
+        WATERFILL_BUDGET_DEN,
+        WATERFILL_BUDGET_NUM,
+    )
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    per_src = {
+        r.source: r.n
+        for r in docs.select(
+            "source", F.size(_tokens("text")).alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n"))
+        .collect()
+    }
+    total = sum(per_src.values())
+    budget = total * WATERFILL_BUDGET_NUM // WATERFILL_BUDGET_DEN
+    # sequential recompute
+    items = sorted(per_src.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    k, p = 0, 0
+    for r, (_, c) in enumerate(items, start=1):
+        if c * (n - r) <= budget - (p + c):
+            k, p = r, p + c
+        else:
+            break
+    base = (budget - p) // (n - k) if k < n else 0
+    rem = (budget - p) % (n - k) if k < n else 0
+    want = {}
+    for r, (src, c) in enumerate(items, start=1):
+        if r <= k:
+            want[src] = (c, 1)
+        else:
+            want[src] = (base + (1 if r - k <= rem else 0), 0)
+
+    got = {
+        r.source: (r.alloc_tokens, r.fully_taken)
+        for r in catalog.QUERIES["token_budget_waterfill"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert sum(a for a, _ in got.values()) == min(budget, total)
+    for src, (alloc, _) in got.items():
+        assert alloc <= per_src[src], src
+    # uncapped sources share the level within one token
+    uncapped = [a for (a, f) in got.values() if f == 0]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+
+
+def test_quality_psi_recompute(spark, sf_dir):
+    """NumPy-free sequential PSI recompute from the scored frame (the
+    same binning and Laplace smoothing), plus PSI >= 0 (it is a
+    symmetrized KL — nonnegative by Gibbs' inequality)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from clickhouse_batcher_spark.operators.classifier import (
+        PSI_BINS,
+        nb_scores_cached,
+    )
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    src = {
+        r.doc_id: r.source
+        for r in _lt(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    bins = {}
+    for r in nb_scores_cached(spark, sf_dir).collect():
+        p6 = round(1.0 / (1.0 + math.exp(-r.nb_logodds)), 6)
+        bins[r.doc_id] = min(int(p6 * 10), PSI_BINS - 1)
+    sb = Counter((src[d], b) for d, b in bins.items())
+    cb = Counter(bins.values())
+    ns = Counter(src[d] for d in bins)
+    n_total = len(bins)
+    want = {}
+    for source, n_s in ns.items():
+        terms = Decimal(0)
+        for b in range(PSI_BINS):
+            p = (sb.get((source, b), 0) + 1) / (n_s + PSI_BINS)
+            q = (cb.get(b, 0) + 1) / (n_total + PSI_BINS)
+            terms += Decimal(str(round((p - q) * math.log(p / q), 6)))
+        want[source] = (n_s, float(terms))
+    got = {
+        r.source: (r.n_docs, r.psi)
+        for r in catalog.QUERIES["quality_psi_by_source"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for source in want:
+        assert got[source][0] == want[source][0], source
+        assert got[source][1] == pytest.approx(want[source][1], abs=2e-6)
+        assert got[source][1] >= -1e-9, source
