@@ -64,6 +64,12 @@ QUERIES = [
     "user_survival_km",
     "events_theil_sen_trend",
     "events_cusum_changepoint",
+    # round-9 additions
+    "length_sorted_packing_gain",
+    "docs_code_switch_report",
+    "shingle_novelty_curve",
+    "quality_psi_by_source",
+    "token_budget_waterfill",
 ]
 
 POINTS = [
