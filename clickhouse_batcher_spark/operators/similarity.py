@@ -50,7 +50,7 @@ TWIN_ZERO_DIMS = 8  # twin = copy with first 8 dims zeroed
 # index and runs the SAME exact-rerank / threshold / rank algebra over
 # candidates only — identical values on every surviving pair (rerank
 # is exact), recall bounded by the LSH config and measured in
-# tests/test_stateful_ivf.py with the switch forced on.
+# tests/test_crossover.py with the switch forced on.
 # CANDIDATE_SOURCE: 'auto' (count-gated), 'exact', or 'lsh' (forced).
 CANDIDATE_SOURCE = "auto"
 # SCALE.md's crossover analysis: at ~10M 64-dim vectors the GEMM's
@@ -1297,7 +1297,8 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (over candidates, the paper's top-k neighborhood).
     """
     emb = _embeddings(spark, sf_dir)
-    if _resolve_candidate_source(emb.count) == "lsh":
+    raw = load_table(spark, sf_dir, "embeddings")
+    if _resolve_candidate_source(raw.count) == "lsh":
         cand = _lsh_candidate_pairs(
             emb.select("vec_id", _dvec("embedding").alias("v"))
         )
@@ -1440,7 +1441,8 @@ def hard_negative_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qv")
     )
-    if _resolve_candidate_source(emb.count) == "lsh":
+    raw = load_table(spark, sf_dir, "embeddings")
+    if _resolve_candidate_source(raw.count) == "lsh":
         vecs = emb.select("vec_id", _dvec("embedding").alias("v"))
         probes = lsh_query_probes(
             vecs.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -1673,7 +1675,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
     k = KNN_K
     vecs = corpus.select("vec_id", "v")
-    if _resolve_candidate_source(emb.count) == "lsh":
+    raw = load_table(spark, sf_dir, "embeddings")  # count the raw scan,
+    # not the repartitioned frame (that would shuffle the arrays)
+    if _resolve_candidate_source(raw.count) == "lsh":
         knn = _knn_topk_lsh(vecs, k)
     else:
         knn = _knn_topk_exact(vecs, k)
