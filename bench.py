@@ -211,6 +211,8 @@ HEADLINE = [
     "shingle_novelty_curve",
     "quality_psi_by_source",
     "token_budget_waterfill",
+    "decontamination_report",
+    "temperature_mix_curve",
 ]
 
 

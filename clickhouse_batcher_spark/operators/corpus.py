@@ -1372,3 +1372,80 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source decontamination report (rollup of decontaminate_docs)
+# ---------------------------------------------------------------------------
+@query(
+    "decontamination_report",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{SQL_TOKENS}} AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(tokens) - 2),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+          AS shingle
+      FROM t WHERE len(tokens) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {{M}} = 0
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % {{M}} <> 0
+      GROUP BY s.doc_id
+    ),
+    train AS (
+      SELECT d.source, d.doc_id, COALESCE(h.n_shared, 0) AS n_shared
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % {{M}} <> 0
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+      CAST(SUM(CASE WHEN n_shared >= {{K}} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_contaminated,
+      CAST(SUM(n_shared) AS BIGINT) AS total_shared_shingles,
+      CAST((SUM(CASE WHEN n_shared >= {{K}} THEN 1 ELSE 0 END) * 1000000)
+           // COUNT(*) AS BIGINT) AS contaminated_ppm
+    FROM train GROUP BY source
+    """.format(SQL_TOKENS=SQL_TOKENS, M=CONTAM_BENCH_MOD,
+               K=CONTAM_MIN_SHARED),
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination rates — the rollup a corpus
+    owner actually reads (decontaminate_docs is the per-doc action
+    list): train docs, contaminated docs (>= CONTAM_MIN_SHARED shared
+    distinct 3-gram shingles with the benchmark slice), total shared
+    shingles, and the integer-ppm contamination rate. A source whose
+    ppm spikes is scraping the benchmark's distribution — drop or
+    re-filter it, don't just delete the matched docs.
+
+    Plan: the same broadcast benchmark shingle join as
+    decontaminate_docs (benchmarks are thousands of docs vs billions,
+    the broadcast side stays small by nature) + one per-source rollup;
+    the left join keeps uncontaminated docs in the denominator."""
+    hits = decontaminate_docs(spark, sf_dir).select(
+        "doc_id", "n_shared"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    train = (
+        docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_shared": 0})
+    )
+    contaminated = F.sum(
+        F.when(F.col("n_shared") >= CONTAM_MIN_SHARED, 1).otherwise(0)
+    )
+    agg = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+        contaminated.cast("bigint").alias("n_contaminated"),
+        F.sum("n_shared").cast("bigint").alias("total_shared_shingles"),
+    )
+    return agg.withColumn(
+        "contaminated_ppm",
+        F.expr(
+            "CAST((n_contaminated * 1000000) DIV n_train_docs AS BIGINT)"
+        ),
+    )

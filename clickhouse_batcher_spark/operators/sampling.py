@@ -712,3 +712,67 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(DOREMI_SMOOTH) / F.col("n_domains").cast("double")
         ).alias("final_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mixing curve: source shares across a tau grid
+# ---------------------------------------------------------------------------
+TMIX_TAUS = (0.3, 0.5, 0.7, 1.0)
+
+
+@query(
+    "temperature_mix_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    taus AS (SELECT unnest([{", ".join(str(t) for t in TMIX_TAUS)}]) AS tau),
+    w AS (
+      SELECT c.source, c.n_docs, t.tau,
+        pow(CAST(c.n_docs AS DOUBLE), t.tau) AS wt
+      FROM counts c CROSS JOIN taus t
+    )
+    SELECT tau, source, n_docs,
+      round(wt / SUM(wt) OVER (PARTITION BY tau), 6) AS mix_share,
+      round(CAST(n_docs AS DOUBLE)
+            / SUM(n_docs) OVER (PARTITION BY tau), 6) AS natural_share
+    FROM w
+    """,
+)
+def temperature_mix_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing shares across a temperature grid: for each tau in
+    TMIX_TAUS, the share each source gets under n^tau weighting next
+    to its natural share — the table a data-mixing decision reads
+    before committing to one temperature (tau=1 reproduces natural;
+    tau->0 approaches uniform; GPT-3 / PaLM style mixes sit around
+    0.3-0.7). ``temperature_mix_sample`` EXECUTES one chosen tau; this
+    operator shows the whole knob.
+
+    Exactness: counts are exact; pow/share are one double expression
+    over identical integers per row, rounded to 6 (the repo's
+    transcendental contract). The tau grid is an explode over the
+    source-cardinality count frame (bounded; the oracle's CROSS JOIN
+    is sources x 4 literals, equally bounded) — the per-tau window
+    runs over that same bounded frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = counts.withColumn(
+        "tau", F.explode(F.array(*[F.lit(t) for t in TMIX_TAUS]))
+    ).withColumn(
+        "wt", F.pow(F.col("n_docs").cast("double"), F.col("tau"))
+    )
+    win = Window.partitionBy("tau")
+    return w.select(
+        "tau",
+        "source",
+        "n_docs",
+        F.round(F.col("wt") / F.sum("wt").over(win), 6).alias("mix_share"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(win),
+            6,
+        ).alias("natural_share"),
+    )

@@ -53,6 +53,8 @@ ORACLED = [
     "shingle_novelty_curve",
     "quality_psi_by_source",
     "token_budget_waterfill",
+    "decontamination_report",
+    "temperature_mix_curve",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -3202,3 +3204,96 @@ def test_quality_psi_recompute(spark, sf_dir):
         assert got[source][0] == want[source][0], source
         assert got[source][1] == pytest.approx(want[source][1], abs=2e-6)
         assert got[source][1] >= -1e-9, source
+
+
+def test_decontamination_report_consistent_with_doc_level(spark, sf_dir):
+    """The per-source rollup must agree exactly with decontaminate_docs
+    plus the raw source map — denominators include uncontaminated
+    train docs."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark.operators.corpus import (
+        CONTAM_BENCH_MOD,
+        CONTAM_MIN_SHARED,
+    )
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    src = {
+        r.doc_id: r.source
+        for r in _lt(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    shared = {
+        r.doc_id: r.n_shared
+        for r in catalog.QUERIES["decontaminate_docs"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_train, n_cont, tot = Counter(), Counter(), Counter()
+    for d, s in src.items():
+        if d % CONTAM_BENCH_MOD == 0:
+            continue
+        n_train[s] += 1
+        ns = shared.get(d, 0)
+        tot[s] += ns
+        if ns >= CONTAM_MIN_SHARED:
+            n_cont[s] += 1
+    got = {
+        r.source: (
+            r.n_train_docs,
+            r.n_contaminated,
+            r.total_shared_shingles,
+            r.contaminated_ppm,
+        )
+        for r in catalog.QUERIES["decontamination_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(n_train)
+    for s in n_train:
+        assert got[s] == (
+            n_train[s],
+            n_cont[s],
+            tot[s],
+            n_cont[s] * 1_000_000 // n_train[s],
+        ), s
+
+
+def test_temperature_mix_curve_properties(spark, sf_dir):
+    """Shares sum to ~1 per tau; tau=1 reproduces the natural share;
+    lower tau compresses the spread (max share non-increasing as tau
+    falls); exact Python recompute of every share."""
+    import math
+    from collections import Counter
+
+    from clickhouse_batcher_spark.operators.sampling import TMIX_TAUS
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    counts = Counter(
+        r.source
+        for r in _lt(spark, sf_dir, "documents").select("source").collect()
+    )
+    rows = catalog.QUERIES["temperature_mix_curve"](spark, sf_dir).collect()
+    by_tau: dict = {}
+    for r in rows:
+        by_tau.setdefault(r.tau, {})[r.source] = r
+    assert set(by_tau) == set(TMIX_TAUS)
+    n_tot = sum(counts.values())
+    for tau, per_src in by_tau.items():
+        wts = {s: math.pow(n, tau) for s, n in counts.items()}
+        w_tot = sum(wts.values())
+        assert abs(sum(r.mix_share for r in per_src.values()) - 1) < 1e-4
+        for s, r in per_src.items():
+            assert r.n_docs == counts[s]
+            assert r.mix_share == pytest.approx(
+                round(wts[s] / w_tot, 6), abs=1e-9
+            )
+            assert r.natural_share == pytest.approx(
+                round(counts[s] / n_tot, 6), abs=1e-9
+            )
+    one = by_tau[1.0]
+    for s, r in one.items():
+        assert r.mix_share == pytest.approx(r.natural_share, abs=2e-6)
+    maxes = [max(r.mix_share for r in by_tau[t].values()) for t in sorted(TMIX_TAUS)]
+    assert maxes == sorted(maxes)  # lower tau => flatter mix
