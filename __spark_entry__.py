@@ -110,13 +110,20 @@ _PRIORITY: list[str] = [
     "orders_transfer_checksum",
     "part_copurchase_lift",
     "props_information_value",
-    "repeated_span_stats",
-    "sequence_count_per_user",
-    "supplier_hhi_by_nation",
-    "t5_span_corruption",
-    "topk_heavy_hitters",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_cnt",
+    # --- new round-9 operators (first green beats a second green):
+    #     these seven take the last seven r6 backfill slots
+    #     (repeated_span_stats, sequence_count_per_user,
+    #     supplier_hhi_by_nation, t5_span_corruption,
+    #     topk_heavy_hitters, tpch_q11_important_parts,
+    #     tpch_q16_supplier_cnt — all keep their r6 green + pytest
+    #     parity and head the r10 backfill queue). ---
+    "length_sorted_packing_gain",
+    "docs_code_switch_report",
+    "shingle_novelty_curve",
+    "quality_psi_by_source",
+    "token_budget_waterfill",
+    "decontamination_report",
+    "temperature_mix_curve",
 ]
 # --- ROUND 8 window ledger (the list above replaced this; every r8
 #     entry went green in CORRECTNESS_r08) ---
