@@ -70,6 +70,8 @@ QUERIES = [
     "shingle_novelty_curve",
     "quality_psi_by_source",
     "token_budget_waterfill",
+    "decontamination_report",
+    "temperature_mix_curve",
 ]
 
 POINTS = [
