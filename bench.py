@@ -213,6 +213,7 @@ HEADLINE = [
     "token_budget_waterfill",
     "decontamination_report",
     "temperature_mix_curve",
+    "cluster_quality_consistency",
 ]
 
 

@@ -856,3 +856,70 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["quality_psi_by_source"] = " ".join(_psi_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster vs quality-verdict consistency
+# ---------------------------------------------------------------------------
+def _cluster_quality_oracle() -> str:
+    from clickhouse_batcher_spark.operators.cluster import _clusters_oracle
+    from clickhouse_batcher_spark.operators.dedup import TWIN_ID_OFFSET
+
+    return f"""
+    WITH nbq AS ({_nbq_oracle()}),
+    comp AS (SELECT * FROM ({_clusters_oracle()}) c),
+    j AS (
+      SELECT comp.cluster_id,
+        CASE WHEN n.nb_keep THEN 1 ELSE 0 END AS keep
+      FROM comp
+      JOIN nbq n ON n.doc_id = comp.doc_id % {TWIN_ID_OFFSET}
+    )
+    SELECT cluster_id,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(SUM(keep) AS BIGINT) AS n_keep,
+      CAST(CASE WHEN SUM(keep) > 0 AND SUM(keep) < COUNT(*)
+           THEN 1 ELSE 0 END AS BIGINT) AS mixed_verdict
+    FROM j GROUP BY cluster_id
+    """
+
+
+@query("cluster_quality_consistency")  # oracle composed below
+def cluster_quality_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: members, NB-keep members, and the
+    mixed-verdict flag (some kept, some dropped). Near-duplicates that
+    receive DIFFERENT quality verdicts mean either the dedup is
+    over-merging or the quality filter is noisy at its boundary —
+    and a keep-canonical pass could keep a "drop" while dropping a
+    "keep". Production curation audits exactly this join before
+    trusting filter-then-dedup ordering.
+
+    Composes two memoized frames (the CC component labels and the
+    NB scored frame) with one keyed join + one combinable aggregate;
+    twin members (id + TWIN_ID_OFFSET) inherit their base document's
+    verdict via the modulo map, mirrored in the oracle."""
+    from clickhouse_batcher_spark.operators.cluster import dedup_clusters
+    from clickhouse_batcher_spark.operators.dedup import TWIN_ID_OFFSET
+
+    comps = dedup_clusters(spark, sf_dir).select(
+        "cluster_id",
+        (F.col("doc_id") % TWIN_ID_OFFSET).alias("base_id"),
+    )
+    keeps = nb_scores_cached(spark, sf_dir).select(
+        F.col("doc_id").alias("base_id"),
+        F.when(F.col("nb_keep"), 1).otherwise(0).alias("keep"),
+    )
+    j = comps.join(keeps, "base_id")
+    n_keep = F.sum("keep")
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        n_keep.cast("bigint").alias("n_keep"),
+        F.when((n_keep > 0) & (n_keep < F.count(F.lit(1))), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("mixed_verdict"),
+    )
+
+
+_ORACLES["cluster_quality_consistency"] = " ".join(
+    _cluster_quality_oracle().split()
+)

@@ -55,6 +55,7 @@ ORACLED = [
     "token_budget_waterfill",
     "decontamination_report",
     "temperature_mix_curve",
+    "cluster_quality_consistency",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -3297,3 +3298,38 @@ def test_temperature_mix_curve_properties(spark, sf_dir):
         assert r.mix_share == pytest.approx(r.natural_share, abs=2e-6)
     maxes = [max(r.mix_share for r in by_tau[t].values()) for t in sorted(TMIX_TAUS)]
     assert maxes == sorted(maxes)  # lower tau => flatter mix
+
+
+def test_cluster_quality_consistency_recount(spark, sf_dir):
+    """Recount from the two composed frames: members per cluster and
+    keep verdicts inherited by twins through the modulo map."""
+    from collections import Counter, defaultdict
+
+    from clickhouse_batcher_spark.operators.dedup import TWIN_ID_OFFSET
+
+    comps = catalog.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    keeps = {
+        r.doc_id: bool(r.nb_keep)
+        for r in catalog.QUERIES["quality_classifier_nb"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_mem, n_keep = Counter(), Counter()
+    for r in comps:
+        base = r.doc_id % TWIN_ID_OFFSET
+        if base not in keeps:
+            continue
+        n_mem[r.cluster_id] += 1
+        n_keep[r.cluster_id] += int(keeps[base])
+    got = {
+        r.cluster_id: (r.n_members, r.n_keep, r.mixed_verdict)
+        for r in catalog.QUERIES["cluster_quality_consistency"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(n_mem)
+    for cid in n_mem:
+        mixed = 1 if 0 < n_keep[cid] < n_mem[cid] else 0
+        assert got[cid] == (n_mem[cid], n_keep[cid], mixed), cid
+    # every cluster comes from a near-dup pair: >= 2 members
+    assert all(m >= 2 for m, _, _ in got.values())
