@@ -154,3 +154,118 @@ def run_streaming_ingest_pipeline(
     finally:
         query.stop()
         query.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality-drift monitor: per-micro-batch PSI vs a baseline
+# ---------------------------------------------------------------------------
+# The batch-side analogue is operators/classifier.quality_psi_by_source
+# (per SOURCE vs the corpus); here the comparison is per MICRO-BATCH vs
+# the training-time baseline — the monitor that catches a feed whose
+# quality distribution drifts away from what the gate's model was
+# trained on (retrain trigger), hours before aggregate keep-rates move.
+PSI_ALERT = 0.25  # the classic "major shift" threshold
+_PSI_BINS = 10
+
+
+def baseline_bin_counts(verdicts: DataFrame) -> dict[int, int]:
+    """10-bin sigmoid(log-odds) histogram of a scored reference frame
+    — the drift baseline. Bounded collect (10 rows)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        verdicts.select(
+            F.least(
+                F.floor(
+                    F.round(
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("nb_logodds"))),
+                        6,
+                    ).cast("decimal(9,6)")
+                    * 10
+                ),
+                F.lit(_PSI_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    return {int(r["bin"]): int(r["count"]) for r in rows}
+
+
+def psi_vs_baseline(
+    batch_counts: dict[int, int], base_counts: dict[int, int]
+) -> float:
+    """Exact-decimal PSI between two bin-count dicts (Laplace +1
+    smoothing; per-bin terms rounded to 6 then decimal-summed — the
+    same determinism contract as quality_psi_by_source)."""
+    import math
+    from decimal import Decimal
+
+    n_b = sum(batch_counts.values())
+    n_0 = sum(base_counts.values())
+    total = Decimal(0)
+    for b in range(_PSI_BINS):
+        p = (batch_counts.get(b, 0) + 1) / (n_b + _PSI_BINS)
+        q = (base_counts.get(b, 0) + 1) / (n_0 + _PSI_BINS)
+        total += Decimal(str(round((p - q) * math.log(p / q), 6)))
+    return float(total)
+
+
+def _monitor_batch(
+    llr,
+    pri,
+    base_counts: dict[int, int],
+    monitor_dir: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    spark = batch.sparkSession
+    verdicts = score_batch(batch, llr, pri)
+    counts = baseline_bin_counts(verdicts)  # same binning as baseline
+    n_docs = sum(counts.values())
+    psi = psi_vs_baseline(counts, base_counts)
+    row = [(int(batch_id), n_docs, psi, psi > PSI_ALERT)]
+    spark.createDataFrame(
+        row, "batch_id BIGINT, n_docs BIGINT, psi DOUBLE, alert BOOLEAN"
+    ).write.mode("overwrite").parquet(
+        f"{monitor_dir}/_batch_id={batch_id}"
+    )
+
+
+def run_streaming_drift_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    llr: DataFrame,
+    pri: DataFrame,
+    base_counts: dict[int, int],
+    monitor_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Score each arriving micro-batch with the frozen gate model and
+    emit ONE (batch_id, n_docs, psi, alert) row per batch vs the
+    training-time baseline histogram. Deterministic (identical bin
+    counts => identical PSI), replay-idempotent via the _batch_id
+    partition convention, and state-free: the baseline is a 10-entry
+    dict in the closure, each batch reduces to 10 bin counts."""
+    from functools import partial as _partial
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    (
+        source.writeStream.foreachBatch(
+            _partial(_monitor_batch, llr, pri, base_counts, monitor_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -967,3 +967,67 @@ def test_band_signatures_inline_bit_identical(spark, sf_dir):
     # and the inline plan really is shuffle-free
     plan = band_signatures_inline(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_root):
+    """The per-micro-batch PSI rows from the streaming monitor must be
+    BIT-IDENTICAL to recomputing each file-batch's PSI in a plain
+    batch job (same frozen model, same baseline histogram, same
+    exact-decimal term sum), and the alert flag must equal
+    psi > PSI_ALERT."""
+    import glob as _glob
+
+    from clickhouse_batcher_spark.streaming.qualitygate import (
+        PSI_ALERT,
+        baseline_bin_counts,
+        psi_vs_baseline,
+        run_streaming_drift_monitor,
+        score_batch,
+        train_gate_model,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.filter(F.col("doc_id") % 4 != 0)
+    incoming = docs.filter(F.col("doc_id") % 4 == 0)
+
+    llr, pri = train_gate_model(reference)
+    llr, pri = llr.cache(), pri.cache()
+    llr.count(), pri.count()
+    base = baseline_bin_counts(score_batch(reference, llr, pri))
+
+    src = f"{tmp_root}/dm_src"
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+    mon = f"{tmp_root}/dm_out"
+    run_streaming_drift_monitor(
+        spark,
+        src,
+        incoming.schema,
+        llr,
+        pri,
+        base,
+        mon,
+        f"{tmp_root}/dm_ckpt",
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        r["batch_id"]: (r["n_docs"], r["psi"], r["alert"])
+        for r in spark.read.parquet(f"{mon}/_batch_id=*").collect()
+    }
+    assert len(streamed) >= 3  # one row per 1-file micro-batch
+
+    # recompute per-batch PSI from the SAME file groups the stream saw
+    # (1 file per trigger, source order = the listed file order)
+    files = sorted(_glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == len(streamed)
+    expected = []
+    for f in files:
+        part = spark.read.parquet(f)
+        counts = baseline_bin_counts(score_batch(part, llr, pri))
+        psi = psi_vs_baseline(counts, base)
+        expected.append((sum(counts.values()), psi, psi > PSI_ALERT))
+    # the stream's file->batch assignment order is not the glob order;
+    # compare the multisets of per-batch rows
+    assert sorted(streamed.values()) == sorted(expected)
+    for _, psi, alert in streamed.values():
+        assert alert == (psi > PSI_ALERT)
