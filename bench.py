@@ -214,6 +214,7 @@ HEADLINE = [
     "decontamination_report",
     "temperature_mix_curve",
     "cluster_quality_consistency",
+    "media_audio_spectrum",
 ]
 
 

@@ -3333,3 +3333,54 @@ def test_cluster_quality_consistency_recount(spark, sf_dir):
         assert got[cid] == (n_mem[cid], n_keep[cid], mixed), cid
     # every cluster comes from a near-dup pair: >= 2 members
     assert all(m >= 2 for m, _, _ in got.values())
+
+
+def test_media_audio_spectrum_recompute(spark, sf_dir):
+    """Sequential NumPy recompute over the same synthetic WAV payloads
+    (rows-only operator: FFT is not SQL-expressible, so the recompute
+    IS the correctness check)."""
+    import numpy as np
+
+    from clickhouse_batcher_spark.operators.multimodal import (
+        _build_codecs,
+        media_binary_table,
+    )
+
+    codecs = _build_codecs()
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media_binary_table(spark, sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in catalog.QUERIES["media_audio_spectrum"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(payloads) and payloads
+    for doc_id, payload in payloads.items():
+        rate, _c, _b, samples = codecs["wav_decode"](payload)
+        x = np.asarray(samples, dtype=np.float64)
+        n = len(x)
+        r = got[doc_id]
+        assert r.n_samples == n and r.sample_rate == rate
+        assert r.rms == pytest.approx(
+            round(float(np.sqrt(np.mean(x * x))), 6), abs=0
+        )
+        zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+        assert r.zero_cross_rate == pytest.approx(
+            round(zc / (n - 1), 6), abs=0
+        )
+        mag = np.abs(np.fft.rfft(x))
+        dom = 1 + int(np.argmax(mag[1:]))
+        assert r.dominant_hz == pytest.approx(
+            round(dom * rate / n, 6), abs=0
+        )
+        w = mag[1:]
+        freqs = np.arange(1, len(mag)) * rate / n
+        cent = float((freqs * w).sum() / w.sum()) if w.sum() > 0 else 0.0
+        assert r.spectral_centroid_hz == pytest.approx(
+            round(cent, 6), abs=0
+        )
