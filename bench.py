@@ -215,6 +215,8 @@ HEADLINE = [
     "temperature_mix_curve",
     "cluster_quality_consistency",
     "media_audio_spectrum",
+    "minhash_recall_curve",
+    "dedup_inflation_report",
 ]
 
 

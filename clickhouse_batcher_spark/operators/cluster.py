@@ -341,3 +341,43 @@ def _leakage_split_oracle() -> str:
 
 
 _ORACLES["leakage_safe_split"] = " ".join(_leakage_split_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Oracle for dedup.dedup_inflation_report — composed HERE because it
+# splices the recursive-CTE closure and dedup.py cannot import this
+# module at load time (cluster imports dedup).
+# ---------------------------------------------------------------------------
+def _inflation_oracle() -> str:
+    from clickhouse_batcher_spark.operators.dedup import SQL_TOKENS
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tok,
+        MIN(doc_id) OVER (PARTITION BY text) = doc_id AS exact_keep
+      FROM documents
+    ),
+    comp AS (SELECT * FROM ({_clusters_oracle()}) c),
+    flags AS (
+      SELECT b.*,
+        COALESCE(NOT (SELECT NOT cc.is_survivor FROM comp cc
+                      WHERE cc.doc_id = b.doc_id), TRUE) AS neardup_keep
+      FROM base b
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_after_exact,
+      CAST(SUM(CASE WHEN exact_keep AND neardup_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS docs_after_neardup,
+      CAST(SUM(CASE WHEN exact_keep AND neardup_keep THEN n_tok ELSE 0 END)
+           AS BIGINT) AS tokens_after_neardup,
+      CAST((SUM(n_tok) * 1000000)
+           // SUM(CASE WHEN exact_keep AND neardup_keep
+                  THEN n_tok ELSE 0 END) AS BIGINT) AS inflation_ppm
+    FROM flags GROUP BY source
+    """
+
+
+_ORACLES["dedup_inflation_report"] = " ".join(_inflation_oracle().split())

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import sha256_hex, tokens
@@ -1727,3 +1728,158 @@ def span_dedup_savings_by_source(
         F.expr("CAST((sum(n_cov) * 1000000) DIV sum(n_toks) AS BIGINT)")
         .alias("removed_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Detector evaluation: MinHash-LSH recall vs exact-Jaccard truth,
+# bucketed, with the banding S-curve as the analytic reference
+# ---------------------------------------------------------------------------
+def _recall_curve_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    jac = ORACLES["dedup_ngram_jaccard"]
+    mh = ORACLES["dedup_minhash_lsh"]
+    r = MINHASH_PERMS // MINHASH_BANDS
+    b = MINHASH_BANDS
+    return f"""
+    WITH truth AS ({jac}),
+    det AS (SELECT doc_a, doc_b FROM ({mh}) m),
+    bucketed AS (
+      SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS jaccard_decile,
+        t.jaccard,
+        CASE WHEN d.doc_a IS NULL THEN 0 ELSE 1 END AS detected
+      FROM truth t
+      LEFT JOIN det d ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b
+    )
+    SELECT jaccard_decile,
+      CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+      CAST(SUM(detected) AS BIGINT) AS n_detected,
+      CAST((SUM(detected) * 1000000) // COUNT(*) AS BIGINT)
+        AS detected_ppm,
+      CAST(FLOOR(1000000 * (1 - pow(
+          1 - pow(CAST(jaccard_decile AS DOUBLE) / 10 + 0.05, {r}),
+          {b}))) AS BIGINT) AS scurve_theory_ppm
+    FROM bucketed GROUP BY jaccard_decile
+    """
+
+
+@query("minhash_recall_curve")  # oracle composed below
+def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH detection rate per exact-Jaccard decile,
+    next to the banding S-curve's analytic prediction
+    p(s) = 1 - (1 - s^r)^b at the decile midpoint — the evaluation a
+    dedup owner runs before trusting the banded detector's recall at
+    a new threshold (and the input to re-sizing PERMS/BANDS).
+
+    Truth = the DF-capped exact-Jaccard detector (pairs >= its
+    threshold); detected = membership in the MinHash-verified pair
+    frame (both memoized — this op adds one keyed left join and a
+    10-row rollup). Exactness: counts are integers, ppm is integer
+    division, and the S-curve is one fixed double expression per
+    decile evaluated identically by both engines."""
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    det = minhash_pairs_cached(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("detected")
+    )
+    r = MINHASH_PERMS // MINHASH_BANDS
+    b = MINHASH_BANDS
+    bucketed = (
+        truth.join(det, ["doc_a", "doc_b"], "left")
+        .na.fill({"detected": 0})
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias(
+                "jaccard_decile"
+            ),
+            "detected",
+        )
+    )
+    agg = bucketed.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("detected").cast("bigint").alias("n_detected"),
+    )
+    mid = F.col("jaccard_decile").cast("double") / 10 + 0.05
+    return agg.select(
+        "jaccard_decile",
+        "n_true_pairs",
+        "n_detected",
+        F.expr(
+            "CAST((n_detected * 1000000) DIV n_true_pairs AS BIGINT)"
+        ).alias("detected_ppm"),
+        F.floor(
+            1_000_000 * (1 - F.pow(1 - F.pow(mid, F.lit(r)), F.lit(b)))
+        )
+        .cast("bigint")
+        .alias("scurve_theory_ppm"),
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _OR  # noqa: E402
+
+_OR["minhash_recall_curve"] = " ".join(_recall_curve_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Dedup inflation report: effective corpus size after exact + near-dup
+# ---------------------------------------------------------------------------
+@query("dedup_inflation_report")  # oracle composed below
+def dedup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: raw docs/tokens vs what survives the standard
+    exact-then-near-dup pipeline (exact = min doc_id per identical
+    text; near-dup = the CC keep-canonical survivors), plus the
+    integer-ppm token inflation factor (raw tokens per surviving
+    token) — the "effective dataset size" number that decides how many
+    epochs of a source a token budget really buys.
+
+    Composes the memoized CC labels; twins (synthetic ids >=
+    TWIN_ID_OFFSET) are dedup-pipeline internals and never appear in
+    the per-source report — a real doc is near-dup-removed iff it is
+    clustered and not its cluster's survivor."""
+    from clickhouse_batcher_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shuffle 32-byte digests, not documents: the window runs over the
+    # projected (id, source, n_tok, sha) frame (collision-free ==
+    # text identity, the repo's content-hash convention; the oracle's
+    # PARTITION BY text is the same relation)
+    w = Window.partitionBy("h")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        sha256_hex("text").alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("exact_keep"),
+    )
+    removed = (
+        dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_survivor"))
+        .filter(F.col("doc_id") < TWIN_ID_OFFSET)
+        .select("doc_id", F.lit(False).alias("neardup_keep"))
+    )
+    flags = base.join(removed, "doc_id", "left").na.fill(
+        {"neardup_keep": True}
+    )
+    final_keep = F.col("exact_keep") & F.col("neardup_keep")
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("exact_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_after_exact"),
+        F.sum(F.when(final_keep, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_after_neardup"),
+        F.sum(F.when(final_keep, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_after_neardup"),
+    )
+    return agg.withColumn(
+        "inflation_ppm",
+        F.expr(
+            "CAST((n_tokens * 1000000) DIV tokens_after_neardup AS BIGINT)"
+        ),
+    )
+

@@ -56,6 +56,8 @@ ORACLED = [
     "decontamination_report",
     "temperature_mix_curve",
     "cluster_quality_consistency",
+    "minhash_recall_curve",
+    "dedup_inflation_report",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -3384,3 +3386,106 @@ def test_media_audio_spectrum_recompute(spark, sf_dir):
         assert r.spectral_centroid_hz == pytest.approx(
             round(cent, 6), abs=0
         )
+
+
+def test_minhash_recall_curve_consistency(spark, sf_dir):
+    """Recount from the two detector outputs + S-curve sanity: theory
+    ppm is monotone non-decreasing in the decile and detection counts
+    never exceed truth counts."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in catalog.QUERIES["dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    det = {
+        (r.doc_a, r.doc_b)
+        for r in catalog.QUERIES["dedup_minhash_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    n_true, n_det = Counter(), Counter()
+    for pair, j in truth.items():
+        b = int(j * 10)
+        n_true[b] += 1
+        n_det[b] += int(pair in det)
+    got = sorted(
+        catalog.QUERIES["minhash_recall_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.jaccard_decile,
+    )
+    assert {r.jaccard_decile for r in got} == set(n_true)
+    r_rows = MINHASH_PERMS // MINHASH_BANDS
+    prev_theory = -1
+    for r in got:
+        b = r.jaccard_decile
+        assert (r.n_true_pairs, r.n_detected) == (n_true[b], n_det[b]), b
+        assert r.n_detected <= r.n_true_pairs
+        assert r.detected_ppm == n_det[b] * 1_000_000 // n_true[b]
+        s_mid = b / 10 + 0.05
+        theory = int(
+            1_000_000 * (1 - (1 - s_mid**r_rows) ** MINHASH_BANDS)
+        )
+        assert r.scurve_theory_ppm == theory, b
+        assert r.scurve_theory_ppm >= prev_theory
+        prev_theory = r.scurve_theory_ppm
+
+
+def test_dedup_inflation_report_recount(spark, sf_dir):
+    """Recount from the raw table + CC survivors; pipeline monotonic:
+    docs_after_neardup <= docs_after_exact <= n_docs and
+    inflation_ppm >= 1_000_000."""
+    from collections import Counter, defaultdict
+
+    from clickhouse_batcher_spark.functions import tokens as _tokens
+    from clickhouse_batcher_spark.operators.dedup import TWIN_ID_OFFSET
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    docs = (
+        _lt(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", F.size(_tokens("text")).alias("nt"))
+        .collect()
+    )
+    removed = {
+        r.doc_id
+        for r in catalog.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+        if not r.is_survivor and r.doc_id < TWIN_ID_OFFSET
+    }
+    first_by_text: dict = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        first_by_text.setdefault(d.text, d.doc_id)
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for d in docs:
+        w = want[d.source]
+        w[0] += 1
+        w[1] += d.nt
+        exact = first_by_text[d.text] == d.doc_id
+        w[2] += int(exact)
+        final = exact and d.doc_id not in removed
+        w[3] += int(final)
+        w[4] += d.nt if final else 0
+    got = {
+        r.source: r
+        for r in catalog.QUERIES["dedup_inflation_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        r = got[src]
+        assert (
+            r.n_docs,
+            r.n_tokens,
+            r.docs_after_exact,
+            r.docs_after_neardup,
+            r.tokens_after_neardup,
+        ) == tuple(w), src
+        assert r.docs_after_neardup <= r.docs_after_exact <= r.n_docs
+        assert r.inflation_ppm == w[1] * 1_000_000 // w[4]
+        assert r.inflation_ppm >= 1_000_000
