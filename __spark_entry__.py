@@ -107,9 +107,15 @@ _PRIORITY: list[str] = [
     "lineitem_weighted_price_median",
     "max_concurrent_intervals",
     "next_event_prediction",
-    "orders_transfer_checksum",
-    "part_copurchase_lift",
-    "props_information_value",
+    # (late round-9 swap: cluster_quality_consistency,
+    # minhash_recall_curve and dedup_inflation_report take the
+    # orders_transfer_checksum / part_copurchase_lift /
+    # props_information_value backfill slots — first green beats a
+    # second green; all three demotions keep their r6 green + pytest
+    # parity and head the r10 queue with the earlier seven.)
+    "cluster_quality_consistency",
+    "minhash_recall_curve",
+    "dedup_inflation_report",
     # --- new round-9 operators (first green beats a second green):
     #     these seven take the last seven r6 backfill slots
     #     (repeated_span_stats, sequence_count_per_user,

@@ -72,6 +72,10 @@ QUERIES = [
     "token_budget_waterfill",
     "decontamination_report",
     "temperature_mix_curve",
+    "cluster_quality_consistency",
+    "media_audio_spectrum",
+    "minhash_recall_curve",
+    "dedup_inflation_report",
 ]
 
 POINTS = [
