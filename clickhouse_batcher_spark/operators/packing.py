@@ -360,3 +360,63 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("maxlen_padded_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard checksum manifest: what a training loader validates on read
+# ---------------------------------------------------------------------------
+@query(
+    "shard_checksum_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+        CAST({_sql_bucket("doc_id", buckets=N_SHARDS, salt="shard")}
+             AS BIGINT) AS shard,
+        CAST((strpos('0123456789abcdef', substring(h12, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h12, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h12, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h12, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h12, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h12, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h12, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h12, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h12, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h12, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h12, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h12, 12, 1)) - 1) * 1 AS DECIMAL(38,0)) AS h48
+      FROM (SELECT doc_id, n_chars, text,
+              substring(sha256(text), 1, 12) AS h12
+            FROM documents) hsrc
+    )
+    SELECT shard,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(h48) AS DECIMAL(38,0)) AS content_checksum,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+      CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training shard: row count, char volume, an ORDER-INDEPENDENT
+    content checksum (exact DECIMAL sum of each document's 48-bit
+    sha-prefix — commutative, so any read order / partitioning
+    reproduces it), and the doc-id range. This is the manifest a
+    training loader validates before consuming a shard — the
+    export-side half of the reference's transfer-fidelity concern
+    (hashes_test.go's checksum trio), applied to the shard layout
+    ``shard_documents_for_training`` produces.
+
+    48-bit prefixes keep the per-doc value exact in every engine
+    (no int64 overflow in the DECIMAL accumulation at any shard
+    size); one hash-partitioned groupBy is the whole plan. The
+    oracle's hex->int uses positional strpos digit arithmetic, not
+    the '0x'||hex cast (DuckDB-version-sensitive — round-6 lesson)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    h48 = F.conv(
+        F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        _bucket("doc_id", N_SHARDS, "shard").cast("bigint").alias("shard"),
+        h48.alias("h48"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("h48").cast("decimal(38,0)").alias("content_checksum"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

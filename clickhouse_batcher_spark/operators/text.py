@@ -410,3 +410,76 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clickhouse_batcher_spark.catalog import ORACLES as _TXT_ORACLES  # noqa: E402
 
 _TXT_ORACLES["langid_confusion"] = " ".join(_langid_confusion_oracle().split())
+
+
+# ---------------------------------------------------------------------------
+# Per-source PII-pattern rates (rollup of the redaction pass)
+# ---------------------------------------------------------------------------
+def _pii_count_sql(pattern: str) -> str:
+    escaped = pattern.replace("'", "''")
+    return (
+        f"CAST(len(regexp_extract_all(lower(text), '{escaped}'))"
+        " AS BIGINT)"
+    )
+
+
+@query(
+    "pii_rate_by_source",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+        {_pii_count_sql(_REDACTIONS[0][0])} AS n_email,
+        {_pii_count_sql(_REDACTIONS[1][0])} AS n_handle,
+        {_pii_count_sql(_REDACTIONS[2][0])} AS n_num
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
+      CAST(SUM(n_handle) AS BIGINT) AS n_handle_hits,
+      CAST(SUM(n_num) AS BIGINT) AS n_num_hits,
+      CAST(SUM(CASE WHEN n_email + n_handle + n_num > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+      CAST((SUM(CASE WHEN n_email + n_handle + n_num > 0
+                THEN 1 ELSE 0 END) * 1000000)
+           // COUNT(*) AS BIGINT) AS hit_ppm
+    FROM per_doc GROUP BY source
+    """,
+)
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII-pattern hit rates over the SAME pattern set the
+    redaction pass scrubs (emails / handles / number runs) — the
+    compliance dashboard a corpus owner reads to decide which source
+    needs scrubbing (or exclusion) BEFORE export, while redact_docs is
+    the per-document action. Exact occurrence counts via
+    regexp_count/regexp_extract_all of identical regexes on both
+    engines; zero-shuffle per-row counting + one per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source",
+        *[
+            F.expr(
+                "CAST(regexp_count(lower(text),"
+                f" '{p.replace(chr(39), chr(39)*2)}') AS BIGINT)"
+            ).alias(name)
+            for (p, _), name in zip(
+                _REDACTIONS, ("n_email", "n_handle", "n_num")
+            )
+        ],
+    )
+    any_hit = (
+        F.col("n_email") + F.col("n_handle") + F.col("n_num") > 0
+    )
+    agg = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_email_hits"),
+        F.sum("n_handle").cast("bigint").alias("n_handle_hits"),
+        F.sum("n_num").cast("bigint").alias("n_num_hits"),
+        F.sum(F.when(any_hit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_hits"),
+    )
+    return agg.withColumn(
+        "hit_ppm",
+        F.expr("CAST((docs_with_hits * 1000000) DIV n_docs AS BIGINT)"),
+    )

@@ -58,6 +58,8 @@ ORACLED = [
     "cluster_quality_consistency",
     "minhash_recall_curve",
     "dedup_inflation_report",
+    "pii_rate_by_source",
+    "shard_checksum_manifest",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
@@ -3489,3 +3491,93 @@ def test_dedup_inflation_report_recount(spark, sf_dir):
         assert r.docs_after_neardup <= r.docs_after_exact <= r.n_docs
         assert r.inflation_ppm == w[1] * 1_000_000 // w[4]
         assert r.inflation_ppm >= 1_000_000
+
+
+def test_pii_rate_by_source_recount(spark, sf_dir):
+    """Sequential regex recount over the same patterns."""
+    import re
+    from collections import Counter
+
+    from clickhouse_batcher_spark.operators.text import _REDACTIONS
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    pats = [re.compile(p) for p, _ in _REDACTIONS]
+    n_docs, hits, with_hits = Counter(), Counter(), Counter()
+    for r in _lt(spark, sf_dir, "documents").select("source", "text").collect():
+        n_docs[r.source] += 1
+        counts = [len(p.findall(r.text.lower())) for p in pats]
+        for i, c in enumerate(counts):
+            hits[(r.source, i)] += c
+        if sum(counts) > 0:
+            with_hits[r.source] += 1
+    got = {
+        r.source: r
+        for r in catalog.QUERIES["pii_rate_by_source"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(n_docs)
+    for s in n_docs:
+        r = got[s]
+        assert r.n_docs == n_docs[s]
+        assert (r.n_email_hits, r.n_handle_hits, r.n_num_hits) == (
+            hits[(s, 0)],
+            hits[(s, 1)],
+            hits[(s, 2)],
+        ), s
+        assert r.docs_with_hits == with_hits[s]
+        assert r.hit_ppm == with_hits[s] * 1_000_000 // n_docs[s]
+
+
+def test_shard_checksum_manifest_order_independent(spark, sf_dir):
+    """Recompute the manifest sequentially AND from a reversed doc
+    order — the commutative checksum must be identical; counts and
+    ranges must match the shard assignment operator."""
+    import hashlib
+    from collections import defaultdict
+
+    from clickhouse_batcher_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    ).collect()
+    shards = {
+        r.doc_id: r.shard
+        for r in catalog.QUERIES["shard_documents_for_training"](
+            spark, sf_dir
+        ).collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, None, None])
+    for order in (docs, list(reversed(docs))):
+        trial = defaultdict(int)
+        for d in order:
+            h48 = int(
+                hashlib.sha256(d.text.encode()).hexdigest()[:12], 16
+            )
+            trial[shards[d.doc_id]] += h48
+        if agg["_trial1"] == [0, 0, 0, None, None]:
+            agg["_trial1"] = dict(trial)
+        else:
+            assert dict(trial) == agg["_trial1"]  # commutative
+    expected = defaultdict(lambda: [0, 0, 0, 1 << 62, -1])
+    for d in docs:
+        s = shards[d.doc_id]
+        e = expected[s]
+        e[0] += 1
+        e[1] += d.n_chars
+        e[2] += int(hashlib.sha256(d.text.encode()).hexdigest()[:12], 16)
+        e[3] = min(e[3], d.doc_id)
+        e[4] = max(e[4], d.doc_id)
+    got = {
+        r.shard: (
+            r.n_docs,
+            r.n_chars,
+            int(r.content_checksum),
+            r.min_doc_id,
+            r.max_doc_id,
+        )
+        for r in catalog.QUERIES["shard_checksum_manifest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for s, e in expected.items():
+        assert got[s] == tuple(e), s
