@@ -105,8 +105,12 @@ _PRIORITY: list[str] = [
     "kmv_distinct_users",
     "langid_confusion",
     "lineitem_weighted_price_median",
-    "max_concurrent_intervals",
-    "next_event_prediction",
+    # (late round-9 swap 2: pii_rate_by_source and
+    # shard_checksum_manifest take the max_concurrent_intervals /
+    # next_event_prediction backfill slots — same first-green-first
+    # policy; both demotions keep their r6 green + pytest parity.)
+    "pii_rate_by_source",
+    "shard_checksum_manifest",
     # (late round-9 swap: cluster_quality_consistency,
     # minhash_recall_curve and dedup_inflation_report take the
     # orders_transfer_checksum / part_copurchase_lift /
