@@ -76,6 +76,8 @@ QUERIES = [
     "media_audio_spectrum",
     "minhash_recall_curve",
     "dedup_inflation_report",
+    "pii_rate_by_source",
+    "shard_checksum_manifest",
 ]
 
 POINTS = [
