@@ -102,8 +102,12 @@ _PRIORITY: list[str] = [
     "hll_distinct_users",
     "hll_state_merge_daily",
     "hybrid_retrieval_rrf",
-    "kmv_distinct_users",
-    "langid_confusion",
+    # (late round-9 swap 3: coactivity_label_propagation and
+    # coactivity_assortativity take the kmv_distinct_users /
+    # langid_confusion backfill slots — first green beats second; both
+    # demotions keep their r6 green + pytest parity.)
+    "coactivity_label_propagation",
+    "coactivity_assortativity",
     "lineitem_weighted_price_median",
     # (late round-9 swap 2: pii_rate_by_source and
     # shard_checksum_manifest take the max_concurrent_intervals /

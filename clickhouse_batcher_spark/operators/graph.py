@@ -633,3 +633,190 @@ def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "core_deg",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+LP_ROUNDS = 4
+
+
+def _lp_iter_sql(r: int) -> str:
+    """One synchronous LP round as a CTE pair: per (node, neighbor
+    label) counts, then argmax with the deterministic
+    (count DESC, label ASC) tiebreak."""
+    prev = f"lp{r - 1}"
+    return f"""
+    cnt{r} AS (
+      SELECT d.src AS node, p.label, COUNT(*) AS c
+      FROM d JOIN {prev} p ON p.node = d.dst
+      GROUP BY 1, 2
+    ),
+    lp{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+          row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label) AS rn
+        FROM cnt{r}) x WHERE rn = 1
+    )"""
+
+
+@query(
+    "coactivity_label_propagation",
+    oracle=f"""
+    WITH {_COACT_EDGE_SQL},
+    lp0 AS (SELECT DISTINCT src AS node, src AS label FROM d),
+    {",".join(_lp_iter_sql(r) for r in range(1, LP_ROUNDS + 1))}
+    SELECT CAST(label AS BIGINT) AS community,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(MIN(node) AS BIGINT) AS min_node,
+      CAST(MAX(node) AS BIGINT) AS max_node
+    FROM lp{LP_ROUNDS} GROUP BY label
+    """,
+)
+def coactivity_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after LP_ROUNDS rounds of SYNCHRONOUS label
+    propagation over the co-activity graph (Raghavan et al. 2007,
+    made deterministic: every node simultaneously adopts its
+    neighborhood's most frequent label, ties broken by the SMALLER
+    label — no randomness, no update-order dependence, so the result
+    is engine-exact and oracle-checkable, unlike classic async LPA).
+
+    Fixed-round unroll, one join + one argmax aggregate per round over
+    the cached edge frame — the same chained-plan discipline as the
+    PageRank/k-core loops (lineage cut every 3 rounds). Labels move as
+    (node, label) pairs only."""
+    from pyspark.sql.window import Window
+
+    from clickhouse_batcher_spark.operators.cluster import _cut_lineage
+
+    e = coactivity_edges_cached(spark, sf_dir)
+    directed = (
+        e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(
+            e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .cache()
+    )
+    directed.count()
+    labels = directed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("label"))
+    for r in range(1, LP_ROUNDS + 1):
+        cnt = (
+            directed.join(
+                labels.select(
+                    F.col("node").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+        if r % 3 == 0:
+            labels = _cut_lineage(labels)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    ).select(
+        F.col("label").cast("bigint").alias("community"),
+        "n_members",
+        "min_node",
+        "max_node",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): Pearson r of endpoint degrees
+# ---------------------------------------------------------------------------
+@query(
+    "coactivity_assortativity",
+    oracle=f"""
+    WITH {_COACT_EDGE_SQL},
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS k FROM d GROUP BY 1
+    ),
+    de AS (
+      SELECT CAST(ka.k AS DECIMAL(38,0)) AS x,
+             CAST(kb.k AS DECIMAL(38,0)) AS y
+      FROM d
+      JOIN deg ka ON ka.node = d.src
+      JOIN deg kb ON kb.node = d.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+        SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM de
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+      CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+        THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                          * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+        ELSE 0.0 END AS assortativity
+    FROM m
+    """,
+)
+def coactivity_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-activity graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the directed edge
+    list — positive = hubs link to hubs (social-graph shape), negative
+    = hub-and-spoke. The one-number structural diagnostic next to the
+    clustering coefficient, and an input to the salting/broadcast
+    decisions skewed graphs force.
+
+    Exactness: degree moments accumulate as DECIMAL(38,0) (order-
+    independent, overflow-safe to ~1e9-degree graphs), and the final
+    Pearson is ONE double expression over identical exact integers,
+    rounded to 6. Plan: two keyed joins of the degree table onto the
+    edge list + one combinable moment aggregate."""
+    e = coactivity_edges_cached(spark, sf_dir)
+    directed = e.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(
+        e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).select(F.col("src").alias("node"), "k")
+    de = (
+        directed.join(deg.select(F.col("node").alias("src"), F.col("k").alias("xk")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("k").alias("yk")), "dst")
+        .select(
+            F.col("xk").cast("decimal(38,0)").alias("x"),
+            F.col("yk").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / F.sqrt(varx.cast("double") * vary.cast("double")),
+        6,
+    )
+    # zero degree variance (regular graph / too-small fixture) leaves
+    # Pearson undefined — emit 0.0 by convention on both engines
+    return m.select(
+        F.col("m").cast("bigint").alias("n_directed_edges"),
+        F.when((varx > 0) & (vary > 0), r)
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )

@@ -138,3 +138,77 @@ def test_kcore_matches_exact_peel_to_fixpoint(spark, sf_dir):
     want = {n: (total_deg[n], len(v)) for n, v in rem.items()}
     assert got == want
     assert all(cd >= KCORE_K for _, cd in got.values())
+
+
+def test_label_propagation_sequential_recompute(spark, sf_dir):
+    """Synchronous LP with (count desc, label asc) tiebreak recomputed
+    sequentially over the same edge frame must reproduce the community
+    table exactly."""
+    from collections import Counter, defaultdict
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.graph import (
+        LP_ROUNDS,
+        coactivity_edges_cached,
+    )
+
+    edges = coactivity_edges_cached(spark, sf_dir).collect()
+    nbrs = defaultdict(list)
+    for e in edges:
+        nbrs[e.ua].append(e.ub)
+        nbrs[e.ub].append(e.ua)
+    labels = {n: n for n in nbrs}
+    for _ in range(LP_ROUNDS):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(labels[m] for m in ns)
+            new[n] = min(c, key=lambda l: (-c[l], l))
+        labels = new
+    want = defaultdict(lambda: [0, 1 << 62, -1])
+    for n, l in labels.items():
+        w = want[l]
+        w[0] += 1
+        w[1] = min(w[1], n)
+        w[2] = max(w[2], n)
+    got = {
+        r.community: (r.n_members, r.min_node, r.max_node)
+        for r in catalog.QUERIES["coactivity_label_propagation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {l: tuple(w) for l, w in want.items()}
+
+
+def test_assortativity_numpy_recompute(spark, sf_dir):
+    """Pearson of endpoint degrees recomputed with numpy; value in
+    [-1, 1]."""
+    import numpy as np
+    import pytest
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.graph import (
+        coactivity_edges_cached,
+    )
+
+    edges = coactivity_edges_cached(spark, sf_dir).collect()
+    directed = [(e.ua, e.ub) for e in edges] + [
+        (e.ub, e.ua) for e in edges
+    ]
+    from collections import Counter
+
+    deg = Counter(s for s, _ in directed)
+    x = np.array([deg[s] for s, _ in directed], dtype=np.float64)
+    y = np.array([deg[d] for _, d in directed], dtype=np.float64)
+    m = len(x)
+    num = m * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt(
+        (m * (x * x).sum() - x.sum() ** 2)
+        * (m * (y * y).sum() - y.sum() ** 2)
+    )
+    row = catalog.QUERIES["coactivity_assortativity"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_directed_edges == m
+    want = round(num / den, 6) if den > 0 else 0.0  # 0.0-by-convention
+    assert row.assortativity == pytest.approx(want, abs=1e-6)
+    assert -1 - 1e-9 <= row.assortativity <= 1 + 1e-9

@@ -60,6 +60,8 @@ ORACLED = [
     "dedup_inflation_report",
     "pii_rate_by_source",
     "shard_checksum_manifest",
+    "coactivity_label_propagation",
+    "coactivity_assortativity",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",
