@@ -78,6 +78,8 @@ QUERIES = [
     "dedup_inflation_report",
     "pii_rate_by_source",
     "shard_checksum_manifest",
+    "coactivity_label_propagation",
+    "coactivity_assortativity",
 ]
 
 POINTS = [
