@@ -101,14 +101,17 @@ _PRIORITY: list[str] = [
     "events_theils_u",
     "hll_distinct_users",
     "hll_state_merge_daily",
-    "hybrid_retrieval_rrf",
     # (late round-9 swap 3: coactivity_label_propagation and
     # coactivity_assortativity take the kmv_distinct_users /
     # langid_confusion backfill slots — first green beats second; both
     # demotions keep their r6 green + pytest parity.)
     "coactivity_label_propagation",
     "coactivity_assortativity",
-    "lineitem_weighted_price_median",
+    # (late round-9 swap 4: events_hourly_seasonality and
+    # user_lifecycle_stages take the lineitem_weighted_price_median /
+    # hybrid_retrieval_rrf backfill slots — first green beats second.)
+    "events_hourly_seasonality",
+    "user_lifecycle_stages",
     # (late round-9 swap 2: pii_rate_by_source and
     # shard_checksum_manifest take the max_concurrent_intervals /
     # next_event_prediction backfill slots — same first-green-first

@@ -221,6 +221,8 @@ HEADLINE = [
     "shard_checksum_manifest",
     "coactivity_label_propagation",
     "coactivity_assortativity",
+    "events_hourly_seasonality",
+    "user_lifecycle_stages",
 ]
 
 

@@ -325,3 +325,92 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cum_lp").cast("double")), 6))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# User lifecycle stages (new / active / lapsed / churned)
+# ---------------------------------------------------------------------------
+LIFECYCLE_NEW_DAYS = 7     # first seen within N days of corpus end
+LIFECYCLE_LAPSED_DAYS = 14 # last seen N..CHURN days before corpus end
+LIFECYCLE_CHURN_DAYS = 30  # last seen > N days before corpus end
+
+
+@query(
+    "user_lifecycle_stages",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS tmax FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+             AS BIGINT) AS active_days,
+        datediff('day', date_trunc('day', MAX(CAST(ts AS TIMESTAMP))),
+                 date_trunc('day', (SELECT tmax FROM bounds)))
+          AS recency_days,
+        datediff('day', date_trunc('day', MIN(CAST(ts AS TIMESTAMP))),
+                 date_trunc('day', (SELECT tmax FROM bounds)))
+          AS tenure_days
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, active_days,
+      CAST(recency_days AS BIGINT) AS recency_days,
+      CAST(tenure_days AS BIGINT) AS tenure_days,
+      CASE
+        WHEN tenure_days < {LIFECYCLE_NEW_DAYS} THEN 'new'
+        WHEN recency_days > {LIFECYCLE_CHURN_DAYS} THEN 'churned'
+        WHEN recency_days > {LIFECYCLE_LAPSED_DAYS} THEN 'lapsed'
+        ELSE 'active'
+      END AS stage
+    FROM per_user
+    """,
+)
+def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: event volume, distinct active days, recency and
+    tenure in whole days from the corpus end, and the lifecycle stage
+    (new / active / lapsed / churned on fixed day thresholds) — the
+    segmentation behind retention dashboards and churn-targeting, and
+    the categorical input the RFM segmentation lacks (RFM ranks,
+    this one labels against absolute recency).
+
+    Day arithmetic happens on date-truncated timestamps, so both
+    engines count calendar-day boundaries, not 24 h intervals. The
+    corpus-end anchor is one 1-row aggregate (broadcast scalar); the
+    per-user frame is one combinable aggregate."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmax = events.agg(F.max("ts")).collect()[0][0]  # 1-row anchor
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(F.date_trunc("day", "ts"))
+        .cast("bigint")
+        .alias("active_days"),
+        F.datediff(
+            F.date_trunc("day", F.lit(tmax)),
+            F.date_trunc("day", F.max("ts")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.datediff(
+            F.date_trunc("day", F.lit(tmax)),
+            F.date_trunc("day", F.min("ts")),
+        )
+        .cast("bigint")
+        .alias("tenure_days"),
+    )
+    stage = (
+        F.when(F.col("tenure_days") < LIFECYCLE_NEW_DAYS, "new")
+        .when(F.col("recency_days") > LIFECYCLE_CHURN_DAYS, "churned")
+        .when(F.col("recency_days") > LIFECYCLE_LAPSED_DAYS, "lapsed")
+        .otherwise("active")
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "recency_days",
+        "tenure_days",
+        stage.alias("stage"),
+    )

@@ -537,3 +537,48 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(~before, 1)).cast("double")
         ).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile per event type
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+        CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(c) AS tot FROM h GROUP BY 1)
+    SELECT h.event_type, h.hod, CAST(h.c AS BIGINT) AS n_events,
+      CAST((h.c * 24 * 1000000) // t.tot AS BIGINT) AS seasonality_ppm
+    FROM h JOIN t ON t.event_type = h.event_type
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour-of-day): event count and the seasonality
+    index as integer ppm of uniform (1_000_000 = this hour carries
+    exactly 1/24 of the type's traffic) — the diurnal profile behind
+    capacity planning and anomaly baselines (the robust-anomaly
+    operator flags residuals; this is the seasonal norm they deviate
+    from). Exact integer ratio: c * 24e6 DIV total. One keyed
+    aggregate + a type-level rollup joined back — both combinable."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = h.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    return (
+        h.join(t, "event_type")
+        .select(
+            "event_type",
+            "hod",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST((c * 24 * 1000000) DIV tot AS BIGINT)"
+            ).alias("seasonality_ppm"),
+        )
+    )

@@ -62,6 +62,8 @@ ORACLED = [
     "shard_checksum_manifest",
     "coactivity_label_propagation",
     "coactivity_assortativity",
+    "events_hourly_seasonality",
+    "user_lifecycle_stages",
     "source_distinctive_terms",
     "docs_repetition_signals",
     "bpe_pair_counts",

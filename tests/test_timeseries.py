@@ -226,3 +226,80 @@ def test_cusum_changepoint_matches_python_argmax(spark, sf_dir):
         assert r["mean_before"] == pytest.approx(sum(before) / len(before))
         if after:
             assert r["mean_after"] == pytest.approx(sum(after) / len(after))
+
+
+def test_events_hourly_seasonality_recount(spark, sf_dir):
+    """Sequential recount; per type the ppm indexes average ~1e6
+    (within integer-floor slack) and counts sum to the type total."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("h")
+    ).collect()
+    c = Counter((r.event_type, r.h) for r in rows)
+    tot = Counter(r.event_type for r in rows)
+    got = {
+        (r.event_type, r.hod): (r.n_events, r.seasonality_ppm)
+        for r in catalog.QUERIES["events_hourly_seasonality"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(c)
+    for key, n in c.items():
+        et = key[0]
+        assert got[key] == (n, n * 24 * 1_000_000 // tot[et]), key
+    for et in tot:
+        s = sum(v for (t, _), (v, _) in got.items() if t == et)
+        assert s == tot[et]
+
+
+def test_user_lifecycle_stages_recompute(spark, sf_dir):
+    """Sequential recompute of recency/tenure/stage from the raw
+    events; stages partition the user set."""
+    from collections import defaultdict
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.cohort import (
+        LIFECYCLE_CHURN_DAYS,
+        LIFECYCLE_LAPSED_DAYS,
+        LIFECYCLE_NEW_DAYS,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).collect()
+    tmax_day = max(r.ts for r in rows).date()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.user_id].append(r.ts)
+    got = {
+        r.user_id: r
+        for r in catalog.QUERIES["user_lifecycle_stages"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for uid, ts_list in per.items():
+        rec = (tmax_day - max(ts_list).date()).days
+        ten = (tmax_day - min(ts_list).date()).days
+        days = len({t.date() for t in ts_list})
+        if ten < LIFECYCLE_NEW_DAYS:
+            stage = "new"
+        elif rec > LIFECYCLE_CHURN_DAYS:
+            stage = "churned"
+        elif rec > LIFECYCLE_LAPSED_DAYS:
+            stage = "lapsed"
+        else:
+            stage = "active"
+        r = got[uid]
+        assert (
+            r.n_events,
+            r.active_days,
+            r.recency_days,
+            r.tenure_days,
+            r.stage,
+        ) == (len(ts_list), days, rec, ten, stage), uid

@@ -80,6 +80,8 @@ QUERIES = [
     "shard_checksum_manifest",
     "coactivity_label_propagation",
     "coactivity_assortativity",
+    "events_hourly_seasonality",
+    "user_lifecycle_stages",
 ]
 
 POINTS = [
