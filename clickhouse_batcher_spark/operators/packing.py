@@ -365,6 +365,19 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shard checksum manifest: what a training loader validates on read
 # ---------------------------------------------------------------------------
+def _sql_hex24(col: str, start: int) -> str:
+    """DuckDB SQL for a 24-bit int from 6 hex digits of ``col``
+    starting at 1-based ``start`` — positional strpos arithmetic,
+    not the '0x'||hex cast (DuckDB-version-sensitive, round-6
+    lesson), and plain BIGINT, never DECIMAL (DECIMAL(38,0)
+    canonicalization diverged between engines in round 9)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+
+
 @query(
     "shard_checksum_manifest",
     oracle=f"""
@@ -372,7 +385,8 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars,
         CAST({_sql_bucket("doc_id", buckets=N_SHARDS, salt="shard")}
              AS BIGINT) AS shard,
-        CAST((strpos('0123456789abcdef', substring(h12, 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(h12, 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(h12, 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(h12, 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(h12, 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(h12, 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(h12, 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(h12, 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(h12, 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(h12, 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(h12, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(h12, 12, 1)) - 1) * 1 AS DECIMAL(38,0)) AS h48
+        CAST({_sql_hex24("h12", 1)} AS BIGINT) AS hi24,
+        CAST({_sql_hex24("h12", 7)} AS BIGINT) AS lo24
       FROM (SELECT doc_id, n_chars, text,
               substring(sha256(text), 1, 12) AS h12
             FROM documents) hsrc
@@ -380,7 +394,8 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shard,
       CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-      CAST(SUM(h48) AS DECIMAL(38,0)) AS content_checksum,
+      CAST(SUM(hi24) AS BIGINT) AS checksum_hi,
+      CAST(SUM(lo24) AS BIGINT) AS checksum_lo,
       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
     FROM assigned GROUP BY shard
@@ -388,35 +403,38 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per training shard: row count, char volume, an ORDER-INDEPENDENT
-    content checksum (exact DECIMAL sum of each document's 48-bit
-    sha-prefix — commutative, so any read order / partitioning
-    reproduces it), and the doc-id range. This is the manifest a
-    training loader validates before consuming a shard — the
-    export-side half of the reference's transfer-fidelity concern
-    (hashes_test.go's checksum trio), applied to the shard layout
-    ``shard_documents_for_training`` produces.
+    content checksum (exact sums of each document's 48-bit sha-prefix,
+    carried as two 24-bit BIGINT half-sums — commutative, so any read
+    order / partitioning reproduces it, and ``hi_sum * 2**24 + lo_sum``
+    reconstructs the full 48-bit sum), and the doc-id range. This is
+    the manifest a training loader validates before consuming a shard
+    — the export-side half of the reference's transfer-fidelity
+    concern (hashes_test.go's checksum trio), applied to the shard
+    layout ``shard_documents_for_training`` produces.
 
-    48-bit prefixes keep the per-doc value exact in every engine
-    (no int64 overflow in the DECIMAL accumulation at any shard
-    size); one hash-partitioned groupBy is the whole plan. The
-    oracle's hex->int uses positional strpos digit arithmetic, not
-    the '0x'||hex cast (DuckDB-version-sensitive — round-6 lesson)."""
+    The round-9 driver flagged the previous single-DECIMAL(38,0)
+    rendering as a hash mismatch even though values matched under the
+    repo's own sweep — DECIMAL canonicalization is engine/version
+    sensitive. 24-bit halves summed into BIGINT stay exact at any
+    shard size (2**24 * rows overflows int64 only past ~5e11 rows per
+    shard) and render identically everywhere; one hash-partitioned
+    groupBy is still the whole plan."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "text"
     )
-    h48 = F.conv(
-        F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10
-    ).cast("decimal(38,0)")
+    h12 = F.substring(F.sha2(F.col("text"), 256), 1, 12)
     assigned = docs.select(
         "doc_id",
         "n_chars",
         _bucket("doc_id", N_SHARDS, "shard").cast("bigint").alias("shard"),
-        h48.alias("h48"),
+        F.conv(F.substring(h12, 1, 6), 16, 10).cast("bigint").alias("hi24"),
+        F.conv(F.substring(h12, 7, 6), 16, 10).cast("bigint").alias("lo24"),
     )
     return assigned.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-        F.sum("h48").cast("decimal(38,0)").alias("content_checksum"),
+        F.sum("hi24").cast("bigint").alias("checksum_hi"),
+        F.sum("lo24").cast("bigint").alias("checksum_lo"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )

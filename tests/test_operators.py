@@ -3561,20 +3561,23 @@ def test_shard_checksum_manifest_order_independent(spark, sf_dir):
             agg["_trial1"] = dict(trial)
         else:
             assert dict(trial) == agg["_trial1"]  # commutative
-    expected = defaultdict(lambda: [0, 0, 0, 1 << 62, -1])
+    expected = defaultdict(lambda: [0, 0, 0, 0, 1 << 62, -1])
     for d in docs:
         s = shards[d.doc_id]
         e = expected[s]
+        h12 = hashlib.sha256(d.text.encode()).hexdigest()[:12]
         e[0] += 1
         e[1] += d.n_chars
-        e[2] += int(hashlib.sha256(d.text.encode()).hexdigest()[:12], 16)
-        e[3] = min(e[3], d.doc_id)
-        e[4] = max(e[4], d.doc_id)
+        e[2] += int(h12[:6], 16)
+        e[3] += int(h12[6:], 16)
+        e[4] = min(e[4], d.doc_id)
+        e[5] = max(e[5], d.doc_id)
     got = {
         r.shard: (
             r.n_docs,
             r.n_chars,
-            int(r.content_checksum),
+            int(r.checksum_hi),
+            int(r.checksum_lo),
             r.min_doc_id,
             r.max_doc_id,
         )
@@ -3585,3 +3588,5 @@ def test_shard_checksum_manifest_order_independent(spark, sf_dir):
     assert set(got) == set(expected)
     for s, e in expected.items():
         assert got[s] == tuple(e), s
+        # hi/lo halves reconstruct the full 48-bit commutative sum
+        assert got[s][2] * (1 << 24) + got[s][3] == agg["_trial1"][s], s
