@@ -51,6 +51,80 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
+    # --- ROUND 10 window (replaces the r9 list, preserved in the
+    #     ledger comment below).
+    # (a) the one r9 RED re-checked first: shard_checksum_manifest's
+    #     DECIMAL(38,0) checksum was driver-hash-red in r9 while the
+    #     local sweep passed (VERDICT r9 task 1); the checksum now
+    #     renders as two BIGINT 24-bit half-sums. ---
+    "shard_checksum_manifest",
+    # (b) the seven new rows-only-family companions (VERDICT r9 task
+    #     2): deterministic, hash-oracled reductions of the 13
+    #     justified rows-only queries (ANN trio, BPE pair, unigram
+    #     pair, PCA, LTTB, SemDeDup, media trio) — first green beats
+    #     a second green. ---
+    "ann_recall_vs_exact",
+    "bpe_roundtrip_violations",
+    "unigram_encode_lossless",
+    "pca_projection_invariants",
+    "lttb_invariant_violations",
+    "semantic_dedup_invariants",
+    "media_pipeline_invariants",
+    # (c) second-green backfill, oldest single-green vintage first
+    #     (VERDICT r9 task 3), computed from CORRECTNESS_r01-r09
+    #     greens-with-len-1: ALL 25 remaining r6-vintage singles,
+    #     then the 15 alphabetically-first r7 singles. The remaining
+    #     r7 (24), r8 (9) and r9 (15) singles queue for r11. ---
+    # r6 vintage (all 25):
+    "hybrid_retrieval_rrf",
+    "kmv_distinct_users",
+    "langid_confusion",
+    "lineitem_weighted_price_median",
+    "max_concurrent_intervals",
+    "next_event_prediction",
+    "orders_transfer_checksum",
+    "part_copurchase_lift",
+    "props_information_value",
+    "repeated_span_stats",
+    "sequence_count_per_user",
+    "supplier_hhi_by_nation",
+    "t5_span_corruption",
+    "topk_heavy_hitters",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q9_profit_by_nation",
+    "user_active_interval_sum",
+    "user_activity_gini",
+    "user_type_sum_map",
+    "window_funnel_levels",
+    # r7 vintage (first 15 of 39, alphabetical):
+    "boilerplate_spans_top",
+    "bounding_ratio_by_user",
+    "chsql_array_join_token_stats",
+    "chsql_final_sample_latest_state",
+    "chsql_limit_by_top_users",
+    "chsql_positional_params_count",
+    "chsql_prewhere_totals_by_status",
+    "chsql_retention_seq_counts",
+    "chsql_window_funnel_default",
+    "classifier_calibration_bins",
+    "corpus_curation_funnel",
+    "dedup_cluster_sizes",
+    "dedup_clusters",
+    "dedup_threshold_sweep",
+    "delta_sum_by_type",
+]
+# --- ROUND 9 window ledger (the list above replaced this; 49 of the
+#     50 r9 entries went hash-green in CORRECTNESS_r09, the one red —
+#     shard_checksum_manifest — leads the r10 window after its
+#     BIGINT-half-sum fix) ---
+_R9_WINDOW_LEDGER: list[str] = [
+    "ingest_readback",
+    "replay_idempotent",
     # --- ROUND 9 window (replaces the r8 list, preserved in the
     #     ledger comment below). With all 223 oracled queries
     #     ever-green after r8, this window is (a) changed-

@@ -59,6 +59,7 @@ def load_all() -> None:
         classifier,
         cluster,
         cohort,
+        companions,
         corr,
         corpus,
         curriculum,

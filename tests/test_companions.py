@@ -1,0 +1,155 @@
+"""The rows-only companions must DETECT corruption, not just read 0.
+
+Each companion query (operators/companions.py) reduces a rows-only
+operator family to violation counters the driver hash-checks against
+an independent DuckDB oracle. Parity (tests/test_operators.py's
+ORACLED list) proves the counters are zero on the healthy pipeline;
+these tests prove the zeros are EARNED — injecting a kernel defect
+flips the matching counter non-zero, so a driver-green row certifies
+the real invariant, not a constant."""
+
+from clickhouse_batcher_spark import catalog
+
+catalog.load_all()
+
+
+def test_lttb_companion_detects_endpoint_drop(spark, sf_dir, monkeypatch):
+    """Dropping the kernel's final pick must surface as an endpoint
+    violation (and an n_out short of least(n_bars, LTTB_POINTS))."""
+    from clickhouse_batcher_spark.operators import lttb as L
+
+    real_factory = L._build_lttb_select
+
+    def broken_factory():
+        sel = real_factory()
+
+        def bad(x, y, n_out):
+            idx = sel(x, y, n_out)
+            return idx[:-1] if len(idx) > 2 else idx
+
+        return bad
+
+    monkeypatch.setattr(L, "_build_lttb_select", broken_factory)
+    rows = catalog.QUERIES["lttb_invariant_violations"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    assert any(r.endpoint_violations > 0 for r in rows)
+    assert any(r.n_out < min(r.n_bars, L.LTTB_POINTS) for r in rows)
+
+
+def test_bpe_companion_detects_lossy_merge(spark, sf_dir, monkeypatch):
+    """A merge that concatenates WITHOUT the intra-symbol space marker
+    is unrecoverable by splitting — roundtrip_violations must fire on
+    every document where a merge actually applied."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.operators import ngrams as N
+
+    real_fold = N._merge_fold
+
+    def lossy_fold(syms_col, a, b):
+        return F.transform(
+            real_fold(syms_col, a, b),
+            lambda s: F.regexp_replace(s, " ", ""),
+        )
+
+    monkeypatch.setattr(N, "_merge_fold", lossy_fold)
+    row = catalog.QUERIES["bpe_roundtrip_violations"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.roundtrip_violations > 0
+
+
+def test_unigram_companion_detects_dropped_piece(
+    spark, sf_dir, monkeypatch
+):
+    """A segmenter that silently drops each word's last piece breaks
+    the concatenation law (or yields empty segmentations for
+    single-piece words) — the counters must fire."""
+    from clickhouse_batcher_spark.operators import ngrams as N
+
+    real_factory = N._build_viterbi
+
+    def broken_factory():
+        vit = real_factory()
+
+        def bad(word, scores, max_len):
+            pieces = vit(word, scores, max_len)
+            return pieces[:-1]
+
+        return bad
+
+    monkeypatch.setattr(N, "_build_viterbi", broken_factory)
+    row = catalog.QUERIES["unigram_encode_lossless"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.concat_violations + row.empty_piece_violations > 0
+
+
+def test_pca_companion_detects_nonorthonormal_components(
+    spark, sf_dir, monkeypatch
+):
+    """Scaling the component matrix by 1.01 breaks the Pythagorean
+    split ||y||^2 = ||p||^2 + ||r||^2 far beyond float round-off —
+    pythagoras_violations must count essentially every vector."""
+    from clickhouse_batcher_spark.operators import pca as P
+
+    real_fit = P.pca_fit
+
+    def bad_fit(spark_, emb, k=P.PCA_K):
+        mean, comps, evr = real_fit(spark_, emb, k)
+        return mean, comps * 1.01, evr
+
+    monkeypatch.setattr(P, "pca_fit", bad_fit)
+    row = catalog.QUERIES["pca_projection_invariants"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.pythagoras_violations > 0
+
+
+def test_semantic_companion_detects_partition_break(
+    spark, sf_dir, monkeypatch
+):
+    """Marking every row kept-with-a-dup_of (or flipping kept) breaks
+    the keep/duplicate partition — partition_violations must fire."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.operators import similarity as S
+
+    real_sd = S.semantic_dedup
+
+    def bad_sd(spark_, sf):
+        return real_sd(spark_, sf).withColumn("kept", ~F.col("kept"))
+
+    monkeypatch.setattr(S, "semantic_dedup", bad_sd)
+    row = catalog.QUERIES["semantic_dedup_invariants"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.partition_violations > 0
+
+
+def test_media_companion_detects_resize_dim_drift(
+    spark, sf_dir, monkeypatch
+):
+    """A resize kernel that emits a 32x32 raster while the pipeline
+    contract stays 64x64 must fire resize_violations for every image
+    (the companion re-decodes the emitted payload bytes, so the
+    mismatch is caught on the real PNG, not on reported metadata)."""
+    from clickhouse_batcher_spark.operators import multimodal as M
+
+    real_resize = M.resize_media
+
+    def bad_resize(media):
+        old = (M.RESIZE_W, M.RESIZE_H)
+        M.RESIZE_W = M.RESIZE_H = 32  # kernel reads these at call time
+        try:
+            return real_resize(media)
+        finally:
+            M.RESIZE_W, M.RESIZE_H = old  # contract stays 64x64
+
+    monkeypatch.setattr(M, "resize_media", bad_resize)
+    row = catalog.QUERIES["media_pipeline_invariants"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.resize_violations == row.n_image > 0

@@ -120,6 +120,14 @@ ORACLED = [
     "langid_confusion",
     "event_type_pmi",
     "events_sparkbar_hourly",
+    # round-10 companions for the rows-only families
+    "ann_recall_vs_exact",
+    "bpe_roundtrip_violations",
+    "unigram_encode_lossless",
+    "pca_projection_invariants",
+    "lttb_invariant_violations",
+    "semantic_dedup_invariants",
+    "media_pipeline_invariants",
 ]
 
 

@@ -253,6 +253,12 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "user_survival_km",          # 1-row corpus-end frame; windows
                                      # run over the duration histogram
                                      # (bounded by observation hours)
+        "ann_recall_vs_exact",       # 1-row exact-pair total x 1-row
+                                     # per-method hit count
+        "semantic_dedup_invariants",  # 1-row base counters x 1-row
+                                      # dup-ref counters
+        "media_pipeline_invariants",  # three 1-row violation-counter
+                                      # frames crossed
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():

@@ -82,6 +82,14 @@ QUERIES = [
     "coactivity_assortativity",
     "events_hourly_seasonality",
     "user_lifecycle_stages",
+    # round-10 companions for the rows-only families
+    "ann_recall_vs_exact",
+    "bpe_roundtrip_violations",
+    "unigram_encode_lossless",
+    "pca_projection_invariants",
+    "lttb_invariant_violations",
+    "semantic_dedup_invariants",
+    "media_pipeline_invariants",
 ]
 
 POINTS = [
