@@ -336,6 +336,12 @@ def main() -> None:
     warm = load_table(spark, SF_DIR, "region").limit(2)
     _force(warm.mapInPandas(lambda it: it, schema=warm.schema))
     spark.catalog.clearCache()
+    # Release the warm pass's memoized frames (they are keyed on the
+    # warm sf_dir and would pin storage for the whole timed run —
+    # evict_memos is the VERDICT r9 task-5 release hook).
+    from clickhouse_batcher_spark.operators.dedup import evict_memos
+
+    evict_memos(warm_dir)
 
     # Best-of-2 per query, second pass in REVERSE order: rounds 1-2
     # both showed position-dependent contention (whichever queries run

@@ -153,3 +153,30 @@ def test_media_companion_detects_resize_dim_drift(
         spark, sf_dir
     ).collect()[0]
     assert row.resize_violations == row.n_image > 0
+
+
+def test_evict_memos_releases_storage(spark):
+    """The dedup memos must be releasable per-corpus: caching frames
+    for two sf_dirs then evicting one drops exactly that corpus's
+    entries AND unpersists its frames, so a long-lived session
+    iterating over many corpora cannot grow executor storage
+    unbounded (VERDICT r9 task 5)."""
+    from clickhouse_batcher_spark.operators import dedup as D
+
+    app = spark.sparkContext.applicationId
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    D.evict_memos()  # clean slate
+    fa = D._shingles_cached(spark, a)
+    fb = D._shingles_cached(spark, b)
+    fa.count(), fb.count()  # materialize both caches
+    assert fa.storageLevel.useMemory and fb.storageLevel.useMemory
+
+    assert D.evict_memos(a) == 1
+    assert (app, a) not in D._SHINGLE_MEMO
+    assert (app, b) in D._SHINGLE_MEMO
+    assert not fa.storageLevel.useMemory  # released
+    assert fb.storageLevel.useMemory  # untouched
+
+    assert D.evict_memos() >= 1
+    assert not D._SHINGLE_MEMO and not D._MINHASH_PAIRS_MEMO
+    assert not fb.storageLevel.useMemory
