@@ -305,6 +305,46 @@ def bench_neardup_gate(spark, sf_dir: str = SF_DIR) -> tuple[float, int]:
         return total / elapsed, n_parts
 
 
+def bench_neardup_gate_curve(
+    spark,
+    sf_dir: str = SF_DIR,
+    caps: tuple[int, ...] = (2, 8, 32),
+    n_files: int = 64,
+) -> dict[str, float]:
+    """Batch-size amortization curve for the at-ingestion gate
+    (VERDICT r9 perf watch item): one FIXED 64-file source, one gate
+    run per ``maxFilesPerTrigger`` cap, rows/s per point. The gate's
+    cost model claims FIXED per-micro-batch latency (signature plan
+    setup + foreachBatch round trip), not per-row cost — so rows/s
+    must grow roughly with the cap (32/8/2 batches for caps 2/8/32).
+    A flat curve would mean per-row cost and a real 100 TB problem."""
+    from clickhouse_batcher_spark.streaming.neardup import (
+        run_streaming_neardup_selfindex,
+    )
+
+    out: dict[str, float] = {}
+    with tempfile.TemporaryDirectory(prefix="chb_gate_curve_") as root:
+        docs = load_table(spark, sf_dir, "documents")
+        src = f"{root}/src"
+        docs.repartition(n_files).write.parquet(src)
+        total = docs.count()
+        for cap in caps:
+            t0 = time.perf_counter()
+            run_streaming_neardup_selfindex(
+                spark,
+                src,
+                docs.schema,
+                f"{root}/out_{cap}",
+                f"{root}/index_{cap}",
+                f"{root}/ckpt_{cap}",
+                max_files_per_trigger=cap,
+            )
+            out[str(cap)] = round(
+                total / (time.perf_counter() - t0), 1
+            )
+    return out
+
+
 def main() -> None:
     # Contention canary (round-9, VERDICT r8 item 2): the r8 bench was
     # polluted by box contention (every overlapping query uniformly
@@ -412,6 +452,11 @@ def main() -> None:
     gate_samples = [bench_neardup_gate(spark) for _ in range(2)]
     gate_rows_per_sec = max(s[0] for s in gate_samples)
     gate_index_partitions = gate_samples[0][1]
+    # Amortization curve (VERDICT r9 task 4): rows/s at
+    # maxFilesPerTrigger 2/8/32 over a fixed 64-file source — proves
+    # the gate's latency is per-BATCH (amortizes with batch size),
+    # not per-row.
+    gate_curve = bench_neardup_gate_curve(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -441,6 +486,7 @@ def main() -> None:
         ),
         "neardup_gate_samples": [round(s[0], 1) for s in gate_samples],
         "neardup_gate_index_partitions": gate_index_partitions,
+        "neardup_gate_curve_rows_per_sec": gate_curve,
     }
     print(json.dumps(full))
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -491,6 +537,7 @@ def main() -> None:
                 "ingest_rows_per_sec": round(rows_per_sec, 1),
                 "ingest_bulk_rows_per_sec": round(bulk_rows_per_sec, 1),
                 "neardup_gate_rows_per_sec": round(gate_rows_per_sec, 1),
+                "neardup_gate_curve": gate_curve,
                 # 1-min loadavg at bench start/end: >~8 at start on
                 # this 32-cpu box means the run was contended and its
                 # times are not a regression signal
