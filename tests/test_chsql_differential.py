@@ -309,6 +309,37 @@ DIFFERENTIAL_CORPUS = [
     "SELECT g, v FROM (SELECT 'a' AS g, 1 AS v UNION ALL "
     "SELECT 'a', 2 UNION ALL SELECT 'b', 3) "
     "ORDER BY g, v LIMIT 1 BY g",
+    # --- round-10 expansion (VERDICT r9 task 6): the three most
+    #     recently found fragile constructs — lookup-form transform,
+    #     fn-form CAST(x, 'T'), untuple — NESTED inside aggregate and
+    #     window arguments, where the rewrite order (transform/CAST
+    #     first, aggregate rewrites after) is what's under test. ---
+    "SELECT sum(transform(v, [1, 2], [10, 20], 0)) AS r FROM "
+    "(SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 5)",
+    "SELECT transform(v, [1, 2], [10, 20]) AS r FROM "
+    "(SELECT 1 AS v UNION ALL SELECT 5) ORDER BY r",  # 3-arg: keep x
+    "SELECT v, sum(transform(v, [1, 3], [100, 300], 0)) "
+    "OVER (ORDER BY v) AS r FROM (SELECT 1 AS v UNION ALL "
+    "SELECT 2 UNION ALL SELECT 3) ORDER BY v",
+    "SELECT countIf(transform(s, ['a', 'b'], ['x', 'y'], '?') = 'x') "
+    "AS r FROM (SELECT 'a' AS s UNION ALL SELECT 'b' "
+    "UNION ALL SELECT 'c')",
+    "SELECT argMax(s, transform(s, ['a', 'b', 'c'], [1, 2, 3], 0)) "
+    "AS r FROM (SELECT 'a' AS s UNION ALL SELECT 'c' "
+    "UNION ALL SELECT 'b')",
+    "SELECT sum(CAST(v, 'Int64')) AS r FROM "
+    "(SELECT '7' AS v UNION ALL SELECT '35')",
+    "SELECT g, avg(CAST(n, 'Float64')) OVER (PARTITION BY g) AS r "
+    "FROM (SELECT 'a' AS g, 1 AS n UNION ALL SELECT 'a', 2 "
+    "UNION ALL SELECT 'b', 6) ORDER BY g, r",
+    "SELECT max(CAST(transform(v, [1], ['9'], '0'), 'Int64')) AS r "
+    "FROM (SELECT 1 AS v UNION ALL SELECT 2)",  # both nested at once
+    "SELECT quantileExact(0.5)(CAST(v, 'Float64')) AS r FROM "
+    "(SELECT '1' AS v UNION ALL SELECT '3' UNION ALL SELECT '5')",
+    "SELECT untuple(t) FROM (SELECT tuple(1, 'a') AS t)",
+    "SELECT untuple(t), sum(n) OVER (ORDER BY n) AS s FROM "
+    "(SELECT tuple(2, 'b') AS t, 1 AS n UNION ALL "
+    "SELECT tuple(3, 'c'), 2) ORDER BY s",
 ]
 
 
