@@ -115,8 +115,13 @@ _PRIORITY: list[str] = [
     "corpus_curation_funnel",
     "dedup_cluster_sizes",
     "dedup_clusters",
-    "dedup_threshold_sweep",
-    "delta_sum_by_type",
+    # (late round-10 swap: resharding_stability_report and
+    # dup_pair_training_spacing — the two new round-10 operators —
+    # take the dedup_threshold_sweep / delta_sum_by_type backfill
+    # slots: first green beats a second green; both demotions keep
+    # their r7 green + pytest parity and head the r11 queue.)
+    "resharding_stability_report",
+    "dup_pair_training_spacing",
 ]
 # --- ROUND 9 window ledger (the list above replaced this; 49 of the
 #     50 r9 entries went hash-green in CORRECTNESS_r09, the one red —

@@ -438,3 +438,230 @@ def shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resharding stability: mod-hash vs rendezvous (HRW) under N -> N+1
+# ---------------------------------------------------------------------------
+def _sql_hexval(sql_expr: str, ndigits: int) -> str:
+    """DuckDB SQL turning the first ``ndigits`` hex chars of
+    ``sql_expr`` (a sha256 string expression) into a BIGINT —
+    positional strpos digit arithmetic (the engine-portable form, same
+    rationale as ``_sql_hex24``)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({sql_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    )
+
+
+_HRW_SHA = (
+    "sha256('hrw' || CAST(t.sh AS VARCHAR) || ':' "
+    "|| CAST(d.doc_id AS VARCHAR))"
+)
+
+
+@query(
+    "resharding_stability_report",
+    oracle=f"""
+    WITH modsch AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN
+               ({_sql_bucket("doc_id", buckets=N_SHARDS, salt="shard")})
+               <> ({_sql_bucket("doc_id", buckets=N_SHARDS + 1, salt="shard")})
+               THEN 1 ELSE 0 END) AS BIGINT) AS moved
+      FROM documents
+    ),
+    w AS (
+      SELECT d.doc_id, t.sh,
+             CAST({_sql_hexval(_HRW_SHA, 8)} AS BIGINT) * 32 + t.sh AS wt
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {N_SHARDS})) AS sh) t
+    ),
+    hrw AS (
+      SELECT doc_id,
+             MAX(CASE WHEN sh < {N_SHARDS} THEN wt END) % 32 AS old_sh,
+             MAX(wt) % 32 AS new_sh
+      FROM w GROUP BY doc_id
+    ),
+    hrwsch AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN old_sh <> new_sh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved
+      FROM hrw
+    )
+    SELECT 'mod' AS scheme, n_docs, moved,
+           CAST(moved * 1000000 // n_docs AS BIGINT) AS moved_ppm
+    FROM modsch
+    UNION ALL
+    SELECT 'rendezvous', n_docs, moved,
+           CAST(moved * 1000000 // n_docs AS BIGINT)
+    FROM hrwsch
+    """,
+)
+def resharding_stability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many documents MOVE when the shard count grows 16 -> 17,
+    under the two sharding disciplines: mod-hash (what
+    ``shard_documents_for_training`` uses) vs rendezvous/HRW hashing
+    (highest-random-weight: shard = argmax over shards of
+    hash(doc, shard)).
+
+    This is the capacity-planning number a 100 TB training-data store
+    lives by — mod-hash invalidates ~N/(N+1) of every shard's data on
+    reshard (here ~94%), while rendezvous moves only ~1/(N+1) (~5.9%),
+    the minimum possible. The HRW argmax is computed IN-ROW (an
+    array_max over a 17-element weight array — zero shuffle, scales
+    with the scan); weights are salted-SHA so both engines reproduce
+    them exactly, and each weight carries its shard id in the low 5
+    bits so the argmax is a plain integer MAX with a deterministic
+    total order (no float, no tie ambiguity).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_new = N_SHARDS + 1
+    mod_moved = (
+        _bucket("doc_id", N_SHARDS, "shard")
+        != _bucket("doc_id", n_new, "shard")
+    )
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(N_SHARDS)),
+        lambda s: F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("hrw"),
+                        s.cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        * 32
+        + s.cast("bigint"),
+    )
+    flags = docs.select(
+        mod_moved.alias("mod_moved"),
+        (
+            F.array_max(F.slice(weights, 1, N_SHARDS)) % 32
+            != F.array_max(weights) % 32
+        ).alias("hrw_moved"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("mod_moved").cast("bigint")).cast("bigint").alias("m_mod"),
+        F.sum(F.col("hrw_moved").cast("bigint")).cast("bigint").alias("m_hrw"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'mod', m_mod, 'rendezvous', m_hrw) AS (scheme, moved)"
+        ),
+        "n_docs",
+    ).select(
+        "scheme",
+        "n_docs",
+        "moved",
+        F.expr("CAST(moved * 1000000 div n_docs AS BIGINT)").alias(
+            "moved_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup exposure spacing in the training stream
+# ---------------------------------------------------------------------------
+def _dup_spacing_oracle() -> str:
+    from clickhouse_batcher_spark.catalog import ORACLES
+
+    mh = ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH mh AS ({mh}),
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY {_sql_bucket("doc_id", buckets=1000000,
+                                     salt="shuffle")}, doc_id
+             ) - 1 AS BIGINT) AS rnk
+      FROM documents
+    ),
+    sp AS (
+      SELECT ABS(ra.rnk - rb.rnk) AS spacing
+      FROM mh
+      JOIN r ra ON ra.doc_id = mh.doc_a
+      JOIN r rb ON rb.doc_id = mh.doc_b
+    )
+    SELECT CAST(LENGTH(bin(spacing)) AS BIGINT) AS spacing_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(spacing) AS BIGINT) AS min_spacing,
+           CAST(MAX(spacing) AS BIGINT) AS max_spacing
+    FROM sp GROUP BY 1
+    """
+
+
+@query("dup_pair_training_spacing")  # oracle registered below (composed)
+def dup_pair_training_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How close together the members of each near-duplicate pair sit
+    in the training stream: |rank_a - rank_b| under the corpus's
+    reproducible shuffle order (the same 'shuffle' hash that orders
+    ``shard_documents_for_training``), bucketed by bit-length
+    (floor(log2)+1 — integer-exact in both engines via LENGTH(bin()),
+    no float log).
+
+    Duplicate EXPOSURE SPACING is a memorization knob: near-dups seen
+    within a few thousand steps of each other behave like a doubled
+    learning rate on that content, while widely-spaced ones act as
+    natural review. Plan shape: the pair frame is the memoized
+    bucketed-LSH relation (never all-pairs), the global rank is the
+    two-level ``with_global_index`` (range shuffle + broadcast
+    offsets — no single-partition window), and the two rank lookups
+    are keyed joins on doc id.
+    """
+    from clickhouse_batcher_spark.functions import with_global_index
+    from clickhouse_batcher_spark.operators.dedup import (
+        minhash_pairs_cached,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "shuffle_key", _bucket("doc_id", 1_000_000, "shuffle")
+    )
+    ranked = with_global_index(
+        keyed, ["shuffle_key", "doc_id"], "rnk"
+    ).select("doc_id", "rnk")
+    pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    sp = (
+        pairs.join(
+            ranked.select(
+                F.col("doc_id").alias("doc_a"), F.col("rnk").alias("ra")
+            ),
+            "doc_a",
+        )
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("doc_b"), F.col("rnk").alias("rb")
+            ),
+            "doc_b",
+        )
+        .select(F.abs(F.col("ra") - F.col("rb")).alias("spacing"))
+    )
+    return (
+        sp.groupBy(
+            F.length(F.bin("spacing")).cast("bigint").alias("spacing_bits")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("spacing").cast("bigint").alias("min_spacing"),
+            F.max("spacing").cast("bigint").alias("max_spacing"),
+        )
+    )
+
+
+from clickhouse_batcher_spark.catalog import ORACLES as _PK_ORACLES  # noqa: E402
+
+_PK_ORACLES["dup_pair_training_spacing"] = " ".join(
+    _dup_spacing_oracle().split()
+)

@@ -128,6 +128,9 @@ ORACLED = [
     "lttb_invariant_violations",
     "semantic_dedup_invariants",
     "media_pipeline_invariants",
+    # round-10 export/dedup analytics
+    "resharding_stability_report",
+    "dup_pair_training_spacing",
 ]
 
 
