@@ -66,10 +66,16 @@ def test_unigram_companion_detects_dropped_piece(
 ):
     """A segmenter that silently drops each word's last piece breaks
     the concatenation law (or yields empty segmentations for
-    single-piece words) — the counters must fire."""
+    single-piece words) — the counters must fire.
+
+    The learned-vocabulary memo is snapshotted and restored: learning
+    itself Viterbi-segments, so running it under the broken factory
+    would otherwise POISON ``_UNIGRAM_CACHE`` for every later test
+    (the round-10 ordering flake)."""
     from clickhouse_batcher_spark.operators import ngrams as N
 
     real_factory = N._build_viterbi
+    cache_before = dict(N._UNIGRAM_CACHE)
 
     def broken_factory():
         vit = real_factory()
@@ -81,9 +87,13 @@ def test_unigram_companion_detects_dropped_piece(
         return bad
 
     monkeypatch.setattr(N, "_build_viterbi", broken_factory)
-    row = catalog.QUERIES["unigram_encode_lossless"](
-        spark, sf_dir
-    ).collect()[0]
+    try:
+        row = catalog.QUERIES["unigram_encode_lossless"](
+            spark, sf_dir
+        ).collect()[0]
+    finally:
+        N._UNIGRAM_CACHE.clear()
+        N._UNIGRAM_CACHE.update(cache_before)
     assert row.concat_violations + row.empty_piece_violations > 0
 
 
