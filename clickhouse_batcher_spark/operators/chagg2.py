@@ -1556,3 +1556,113 @@ def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("npmi"),
     )
+
+
+@query(
+    "ab_ks_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')
+    ), vc AS (
+      SELECT value,
+        SUM(CASE WHEN event_type = '{_TTEST_A}' THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN event_type = '{_TTEST_B}' THEN 1 ELSE 0 END) AS cb
+      FROM base GROUP BY 1
+    ), cum AS (
+      SELECT
+        CAST(SUM(ca) OVER (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cca,
+        CAST(SUM(cb) OVER (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS ccb
+      FROM vc
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM vc
+    ), d AS (
+      SELECT MAX(ABS(cca * t.n_b - ccb * t.n_a)) AS d_num
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT '{_TTEST_A}' AS variant_a, '{_TTEST_B}' AS variant_b,
+      t.n_a, t.n_b,
+      CAST(CAST(d.d_num AS HUGEINT) * 1000000
+        // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS d_ppm,
+      CAST(CASE WHEN
+        CAST(d.d_num AS HUGEINT) * d.d_num * 100000
+        > CAST(184443 AS HUGEINT) * (t.n_a + t.n_b) * t.n_a * t.n_b
+      THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM d CROSS JOIN tot t
+    """,
+)
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest('two-sided')`` analog: the
+    two-sample KS D statistic between the value distributions of the
+    two A/B variants, plus the alpha=0.05 decision.
+
+    Entirely exact integer arithmetic: on the DISTINCT-value frame
+    (|values|, not |rows| — the same rank discipline as
+    ``ab_mann_whitney_u`` above), the cumulative per-variant counts
+    give D's numerator as max|CA(v)*n_b - CB(v)*n_a|; D renders as
+    integer ppm of n_a*n_b. The reject rule D > c(0.05)*sqrt((n_a+n_b)
+    /(n_a*n_b)) squares to the integer comparison d_num^2 * 1e5 >
+    184443*(n_a+n_b)*n_a*n_b (c^2 = 1.3581^2 = 1.84443 exact to the
+    published 5-digit Smirnov constant), carried in DECIMAL(38,0) /
+    HUGEINT so both engines decide identically — no sqrt, no float.
+    Holds to ~sf10 (1e31 < 38 digits); beyond that the asymptotic
+    normalized statistic in double is the documented fallback.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TTEST_A, _TTEST_B)
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == _TTEST_A, 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == _TTEST_B, 1).otherwise(0)
+        ).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        F.sum("ca").over(w).cast("bigint").alias("cca"),
+        F.sum("cb").over(w).cast("bigint").alias("ccb"),
+    )
+    tot = vc.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cca") * F.col("n_b") - F.col("ccb") * F.col("n_a")
+            ).alias("dn")
+        )
+        .agg(F.max("dn").alias("d_num"))
+    )
+    big = "decimal(38,0)"
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.lit(_TTEST_A).alias("variant_a"),
+        F.lit(_TTEST_B).alias("variant_b"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.when(
+            F.col("d_num").cast(big) * F.col("d_num") * 100000
+            > F.lit(184443).cast(big)
+            * (F.col("n_a") + F.col("n_b"))
+            * F.col("n_a")
+            * F.col("n_b"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reject_05"),
+    )

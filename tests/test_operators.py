@@ -131,6 +131,8 @@ ORACLED = [
     # round-10 export/dedup analytics
     "resharding_stability_report",
     "dup_pair_training_spacing",
+    # round-10 widening
+    "ab_ks_test",
 ]
 
 
