@@ -582,3 +582,125 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonality_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly count series (exact integer ACF)
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 12
+
+
+@query(
+    "events_hourly_acf",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) // 3600 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(hr) AS h0, MAX(hr) AS h1,
+             MAX(hr) - MIN(hr) + 1 AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM cnt
+    ), ser AS (
+      SELECT tl.hr, COALESCE(cnt.c, 0) AS c
+      FROM (SELECT unnest(generate_series(b.h0, b.h1)) AS hr FROM b) tl
+      LEFT JOIN cnt ON cnt.hr = tl.hr
+    ), a AS (
+      SELECT ser.hr, CAST(b.n * ser.c - b.s AS BIGINT) AS av
+      FROM ser CROSS JOIN b
+    ), den AS (
+      SELECT SUM(CAST(av AS HUGEINT) * av) AS den FROM a
+    ), nums AS (
+      SELECT a2.hr - a1.hr AS lag,
+             SUM(CAST(a1.av AS HUGEINT) * a2.av) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM a a1 JOIN a a2
+        ON a2.hr BETWEEN a1.hr + 1 AND a1.hr + {ACF_MAX_LAG}
+      GROUP BY 1
+    )
+    SELECT CAST(nums.lag AS BIGINT) AS lag,
+      CAST(b.n AS BIGINT) AS n_hours, nums.n_pairs,
+      CAST(CASE WHEN nums.num < 0 THEN -1 ELSE 1 END
+           * (ABS(nums.num) * 1000000 // den.den) AS BIGINT) AS acf_ppm
+    FROM nums CROSS JOIN den CROSS JOIN b
+    """,
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the GLOBAL hourly event-count series at lags
+    1..ACF_MAX_LAG — the sample ACF a seasonality detector / traffic
+    forecaster reads first (the 24h harmonic shows up as the lag-12
+    trough / lag-24 peak of the diurnal cycle).
+
+    Exactness: with integer counts c_t, mean-centering is done at
+    scale n (a_t = n*c_t - S, still integers), so both the lag
+    covariances and the variance are EXACT integer sums — carried in
+    DECIMAL(38,0)/HUGEINT — and the ACF renders as sign * integer-ppm.
+    No float ever enters; the hash matches bit-for-bit by
+    construction.
+
+    Scale shape: the only per-event work is the first hour-bucket
+    groupBy (map-side combinable). Everything after runs on the hourly
+    frame, whose size is the TIME SPAN, not the data volume (a decade
+    is ~9e4 rows) — the gap-filled timeline, the 12-lag equi-join
+    (explode + shuffle-hash, no range scan over raw rows), and the
+    scalar broadcast are all O(hours).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = cnt.agg(
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("h1"),
+        (F.max("hr") - F.min("hr") + 1).alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    timeline = b.select(
+        F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    ser = timeline.join(cnt, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    a = ser.crossJoin(F.broadcast(b)).select(
+        "hr",
+        (F.col("n") * F.col("c") - F.col("s")).cast("bigint").alias("av"),
+    )
+    big = "decimal(38,0)"
+    den = a.agg(
+        F.sum(F.col("av").cast(big) * F.col("av")).alias("den")
+    )
+    lagged = a.select(
+        "hr",
+        F.col("av").alias("av1"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    ).withColumn("hr2", F.col("hr") + F.col("lag"))
+    nums = (
+        lagged.join(
+            a.select(F.col("hr").alias("hr2"), F.col("av").alias("av2")),
+            "hr2",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("av1").cast(big) * F.col("av2")).alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(b.select("n")))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            "n_pairs",
+            (
+                F.when(F.col("num") < 0, -1).otherwise(1).cast("bigint")
+                * F.expr("CAST(ABS(num) * 1000000 DIV den AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("acf_ppm"),
+        )
+    )

@@ -19,6 +19,7 @@ TS_QUERIES = [
     "event_transition_matrix",
     "events_rolling_median_12h",
     "events_cusum_changepoint",
+    "events_hourly_acf",
 ]
 
 
@@ -303,3 +304,37 @@ def test_user_lifecycle_stages_recompute(spark, sf_dir):
             r.tenure_days,
             r.stage,
         ) == (len(ts_list), days, rec, ten, stage), uid
+
+
+def test_events_hourly_acf_matches_numpy(spark, sf_dir):
+    """Exact recompute: the integer-ppm ACF equals the classic
+    numpy sample ACF (biased, full-series variance) on the gap-filled
+    hourly series, to the 1-ppm truncation."""
+    import numpy as np
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.timeseries import ACF_MAX_LAG
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = {
+        r["lag"]: r
+        for r in catalog.QUERIES["events_hourly_acf"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == list(range(1, ACF_MAX_LAG + 1))
+
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    hrs = np.array(
+        [int(r["ts"].timestamp()) // 3600 for r in ev], dtype=np.int64
+    )
+    h0, h1 = hrs.min(), hrs.max()
+    c = np.bincount(hrs - h0, minlength=h1 - h0 + 1).astype(np.int64)
+    n, s = len(c), int(c.sum())
+    a = (n * c - s).astype(object)  # python ints: no overflow
+    den = sum(x * x for x in a)
+    for k in range(1, ACF_MAX_LAG + 1):
+        num = sum(a[t] * a[t + k] for t in range(n - k))
+        r = rows[k]
+        assert r["n_hours"] == n and r["n_pairs"] == n - k
+        expect = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
+        assert r["acf_ppm"] == expect, (k, r["acf_ppm"], expect)
+        assert -1_000_000 <= r["acf_ppm"] <= 1_000_000
