@@ -704,3 +704,114 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-step Markov exposure (deterministic integer power iteration)
+# ---------------------------------------------------------------------------
+MARKOV_STEPS = 8
+MARKOV_SCALE = 10**12
+
+
+def _markov_oracle() -> str:
+    """Chained-CTE oracle: K integer-arithmetic power-iteration steps
+    (aggregation inside a recursive CTE term is not portable, so the
+    fixed step count unrolls into s1..sK plain GROUP BYs)."""
+    steps = []
+    for i in range(1, MARKOV_STEPS + 1):
+        steps.append(
+            f"""s{i} AS (
+      SELECT t.curr AS et,
+             CAST(SUM(CAST(s{i - 1}.p AS HUGEINT) * t.c // rt.r)
+                  AS BIGINT) AS p
+      FROM s{i - 1}
+      JOIN tcc t ON t.prev = s{i - 1}.et
+      JOIN rt ON rt.prev = t.prev
+      GROUP BY 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    tc AS (
+      SELECT prev_type AS prev, event_type AS curr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    uni AS (SELECT DISTINCT prev AS et FROM tc),
+    tcc AS (SELECT tc.* FROM tc JOIN uni u ON u.et = tc.curr),
+    rt AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM tcc GROUP BY 1),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM uni),
+    s0 AS (
+      SELECT et, CAST({MARKOV_SCALE} // kk AS BIGINT) AS p
+      FROM uni CROSS JOIN k
+    ),
+    {chain}
+    SELECT et AS event_type,
+           CAST({MARKOV_STEPS} AS BIGINT) AS n_steps,
+           p AS p_scaled,
+           p // 1000000 AS p_ppm
+    FROM s{MARKOV_STEPS}
+    """
+
+
+@query("markov_kstep_distribution", oracle=_markov_oracle())
+def markov_kstep_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type distribution after EXACTLY ``MARKOV_STEPS`` steps of
+    the per-user transition chain, starting uniform — the
+    power-iteration read on "where does user attention concentrate",
+    converging on the stationary distribution (ClickHouse users build
+    this on top of the transition matrix; here it is a first-class
+    deterministic operator).
+
+    Exactness without convergence claims: the state vector is an
+    INTEGER vector at scale 1e12 and each step is p'_j = sum_i
+    (p_i * c_ij) div r_i — integer products and truncating division,
+    identical on both engines, so "the distribution after K steps" is
+    a bit-exact object (the oracle unrolls the same K steps as chained
+    GROUP-BY CTEs). The chain is closed over the prev-universe so
+    truncation is the only mass leak (<= k^2 units of 1e-12 per step).
+
+    Scale shape: the per-event work is the same one user_id-shuffled
+    lag window as `event_transition_matrix`; after that single
+    |types|^2-row aggregate the iteration runs on a collected k x k
+    matrix (k = event-type universe, bounded — the same bounded-collect
+    contract as the BPE per-round argmax), O(K k^2) driver work.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    tc = seq.groupBy("prev", "curr").agg(F.count(F.lit(1)).alias("c"))
+    rows = tc.collect()  # bounded: |type universe|^2
+    uni = sorted({r["prev"] for r in rows})
+    uset = set(uni)
+    counts = {
+        (r["prev"], r["curr"]): int(r["c"])
+        for r in rows
+        if r["curr"] in uset
+    }
+    rtot = {i: sum(c for (p, _), c in counts.items() if p == i) for i in uni}
+    p = {et: MARKOV_SCALE // len(uni) for et in uni}
+    for _ in range(MARKOV_STEPS):
+        nxt = dict.fromkeys(uni, 0)
+        for (i, j), c in counts.items():
+            nxt[j] += (p[i] * c) // rtot[i]
+        p = nxt
+    out = [
+        (et, MARKOV_STEPS, p[et], p[et] // 1_000_000)
+        for et in uni
+        if p[et] > 0 or True
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type STRING, n_steps BIGINT, p_scaled BIGINT, p_ppm BIGINT",
+    )

@@ -20,6 +20,7 @@ TS_QUERIES = [
     "events_rolling_median_12h",
     "events_cusum_changepoint",
     "events_hourly_acf",
+    "markov_kstep_distribution",
 ]
 
 
@@ -338,3 +339,44 @@ def test_events_hourly_acf_matches_numpy(spark, sf_dir):
         expect = (1 if num >= 0 else -1) * (abs(num) * 1_000_000 // den)
         assert r["acf_ppm"] == expect, (k, r["acf_ppm"], expect)
         assert -1_000_000 <= r["acf_ppm"] <= 1_000_000
+
+
+def test_markov_kstep_mass_and_float_agreement(spark, sf_dir):
+    """Truncation leaks <= k^2 scale-units of mass per step, and the integer
+    8-step vector sits within 1e-6 (relative) of a float power
+    iteration from the same transition counts."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.timeseries import (
+        MARKOV_SCALE,
+        MARKOV_STEPS,
+        event_transition_matrix,
+    )
+
+    rows = catalog.QUERIES["markov_kstep_distribution"](
+        spark, sf_dir
+    ).collect()
+    k = len(rows)
+    total = sum(r["p_scaled"] for r in rows)
+    assert total <= MARKOV_SCALE
+    # <=1 unit lost per (i,j) term per step: k*k terms per step
+    assert total >= MARKOV_SCALE - MARKOV_STEPS * k * k
+    for r in rows:
+        assert r["p_ppm"] == r["p_scaled"] // 1_000_000
+        assert r["n_steps"] == MARKOV_STEPS
+
+    tm = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    uni = sorted({p for p, _ in tm})
+    uset = set(uni)
+    closed = {(p, c): n for (p, c), n in tm.items() if c in uset}
+    rtot = {i: sum(n for (p, _), n in closed.items() if p == i) for i in uni}
+    pvec = dict.fromkeys(uni, 1.0 / len(uni))
+    for _ in range(MARKOV_STEPS):
+        nxt = dict.fromkeys(uni, 0.0)
+        for (i, j), n in closed.items():
+            nxt[j] += pvec[i] * n / rtot[i]
+        pvec = nxt
+    for r in rows:
+        assert abs(r["p_scaled"] / MARKOV_SCALE - pvec[r["event_type"]]) < 1e-6
