@@ -80,6 +80,7 @@ def load_all() -> None:
         regress,
         rollup,
         sampling,
+        skyline,
         similarity,
         spancorrupt,
         sketch,

@@ -215,3 +215,84 @@ def with_global_cumsum(
         *[f"_gcs_run_{i}" for i in range(len(names))],
         *[f"_gcs_off_{i}" for i in range(len(names))],
     )
+
+
+def with_global_cummax(
+    df,
+    values,
+    cols: list,
+    cummax_name: str = "_gcmax",
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+):
+    """Exact running MAX(s) in the total order given by ``cols`` — the
+    max-monoid sibling of ``with_global_cumsum`` (range shuffle +
+    per-partition running max + broadcast preceding-partition max
+    offsets), again replacing the single-partition ``Window.orderBy``
+    running aggregate at scale.
+
+    ``exclusive=True`` gives the STRICTLY-PRECEDING running max (NULL
+    for the global first row): per-partition windows end at -1 and the
+    partition offset is the max over strictly earlier partitions, so
+    exclusivity survives partition boundaries exactly. MAX is an
+    order-insensitive monoid, so the result is partitioning-
+    independent for any comparable type (no decimal routing needed).
+    ``cols`` must define a total order (unique tiebreaker included).
+    """
+    from pyspark.sql.window import Window
+
+    if isinstance(values, str):
+        values = {values: cummax_name}
+    names = list(values.items())
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gcm_pid", F.spark_partition_id()
+    )
+    partials = ranged.groupBy("_gcm_pid").agg(
+        *[
+            F.max(F.col(v)).alias(f"_gcm_max_{i}")
+            for i, (v, _) in enumerate(names)
+        ]
+    )
+    # <= num_partitions rows: the global window here is bounded.
+    wo = Window.orderBy("_gcm_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_gcm_pid",
+        *[
+            F.max(f"_gcm_max_{i}").over(wo).alias(f"_gcm_off_{i}")
+            for i in range(len(names))
+        ],
+    )
+    end = -1 if exclusive else 0
+    wp = (
+        Window.partitionBy("_gcm_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    run = ranged.select(
+        "*",
+        *[
+            F.max(F.col(v)).over(wp).alias(f"_gcm_run_{i}")
+            for i, (v, _) in enumerate(names)
+        ],
+    )
+    out = run.join(F.broadcast(offsets), "_gcm_pid")
+    for i, (_, name) in enumerate(names):
+        out = out.withColumn(
+            name,
+            # greatest() skips NULLs only when one side is NULL on
+            # some engines; be explicit so exclusive-first-row NULLs
+            # propagate and mixed NULL/value takes the value.
+            F.when(F.col(f"_gcm_run_{i}").isNull(), F.col(f"_gcm_off_{i}"))
+            .when(F.col(f"_gcm_off_{i}").isNull(), F.col(f"_gcm_run_{i}"))
+            .otherwise(
+                F.greatest(F.col(f"_gcm_run_{i}"), F.col(f"_gcm_off_{i}"))
+            ),
+        )
+    return out.drop(
+        "_gcm_pid",
+        *[f"_gcm_run_{i}" for i in range(len(names))],
+        *[f"_gcm_off_{i}" for i in range(len(names))],
+    )

@@ -303,3 +303,92 @@ def test_with_global_index_matches_single_window(spark):
             ).collect()
         }
         assert got == want, f"num_partitions={nparts}"
+
+
+def test_with_global_cummax_matches_single_partition_window(spark):
+    """Inclusive and exclusive two-level running max equal the naive
+    single-partition window at every partition count."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from clickhouse_batcher_spark.functions import with_global_cummax
+
+    pdf = pd.DataFrame(
+        {
+            "k": [5, 1, 3, 3, 2, 2, 2, 9, 0, 7, 7, 4],
+            "v": [2, 9, 4, 4, 8, 1, 5, 0, 3, 6, 6, 7],
+            "uid": list(range(12)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w_in = Window.orderBy("k", "uid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ex = Window.orderBy("k", "uid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["uid"]: (r["mi"], r["me"])
+        for r in df.select(
+            "uid",
+            F.max("v").over(w_in).alias("mi"),
+            F.max("v").over(w_ex).alias("me"),
+        ).collect()
+    }
+    for nparts in (1, 3, 64):
+        inc = {
+            r["uid"]: r["m"]
+            for r in with_global_cummax(
+                df, {"v": "m"}, ["k", "uid"], num_partitions=nparts
+            ).collect()
+        }
+        exc = {
+            r["uid"]: r["m"]
+            for r in with_global_cummax(
+                df,
+                {"v": "m"},
+                ["k", "uid"],
+                num_partitions=nparts,
+                exclusive=True,
+            ).collect()
+        }
+        for uid, (mi, me) in want.items():
+            assert inc[uid] == mi, (nparts, uid)
+            assert exc[uid] == me, (nparts, uid)
+
+
+def test_pareto_skyline_matches_quadratic_definition(spark, sf_dir):
+    """The linear sweep equals the O(n^2) NOT EXISTS dominance
+    definition computed independently in DuckDB."""
+    import duckdb
+
+    from clickhouse_batcher_spark import catalog
+
+    catalog.load_all()
+    got = sorted(
+        r["o_orderkey"]
+        for r in catalog.QUERIES["orders_pareto_skyline"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT o_orderkey FROM orders p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders q
+              WHERE q.o_totalprice >= p.o_totalprice
+                AND q.o_orderdate >= p.o_orderdate
+                AND (q.o_totalprice > p.o_totalprice
+                     OR q.o_orderdate > p.o_orderdate)
+            )
+            ORDER BY o_orderkey
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) >= 1

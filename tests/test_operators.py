@@ -133,6 +133,7 @@ ORACLED = [
     "dup_pair_training_spacing",
     # round-10 widening
     "ab_ks_test",
+    "orders_pareto_skyline",
 ]
 
 

@@ -259,6 +259,11 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                       # dup-ref counters
         "media_pipeline_invariants",  # three 1-row violation-counter
                                       # frames crossed
+        "ab_ks_test",            # 1-row variant-totals frame crossed
+                                 # onto the distinct-value cum frame,
+                                 # then 1-row D x 1-row totals
+        "events_hourly_acf",     # 1-row bounds/variance frames crossed
+                                 # onto the O(hours) series
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
