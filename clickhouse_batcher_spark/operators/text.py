@@ -483,3 +483,83 @@ def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit_ppm",
         F.expr("CAST((docs_with_hits * 1000000) DIV n_docs AS BIGINT)"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability report (Flesch reading ease, exact integer rendering)
+# ---------------------------------------------------------------------------
+_RE_WORD = "[A-Za-z]+"
+_RE_VGRP = "[aeiouyAEIOUY]+"
+_RE_SENT = "[.!?]+"
+
+
+@query(
+    "docs_readability_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+        CAST(len(regexp_extract_all(text, '{_RE_WORD}')) AS BIGINT) AS w,
+        CAST(len(regexp_extract_all(text, '{_RE_VGRP}')) AS BIGINT) AS y,
+        GREATEST(CAST(len(regexp_extract_all(text, '{_RE_SENT}'))
+                      AS BIGINT), 1) AS s,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             AS BIGINT) AS l
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(w) AS BIGINT) AS n_words,
+      CAST(SUM(y) AS BIGINT) AS n_syllables,
+      CAST(SUM(s) AS BIGINT) AS n_sentences,
+      CAST(SUM(l) AS BIGINT) AS n_letters,
+      CAST(206835 - (1015 * SUM(w)) // SUM(s)
+                  - (84600 * SUM(y)) // SUM(w) AS BIGINT) AS flesch_milli,
+      CAST((1000 * SUM(l)) // SUM(w) AS BIGINT) AS word_len_milli
+    FROM per_doc GROUP BY source
+    """,
+)
+def docs_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading ease from the classic vowel-group
+    syllable heuristic — the readability gate a curation pipeline runs
+    next to the C4/Gopher filters (too-hard and too-trivial sources
+    both get down-weighted in mix planning).
+
+    Flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    words), rendered in exact integer milli-units with truncating
+    division on the SOURCE-level count sums, so no float enters.
+    Sentences floor at 1 per doc (this corpus has no terminal
+    punctuation; on real text the [.!?]+ runs count). All three
+    counters are per-row regexp counts — zero shuffle — followed by
+    one map-side-combinable per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.expr(f"CAST(regexp_count(text, '{_RE_WORD}') AS BIGINT)").alias(
+            "w"
+        ),
+        F.expr(f"CAST(regexp_count(text, '{_RE_VGRP}') AS BIGINT)").alias(
+            "y"
+        ),
+        F.greatest(
+            F.expr(f"CAST(regexp_count(text, '{_RE_SENT}') AS BIGINT)"),
+            F.lit(1),
+        ).alias("s"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+            "bigint"
+        ).alias("l"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("y").cast("bigint").alias("n_syllables"),
+        F.sum("s").cast("bigint").alias("n_sentences"),
+        F.sum("l").cast("bigint").alias("n_letters"),
+        F.expr(
+            "CAST(206835 - (1015 * SUM(w)) DIV SUM(s)"
+            " - (84600 * SUM(y)) DIV SUM(w) AS BIGINT)"
+        ).alias("flesch_milli"),
+        F.expr("CAST((1000 * SUM(l)) DIV SUM(w) AS BIGINT)").alias(
+            "word_len_milli"
+        ),
+    )

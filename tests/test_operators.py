@@ -134,6 +134,7 @@ ORACLED = [
     # round-10 widening
     "ab_ks_test",
     "orders_pareto_skyline",
+    "docs_readability_report",
 ]
 
 
@@ -3604,3 +3605,25 @@ def test_shard_checksum_manifest_order_independent(spark, sf_dir):
         assert got[s] == tuple(e), s
         # hi/lo halves reconstruct the full 48-bit commutative sum
         assert got[s][2] * (1 << 24) + got[s][3] == agg["_trial1"][s], s
+
+
+def test_readability_hand_computed(spark):
+    """Known text: exact word/vowel-group/sentence counts and the
+    integer-milli Flesch rendering."""
+    from unittest.mock import patch
+
+    from clickhouse_batcher_spark.operators import text as T
+
+    # "Hello world. This is a test." -> words 6; vowel groups:
+    # H[e]ll[o] w[o]rld Th[i]s [i]s [a] t[e]st -> 7; sentences: 2 runs.
+    df = spark.createDataFrame(
+        [(1, "Hello world. This is a test.", "en", "s1", 28)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    with patch.object(T, "load_table", lambda *_: df):
+        r = T.docs_readability_report(spark, "ignored").collect()[0]
+    assert (r["n_words"], r["n_syllables"], r["n_sentences"]) == (6, 7, 2)
+    assert r["n_letters"] == len("HelloworldThisisatest")
+    want = 206835 - (1015 * 6) // 2 - (84600 * 7) // 6
+    assert r["flesch_milli"] == want
+    assert r["word_len_milli"] == (1000 * r["n_letters"]) // 6
