@@ -1184,3 +1184,146 @@ def kmv_union_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QUANTILE STATE MERGE: ClickHouse's ``quantileState`` /
+# ``quantileMerge`` workflow on a fixed-bin histogram sketch — store
+# per-day bin-count STATES, answer total-period quantiles by merging
+# states (merge = per-bin SUM, exactly additive), never rescanning
+# raw data. Bin = floor(value): integer edges, integer counts,
+# integer rank rule — the whole sketch is hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_state_merge_daily",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(FLOOR(value) AS BIGINT) AS bin
+      FROM events
+    ), day_state AS (
+      SELECT event_type, day, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bin, CAST(SUM(c) AS BIGINT) AS c
+      FROM day_state GROUP BY 1, 2
+    ), direct AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM merged
+    ), q AS (
+      SELECT event_type,
+        CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(MIN(CASE WHEN cc >= (50 * n + 99) // 100 THEN bin END)
+             AS BIGINT) AS p50_bin,
+        CAST(MIN(CASE WHEN cc >= (90 * n + 99) // 100 THEN bin END)
+             AS BIGINT) AS p90_bin,
+        CAST(MIN(CASE WHEN cc >= (99 * n + 99) // 100 THEN bin END)
+             AS BIGINT) AS p99_bin
+      FROM cum GROUP BY 1
+    ), eqc AS (
+      SELECT m.event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_bins,
+        BOOL_AND(m.c = d.c) AS states_equal
+      FROM merged m
+      JOIN direct d ON d.event_type = m.event_type AND d.bin = m.bin
+      GROUP BY 1
+    ), days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM h GROUP BY 1
+    )
+    SELECT q.event_type, days.n_days, eqc.n_bins, q.n_events,
+           q.p50_bin, q.p90_bin, q.p99_bin, eqc.states_equal
+    FROM q
+    JOIN eqc ON eqc.event_type = q.event_type
+    JOIN days ON days.event_type = q.event_type
+    """,
+)
+def quantile_state_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileState/quantileMerge analog: per-day unit-bin histogram
+    states SUM-merged into total-period p50/p90/p99, emitted next to a
+    bin-count equality check against the direct-from-raw histogram —
+    ``states_equal`` is TRUE everywhere because bin counts are
+    additive, which is the point: a year of daily states answers
+    any-period quantiles without rescanning raw events.
+
+    Everything is integer-exact: unit bins (floor(value)), integer
+    counts, and the ceil-rank rule r_q = (q*n + 99) div 100 with the
+    quantile reported as the smallest bin whose cumulative count
+    reaches r_q (bin-resolution answers, the standard sketch
+    contract). At 100 TB the day-state table is |days| x |bins| rows
+    per type — the cumulative window runs over the BIN frame (value
+    range, ~500 rows here), never raw events.
+    """
+    h = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor("value").cast("bigint").alias("bin"),
+    )
+    day_state = h.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    merged = day_state.groupBy("event_type", "bin").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    direct = h.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    rank = lambda qq: F.expr(f"({qq} * n + 99) DIV 100")  # noqa: E731
+    q = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        *[
+            F.min(F.when(F.col("cc") >= rank(qq), F.col("bin")))
+            .cast("bigint")
+            .alias(f"p{qq}_bin")
+            for qq in (50, 90, 99)
+        ],
+    )
+    eqc = (
+        merged.alias("m")
+        .join(
+            direct.alias("d"),
+            ["event_type", "bin"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.min(F.col("m.c") == F.col("d.c")).alias("states_equal"),
+        )
+    )
+    days = h.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    return (
+        q.join(eqc, "event_type")
+        .join(days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_bins",
+            "n_events",
+            "p50_bin",
+            "p90_bin",
+            "p99_bin",
+            "states_equal",
+        )
+    )

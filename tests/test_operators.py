@@ -135,6 +135,7 @@ ORACLED = [
     "ab_ks_test",
     "orders_pareto_skyline",
     "docs_readability_report",
+    "quantile_state_merge_daily",
 ]
 
 
@@ -3627,3 +3628,40 @@ def test_readability_hand_computed(spark):
     want = 206835 - (1015 * 6) // 2 - (84600 * 7) // 6
     assert r["flesch_milli"] == want
     assert r["word_len_milli"] == (1000 * r["n_letters"]) // 6
+
+
+def test_quantile_state_merge_matches_sorted_pick(spark, sf_dir):
+    """Independent recompute: each reported bin equals the ceil-rank
+    pick from the fully sorted floored value list, and the merged
+    state equals the direct state (additivity)."""
+    import math
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in catalog.QUERIES["quantile_state_merge_daily"](
+            spark, sf_dir
+        ).collect()
+    }
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.floor("value").cast("bigint").alias("b"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in vals:
+        series.setdefault(r["event_type"], []).append(r["b"])
+    assert set(series) == set(got)
+    for et, bins in series.items():
+        bins.sort()
+        n = len(bins)
+        r = got[et]
+        assert r["states_equal"] is True
+        assert r["n_events"] == n
+        assert r["n_bins"] == len(set(bins))
+        for qq in (50, 90, 99):
+            rank = (qq * n + 99) // 100  # ceil(q*n/100)
+            assert r[f"p{qq}_bin"] == bins[rank - 1], (et, qq)
+        assert r["p50_bin"] <= r["p90_bin"] <= r["p99_bin"]
