@@ -1825,3 +1825,111 @@ def _knn_agreement_rollup(
             (F.col("n_same").cast("double") / k).alias("agree_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-label centroid separation (the between-class complement of
+# embedding_label_cohesion's within-class diagnostic)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_centroid_distances",
+    oracle="""
+    WITH long AS (
+      SELECT label,
+        CAST(round(unnest(embedding), 6) AS DECIMAL(7,6)) AS v6,
+        unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    ), sums AS (
+      SELECT label, pos, SUM(v6) AS s
+      FROM long GROUP BY 1, 2
+    ), snorm AS (
+      SELECT label, SUM(s * s) AS ss FROM sums GROUP BY 1
+    ), cnt AS (
+      SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1
+    ), pairdot AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.s * b.s) AS dot
+      FROM sums a JOIN sums b
+        ON b.pos = a.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b, ca.n AS n_a, cb.n AS n_b,
+      round(CAST(p.dot AS DOUBLE)
+            / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+            6) AS centroid_cos
+    FROM pairdot p
+    JOIN snorm na ON na.label = p.label_a
+    JOIN snorm nb ON nb.label = p.label_b
+    JOIN cnt ca ON ca.label = p.label_a
+    JOIN cnt cb ON cb.label = p.label_b
+    """,
+)
+def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between class centroids — the BETWEEN-class
+    separation matrix that complements `embedding_label_cohesion`'s
+    within-class score: two labels whose centroids sit at high cosine
+    are confusable classes (merge candidates / labeling-noise
+    suspects), the first read of any label-quality audit.
+
+    Same exactness discipline as cohesion: the "centroid" is the
+    exact DECIMAL element-wise SUM vector (cosine is scale-invariant,
+    so the /n never happens), every moment is an exact decimal sum,
+    and the one double division + round(6) is a fixed IEEE sequence.
+
+    Scale: centroid sums are one map-side-combinable groupBy down to
+    |labels| x dim rows; the pair frame is |labels|^2 x dim of that
+    TINY frame (labels are a bounded universe) — nothing pairwise ever
+    touches the vector count.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(7,6)").alias("v6"),
+    )
+    sums = long.groupBy("label", "pos").agg(F.sum("v6").alias("s"))
+    snorm = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    cnt = emb.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    pairdot = (
+        a.join(F.broadcast(b), "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = snorm.select(F.col("label").alias("label_a"), F.col("ss").alias("ssa"))
+    nb = snorm.select(F.col("label").alias("label_b"), F.col("ss").alias("ssb"))
+    ca = cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pairdot.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ssa").cast("double"))
+                    * F.sqrt(F.col("ssb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )

@@ -136,6 +136,7 @@ ORACLED = [
     "orders_pareto_skyline",
     "docs_readability_report",
     "quantile_state_merge_daily",
+    "embedding_centroid_distances",
 ]
 
 
@@ -3665,3 +3666,35 @@ def test_quantile_state_merge_matches_sorted_pick(spark, sf_dir):
             rank = (qq * n + 99) // 100  # ceil(q*n/100)
             assert r[f"p{qq}_bin"] == bins[rank - 1], (et, qq)
         assert r["p50_bin"] <= r["p90_bin"] <= r["p99_bin"]
+
+
+def test_centroid_distances_matches_numpy(spark, sf_dir):
+    """Float recompute: pair cosines within 2e-6 of numpy centroid
+    cosines; complete strict-upper-triangle pair set."""
+    import itertools
+
+    import numpy as np
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = catalog.QUERIES["embedding_centroid_distances"](
+        spark, sf_dir
+    ).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=np.float64), 6)
+        )
+    cents = {k: np.sum(v, axis=0) for k, v in by_label.items()}
+    want_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(cents), 2)
+    }
+    assert {(r["label_a"], r["label_b"]) for r in rows} == want_pairs
+    for r in rows:
+        ca, cb = cents[r["label_a"]], cents[r["label_b"]]
+        want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(r["centroid_cos"] - want) < 2e-6, r
+        assert r["n_a"] == len(by_label[r["label_a"]])
+        assert r["n_b"] == len(by_label[r["label_b"]])
