@@ -1666,3 +1666,110 @@ def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B assignment + sample-ratio-mismatch (SRM) guardrail
+# ---------------------------------------------------------------------------
+def _srm_oracle() -> str:
+    from clickhouse_batcher_spark.operators.sampling import _sql_bucket
+
+    arm = _sql_bucket("user_id", buckets=2, salt="abarm")
+    return f"""
+    WITH u AS (
+      SELECT user_id, {arm} AS arm,
+        CAST(COUNT(*) AS BIGINT) AS n_ev,
+        SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS sv
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN n_ev ELSE 0 END) AS BIGINT)
+          AS events_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN n_ev ELSE 0 END) AS BIGINT)
+          AS events_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN sv ELSE 0 END) AS DOUBLE) AS sv_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN sv ELSE 0 END) AS DOUBLE) AS sv_b
+      FROM u
+    )
+    SELECT n_a, n_b, events_a, events_b,
+      round(sv_a / n_a, 6) AS mean_value_a,
+      round(sv_b / n_b, 6) AS mean_value_b,
+      CAST(CAST(1000 AS HUGEINT) * (n_a - n_b) * (n_a - n_b)
+           // (n_a + n_b) AS BIGINT) AS srm_chi2_milli,
+      CAST(CASE WHEN CAST(1000 AS HUGEINT) * (n_a - n_b) * (n_a - n_b)
+                     > CAST(3841 AS HUGEINT) * (n_a + n_b)
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_reject_05
+    FROM s
+    """
+
+
+@query("ab_assignment_srm", oracle=_srm_oracle())
+def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/50 experiment assignment (salted-hash bucket
+    per user — the reproducible arm function every A/B platform keys
+    on) plus the SAMPLE-RATIO-MISMATCH guardrail: chi-square of the
+    observed split against 50/50, chi2 = (n_a-n_b)^2/(n_a+n_b), in
+    exact integer milli-units with the alpha=0.05 df=1 decision as a
+    pure integer comparison (3.841 critical value). SRM is the first
+    validity check run on any experiment — a rejected split means the
+    assignment or logging is broken and the metric deltas are
+    meaningless.
+
+    Per-arm event counts and decimal-exact mean value ride along from
+    the same single groupBy(user) + conditional-aggregate pass — one
+    shuffle on user_id, one 1-row reduce; HUGEINT/DECIMAL(38) keeps
+    the squared term exact at any population.
+    """
+    from clickhouse_batcher_spark.operators.packing import _bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum(F.round("value", 6).cast(_DEC27)).alias("sv"),
+    ).withColumn("arm", _bucket("user_id", 2, "abarm"))
+    big = "decimal(38,0)"
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_b"),
+    )
+    d2 = (
+        F.lit(1000).cast(big)
+        * (F.col("n_a") - F.col("n_b"))
+        * (F.col("n_a") - F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.round(F.col("sv_a") / F.col("n_a"), 6).alias("mean_value_a"),
+        F.round(F.col("sv_b") / F.col("n_b"), 6).alias("mean_value_b"),
+        F.expr(
+            "CAST(CAST(1000 AS DECIMAL(38,0)) * (n_a - n_b) * (n_a - n_b)"
+            " DIV (n_a + n_b) AS BIGINT)"
+        ).alias("srm_chi2_milli"),
+        F.when(
+            d2 > F.lit(3841).cast(big) * (F.col("n_a") + F.col("n_b")), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("srm_reject_05"),
+    )

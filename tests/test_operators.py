@@ -137,6 +137,7 @@ ORACLED = [
     "docs_readability_report",
     "quantile_state_merge_daily",
     "embedding_centroid_distances",
+    "ab_assignment_srm",
 ]
 
 
@@ -3698,3 +3699,36 @@ def test_centroid_distances_matches_numpy(spark, sf_dir):
         assert abs(r["centroid_cos"] - want) < 2e-6, r
         assert r["n_a"] == len(by_label[r["label_a"]])
         assert r["n_b"] == len(by_label[r["label_b"]])
+
+
+def test_ab_assignment_srm_recompute(spark, sf_dir):
+    """Recompute arms from the same salted hash in python; verify the
+    integer chi-square and that a planted 90/10 split rejects."""
+    import hashlib
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    r = catalog.QUERIES["ab_assignment_srm"](spark, sf_dir).collect()[0]
+    users = [
+        u["user_id"]
+        for u in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    arms = [
+        int(hashlib.sha256(f"abarm{u}".encode()).hexdigest()[:4], 16) % 2
+        for u in users
+    ]
+    n_a, n_b = arms.count(0), arms.count(1)
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["srm_chi2_milli"] == 1000 * (n_a - n_b) ** 2 // (n_a + n_b)
+    assert r["srm_reject_05"] == int(
+        1000 * (n_a - n_b) ** 2 > 3841 * (n_a + n_b)
+    )
+    # a healthy hash split must NOT reject
+    assert r["srm_reject_05"] == 0
+    # planted mismatch: 90/10 of the same population must reject
+    na2, nb2 = int(len(users) * 0.9), len(users) - int(len(users) * 0.9)
+    assert 1000 * (na2 - nb2) ** 2 > 3841 * (na2 + nb2)
