@@ -101,20 +101,34 @@ _PRIORITY: list[str] = [
     "user_activity_gini",
     "user_type_sum_map",
     "window_funnel_levels",
-    # r7 vintage (first 15 of 39, alphabetical):
+    # r7 vintage (5 of the alphabetically-first 15 keep their slots;
+    # the other 10 r7 backfills moved to the r11 queue as the round-10
+    # widening landed — see the swap notes below):
     "boilerplate_spans_top",
-    "bounding_ratio_by_user",
     "chsql_array_join_token_stats",
-    "chsql_final_sample_latest_state",
-    "chsql_limit_by_top_users",
-    "chsql_positional_params_count",
-    "chsql_prewhere_totals_by_status",
-    "chsql_retention_seq_counts",
     "chsql_window_funnel_default",
     "classifier_calibration_bins",
-    "corpus_curation_funnel",
-    "dedup_cluster_sizes",
     "dedup_clusters",
+    # (round-10 widening swap: the EIGHT new round-10 operators take
+    # eight r7 second-green backfill slots — first green beats a
+    # second green, the same rule every prior round applied. Demoted
+    # (each keeps its r7 green + pytest parity and heads the r11
+    # queue, and each family keeps an in-window representative):
+    # bounding_ratio_by_user (chagg: user_type_sum_map stays),
+    # chsql_final_sample_latest_state / chsql_limit_by_top_users /
+    # chsql_positional_params_count / chsql_prewhere_totals_by_status /
+    # chsql_retention_seq_counts (chsql: array_join_token_stats +
+    # window_funnel_default stay), corpus_curation_funnel (corpus:
+    # t5_span_corruption stays), dedup_cluster_sizes (CC family:
+    # dedup_clusters stays).)
+    "ab_ks_test",
+    "events_hourly_acf",
+    "markov_kstep_distribution",
+    "orders_pareto_skyline",
+    "docs_readability_report",
+    "quantile_state_merge_daily",
+    "embedding_centroid_distances",
+    "ab_assignment_srm",
     # (late round-10 swap: resharding_stability_report and
     # dup_pair_training_spacing — the two new round-10 operators —
     # take the dedup_threshold_sweep / delta_sum_by_type backfill
