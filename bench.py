@@ -234,6 +234,15 @@ HEADLINE = [
     # round-10 export/dedup analytics
     "resharding_stability_report",
     "dup_pair_training_spacing",
+    # round-10 widening
+    "ab_ks_test",
+    "events_hourly_acf",
+    "markov_kstep_distribution",
+    "orders_pareto_skyline",
+    "docs_readability_report",
+    "quantile_state_merge_daily",
+    "embedding_centroid_distances",
+    "ab_assignment_srm",
 ]
 
 
