@@ -1773,3 +1773,138 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("srm_reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment power analysis (minSampleSize* parity)
+# ---------------------------------------------------------------------------
+# Fixed design constants, identical literals on both engines:
+# z_{1-alpha/2} for alpha=0.05 and z_{power} for power=0.8.
+_Z_ALPHA = 1.959964
+_Z_POWER = 0.841621
+_MDE_REL = 0.05   # continuous metric: detect a 5% relative lift
+_MDE_ABS = 0.01   # conversion metric: detect +1pp absolute
+
+
+@query(
+    "ab_min_sample_size",
+    oracle=f"""
+    WITH cont AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+             AS DOUBLE) AS sq
+      FROM events WHERE event_type = '{_TTEST_A}'
+    ), conv AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_users,
+        CAST(SUM(CASE WHEN first_type = 'purchase' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n_conv
+      FROM (
+        SELECT user_id,
+          CASE WHEN row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+               THEN event_type END AS first_type
+        FROM events
+      ) WHERE first_type IS NOT NULL
+    ), c1 AS (
+      SELECT 'continuous_value' AS metric,
+        round(sv / n, 6) AS baseline,
+        round((sq - sv * sv / n) / (n - 1), 6) AS variance,
+        CAST({_MDE_REL} AS DOUBLE) AS mde,
+        2.0 * ({_Z_ALPHA} + {_Z_POWER}) * ({_Z_ALPHA} + {_Z_POWER})
+          * ((sq - sv * sv / n) / (n - 1))
+          / (({_MDE_REL} * (sv / n)) * ({_MDE_REL} * (sv / n))) AS raw
+      FROM cont
+    ), c2 AS (
+      SELECT 'conversion_rate' AS metric,
+        round(n_conv / n_users, 6) AS baseline,
+        round((n_conv / n_users) * (1 - n_conv / n_users), 6) AS variance,
+        CAST({_MDE_ABS} AS DOUBLE) AS mde,
+        2.0 * ({_Z_ALPHA} + {_Z_POWER}) * ({_Z_ALPHA} + {_Z_POWER})
+          * ((n_conv / n_users) * (1 - n_conv / n_users))
+          / ({_MDE_ABS} * {_MDE_ABS}) AS raw
+      FROM conv
+    )
+    SELECT metric, baseline, variance, mde,
+      round(raw, 6) AS n_per_arm_exact,
+      CAST(CEIL(round(raw, 6)) AS BIGINT) AS n_per_arm
+    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    """,
+)
+def ab_min_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minSampleSizeContinuous`` / ``minSampleSizeConversion``
+    parity: required per-arm sample size to detect (a) a 5% relative
+    lift on the baseline variant's value metric and (b) a +1pp
+    absolute lift on the landing conversion rate (share of users
+    whose FIRST event is a purchase), at alpha=0.05 /
+    power=0.8 (two-sided z approximation, n = 2(z_a+z_b)^2 sigma^2 /
+    mde^2) — the pre-experiment power check that pairs with the
+    post-hoc tests (`ab_welch_ttest`, `ab_ks_test`) and the
+    `ab_assignment_srm` validity guardrail.
+
+    Moments are decimal-exact (the welch discipline); the closed form
+    is one fixed IEEE sequence over identical inputs with fixed
+    z-constant literals, rounded once at 6 before the CEIL so the
+    integer answer cannot straddle an engine boundary. Two scans
+    reduce to two 1-row frames; nothing is per-row beyond them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # explicit multiply (not **2): bit-identical to the oracle's
+    # (za+zb)*(za+zb) IEEE sequence
+    z2 = (_Z_ALPHA + _Z_POWER) * (_Z_ALPHA + _Z_POWER)
+    cont = ev.filter(F.col("event_type") == _TTEST_A).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round("value", 6).cast(_DEC27)).cast("double").alias("sv"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast(_DEC27))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("sv") / F.col("n")
+    var = (F.col("sq") - F.col("sv") * F.col("sv") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    c1 = cont.select(
+        F.lit("continuous_value").alias("metric"),
+        F.round(mean, 6).alias("baseline"),
+        F.round(var, 6).alias("variance"),
+        F.lit(float(_MDE_REL)).alias("mde"),
+        (
+            F.lit(2.0)
+            * F.lit(z2)
+            * var
+            / ((F.lit(_MDE_REL) * mean) * (F.lit(_MDE_REL) * mean))
+        ).alias("raw"),
+    )
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_users"),
+            F.sum(F.when(F.col("first_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            .alias("n_conv"),
+        )
+    )
+    p = F.col("n_conv") / F.col("n_users")
+    c2 = conv.select(
+        F.lit("conversion_rate").alias("metric"),
+        F.round(p, 6).alias("baseline"),
+        F.round(p * (1 - p), 6).alias("variance"),
+        F.lit(float(_MDE_ABS)).alias("mde"),
+        (
+            F.lit(2.0) * F.lit(z2) * (p * (1 - p))
+            / F.lit(_MDE_ABS * _MDE_ABS)
+        ).alias("raw"),
+    )
+    return c1.unionAll(c2).select(
+        "metric",
+        "baseline",
+        "variance",
+        "mde",
+        F.round("raw", 6).alias("n_per_arm_exact"),
+        F.ceil(F.round("raw", 6)).cast("bigint").alias("n_per_arm"),
+    )

@@ -138,6 +138,7 @@ ORACLED = [
     "quantile_state_merge_daily",
     "embedding_centroid_distances",
     "ab_assignment_srm",
+    "ab_min_sample_size",
 ]
 
 
@@ -3732,3 +3733,36 @@ def test_ab_assignment_srm_recompute(spark, sf_dir):
     # planted mismatch: 90/10 of the same population must reject
     na2, nb2 = int(len(users) * 0.9), len(users) - int(len(users) * 0.9)
     assert 1000 * (na2 - nb2) ** 2 > 3841 * (na2 + nb2)
+
+
+def test_min_sample_size_closed_form(spark, sf_dir):
+    """Recompute the power formula from the reported moments and check
+    the planted sanity direction: halving the MDE quadruples n."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.chagg2 import (
+        _MDE_ABS,
+        _MDE_REL,
+        _Z_ALPHA,
+        _Z_POWER,
+    )
+
+    rows = {
+        r["metric"]: r
+        for r in catalog.QUERIES["ab_min_sample_size"](
+            spark, sf_dir
+        ).collect()
+    }
+    z2 = (_Z_ALPHA + _Z_POWER) * (_Z_ALPHA + _Z_POWER)
+    c = rows["continuous_value"]
+    want_c = 2.0 * z2 * c["variance"] / ((_MDE_REL * c["baseline"]) ** 2)
+    assert abs(c["n_per_arm_exact"] - want_c) / want_c < 1e-3
+    assert c["n_per_arm"] >= c["n_per_arm_exact"]
+    assert c["n_per_arm"] - c["n_per_arm_exact"] < 1.0
+    v = rows["conversion_rate"]
+    assert 0.0 < v["baseline"] < 1.0
+    want_v = 2.0 * z2 * v["variance"] / (_MDE_ABS * _MDE_ABS)
+    assert abs(v["n_per_arm_exact"] - want_v) / want_v < 1e-3
+    # half the MDE -> 4x the required n (the formula's defining shape)
+    assert abs(
+        (2.0 * z2 * v["variance"] / ((_MDE_ABS / 2) ** 2)) / want_v - 4.0
+    ) < 1e-9
