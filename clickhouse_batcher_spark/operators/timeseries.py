@@ -815,3 +815,132 @@ def markov_kstep_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "event_type STRING, n_steps BIGINT, p_scaled BIGINT, p_ppm BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant period detection (seriesPeriodDetectFFT analog, via ACF)
+# ---------------------------------------------------------------------------
+PERIOD_MAX_LAG = 36
+PERIOD_MIN_LAG = 2
+
+
+def _acf_sql(max_lag: int) -> str:
+    """The exact-integer ACF construction (same derivation as
+    `events_hourly_acf`'s oracle) parameterized by max lag, ending in
+    a `nums/den/b` namespace the caller SELECTs from."""
+    return f"""
+    cnt AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) // 3600 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(hr) AS h0, MAX(hr) AS h1,
+             MAX(hr) - MIN(hr) + 1 AS n,
+             CAST(SUM(c) AS BIGINT) AS s
+      FROM cnt
+    ), ser AS (
+      SELECT tl.hr, COALESCE(cnt.c, 0) AS c
+      FROM (SELECT unnest(generate_series(b.h0, b.h1)) AS hr FROM b) tl
+      LEFT JOIN cnt ON cnt.hr = tl.hr
+    ), a AS (
+      SELECT ser.hr, CAST(b.n * ser.c - b.s AS BIGINT) AS av
+      FROM ser CROSS JOIN b
+    ), den AS (
+      SELECT SUM(CAST(av AS HUGEINT) * av) AS den FROM a
+    ), nums AS (
+      SELECT a2.hr - a1.hr AS lag,
+             SUM(CAST(a1.av AS HUGEINT) * a2.av) AS num
+      FROM a a1 JOIN a a2
+        ON a2.hr BETWEEN a1.hr + 1 AND a1.hr + {max_lag}
+      GROUP BY 1
+    )"""
+
+
+@query(
+    "events_dominant_period",
+    oracle=f"""
+    WITH {_acf_sql(PERIOD_MAX_LAG)},
+    r AS (
+      SELECT CAST(nums.lag AS BIGINT) AS lag,
+        CAST(CASE WHEN nums.num < 0 THEN -1 ELSE 1 END
+             * (ABS(nums.num) * 1000000 // den.den) AS BIGINT) AS acf_ppm,
+        CAST(b.n AS BIGINT) AS n_hours
+      FROM nums CROSS JOIN den CROSS JOIN b
+      WHERE nums.lag >= {PERIOD_MIN_LAG}
+    )
+    SELECT lag AS period_hours, acf_ppm, n_hours
+    FROM r
+    QUALIFY row_number() OVER (ORDER BY acf_ppm DESC, lag) = 1
+    """,
+)
+def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``seriesPeriodDetectFFT`` analog read through the
+    autocorrelogram: the lag in [PERIOD_MIN_LAG, PERIOD_MAX_LAG] hours
+    with the highest exact-integer ACF is the series' dominant period
+    (the diurnal cycle on this event stream). FFT and ACF locate the
+    same fundamental (Wiener-Khinchin); the ACF route keeps every
+    quantity an exact integer — same centering-at-scale-n construction
+    as `events_hourly_acf`, extended to 36 lags — so the argmax (ties
+    to the smallest lag) is bit-deterministic on both engines.
+
+    Scale: identical shape to the ACF operator — one per-event
+    groupBy, then O(hours x 36) arithmetic on the timeline frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = cnt.agg(
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("h1"),
+        (F.max("hr") - F.min("hr") + 1).alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    ser = (
+        b.select(F.explode(F.sequence("h0", "h1")).alias("hr"))
+        .join(cnt, "hr", "left")
+        .select("hr", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = ser.crossJoin(F.broadcast(b)).select(
+        "hr",
+        (F.col("n") * F.col("c") - F.col("s")).cast("bigint").alias("av"),
+    )
+    big = "decimal(38,0)"
+    den = a.agg(F.sum(F.col("av").cast(big) * F.col("av")).alias("den"))
+    lagged = a.select(
+        "hr",
+        F.col("av").alias("av1"),
+        F.explode(F.sequence(F.lit(1), F.lit(PERIOD_MAX_LAG))).alias("lag"),
+    ).withColumn("hr2", F.col("hr") + F.col("lag"))
+    nums = (
+        lagged.join(
+            a.select(F.col("hr").alias("hr2"), F.col("av").alias("av2")),
+            "hr2",
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("av1").cast(big) * F.col("av2")).alias("num"))
+    )
+    r = (
+        nums.filter(F.col("lag") >= PERIOD_MIN_LAG)
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(b.select("n")))
+        .select(
+            F.col("lag").cast("bigint").alias("period_hours"),
+            (
+                F.when(F.col("num") < 0, -1).otherwise(1).cast("bigint")
+                * F.expr("CAST(ABS(num) * 1000000 DIV den AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("acf_ppm"),
+            F.col("n").cast("bigint").alias("n_hours"),
+        )
+    )
+    w = Window.orderBy(F.col("acf_ppm").desc(), F.col("period_hours"))
+    return (
+        r.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -139,6 +139,8 @@ ORACLED = [
     "embedding_centroid_distances",
     "ab_assignment_srm",
     "ab_min_sample_size",
+    "parts_abc_classification",
+    "orders_benford_deviation",
 ]
 
 
@@ -3766,3 +3768,58 @@ def test_min_sample_size_closed_form(spark, sf_dir):
     assert abs(
         (2.0 * z2 * v["variance"] / ((_MDE_ABS / 2) ** 2)) / want_v - 4.0
     ) < 1e-9
+
+
+def test_abc_classification_invariants(spark, sf_dir):
+    """Classes partition the part universe; ppm shares reconstruct the
+    80/15/5 design bands (A >= 790000 given granularity; monotone
+    class revenue A > B > C per part on average)."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = {
+        r["abc_class"]: r
+        for r in catalog.QUERIES["parts_abc_classification"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    ppm = {k: r["revenue_ppm"] for k, r in rows.items()}
+    # boundary parts make A slightly exceed 80% and A+B exceed 95%
+    assert ppm["A"] >= 790_000
+    assert ppm["A"] + ppm["B"] >= 945_000
+    assert abs(sum(ppm.values()) - 1_000_000) <= 3  # truncation only
+    # Pareto shape: average revenue per part strictly decreases A->B->C
+    avg = {
+        k: int(r["revenue_c100"]) / r["n_parts"] for k, r in rows.items()
+    }
+    assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_benford_rows_and_mass(spark, sf_dir):
+    """All nine digits, observed ppm sums to ~1e6, counts sum to the
+    order count, and the expected column is the pinned constant."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.operators.profile import _BENFORD_PPM
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = {
+        r["digit"]: r
+        for r in catalog.QUERIES["orders_benford_deviation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(range(1, 10))
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows.values()) == n
+    assert 1_000_000 - 9 <= sum(r["obs_ppm"] for r in rows.values()) <= 1_000_000
+    for d, r in rows.items():
+        assert r["exp_ppm"] == _BENFORD_PPM[d]
+        assert r["abs_dev_ppm"] == abs(r["obs_ppm"] - r["exp_ppm"])

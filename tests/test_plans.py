@@ -264,6 +264,14 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
                                  # then 1-row D x 1-row totals
         "events_hourly_acf",     # 1-row bounds/variance frames crossed
                                  # onto the O(hours) series
+        "events_dominant_period",  # same shape as events_hourly_acf
+        "parts_abc_classification",  # 1-row revenue-total frame crossed
+                                     # onto the part frame / 3-row rollup
+        "orders_benford_deviation",  # 1-row digit-total frame crossed
+                                     # onto the 9-row expected table
+        "ab_min_sample_size",    # two 1-row moment frames unioned
+        "ab_assignment_srm",     # (no cross join today; listed for the
+                                 # 1-row reduce if plans shift)
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():

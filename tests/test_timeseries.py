@@ -21,6 +21,7 @@ TS_QUERIES = [
     "events_cusum_changepoint",
     "events_hourly_acf",
     "markov_kstep_distribution",
+    "events_dominant_period",
 ]
 
 
