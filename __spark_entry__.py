@@ -104,11 +104,20 @@ _PRIORITY: list[str] = [
     # r7 vintage (5 of the alphabetically-first 15 keep their slots;
     # the other 10 r7 backfills moved to the r11 queue as the round-10
     # widening landed — see the swap notes below):
-    "boilerplate_spans_top",
-    "chsql_array_join_token_stats",
     "chsql_window_funnel_default",
     "classifier_calibration_bins",
-    "dedup_clusters",
+    # (second round-10 widening swap: ab_min_sample_size /
+    # parts_abc_classification / orders_benford_deviation take the
+    # boilerplate_spans_top / chsql_array_join_token_stats /
+    # dedup_clusters backfill slots — first green beats a second
+    # green; demoted families keep in-window representatives
+    # (repeated_span_stats for spans, chsql_window_funnel_default for
+    # chsql, semantic_dedup_invariants + dup_pair_training_spacing for
+    # dedup) and head the r11 queue with events_dominant_period, whose
+    # family anchor events_hourly_acf is in-window.)
+    "ab_min_sample_size",
+    "parts_abc_classification",
+    "orders_benford_deviation",
     # (round-10 widening swap: the EIGHT new round-10 operators take
     # eight r7 second-green backfill slots — first green beats a
     # second green, the same rule every prior round applied. Demoted
