@@ -243,6 +243,10 @@ HEADLINE = [
     "quantile_state_merge_daily",
     "embedding_centroid_distances",
     "ab_assignment_srm",
+    "ab_min_sample_size",
+    "parts_abc_classification",
+    "orders_benford_deviation",
+    "events_dominant_period",
 ]
 
 

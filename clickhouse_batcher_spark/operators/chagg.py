@@ -718,3 +718,93 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy("event_type", "day").agg(
         F.max("conc").cast("bigint").alias("max_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands over per-customer order days
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey,
+        CAST(epoch(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             AS BIGINT) // 86400 AS d
+      FROM orders
+    ), grp AS (
+      SELECT o_custkey, d,
+        d - row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+          AS island_key,
+        d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS gap
+      FROM days
+    ), islands AS (
+      SELECT o_custkey, island_key,
+        CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT i.o_custkey,
+      CAST(SUM(i.island_len) AS BIGINT) AS n_order_days,
+      CAST(COUNT(*) AS BIGINT) AS n_islands,
+      CAST(MAX(i.island_len) AS BIGINT) AS max_island_len,
+      CAST(g.max_gap AS BIGINT) AS max_gap_days
+    FROM islands i
+    JOIN (
+      SELECT o_custkey, COALESCE(MAX(gap), 0) AS max_gap
+      FROM grp GROUP BY 1
+    ) g ON g.o_custkey = i.o_custkey
+    GROUP BY 1, 5
+    """,
+)
+def customer_order_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per customer: consecutive-day runs of order
+    activity (the classic `day - row_number()` island key) rolled up
+    to per-customer streak analytics — active-day count, island count,
+    longest streak, and the longest silence. The retention shape
+    (streaky vs steady buyers) that lifecycle and churn models
+    consume; same family as `user_active_interval_sum` but on the
+    DISCRETE day grid, where runs need the rank trick rather than
+    interval arithmetic.
+
+    Exact integers end-to-end (epoch-day arithmetic, counts, integer
+    gaps). Scale: one distinct + two windows, all partitioned by
+    customer (a customer's order days fit an executor by the same
+    assumption as sessionization); the rollup is map-side combinable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey",
+        (F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.select(
+        "o_custkey",
+        "d",
+        (F.col("d") - F.row_number().over(w)).alias("island_key"),
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+    )
+    islands = grp.groupBy("o_custkey", "island_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("island_len")
+    )
+    gaps = grp.groupBy("o_custkey").agg(
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias(
+            "max_gap_days"
+        )
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.sum("island_len").cast("bigint").alias("n_order_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("island_len").cast("bigint").alias("max_island_len"),
+        )
+        .join(gaps, "o_custkey")
+        .select(
+            "o_custkey",
+            "n_order_days",
+            "n_islands",
+            "max_island_len",
+            "max_gap_days",
+        )
+    )

@@ -944,3 +944,124 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear forecast (deterministic integer double exponential
+# smoothing; alpha = 0.2, beta = 0.1 as exact rationals)
+# ---------------------------------------------------------------------------
+HOLT_SCALE = 10**6
+
+
+@query(
+    "events_holt_forecast_daily",
+    oracle=f"""
+    WITH RECURSIVE cnt AS (
+      SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) // 86400 AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(d) AS d0, MAX(d) AS d1 FROM cnt
+    ), ser AS (
+      SELECT tl.d - b2.d0 AS i, COALESCE(cnt.c, 0) AS c
+      FROM (SELECT unnest(generate_series(b.d0, b.d1)) AS d FROM b) tl
+      LEFT JOIN cnt ON cnt.d = tl.d
+      CROSS JOIN b b2
+    ), st AS (
+      SELECT 0 AS i,
+        CAST(s0.c * {HOLT_SCALE} AS BIGINT) AS level,
+        CAST((s1.c - s0.c) * {HOLT_SCALE} AS BIGINT) AS trend,
+        CAST(0 AS BIGINT) AS sse
+      FROM ser s0 JOIN ser s1 ON s0.i = 0 AND s1.i = 1
+      UNION ALL
+      SELECT st.i + 1,
+        (2 * ser.c * {HOLT_SCALE} + 8 * (st.level + st.trend)) // 10,
+        (1 * ((2 * ser.c * {HOLT_SCALE}
+               + 8 * (st.level + st.trend)) // 10 - st.level)
+         + 9 * st.trend) // 10,
+        st.sse + ((st.level + st.trend) // {HOLT_SCALE} - ser.c)
+                 * ((st.level + st.trend) // {HOLT_SCALE} - ser.c)
+      FROM st JOIN ser ON ser.i = st.i + 1
+    ), last AS (
+      SELECT * FROM st
+      QUALIFY row_number() OVER (ORDER BY i DESC) = 1
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM ser) AS BIGINT) AS n_days,
+      CAST(last.level AS BIGINT) AS level_scaled,
+      CAST(last.trend AS BIGINT) AS trend_scaled,
+      CAST(last.sse AS BIGINT) AS sse,
+      CAST((last.level + 1 * last.trend) // {HOLT_SCALE} AS BIGINT)
+        AS fc_1d,
+      CAST((last.level + 3 * last.trend) // {HOLT_SCALE} AS BIGINT)
+        AS fc_3d,
+      CAST((last.level + 7 * last.trend) // {HOLT_SCALE} AS BIGINT)
+        AS fc_7d
+    FROM last
+    """,
+)
+def events_holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast (double exponential smoothing,
+    alpha=0.2, beta=0.1) of the gap-filled DAILY event-count series,
+    with 1/3/7-day-ahead forecasts and the in-sample one-step SSE —
+    the capacity-planning companion to the hourly anomaly/seasonality
+    operators.
+
+    The same bit-exactness trick as `markov_kstep_distribution`: the
+    (level, trend) state is INTEGER at scale 1e6 and the smoothing
+    constants are exact rationals applied as integer multiply +
+    truncating div-10, so the full recursion is deterministic on both
+    engines — the oracle replays the identical recursion as a
+    RECURSIVE CTE over the day index (~|days| scalar steps, no
+    aggregate in the recursive term).
+
+    Scale: the per-event work is one day-bucket groupBy; the recursion
+    runs on the collected daily series (O(days) — bounded by the time
+    span, the same bounded-collect contract as the BPE argmax), and
+    forecasting is O(1) from the final state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows = cnt.collect()  # bounded: one row per DAY in the span
+    by_d = {int(r["d"]): int(r["c"]) for r in rows}
+    d0, d1 = min(by_d), max(by_d)
+    series = [by_d.get(d, 0) for d in range(d0, d1 + 1)]
+    s = HOLT_SCALE
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division: BOTH engines' `//`/`DIV`
+        # truncate, while Python's `//` floors — a negative trend
+        # diverges one scale-unit per step without this.
+        return a // b if (a >= 0) == (b >= 0) else -((-a) // b)
+
+    level = series[0] * s
+    trend = (series[1] - series[0]) * s
+    sse = 0
+    for c in series[1:]:
+        pred = level + trend
+        e = tdiv(pred, s) - c
+        sse += e * e
+        new_level = tdiv(2 * c * s + 8 * pred, 10)
+        trend = tdiv(1 * (new_level - level) + 9 * trend, 10)
+        level = new_level
+    out = [
+        (
+            len(series),
+            level,
+            trend,
+            sse,
+            (level + 1 * trend) // s,
+            (level + 3 * trend) // s,
+            (level + 7 * trend) // s,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_days BIGINT, level_scaled BIGINT, trend_scaled BIGINT,"
+        " sse BIGINT, fc_1d BIGINT, fc_3d BIGINT, fc_7d BIGINT",
+    )

@@ -141,6 +141,7 @@ ORACLED = [
     "ab_min_sample_size",
     "parts_abc_classification",
     "orders_benford_deviation",
+    "customer_order_islands",
 ]
 
 
@@ -3823,3 +3824,62 @@ def test_benford_rows_and_mass(spark, sf_dir):
     for d, r in rows.items():
         assert r["exp_ppm"] == _BENFORD_PPM[d]
         assert r["abs_dev_ppm"] == abs(r["obs_ppm"] - r["exp_ppm"])
+
+
+def test_order_islands_hand_case(spark):
+    """Hand-built: days {0,1,2, 5, 9,10} -> 3 islands, longest 3,
+    max gap 4, 6 order days (duplicate same-day orders collapse)."""
+    from unittest.mock import patch
+
+    from clickhouse_batcher_spark.operators import chagg as C
+
+    base = "2024-01-0"
+    rows = []
+    for i, day in enumerate([1, 2, 3, 6, 1, 3]):  # last two: dup days
+        rows.append((i, 7, "F", 1.0, f"2024-01-{day:02d} 00:00:00", "P"))
+    rows.append((10, 7, "F", 1.0, "2024-01-10 00:00:00", "P"))
+    rows.append((11, 7, "F", 1.0, "2024-01-11 00:00:00", "P"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, ts_s STRING, o_orderpriority STRING",
+    ).withColumn("o_orderdate", F.to_timestamp("ts_s"))
+    del base
+    with patch.object(C, "load_table", lambda *_: df):
+        r = C.customer_order_islands(spark, "ignored").collect()[0]
+    # days: 1,2,3 (island of 3), 6 (1), 10,11 (2)
+    assert r["n_order_days"] == 6
+    assert r["n_islands"] == 3
+    assert r["max_island_len"] == 3
+    assert r["max_gap_days"] == 4  # 6 -> 10
+
+
+def test_holt_forecast_linear_series_is_exact(spark):
+    """On an exactly linear daily series the integer Holt recursion
+    tracks the line: SSE stays 0 and fc_h continues it."""
+    from unittest.mock import patch
+
+    from clickhouse_batcher_spark.operators import timeseries as T
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 5 + 2 * (day - 1)  # exactly linear: 5,7,9,...
+        for k in range(n):
+            rows.append(
+                (eid, f"2024-02-{day:02d} 08:{k % 60:02d}:00", k, "t", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts_s STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    with patch.object(T, "load_table", lambda *_: df):
+        r = T.events_holt_forecast_daily(spark, "ignored").collect()[0]
+    assert r["n_days"] == 20
+    assert r["sse"] == 0
+    last = 5 + 2 * 19
+    assert r["fc_1d"] == last + 2
+    assert r["fc_3d"] == last + 6
+    assert r["fc_7d"] == last + 14

@@ -22,6 +22,7 @@ TS_QUERIES = [
     "events_hourly_acf",
     "markov_kstep_distribution",
     "events_dominant_period",
+    "events_holt_forecast_daily",
 ]
 
 
