@@ -113,3 +113,146 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
         ).alias("avg_secs_to_touch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-model attribution comparison (first / last / linear touch)
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_model_comparison",
+    oracle=f"""
+    WITH purch AS (
+      SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts,
+             CAST(round(value, 6) AS DECIMAL(27,6)) AS pval
+      FROM events WHERE event_type = '{CONVERSION_TYPE}'
+    ), touch AS (
+      SELECT user_id, event_id AS tid, CAST(ts AS TIMESTAMP) AS tts,
+             event_type AS touch_type
+      FROM events WHERE event_type <> '{CONVERSION_TYPE}'
+    ), pairs AS (
+      SELECT p.pid, p.pval, t.touch_type,
+        row_number() OVER (PARTITION BY p.pid
+                           ORDER BY t.tts, t.tid) AS rn_first,
+        row_number() OVER (PARTITION BY p.pid
+                           ORDER BY t.tts DESC, t.tid DESC) AS rn_last,
+        COUNT(*) OVER (PARTITION BY p.pid) AS k
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts
+       AND date_diff('second', t.tts, p.pts) <= {ATTR_WINDOW_SECS}
+    ), credited AS (
+      SELECT 'first_touch' AS model, touch_type,
+             CAST(1000000 AS BIGINT) AS ppm, pval
+      FROM pairs WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch', touch_type, CAST(1000000 AS BIGINT), pval
+      FROM pairs WHERE rn_last = 1
+      UNION ALL
+      SELECT 'linear', touch_type,
+             CAST(1000000 // k AS BIGINT), pval
+      FROM pairs
+      UNION ALL
+      SELECT m.model, 'organic', CAST(1000000 AS BIGINT), o.pval
+      FROM (
+        SELECT p.pid, p.pval FROM purch p
+        WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
+      ) o
+      CROSS JOIN (VALUES ('first_touch'), ('last_touch'), ('linear'))
+        AS m(model)
+    )
+    SELECT model, touch_type,
+      CAST(SUM(ppm) AS BIGINT) AS credits_ppm,
+      round(CAST(SUM(pval * ppm) AS DOUBLE) / 1000000, 4)
+        AS credited_value
+    FROM credited GROUP BY 1, 2
+    """,
+)
+def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch vs linear multi-touch attribution of
+    purchase credit over the same 72h window — the model-sensitivity
+    audit run before anyone trusts a single attribution number
+    (`purchase_attribution` is the production last-touch path; this
+    operator quantifies how much the answer MOVES under the other two
+    standard models).
+
+    Credit is integer ppm per purchase (1e6 for first/last; 1e6 div k
+    per in-window touch for linear — truncating, so both engines agree
+    to the ppm), and credited value is an exact decimal sum of
+    value x ppm with ONE final double division. Purchases with no
+    in-window touch credit 'organic' under every model.
+
+    Scale: the purchase-touch pair join shuffles once on user_id with
+    the window cut as a join-time filter (pairs bounded by one user's
+    72h activity); the per-purchase windows partition by purchase id;
+    the rollup is |models| x |touch types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == CONVERSION_TYPE).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round("value", 6).cast("decimal(27,6)").alias("pval"),
+    )
+    touch = ev.filter(F.col("event_type") != CONVERSION_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = purch.join(touch, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (
+            F.unix_timestamp("pts") - F.unix_timestamp("tts")
+            <= ATTR_WINDOW_SECS
+        )
+    )
+    wp = Window.partitionBy("pid")
+    pairs = pairs.select(
+        "pid",
+        "pval",
+        "touch_type",
+        F.row_number()
+        .over(wp.orderBy(F.col("tts"), F.col("tid")))
+        .alias("rn_first"),
+        F.row_number()
+        .over(wp.orderBy(F.col("tts").desc(), F.col("tid").desc()))
+        .alias("rn_last"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    first = pairs.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"),
+        "touch_type",
+        F.lit(1000000).cast("bigint").alias("ppm"),
+        "pval",
+    )
+    last = pairs.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"),
+        "touch_type",
+        F.lit(1000000).cast("bigint").alias("ppm"),
+        "pval",
+    )
+    linear = pairs.select(
+        F.lit("linear").alias("model"),
+        "touch_type",
+        F.expr("CAST(1000000 DIV k AS BIGINT)").alias("ppm"),
+        "pval",
+    )
+    organic_base = purch.join(
+        pairs.select("pid").distinct(), "pid", "left_anti"
+    ).select("pval")
+    models = spark.createDataFrame(
+        [("first_touch",), ("last_touch",), ("linear",)], "model STRING"
+    )
+    organic = organic_base.crossJoin(F.broadcast(models)).select(
+        "model",
+        F.lit("organic").alias("touch_type"),
+        F.lit(1000000).cast("bigint").alias("ppm"),
+        "pval",
+    )
+    credited = first.unionAll(last).unionAll(linear).unionAll(organic)
+    return credited.groupBy("model", "touch_type").agg(
+        F.sum("ppm").cast("bigint").alias("credits_ppm"),
+        F.round(
+            F.sum(F.col("pval") * F.col("ppm")).cast("double") / 1000000, 4
+        ).alias("credited_value"),
+    )

@@ -142,6 +142,7 @@ ORACLED = [
     "parts_abc_classification",
     "orders_benford_deviation",
     "customer_order_islands",
+    "attribution_model_comparison",
 ]
 
 
@@ -3883,3 +3884,42 @@ def test_holt_forecast_linear_series_is_exact(spark):
     assert r["fc_1d"] == last + 2
     assert r["fc_3d"] == last + 6
     assert r["fc_7d"] == last + 14
+
+
+def test_attribution_models_consistency(spark, sf_dir):
+    """Cross-model invariants: every model distributes the same total
+    purchase mass (1e6 ppm per purchase, linear up to k-truncation),
+    and last-touch credits match the production purchase_attribution
+    operator's counts."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = catalog.QUERIES["attribution_model_comparison"](
+        spark, sf_dir
+    ).collect()
+    by_model: dict[str, int] = {}
+    for r in rows:
+        by_model[r["model"]] = by_model.get(r["model"], 0) + r["credits_ppm"]
+    n_purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert by_model["first_touch"] == n_purch * 1_000_000
+    assert by_model["last_touch"] == n_purch * 1_000_000
+    # linear loses < k ppm per purchase to truncation
+    assert n_purch * 1_000_000 - n_purch * 200 <= by_model["linear"]
+    assert by_model["linear"] <= n_purch * 1_000_000
+    # last-touch counts agree with the production operator
+    prod = {
+        r["touch_type"]: r["n_purchases"]
+        for r in catalog.QUERIES["purchase_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    got_last = {
+        r["touch_type"]: r["credits_ppm"] // 1_000_000
+        for r in rows
+        if r["model"] == "last_touch"
+    }
+    assert got_last == {k: v for k, v in prod.items() if v}
