@@ -146,6 +146,10 @@ _PRIORITY: list[str] = [
     "resharding_stability_report",
     "dup_pair_training_spacing",
 ]
+# r11 first-green queue (added after the round-10 window froze):
+# events_dominant_period, events_holt_forecast_daily,
+# customer_order_islands, attribution_model_comparison — plus the ten
+# r7 second-green demotions named in the swap comments above.
 # --- ROUND 9 window ledger (the list above replaced this; 49 of the
 #     50 r9 entries went hash-green in CORRECTNESS_r09, the one red —
 #     shard_checksum_manifest — leads the r10 window after its

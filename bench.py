@@ -247,6 +247,9 @@ HEADLINE = [
     "parts_abc_classification",
     "orders_benford_deviation",
     "events_dominant_period",
+    "events_holt_forecast_daily",
+    "customer_order_islands",
+    "attribution_model_comparison",
 ]
 
 
