@@ -114,7 +114,6 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_secs_to_touch"),
     )
 
-
 # ---------------------------------------------------------------------------
 # Multi-model attribution comparison (first / last / linear touch)
 # ---------------------------------------------------------------------------
@@ -127,36 +126,33 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = '{CONVERSION_TYPE}'
     ), touch AS (
       SELECT user_id, event_id AS tid, CAST(ts AS TIMESTAMP) AS tts,
-             event_type AS touch_type
-      FROM events WHERE event_type <> '{CONVERSION_TYPE}'
+             event_type FROM events
+      WHERE event_type <> '{CONVERSION_TYPE}'
     ), pairs AS (
-      SELECT p.pid, p.pval, t.touch_type,
+      SELECT p.pid, p.pval, t.tid, t.event_type,
         row_number() OVER (PARTITION BY p.pid
                            ORDER BY t.tts, t.tid) AS rn_first,
         row_number() OVER (PARTITION BY p.pid
                            ORDER BY t.tts DESC, t.tid DESC) AS rn_last,
-        COUNT(*) OVER (PARTITION BY p.pid) AS k
-      FROM purch p JOIN touch t
+        COUNT(t.tid) OVER (PARTITION BY p.pid) AS k
+      FROM purch p LEFT JOIN touch t
         ON t.user_id = p.user_id
        AND t.tts < p.pts
        AND date_diff('second', t.tts, p.pts) <= {ATTR_WINDOW_SECS}
     ), credited AS (
-      SELECT 'first_touch' AS model, touch_type,
-             CAST(1000000 AS BIGINT) AS ppm, pval
-      FROM pairs WHERE rn_first = 1
-      UNION ALL
-      SELECT 'last_touch', touch_type, CAST(1000000 AS BIGINT), pval
-      FROM pairs WHERE rn_last = 1
-      UNION ALL
-      SELECT 'linear', touch_type,
-             CAST(1000000 // k AS BIGINT), pval
+      SELECT
+        CASE WHEN tid IS NULL THEN 'organic' ELSE event_type END
+          AS touch_type,
+        m.model, pval,
+        CASE
+          WHEN tid IS NULL THEN CAST(1000000 AS BIGINT)
+          WHEN m.model = 'first_touch' THEN
+            CASE WHEN rn_first = 1 THEN CAST(1000000 AS BIGINT) END
+          WHEN m.model = 'last_touch' THEN
+            CASE WHEN rn_last = 1 THEN CAST(1000000 AS BIGINT) END
+          ELSE CAST(1000000 // k AS BIGINT)
+        END AS ppm
       FROM pairs
-      UNION ALL
-      SELECT m.model, 'organic', CAST(1000000 AS BIGINT), o.pval
-      FROM (
-        SELECT p.pid, p.pval FROM purch p
-        WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid)
-      ) o
       CROSS JOIN (VALUES ('first_touch'), ('last_touch'), ('linear'))
         AS m(model)
     )
@@ -164,7 +160,8 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(ppm) AS BIGINT) AS credits_ppm,
       round(CAST(SUM(pval * ppm) AS DOUBLE) / 1000000, 4)
         AS credited_value
-    FROM credited GROUP BY 1, 2
+    FROM credited WHERE ppm IS NOT NULL
+    GROUP BY 1, 2
     """,
 )
 def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,13 +175,17 @@ def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Credit is integer ppm per purchase (1e6 for first/last; 1e6 div k
     per in-window touch for linear — truncating, so both engines agree
     to the ppm), and credited value is an exact decimal sum of
-    value x ppm with ONE final double division. Purchases with no
-    in-window touch credit 'organic' under every model.
+    value x ppm with ONE final double division.
 
-    Scale: the purchase-touch pair join shuffles once on user_id with
-    the window cut as a join-time filter (pairs bounded by one user's
-    72h activity); the per-purchase windows partition by purchase id;
-    the rollup is |models| x |touch types| rows.
+    Plan shape (audited): purchases LEFT-join touches with the window
+    cut in the ON clause — unmatched purchases ARE the organic rows,
+    so no anti-join branch — and all three models come from one
+    3-way explode over the single pair frame: events is scanned
+    exactly twice (purchase side + touch side), vs 9 scans for the
+    naive 4-way UNION formulation. The pair join shuffles once on
+    user_id (pairs bounded by one user's 72h activity); per-purchase
+    windows partition by purchase id; the rollup is |models| x |touch
+    types| rows.
     """
     ev = load_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == CONVERSION_TYPE).select(
@@ -197,59 +198,67 @@ def attribution_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("tid"),
         F.col("ts").alias("tts"),
-        F.col("event_type").alias("touch_type"),
+        F.col("event_type").alias("ttype"),
     )
-    pairs = purch.join(touch, "user_id").filter(
-        (F.col("tts") < F.col("pts"))
+    cond = (
+        (purch["user_id"] == touch["user_id"])
+        & (touch["tts"] < purch["pts"])
         & (
-            F.unix_timestamp("pts") - F.unix_timestamp("tts")
+            F.unix_timestamp(purch["pts"]) - F.unix_timestamp(touch["tts"])
             <= ATTR_WINDOW_SECS
         )
     )
     wp = Window.partitionBy("pid")
-    pairs = pairs.select(
-        "pid",
+    pairs = (
+        purch.join(touch, cond, "left")
+        .drop(touch["user_id"])
+        .select(
+            "pid",
+            "pval",
+            "tid",
+            "ttype",
+            F.row_number()
+            .over(wp.orderBy(F.col("tts").asc_nulls_last(), F.col("tid")))
+            .alias("rn_first"),
+            F.row_number()
+            .over(
+                wp.orderBy(
+                    F.col("tts").desc_nulls_last(), F.col("tid").desc()
+                )
+            )
+            .alias("rn_last"),
+            F.count("tid").over(wp).alias("k"),
+        )
+    )
+    models = F.array(
+        F.lit("first_touch"), F.lit("last_touch"), F.lit("linear")
+    )
+    credited = pairs.select(
+        F.when(F.col("tid").isNull(), "organic")
+        .otherwise(F.col("ttype"))
+        .alias("touch_type"),
         "pval",
-        "touch_type",
-        F.row_number()
-        .over(wp.orderBy(F.col("tts"), F.col("tid")))
-        .alias("rn_first"),
-        F.row_number()
-        .over(wp.orderBy(F.col("tts").desc(), F.col("tid").desc()))
-        .alias("rn_last"),
-        F.count(F.lit(1)).over(wp).alias("k"),
-    )
-    first = pairs.filter(F.col("rn_first") == 1).select(
-        F.lit("first_touch").alias("model"),
-        "touch_type",
-        F.lit(1000000).cast("bigint").alias("ppm"),
-        "pval",
-    )
-    last = pairs.filter(F.col("rn_last") == 1).select(
-        F.lit("last_touch").alias("model"),
-        "touch_type",
-        F.lit(1000000).cast("bigint").alias("ppm"),
-        "pval",
-    )
-    linear = pairs.select(
-        F.lit("linear").alias("model"),
-        "touch_type",
-        F.expr("CAST(1000000 DIV k AS BIGINT)").alias("ppm"),
-        "pval",
-    )
-    organic_base = purch.join(
-        pairs.select("pid").distinct(), "pid", "left_anti"
-    ).select("pval")
-    models = spark.createDataFrame(
-        [("first_touch",), ("last_touch",), ("linear",)], "model STRING"
-    )
-    organic = organic_base.crossJoin(F.broadcast(models)).select(
+        "rn_first",
+        "rn_last",
+        "k",
+        F.col("tid").isNull().alias("organic"),
+        F.explode(models).alias("model"),
+    ).select(
         "model",
-        F.lit("organic").alias("touch_type"),
-        F.lit(1000000).cast("bigint").alias("ppm"),
+        "touch_type",
         "pval",
-    )
-    credited = first.unionAll(last).unionAll(linear).unionAll(organic)
+        F.when(F.col("organic"), F.lit(1000000).cast("bigint"))
+        .when(
+            F.col("model") == "first_touch",
+            F.when(F.col("rn_first") == 1, F.lit(1000000).cast("bigint")),
+        )
+        .when(
+            F.col("model") == "last_touch",
+            F.when(F.col("rn_last") == 1, F.lit(1000000).cast("bigint")),
+        )
+        .otherwise(F.expr("CAST(1000000 DIV k AS BIGINT)"))
+        .alias("ppm"),
+    ).filter(F.col("ppm").isNotNull())
     return credited.groupBy("model", "touch_type").agg(
         F.sum("ppm").cast("bigint").alias("credits_ppm"),
         F.round(
