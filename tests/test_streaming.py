@@ -1031,3 +1031,58 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_root):
     assert sorted(streamed.values()) == sorted(expected)
     for _, psi, alert in streamed.values():
         assert alert == (psi > PSI_ALERT)
+
+
+def test_quantile_streaming_equivalence(spark, sf_dir, tmp_root):
+    """Continuous quantiles: per-micro-batch histogram-bin states
+    merged then finalized == the batch quantile_state_merge_daily
+    operator's total-period answer (exact integer equality)."""
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.streaming.quantiles import (
+        finalize_quantiles,
+        merge_bin_counts,
+        partial_bin_counts,
+    )
+
+    catalog.load_all()
+    src = f"{tmp_root}/qsrc"
+    schema, _ = _write_source_files(spark, sf_dir, src, 5)
+    states_dir = f"{tmp_root}/qstates"
+
+    def fold(batch_df, batch_id):
+        partial_bin_counts(batch_df).write.mode("append").parquet(
+            states_dir
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp_root}/qckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    states = spark.read.parquet(states_dir)
+    assert states.count() > 0
+    streamed = {
+        r["event_type"]: (
+            r["n_events"], r["p50_bin"], r["p90_bin"], r["p99_bin"]
+        )
+        for r in finalize_quantiles(merge_bin_counts(states)).collect()
+    }
+    batch = {
+        r["event_type"]: (
+            r["n_events"], r["p50_bin"], r["p90_bin"], r["p99_bin"]
+        )
+        for r in catalog.QUERIES["quantile_state_merge_daily"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch
