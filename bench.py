@@ -250,6 +250,7 @@ HEADLINE = [
     "events_holt_forecast_daily",
     "customer_order_islands",
     "attribution_model_comparison",
+    "user_metric_corr_matrix",
 ]
 
 

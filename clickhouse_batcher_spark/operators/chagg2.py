@@ -1908,3 +1908,139 @@ def ab_min_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw", 6).alias("n_per_arm_exact"),
         F.ceil(F.round("raw", 6)).cast("bigint").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corrMatrix parity: pairwise Pearson over per-user R/F/M metrics
+# ---------------------------------------------------------------------------
+@query(
+    "user_metric_corr_matrix",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(epoch(date_trunc('day', CAST(o_orderdate
+                 AS TIMESTAMP))) AS BIGINT) // 86400) AS maxd
+      FROM orders
+    ), u AS (
+      SELECT o_custkey,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS monetary_c,
+        CAST(mx.maxd - MAX(CAST(epoch(date_trunc('day',
+             CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400)
+             AS BIGINT) AS recency_d
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxd
+    ), long AS (
+      SELECT o_custkey, m.metric, CASE m.metric
+        WHEN 'freq' THEN freq
+        WHEN 'monetary_c' THEN monetary_c
+        ELSE recency_d END AS x
+      FROM u CROSS JOIN (VALUES ('freq'), ('monetary_c'), ('recency_d'))
+        AS m(metric)
+    ), moments AS (
+      SELECT a.metric AS metric_a, b.metric AS metric_b,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        SUM(CAST(a.x AS HUGEINT)) AS sa,
+        SUM(CAST(b.x AS HUGEINT)) AS sb,
+        SUM(CAST(a.x AS HUGEINT) * a.x) AS saa,
+        SUM(CAST(b.x AS HUGEINT) * b.x) AS sbb,
+        SUM(CAST(a.x AS HUGEINT) * b.x) AS sab
+      FROM long a JOIN long b
+        ON b.o_custkey = a.o_custkey AND a.metric < b.metric
+      GROUP BY 1, 2
+    )
+    SELECT metric_a, metric_b, n_users,
+      round((CAST(n_users AS DOUBLE) * CAST(sab AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / sqrt((CAST(n_users AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                   * (CAST(n_users AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+            6) AS pearson_r
+    FROM moments
+    """,
+)
+def user_metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix`` analog: the pairwise Pearson matrix
+    over per-customer recency / frequency / monetary metrics — the
+    multivariate companion to `customer_rfm_segments` (are the three
+    RFM axes actually independent enough to segment on?).
+
+    Every moment is an exact integer (order counts, cent-integer
+    spend via the DECIMAL(18,2) money route, epoch-day recency), so
+    the five sums are HUGEINT/DECIMAL(38)-exact and the one closed
+    form is a fixed IEEE sequence rounded once — the same moment
+    discipline as `event_type_value_correlation`, extended to the
+    metric-pair matrix via a 3-way metric explode + self-join on the
+    tiny per-user frame (|users| x 3 rows, never the order count).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+    ).cast("bigint")
+    mx = orders.agg(F.max(day).alias("maxd"))
+    u = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).cast("bigint").alias("monetary_c"),
+            (F.first("maxd") - F.max(day)).cast("bigint").alias("_r"),
+        )
+        .select(
+            "o_custkey",
+            "freq",
+            "monetary_c",
+            F.col("_r").alias("recency_d"),
+        )
+    )
+    metric = F.explode(
+        F.array(F.lit("freq"), F.lit("monetary_c"), F.lit("recency_d"))
+    ).alias("metric")
+    long = u.select("o_custkey", metric, "freq", "monetary_c", "recency_d")
+    long = long.select(
+        "o_custkey",
+        "metric",
+        F.when(F.col("metric") == "freq", F.col("freq"))
+        .when(F.col("metric") == "monetary_c", F.col("monetary_c"))
+        .otherwise(F.col("recency_d"))
+        .alias("x"),
+    ).persist()  # referenced by both sides of the pair self-join
+    big = "decimal(38,0)"
+    a = long.select(
+        "o_custkey", F.col("metric").alias("metric_a"), F.col("x").alias("xa")
+    )
+    b = long.select(
+        "o_custkey", F.col("metric").alias("metric_b"), F.col("x").alias("xb")
+    )
+    moments = (
+        a.join(b, "o_custkey")
+        .filter(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("xa").cast(big)).alias("sa"),
+            F.sum(F.col("xb").cast(big)).alias("sb"),
+            F.sum(F.col("xa").cast(big) * F.col("xa")).alias("saa"),
+            F.sum(F.col("xb").cast(big) * F.col("xb")).alias("sbb"),
+            F.sum(F.col("xa").cast(big) * F.col("xb")).alias("sab"),
+        )
+    )
+    nd = F.col("n_users").cast("double")
+    num = nd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col(
+        "sb"
+    ).cast("double")
+    den = F.sqrt(
+        (nd * F.col("saa").cast("double")
+         - F.col("sa").cast("double") * F.col("sa").cast("double"))
+        * (nd * F.col("sbb").cast("double")
+           - F.col("sb").cast("double") * F.col("sb").cast("double"))
+    )
+    return moments.select(
+        "metric_a",
+        "metric_b",
+        "n_users",
+        F.round(num / den, 6).alias("pearson_r"),
+    )

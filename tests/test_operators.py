@@ -143,6 +143,7 @@ ORACLED = [
     "orders_benford_deviation",
     "customer_order_islands",
     "attribution_model_comparison",
+    "user_metric_corr_matrix",
 ]
 
 
@@ -3923,3 +3924,52 @@ def test_attribution_models_consistency(spark, sf_dir):
         if r["model"] == "last_touch"
     }
     assert got_last == {k: v for k, v in prod.items() if v}
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Float recompute: each pair's Pearson r within 1e-6 of numpy
+    corrcoef on the same per-customer metrics; r in [-1, 1]; all
+    three pairs present."""
+    import numpy as np
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in catalog.QUERIES["user_metric_corr_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {
+        ("freq", "monetary_c"),
+        ("freq", "recency_d"),
+        ("monetary_c", "recency_d"),
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    per: dict[int, list] = {}
+    for r in orders:
+        per.setdefault(r["o_custkey"], []).append(r)
+    maxd = max(
+        int(r["o_orderdate"].timestamp()) // 86400 for r in orders
+    )
+    met = {
+        c: (
+            len(v),
+            sum(round(float(r["o_totalprice"]) * 100) for r in v),
+            maxd
+            - max(int(r["o_orderdate"].timestamp()) // 86400 for r in v),
+        )
+        for c, v in per.items()
+    }
+    cols = {"freq": 0, "monetary_c": 1, "recency_d": 2}
+    arr = np.array([met[c] for c in sorted(met)], dtype=np.float64)
+    for (ma, mb), r in rows.items():
+        want = float(
+            np.corrcoef(arr[:, cols[ma]], arr[:, cols[mb]])[0, 1]
+        )
+        assert abs(r["pearson_r"] - want) < 1e-6, (ma, mb)
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        assert r["n_users"] == len(met)

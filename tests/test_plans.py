@@ -272,6 +272,9 @@ def test_catalog_wide_no_cartesian_products(spark, sf_dir):
         "ab_min_sample_size",    # two 1-row moment frames unioned
         "ab_assignment_srm",     # (no cross join today; listed for the
                                  # 1-row reduce if plans shift)
+        "user_metric_corr_matrix",  # 1-row corpus-max-day frame crossed
+                                    # onto orders before the per-user
+                                    # aggregate
     }
     offenders = {}
     for name, fn in catalog.QUERIES.items():
