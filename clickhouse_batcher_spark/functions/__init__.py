@@ -122,14 +122,9 @@ def with_global_index(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    # persist the range-shuffled frame: both the offset count and the
-    # per-partition numbering reference it, and uncached each
-    # reference re-derives the ENTIRE upstream plan (chained callers
-    # compounded this 2^k-fold — customer_rfm_segments re-scanned
-    # orders 8x). The cache holds exactly the shuffled rows.
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_gidx_pid", F.spark_partition_id()
-    ).persist()
+    )
     counts = ranged.groupBy("_gidx_pid").agg(F.count(F.lit(1)).alias("_gidx_cnt"))
     # The offsets frame has at most num_partitions rows; a global
     # window over it is bounded and cheap.
@@ -178,11 +173,9 @@ def with_global_cumsum(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    # persisted for the same double-reference reason as
-    # with_global_index above.
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_gcs_pid", F.spark_partition_id()
-    ).persist()
+    )
     partials = ranged.groupBy("_gcs_pid").agg(
         *[
             F.sum(F.coalesce(F.col(v), F.lit(0))).alias(f"_gcs_sum_{i}")
@@ -254,11 +247,9 @@ def with_global_cummax(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    # persisted for the same double-reference reason as
-    # with_global_index above.
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_gcm_pid", F.spark_partition_id()
-    ).persist()
+    )
     partials = ranged.groupBy("_gcm_pid").agg(
         *[
             F.max(F.col(v)).alias(f"_gcm_max_{i}")

@@ -2007,7 +2007,9 @@ def user_metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("metric") == "monetary_c", F.col("monetary_c"))
         .otherwise(F.col("recency_d"))
         .alias("x"),
-    ).persist()  # referenced by both sides of the pair self-join
+    )  # pair self-join reuse: AQE's ReusedExchange dedupes the
+    # shuffled subtree at runtime (measured round 10 — an explicit
+    # persist only added materialization cost)
     big = "decimal(38,0)"
     a = long.select(
         "o_custkey", F.col("metric").alias("metric_a"), F.col("x").alias("xa")

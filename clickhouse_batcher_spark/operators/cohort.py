@@ -138,7 +138,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    base = base.persist()  # referenced by the count and 3 index chains
     nrow = base.agg(F.count(F.lit(1)).alias("_n"))
     idx = base
     metrics = (("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q"))

@@ -1114,10 +1114,7 @@ def dsir_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents DSIR keeps: deterministic Bernoulli thinning with
     p = exp(logweight - max logweight) via the portable sha-bucket —
     the resampled-toward-target corpus as an actual row set."""
-    # persist: the DSIR weight subtree is referenced by both the max
-    # reduction and the thinning pass — uncached it re-derives (and
-    # re-scans documents) once per reference. One narrow row per doc.
-    w = dsir_importance_weights(spark, sf_dir).persist()
+    w = dsir_importance_weights(spark, sf_dir)
     m = w.agg(F.max("dsir_logweight").alias("mx"))
     # 8 hex digits — see the oracle-side comment (4 digits max at
     # 65535 and would defeat the %1e6 thinning)

@@ -56,8 +56,6 @@ def funnel_stage_times(events: DataFrame) -> DataFrame:
         e.filter(F.col("event_type") == s_view)
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        # persisted: probed by the next stage AND the final outer join
-        .persist()
     )
     s2 = (
         e.filter(F.col("event_type") == s_click)
@@ -67,7 +65,6 @@ def funnel_stage_times(events: DataFrame) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .persist()
     )
     s3 = (
         e.filter(F.col("event_type") == s_buy)

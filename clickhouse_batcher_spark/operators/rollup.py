@@ -155,11 +155,7 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("l_discount") * 100).cast("int")
         ).cast("decimal(5,0)")
     )
-    # persisted: the per-part frame feeds the cumsum, the grand total
-    # and the class rollup — uncached, each branch re-scans lineitem
-    # (4 scans in the plan audit). |parts| rows, far smaller than the
-    # fact table.
-    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev100")).persist()
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev100"))
     c = with_global_cumsum(
         pr.withColumn("_negr", -F.col("rev100")),
         {"rev100": "crev"},

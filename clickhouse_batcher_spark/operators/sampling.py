@@ -296,15 +296,10 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_batcher_spark.functions import with_global_index
     from clickhouse_batcher_spark.operators.corpus import docs_unigram_logprob
 
-    # persist both doc-level frames: the logprob subtree is expensive
-    # (vocab join) and is re-derived by every reference — the range
-    # shuffle's two internal passes, the total count, and the tagging
-    # pass pushed the audit to 12 parquet scans without the caches.
-    # Both frames are 3-4 narrow columns per doc.
-    scored = docs_unigram_logprob(spark, sf_dir).persist()
+    scored = docs_unigram_logprob(spark, sf_dir)
     ranked = with_global_index(
         scored, [F.col("avg_logprob"), F.col("doc_id")], index_name="idx"
-    ).persist()
+    )
     total = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     rate = F.element_at(
         F.array(*[F.lit(r) for r in PPL_KEEP_PCT]), F.col("bucket").cast("int") + 1

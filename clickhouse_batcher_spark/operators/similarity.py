@@ -1003,17 +1003,13 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed."""
     from clickhouse_batcher_spark.operators.corpus import bm25_retrieval_topk
 
-    # persist both top-k lists (tiny: TOP_K rows per query): cos is
-    # referenced three times (rank join, query universe, candidate
-    # union) and bm twice — uncached, each reference re-runs the full
-    # retrieval subtree (10 scans in the plan audit).
     cos = similarity_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("cos_rank"),
-    ).persist()
+    )
     bm = bm25_retrieval_topk(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("bm25_rank")
-    ).persist()
+    )
     qids = cos.select("query_id").distinct()
     cand = (
         cos.select("query_id", "doc_id")

@@ -652,11 +652,7 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
         .cast("bigint")
         .alias("hr")
-    ).agg(F.count(F.lit(1)).alias("c")).persist()
-    # ^ persisted: every downstream branch (bounds, timeline join,
-    #   variance, lag joins) re-references this frame; uncached, each
-    #   reference re-scans the raw events parquet (the plan audit
-    #   showed 10 scans/query — the canonical 100 TB killer). O(hours).
+    ).agg(F.count(F.lit(1)).alias("c"))
     b = cnt.agg(
         F.min("hr").alias("h0"),
         F.max("hr").alias("h1"),
@@ -672,7 +668,7 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ser.crossJoin(F.broadcast(b)).select(
         "hr",
         (F.col("n") * F.col("c") - F.col("s")).cast("bigint").alias("av"),
-    ).persist()
+    )
     big = "decimal(38,0)"
     den = a.agg(
         F.sum(F.col("av").cast(big) * F.col("av")).alias("den")
@@ -896,11 +892,7 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
         .cast("bigint")
         .alias("hr")
-    ).agg(F.count(F.lit(1)).alias("c")).persist()
-    # ^ persisted: every downstream branch (bounds, timeline join,
-    #   variance, lag joins) re-references this frame; uncached, each
-    #   reference re-scans the raw events parquet (the plan audit
-    #   showed 10 scans/query — the canonical 100 TB killer). O(hours).
+    ).agg(F.count(F.lit(1)).alias("c"))
     b = cnt.agg(
         F.min("hr").alias("h0"),
         F.max("hr").alias("h1"),
@@ -915,7 +907,7 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ser.crossJoin(F.broadcast(b)).select(
         "hr",
         (F.col("n") * F.col("c") - F.col("s")).cast("bigint").alias("av"),
-    ).persist()
+    )
     big = "decimal(38,0)"
     den = a.agg(F.sum(F.col("av").cast(big) * F.col("av")).alias("den"))
     lagged = a.select(

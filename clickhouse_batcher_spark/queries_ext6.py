@@ -120,9 +120,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", "s_name", "n_name")
-        # persisted: probed by the cost aggregate AND the final
-        # supplier re-join — tiny regional-supplier dim
-        .persist()
     )
     supply = (
         load_table(spark, sf_dir, "lineitem")
@@ -132,9 +129,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(F.min(_disc_price()).alias("cost"))
-        # persisted: both the per-part MIN and the min-match join
-        # reference it — uncached, lineitem scans twice
-        .persist()
     )
     best = (
         supply.groupBy(F.col("partkey").alias("best_partkey"))
