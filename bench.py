@@ -251,6 +251,8 @@ HEADLINE = [
     "customer_order_islands",
     "attribution_model_comparison",
     "user_metric_corr_matrix",
+    "docs_simpson_diversity",
+    "orders_interarrival_burstiness",
 ]
 
 

@@ -808,3 +808,95 @@ def customer_order_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of per-customer order inter-arrival times
+# ---------------------------------------------------------------------------
+@query(
+    "orders_interarrival_burstiness",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+        CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS es,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey) AS rn
+      FROM orders
+    ), gaps AS (
+      SELECT a.o_custkey, CAST(b.es - a.es AS BIGINT) AS gap_s
+      FROM d a JOIN d b
+        ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+    ), m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        SUM(CAST(gap_s AS HUGEINT)) AS s1i,
+        CAST(SUM(CAST(gap_s AS HUGEINT)) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(gap_s AS HUGEINT) * gap_s) AS DOUBLE) AS s2
+      FROM gaps
+    )
+    SELECT n_gaps,
+      CAST(s1i // n_gaps AS BIGINT) AS mean_gap_s,
+      round(sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1))
+            / sqrt(CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE), 2)
+        AS stddev_gap_s,
+      round((sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                  / (CAST(n_gaps AS DOUBLE) * n_gaps)) - s1 / n_gaps)
+            / (sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                    / (CAST(n_gaps AS DOUBLE) * n_gaps)) + s1 / n_gaps),
+            6) AS burstiness
+    FROM m
+    """,
+)
+def orders_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of the
+    per-customer order inter-arrival times, pooled corpus-wide: B -> -1
+    for clockwork ordering, 0 for Poisson, -> +1 for extreme bursts —
+    the one-number answer to "are purchases scheduled or bursty" that
+    capacity planning and the islands/streak view (`customer_order_
+    islands`) read together.
+
+    Gaps are exact integer epoch-second differences of CONSECUTIVE
+    orders per customer (rank self-join, same per-user discipline as
+    the transition matrix); moments are HUGEINT/DECIMAL(38)-exact;
+    sigma/mu/B are one fixed IEEE sequence rounded once each. One
+    customer-partitioned window + one 1-row reduce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("es"),
+            (
+                F.unix_timestamp("o_orderdate")
+                - F.lag(F.unix_timestamp("o_orderdate")).over(w)
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+        .select(F.col("gap_s").cast("bigint").alias("gap_s"))
+    )
+    big = "decimal(38,0)"
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap_s").cast(big)).alias("s1i"),
+        F.sum(F.col("gap_s").cast(big)).cast("double").alias("s1"),
+        F.sum(F.col("gap_s").cast(big) * F.col("gap_s"))
+        .cast("double")
+        .alias("s2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s1") / nd
+    sigma = F.sqrt((nd * F.col("s2") - F.col("s1") * F.col("s1")) / (nd * nd))
+    return m.select(
+        "n_gaps",
+        # exact integer mean: a double->BIGINT cast ROUNDS on DuckDB
+        # and TRUNCATES on Spark (the round-10 verify-skill trap)
+        F.expr("CAST(s1i DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
+        F.round(
+            F.sqrt(nd * F.col("s2") - F.col("s1") * F.col("s1"))
+            / F.sqrt(nd)
+            / nd,
+            2,
+        ).alias("stddev_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )

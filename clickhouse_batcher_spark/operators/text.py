@@ -563,3 +563,71 @@ def docs_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word_len_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the token distribution per source
+# ---------------------------------------------------------------------------
+@query(
+    "docs_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS vocab,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) * 1000000
+           // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT)
+        AS simpson_ppm,
+      CAST(1000000 - SUM(CAST(n AS HUGEINT) * (n - 1)) * 1000000
+           // (CAST(SUM(n) AS HUGEINT) * (SUM(n) - 1)) AS BIGINT)
+        AS gini_simpson_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration / Gini-Simpson diversity of each source's
+    token distribution — the repeat-probability diversity index next
+    to the entropy and Zipf diagnostics (`docs_token_entropy`,
+    `token_zipf_fit`): the probability two tokens drawn without
+    replacement coincide. A source whose simpson_ppm spikes is
+    template/boilerplate-heavy before any dedup runs.
+
+    Exact end-to-end: D = sum n_i(n_i-1) / (N(N-1)) on integer term
+    frequencies, carried in HUGEINT/DECIMAL(38) and rendered as
+    truncating-ppm — no float. One tokenize-explode + two
+    map-side-combinable groupBys; the per-source reduce touches
+    |vocab| rows, never raw tokens twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    big = "decimal(38,0)"
+    rep = F.sum(F.col("n").cast(big) * (F.col("n") - 1))
+    tot = F.sum("n").cast(big)
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) * 1000000"
+            " DIV (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(1000000 - SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))"
+            " * 1000000 DIV (CAST(SUM(n) AS DECIMAL(38,0)) * (SUM(n) - 1))"
+            " AS BIGINT)"
+        ).alias("gini_simpson_ppm"),
+    )

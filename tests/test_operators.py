@@ -144,6 +144,8 @@ ORACLED = [
     "customer_order_islands",
     "attribution_model_comparison",
     "user_metric_corr_matrix",
+    "docs_simpson_diversity",
+    "orders_interarrival_burstiness",
 ]
 
 
@@ -3973,3 +3975,67 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         assert abs(r["pearson_r"] - want) < 1e-6, (ma, mb)
         assert -1.0 <= r["pearson_r"] <= 1.0
         assert r["n_users"] == len(met)
+
+
+def test_simpson_diversity_recompute(spark, sf_dir):
+    """Exact python recompute of D per source from collected token
+    frequencies, plus complement identity."""
+    from collections import Counter
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    rows = {
+        r["source"]: r
+        for r in catalog.QUERIES["docs_simpson_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    per: dict[str, Counter] = {}
+    for d in docs:
+        per.setdefault(d["source"], Counter()).update(
+            t for t in d["text"].lower().split() if t
+        )
+    assert set(per) == set(rows)
+    for src, cnt in per.items():
+        r = rows[src]
+        n = sum(cnt.values())
+        rep = sum(c * (c - 1) for c in cnt.values())
+        assert r["n_tokens"] == n and r["vocab"] == len(cnt)
+        assert r["simpson_ppm"] == rep * 1_000_000 // (n * (n - 1))
+        assert r["gini_simpson_ppm"] == 1_000_000 - r["simpson_ppm"]
+
+
+def test_burstiness_recompute(spark, sf_dir):
+    """numpy recompute of B from per-customer consecutive gaps; B in
+    (-1, 1); mean matches exact integer division."""
+    import numpy as np
+
+    from clickhouse_batcher_spark import catalog
+    from clickhouse_batcher_spark.tables import load_table
+
+    r = catalog.QUERIES["orders_interarrival_burstiness"](
+        spark, sf_dir
+    ).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    per: dict[int, list] = {}
+    for o in orders:
+        per.setdefault(o["o_custkey"], []).append(
+            (o["o_orderdate"], o["o_orderkey"])
+        )
+    gaps = []
+    for v in per.values():
+        v.sort()
+        for a, b in zip(v, v[1:]):
+            gaps.append(int(b[0].timestamp()) - int(a[0].timestamp()))
+    g = np.array(gaps, dtype=np.float64)
+    assert r["n_gaps"] == len(gaps)
+    assert r["mean_gap_s"] == sum(gaps) // len(gaps)
+    mu, sigma = g.mean(), g.std()  # population std, matching the op
+    assert abs(r["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-5
+    assert -1.0 < r["burstiness"] < 1.0
