@@ -263,6 +263,34 @@ def _force(df) -> None:
 N_TIMING_PASSES = 2  # per-query best-of-N; pass 2 runs in reverse order
 
 
+def settle_for_ingest(
+    threshold: float = 4.0, max_waits: int = 3, wait_s: float = 60.0
+) -> tuple[float, list[float]]:
+    """Bounded settle-wait before ingest sampling (VERDICT r10 task 1).
+
+    The micro-batch ingest number is the one measurement here that is
+    LATENCY-shaped (4 triggers over a small table — fixed per-trigger
+    cost dominates), so box contention that barely moves the query
+    timings halves it: the round-10 driver run started at loadavg 6.65
+    and recorded 35.4k rows/s on code that measures 67-70k on a quiet
+    box, tripping the 50k floor (rc=1) with no code defect. Before
+    sampling, check the 1-minute load average and sleep in bounded
+    60 s steps (up to ``max_waits``) while it exceeds ``threshold``;
+    loadavg_1m decays with a ~60 s time constant, so each step sheds
+    ~63% of any just-finished spike, ours or a neighbor's. Returns
+    (seconds_waited, loadavg_1m history) for the detail record. The
+    floor itself stays: a box still contended after the bounded wait
+    records what happened and exits non-zero, as before.
+    """
+    waited = 0.0
+    history = [round(os.getloadavg()[0], 2)]
+    while history[-1] > threshold and len(history) <= max_waits:
+        time.sleep(wait_s)
+        waited += wait_s
+        history.append(round(os.getloadavg()[0], 2))
+    return waited, history
+
+
 def bench_ingest(
     spark, max_files_per_trigger: int = 4, sf_dir: str = SF_DIR
 ) -> float:
@@ -455,11 +483,17 @@ def main() -> None:
     except ValueError:
         _sf_num = 0.0
     INGEST_FLOOR_ROWS_PER_SEC = 50_000 if _sf_num >= 0.1 else 0
+    settle_s, settle_hist = settle_for_ingest()
     micro_samples = [bench_ingest(spark) for _ in range(2)]
     while (
         max(micro_samples) < INGEST_FLOOR_ROWS_PER_SEC
         and len(micro_samples) < 4
     ):
+        # a floor miss is the contention signature — re-settle
+        # (bounded: one 60 s step per extra sample) before re-sampling
+        extra_s, extra_hist = settle_for_ingest(max_waits=1)
+        settle_s += extra_s
+        settle_hist += extra_hist[1:]
         micro_samples.append(bench_ingest(spark))
     rows_per_sec = max(micro_samples)
     bulk_samples = [
@@ -498,6 +532,8 @@ def main() -> None:
         "sf": sf_val,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
+        "ingest_settle_wait_s": round(settle_s, 1),
+        "ingest_settle_loadavg_1m": settle_hist,
         "ingest_micro_samples": [round(s, 1) for s in micro_samples],
         "ingest_micro_spread": round(
             max(micro_samples) - min(micro_samples), 1

@@ -837,7 +837,7 @@ def customer_order_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_gaps,
       CAST(s1i // n_gaps AS BIGINT) AS mean_gap_s,
       round(sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1))
-            / sqrt(CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE), 2)
+            / CAST(n_gaps AS DOUBLE), 2)
         AS stddev_gap_s,
       round((sqrt((CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
                   / (CAST(n_gaps AS DOUBLE) * n_gaps)) - s1 / n_gaps)
@@ -892,10 +892,11 @@ def orders_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         # exact integer mean: a double->BIGINT cast ROUNDS on DuckDB
         # and TRUNCATES on Spark (the round-10 verify-skill trap)
         F.expr("CAST(s1i DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
+        # population sigma = sqrt(n*s2 - s1^2)/n — the SAME sigma the
+        # burstiness column uses (an earlier draft divided by an extra
+        # sqrt(n), i.e. reported the standard error of the mean)
         F.round(
-            F.sqrt(nd * F.col("s2") - F.col("s1") * F.col("s1"))
-            / F.sqrt(nd)
-            / nd,
+            F.sqrt(nd * F.col("s2") - F.col("s1") * F.col("s1")) / nd,
             2,
         ).alias("stddev_gap_s"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),

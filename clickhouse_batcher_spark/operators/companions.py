@@ -402,9 +402,13 @@ def semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("dup_of"),
         F.col("cell").alias("kept_cell"),
     )
+    # NO broadcast hint: kept_ref is the KEPT subset — typically the
+    # large majority of the corpus, i.e. O(n). A forced broadcast OOMs
+    # the driver at 100 TB; the unhinted equi-join lets AQE pick
+    # shuffle-hash (or broadcast only when stats say it is small).
     dups = (
         sd.filter(~F.col("kept"))
-        .join(F.broadcast(kept_ref), "dup_of", "left")
+        .join(kept_ref, "dup_of", "left")
         .select(
             F.col("kept_cell").isNull().alias("dangling"),
             (

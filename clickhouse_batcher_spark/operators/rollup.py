@@ -99,7 +99,8 @@ def _abc_oracle() -> str:
     WITH pr AS (
       SELECT l_partkey,
         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(100 - CAST(l_discount * 100 AS INTEGER) AS DECIMAL(5,0)))
+            * CAST(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                              AS INTEGER) AS DECIMAL(5,0)))
           AS rev100
       FROM lineitem GROUP BY 1
     ), tot AS (
@@ -150,9 +151,12 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
         F.col("l_extendedprice").cast("decimal(18,2)")
+        # discount% via DECIMAL, not a raw double->int cast: Spark
+        # truncates doubles where DuckDB rounds (0.29*100 = 28.999...
+        # would split 28 vs 29); decimal*100 is exact on both engines
         * (
             F.lit(100)
-            - (F.col("l_discount") * 100).cast("int")
+            - (F.col("l_discount").cast("decimal(4,2)") * 100).cast("int")
         ).cast("decimal(5,0)")
     )
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev100"))

@@ -1055,9 +1055,12 @@ def events_holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             level,
             trend,
             sse,
-            (level + 1 * trend) // s,
-            (level + 3 * trend) // s,
-            (level + 7 * trend) // s,
+            # tdiv, not Python // — a negative level+k*trend (steeply
+            # declining series) floors under // but truncates under
+            # the oracle's DuckDB `//`, shifting the forecast by 1
+            tdiv(level + 1 * trend, s),
+            tdiv(level + 3 * trend, s),
+            tdiv(level + 7 * trend, s),
         )
     ]
     return spark.createDataFrame(

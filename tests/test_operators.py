@@ -4037,5 +4037,6 @@ def test_burstiness_recompute(spark, sf_dir):
     assert r["n_gaps"] == len(gaps)
     assert r["mean_gap_s"] == sum(gaps) // len(gaps)
     mu, sigma = g.mean(), g.std()  # population std, matching the op
+    assert abs(r["stddev_gap_s"] - sigma) < 0.01  # rounded to 2 dp
     assert abs(r["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-5
     assert -1.0 < r["burstiness"] < 1.0
