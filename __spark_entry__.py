@@ -51,6 +51,85 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
+    # --- ROUND 11 window (replaces the r10 list, preserved in
+    #     _R10_WINDOW_LEDGER below). BACKFILL-FIRST round (VERDICT
+    #     r10 task 2): catalog widening is FROZEN this round; 48 of
+    #     the 50 slots go to first-greens + oldest-vintage
+    #     second-green backfill.
+    # (a) the seven round-10 operators with NO driver row yet
+    #     (pytest-verified + scale-run in r10; first green beats
+    #     everything else). Burstiness and Holt carry the round-11
+    #     ADVICE fixes (population sigma; tdiv forecasts). ---
+    "attribution_model_comparison",
+    "customer_order_islands",
+    "docs_simpson_diversity",
+    "events_dominant_period",
+    "events_holt_forecast_daily",
+    "orders_interarrival_burstiness",
+    "user_metric_corr_matrix",
+    # (b) second-green backfill, oldest single-green vintage first:
+    #     41 of the 42 queries whose ONLY green is r7, alphabetical
+    #     (the computed singles ledger from CORRECTNESS_r01-r10).
+    #     The one deferral — weighted_sample_docs, alphabetically
+    #     last — heads the r12 queue with the r8 singles; its
+    #     family keeps perplexity_bucket_sample +
+    #     temperature_mix_sample in-window. ---
+    "boilerplate_spans_top",
+    "bounding_ratio_by_user",
+    "chsql_array_join_token_stats",
+    "chsql_final_sample_latest_state",
+    "chsql_limit_by_top_users",
+    "chsql_positional_params_count",
+    "chsql_prewhere_totals_by_status",
+    "chsql_retention_seq_counts",
+    "corpus_curation_funnel",
+    "dedup_cluster_sizes",
+    "dedup_clusters",
+    "dedup_threshold_sweep",
+    "delta_sum_by_type",
+    "doc_novelty_ratio",
+    "docs_bigram_logprob",
+    "docs_kn_bigram_logprob",
+    "dsir_importance_weights",
+    "dsir_resample_docs",
+    "duplicate_line_ratio",
+    "embedding_label_cohesion",
+    "events_ols_fit",
+    "events_sparkbar_hourly",
+    "join_key_skew_report",
+    "kmv_union_intersection",
+    "lang_token_budget_plan",
+    "leakage_safe_split",
+    "perplexity_bucket_sample",
+    "quality_budget_curve",
+    "quality_classifier_nb",
+    "quality_filter_c4",
+    "source_distinctive_terms",
+    "source_overlap_matrix",
+    "temperature_mix_sample",
+    "tfidf_top_terms",
+    "token_fertility_by_lang",
+    "token_zipf_fit",
+    "topk_weighted_users",
+    "tpch_q12_late_lines_by_status",
+    "user_sequence_logprob",
+    "user_type_minmax_map",
+    "vocab_growth_curve",
+]
+# r12 queue (after this window goes green): weighted_sample_docs,
+# then the r8 singles (chsql_window_funnel_windowed,
+# dedup_lines_transform, dedup_span_rewrite, doremi_domain_weights,
+# events_cusum_changepoint, events_theil_sen_trend,
+# padding_efficiency_report, span_dedup_savings_by_source,
+# user_survival_km), then the 15 r9 singles, then the 21 r10
+# singles — second-green vintage order, same rule as this round.
+# --- ROUND 10 window ledger (the list above replaced this; all 50
+#     r10 entries went hash-green in CORRECTNESS_r10, the first
+#     fully green window with zero standing disputes) ---
+_R10_WINDOW_LEDGER: list[str] = [
+    # --- t2 gate / reference core (kept every round) ---
+    "ingest_readback",
+    "replay_idempotent",
     # --- ROUND 10 window (replaces the r9 list, preserved in the
     #     ledger comment below).
     # (a) the one r9 RED re-checked first: shard_checksum_manifest's
