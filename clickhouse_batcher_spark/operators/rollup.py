@@ -94,6 +94,15 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ABC (Pareto 80/15/5) classification of parts by revenue
 # ---------------------------------------------------------------------------
+def discount_pct_int(discount):  # noqa: ANN001 - Column in/out
+    """Integer discount percent via DECIMAL, never a raw double->int
+    cast: Spark CAST(double AS INT) truncates where DuckDB rounds, so
+    0.29 (stored as 0.28999...996*100) would split 28 vs 29 between the
+    engines; DECIMAL(4,2)*100 is exact on both. Unit-pinned against
+    DuckDB for every awkward 2-dp double in tests/test_operators.py."""
+    return (discount.cast("decimal(4,2)") * 100).cast("int")
+
+
 def _abc_oracle() -> str:
     return """
     WITH pr AS (
@@ -149,16 +158,9 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_batcher_spark.functions import with_global_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        # discount% via DECIMAL, not a raw double->int cast: Spark
-        # truncates doubles where DuckDB rounds (0.29*100 = 28.999...
-        # would split 28 vs 29); decimal*100 is exact on both engines
-        * (
-            F.lit(100)
-            - (F.col("l_discount").cast("decimal(4,2)") * 100).cast("int")
-        ).cast("decimal(5,0)")
-    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(100) - discount_pct_int(F.col("l_discount"))
+    ).cast("decimal(5,0)")
     pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev100"))
     c = with_global_cumsum(
         pr.withColumn("_negr", -F.col("rev100")),

@@ -953,6 +953,15 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOLT_SCALE = 10**6
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division: BOTH engines' `//`/`DIV`
+    truncate (DuckDB: (-7)//2 = -3), while Python's `//` floors — any
+    driver-side fold that mirrors an oracle recursion diverges one
+    scale-unit per negative step without this. Module-level so the
+    unit test can pin it against DuckDB directly."""
+    return a // b if (a >= 0) == (b >= 0) else -((-a) // b)
+
+
 @query(
     "events_holt_forecast_daily",
     oracle=f"""
@@ -1032,13 +1041,7 @@ def events_holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0, d1 = min(by_d), max(by_d)
     series = [by_d.get(d, 0) for d in range(d0, d1 + 1)]
     s = HOLT_SCALE
-
-    def tdiv(a: int, b: int) -> int:
-        # truncate-toward-zero division: BOTH engines' `//`/`DIV`
-        # truncate, while Python's `//` floors — a negative trend
-        # diverges one scale-unit per step without this.
-        return a // b if (a >= 0) == (b >= 0) else -((-a) // b)
-
+    tdiv = _tdiv
     level = series[0] * s
     trend = (series[1] - series[0]) * s
     sse = 0

@@ -4009,6 +4009,58 @@ def test_simpson_diversity_recompute(spark, sf_dir):
         assert r["gini_simpson_ppm"] == 1_000_000 - r["simpson_ppm"]
 
 
+def test_tdiv_matches_duckdb_intdiv():
+    """_tdiv == DuckDB's `//` (and Spark's DIV) on every sign
+    combination — Python's flooring `//` differs on 4 of these 8
+    cases, the exact Holt negative-forecast trap from ADVICE r10."""
+    import duckdb
+
+    from clickhouse_batcher_spark.operators.timeseries import _tdiv
+
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2),
+             (1_000_001, 10**6), (-1_000_001, 10**6),
+             (999_999, 10**6), (-999_999, 10**6)]
+    for a, b in cases:
+        want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()[0]
+        assert _tdiv(a, b) == want, (a, b)
+    # and the flooring counter-example the helper exists for:
+    assert _tdiv(-7, 2) == -3 and (-7) // 2 == -4
+
+
+def test_discount_pct_int_matches_duckdb(spark):
+    """discount_pct_int == DuckDB's rounding double->int path for
+    EVERY 2-dp double in [0, 1) — including the 0.29/0.57/0.58-style
+    values whose *100 binary product is 28.999...996, where a raw
+    Spark double->int cast truncates one unit low."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_batcher_spark.operators.rollup import discount_pct_int
+
+    vals = [round(i / 100, 2) for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "d double")
+    got = {
+        r["d"]: r["pct"]
+        for r in df.select(
+            "d", discount_pct_int(F.col("d")).alias("pct")
+        ).collect()
+    }
+    for v in vals:
+        want = duckdb.sql(
+            f"SELECT CAST(CAST({v!r} AS DECIMAL(4,2)) * 100 AS INTEGER)"
+        ).fetchone()[0]
+        assert got[v] == want == round(v * 100), v
+        # the raw-cast trap really exists for some of these doubles:
+    raw = {
+        r["d"]: r["raw"]
+        for r in df.select(
+            "d", (F.col("d") * 100).cast("int").alias("raw")
+        ).collect()
+    }
+    assert any(raw[v] != got[v] for v in vals)
+
+
 def test_burstiness_recompute(spark, sf_dir):
     """numpy recompute of B from per-customer consecutive gaps; B in
     (-1, 1); mean matches exact integer division."""
