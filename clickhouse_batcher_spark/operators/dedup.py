@@ -263,12 +263,13 @@ def band_signatures(shingles: DataFrame) -> DataFrame:
 
     Hash each DISTINCT shingle once (the shingle vocabulary is orders
     of magnitude smaller than (doc, shingle) occurrences), computing
-    all MINHASH_PERMS hashes in one projection, then broadcast-join
-    the tiny hash table back. Per-permutation MIN aggregates with
-    map-side partials — one narrow shuffle of (doc_id, 16 hashes),
-    no salt crossJoin row explosion. At web scale the shingle
-    vocabulary outgrows a broadcast and this flips to a shuffle join
-    on `shingle`; everything else is unchanged.
+    all MINHASH_PERMS hashes in one projection, then join the hash
+    table back. The join carries NO broadcast hint: at web scale the
+    shingle vocabulary outgrows a broadcast, and a hint would foreclose
+    the flip — unhinted, AQE broadcasts while the vocabulary fits and
+    falls back to a shuffle join on `shingle` when it doesn't.
+    Per-permutation MIN aggregates with map-side partials — one narrow
+    shuffle of (doc_id, 16 hashes), no salt crossJoin row explosion.
     """
     shingle_hashes = shingles.select("shingle").distinct().select(
         "shingle",
@@ -279,7 +280,7 @@ def band_signatures(shingles: DataFrame) -> DataFrame:
             for i in range(MINHASH_PERMS)
         ],
     )
-    hashes = shingles.join(F.broadcast(shingle_hashes), "shingle").select(
+    hashes = shingles.join(shingle_hashes, "shingle").select(
         "doc_id", *[f"h{i}" for i in range(MINHASH_PERMS)]
     )
     mh_row = hashes.groupBy("doc_id").agg(

@@ -11,8 +11,9 @@ gate consumes.
 Scale: completeness/range/domain metrics ride ONE shared pass over
 the fact table (conditional aggregation — a single map-side-combined
 global agg); uniqueness is a key-grouped count (shuffles key rows);
-referential integrity is a broadcast anti-join count against the
-dimension's key set. Nothing materializes violating rows here —
+referential integrity is an anti-join count against the dimension's
+key set (unhinted — customer keys are O(SF); AQE broadcasts them
+while they fit). Nothing materializes violating rows here —
 production debugging would add a `.filter` re-run on the failing
 constraint only.
 
@@ -123,7 +124,7 @@ def check_orders_constraints(
     orphan = (
         orders.filter(F.col("o_custkey").isNotNull())
         .join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )

@@ -184,8 +184,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3-way equi-join + group agg (SURVEY §2.3 #6). customer is the small
-# side -> broadcast; orders⋈lineitem shuffles on the join key only.
+# 3-way equi-join + group agg (SURVEY §2.3 #6). customer is the
+# smaller side but O(SF) — joined UNHINTED so AQE broadcasts it while
+# it fits; orders⋈lineitem shuffles on the join key only.
 # ---------------------------------------------------------------------------
 @query(
     "join_revenue_by_segment",
@@ -210,7 +211,7 @@ def join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
     ).join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        customer, orders.o_custkey == customer.c_custkey, "inner"
     )
     revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return joined.groupBy("c_mktsegment").agg(
@@ -397,7 +398,8 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 # ---------------------------------------------------------------------------
 # Multi-dim join through the full snowflake (region->nation->customer->
-# orders), small dims broadcast.
+# orders): region/nation hints stay (constant-size); the customer-wide
+# dim frame joins unhinted (O(SF) — AQE-broadcast while it fits).
 # ---------------------------------------------------------------------------
 @query(
     "orders_by_region",
@@ -422,7 +424,7 @@ def orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     ).select("c_custkey", "r_name")
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "total"))
     )

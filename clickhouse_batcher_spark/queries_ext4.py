@@ -67,7 +67,8 @@ _Q5_TO = "1997-01-01 00:00:00"
 def tpch_q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped orders by revenue.
 
-    customer is filtered to one segment then broadcast; the
+    customer is filtered to one segment and joined unhinted (AQE
+    broadcasts it while it fits — customer scales with SF); the
     lineitem⋈orders shuffle carries only the post-filter keys
     (both date predicates are pushed to the parquet scans).
     """
@@ -81,7 +82,7 @@ def tpch_q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     revenue = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dec_sum_expr(revenue).alias("revenue"))
@@ -118,9 +119,10 @@ def tpch_q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape + ratio-to-report share of the region total.
 
-    All four dimension sides broadcast; the local-supplier condition
-    ``s_nationkey = c_nationkey`` rides the supplier broadcast join as
-    an equi-key, so no extra shuffle. The final window is over one row
+    All four dimension sides join unhinted (AQE broadcasts each while
+    it fits); the local-supplier condition ``s_nationkey =
+    c_nationkey`` rides the supplier join as an equi-key, so no extra
+    shuffle. The final window is over one row
     per nation (≤ 25 rows) — a single tiny partition by construction.
     """
     lo = F.lit(_Q5_FROM).cast("timestamp")
@@ -147,7 +149,7 @@ def tpch_q5_regional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .groupBy("n_name")

@@ -13,7 +13,9 @@ Scale notes (100 TB):
 - Q6 is the pure-scan benchmark: both predicates and the 3-column
   projection push into the parquet scan; the aggregate is a map-side
   partial + 1-row final — no data shuffle at any scale.
-- Q7/Q10 broadcast every dimension side; the only big shuffle is
+- Q7/Q10 leave dimension joins unhinted (AQE broadcasts them while
+  they fit; customer/supplier scale with SF and must be allowed to
+  graduate to shuffle joins); the only guaranteed big shuffle is
   lineitem⋈orders on the order key.
 - Q10's top-20 is ``TakeOrderedAndProject`` (per-partition heaps),
   never a global sort.
@@ -106,8 +108,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supplier⋈nation and customer⋈nation pre-reduce each side to the
     two relevant nations BEFORE touching the fact tables, so the
-    broadcast hash joins against lineitem/orders act as semi-join
-    filters; the lineitem⋈orders key shuffle is the only big exchange.
+    (unhinted, AQE-broadcast while small) hash joins against
+    lineitem/orders act as semi-join filters; the lineitem⋈orders key shuffle is the only big exchange.
     """
     lo = F.lit(_Q7_FROM).cast("timestamp")
     hi = F.lit(_Q7_TO).cast("timestamp")
@@ -143,9 +145,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(
             (
                 (F.col("supp_nation") == _Q7_NATION_A)
@@ -188,7 +190,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returns.
 
     Both fact filters (order-date quarter, returnflag = 'R') push to
-    the scans; customer⋈nation broadcasts; the top-20 with the unique
+    the scans; customer⋈nation joins unhinted (AQE-broadcast while
+    it fits); the top-20 with the unique
     c_custkey tiebreak is per-partition heaps, not a global sort.
     """
     lo = F.lit(_Q10_FROM).cast("timestamp")
@@ -204,7 +207,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dec_sum_expr(rev).alias("revenue"))
@@ -232,7 +235,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: share of one month's revenue from promo parts.
 
-    part broadcasts (it is dimension-sized at every SF); both decimal
+    part joins unhinted (AQE broadcasts it while it fits — part
+    scales with SF, so the hint is left off); both decimal
     sums combine map-side and the final frame is one row, so the only
     cost is the pruned lineitem scan.
     """
@@ -245,7 +249,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     zero = F.lit(0).cast("decimal(27,6)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.groupBy().agg(
         (
             F.lit(100.0)
@@ -333,7 +337,7 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(27,6)"))
@@ -372,7 +376,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The view + scalar-subquery shape decomposed by hand: one map-side
     combined revenue aggregate (decimal-exact so the MAX comparison is
     bit-deterministic), a 1-row max frame broadcast back as an
-    equi-join (not a cross filter), and a broadcast supplier lookup.
+    equi-join (not a cross filter), and an unhinted supplier lookup
+    (AQE-broadcast while supplier fits).
     """
     lo = F.lit(_Q15_FROM).cast("timestamp")
     hi = F.lit(_Q15_TO).cast("timestamp")
@@ -387,7 +392,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(top), "total_revenue")
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -495,8 +500,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's part-type market by
     year — the deepest join in the catalog (7 tables, nation twice).
 
-    Every dimension side broadcasts after its filter (region-filtered
-    customer-nation set, one part type, supplier->nation lookup); the
+    Every dimension side joins unhinted after its filter
+    (region-filtered customer-nation set, one part type,
+    supplier->nation lookup) — AQE broadcasts each while it fits; the
     only big exchange is lineitem⋈orders. The share is a conditional
     decimal sum over the post-join rows — one aggregate pass, and the
     final division is a single IEEE op on exact decimal-derived
@@ -540,10 +546,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     zero = F.lit(0).cast("decimal(27,6)")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
     )
     return (
         joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -602,7 +608,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("threshold")
     )
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < F.col("threshold"))
         .groupBy()
         .agg(
@@ -637,7 +643,8 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The interesting plan property: Catalyst factors the disjunction —
     single-side conjuncts that appear in every branch would push to
     the scans, and the cross-side residue evaluates post-join. The
-    join itself stays a plain broadcast equi-join on the part key; the
+    join itself stays a plain equi-join on the part key (AQE-broadcast
+    while part fits); the
     disjunction never degrades it to a nested loop (the plan audit's
     no-cartesian guard applies to this query like every other).
     """
@@ -659,7 +666,7 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(pred)
         .groupBy()
         .agg(

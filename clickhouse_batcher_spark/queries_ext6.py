@@ -123,7 +123,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supply = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
@@ -144,8 +144,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cost") == F.col("best_cost")),
         )
         .drop("best_partkey")
-        .join(F.broadcast(rs), F.col("suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
+        .join(rs, F.col("suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("partkey") == F.col("p_partkey"))
         .select(
             "s_name",
             "n_name",
@@ -219,9 +219,11 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted — no partsupp): profit by supplier nation and
     year, cost re-derived as the tax paid on each line.
 
-    part (filtered to one type) and supplier⋈nation both broadcast, so
-    lineitem is never shuffled before the final (nation, year)
-    aggregate — which itself combines map-side. Profit is a decimal
+    part (filtered to one type) and supplier⋈nation join UNHINTED —
+    AQE broadcasts both while they fit (they do at every test SF) and
+    flips to shuffle joins when |part|/|supplier| outgrow an executor,
+    so lineitem is never forced through an OOM-bound build. The final
+    (nation, year) aggregate combines map-side. Profit is a decimal
     difference summed exactly.
     """
     parts = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q9_TYPE)
@@ -232,8 +234,8 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = _disc_price() - dec(F.col("l_tax") * F.col("l_extendedprice"))
     return (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("bigint").alias("o_year"),
@@ -284,7 +286,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("val"))
     )
@@ -367,8 +369,8 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluding "complaint" suppliers (negative account balance stands in
     for the comment-text filter the schema lacks).
 
-    The NOT IN is a left-anti join against a broadcast handful of
-    suppliers (never a null-aware nested loop — s_suppkey is non-null
+    The NOT IN is a left-anti join against the (AQE-broadcast while
+    small) complaint suppliers (never a null-aware nested loop — s_suppkey is non-null
     by construction); COUNT(DISTINCT) runs as Spark's two-phase
     partial-distinct expand, shuffling only (group, suppkey) pairs.
     """
@@ -383,9 +385,9 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -425,7 +427,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     movers = (
         load_table(spark, sf_dir, "lineitem")
         .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > _Q20_MIN_QTY)
@@ -438,10 +440,12 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(load_table(spark, sf_dir, "nation")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        # distinct movers is bounded by the supplier key set — always
-        # broadcastable, so the semi-join never shuffles supplier.
+        # distinct movers is bounded by the supplier key set — O(SF),
+        # so NO broadcast hint: AQE broadcasts the key set while it
+        # fits and shuffles the semi-join when supplier-scale outgrows
+        # an executor build side.
         .join(
-            F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+            movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         )
         .select("s_suppkey", "s_name", "n_name")
     )
@@ -517,7 +521,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late.join(
-            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+            supp, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
