@@ -3,8 +3,8 @@ interval joins.
 
 - **stream-static**: each micro-batch joins against a batch dimension
   — the standard enrichment step between ingest and sink. The static
-  side broadcasts per batch (or is a slowly-refreshed cached dim);
-  no streaming state is needed.
+  side is AQE-broadcast per batch while it fits (opt-in hint for dims
+  bounded by construction); no streaming state is needed.
 - **stream-stream**: both sides buffered in the state store, bounded
   by watermarks + an event-time range condition; without the range
   bound the state would grow forever. Spark co-partitions both sides
@@ -23,10 +23,18 @@ def enrich_stream(
     stream_key: str,
     dim_key: str,
     dim_cols: list[str],
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """Stream-static left join: events keep flowing even when the dim
-    has no match (nulls, not drops)."""
-    dim_small = F.broadcast(dim.select(dim_key, *dim_cols))
+    has no match (nulls, not drops).
+
+    The dim side is UNHINTED by default — ``dim`` is caller-provided
+    and may scale with the data (a forced broadcast of an O(SF) dim
+    OOMs at 100 TB; AQE broadcasts it per micro-batch while it fits).
+    Callers that know the dim is bounded by construction can pass
+    ``hint_broadcast=True`` to skip the stats check."""
+    projected = dim.select(dim_key, *dim_cols)
+    dim_small = F.broadcast(projected) if hint_broadcast else projected
     return events.join(
         dim_small, events[stream_key] == dim_small[dim_key], "left"
     ).drop(dim_key)

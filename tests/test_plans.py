@@ -298,6 +298,57 @@ def test_global_ranks_use_range_partitioning(spark, sf_dir):
         assert "rangepartitioning" in plan.lower(), name
 
 
+def test_no_broadcast_hints_on_sf_scaling_frames():
+    """An explicit F.broadcast() hint is never demoted by AQE, so a
+    hint on a frame that scales with data volume is a forced OOM at
+    100 TB even when tiny at test SF (the round-11 audit removed 29
+    such hints). This lint pins the audit: no F.broadcast() may wrap
+    an identifier whose name marks an O(SF) table subset
+    (customer/supplier/part/lineitem/orders/events/documents/
+    embeddings and their conventional abbreviations). Bounded frames
+    (1-row totals, top-k, constant dims, bounded-key aggregates) keep
+    hints under other names; a genuinely-bounded frame that trips the
+    name check should be renamed to say what bounds it, not
+    allowlisted here."""
+    import ast
+    import pathlib
+
+    import clickhouse_batcher_spark
+
+    banned = {
+        "cust", "customer", "customers", "supp", "supplier", "suppliers",
+        "sup", "part", "parts", "partsupp", "lineitem", "li", "orders",
+        "ord", "events", "ev", "documents", "docs", "embeddings", "emb",
+        "dim", "rs", "sn", "bad", "promo", "movers", "part_avg",
+        "shingle_hashes", "kept_ref",
+    }
+    root = pathlib.Path(clickhouse_batcher_spark.__file__).parent
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+            ):
+                continue
+            arg = node.args[0]
+            base = arg
+            while isinstance(base, (ast.Attribute, ast.Call)):
+                base = (
+                    base.value
+                    if isinstance(base, ast.Attribute)
+                    else base.func
+                )
+            if isinstance(base, ast.Name) and base.id in banned:
+                offenders.append(f"{p.name}:{node.lineno} F.broadcast({base.id}...)")
+    assert not offenders, offenders
+
+
 def test_no_module_level_pandas_kernels():
     """Kernels passed to mapInPandas/applyInPandas must be LOCAL defs
     (built in a closure or a _build_*() factory): a module-level
