@@ -30,8 +30,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 from clickhouse_batcher_spark.sinks.base import BatchSink
 
@@ -57,6 +56,12 @@ class ClickHouseSinkConfig:
     conn_max_lifetime_s: int = 3600
     batch_size: int = 10_000     # hashes.go:68 flush threshold
     ledger_table: str = "batch_ledger"
+    # 1-row liveness probe (connect.go:56-64). ClickHouse accepts the
+    # bare `SELECT 1`; standards-stricter dialects need a FROM and a
+    # column alias (Derby: `SELECT 1 AS one FROM SYSIBM.SYSDUMMY1` —
+    # Spark's pruning re-select references the probe column by name,
+    # so an unnamed `1` breaks). The live-Derby suite overrides this.
+    ping_query: str = "SELECT 1"
     extra_options: dict[str, str] = field(default_factory=dict)
 
     def jdbc_options(self) -> dict[str, str]:
@@ -96,7 +101,18 @@ class ClickHouseSink(BatchSink):
             try:
                 (
                     spark.read.format("jdbc")
-                    .options(**{**self.config.jdbc_options(), "query": "SELECT 1"})
+                    # `query` and `dbtable` are mutually exclusive in
+                    # Spark's JDBC source — drop the table option for
+                    # the probe (found by the live-Derby suite; the
+                    # docker-gated CH path had never executed this).
+                    .options(
+                        **{
+                            k: v
+                            for k, v in self.config.jdbc_options().items()
+                            if k != "dbtable"
+                        },
+                        query=self.config.ping_query,
+                    )
                     .load()
                     .collect()
                 )
@@ -159,19 +175,21 @@ class ClickHouseSink(BatchSink):
             self.ping(spark)
         if batch_id in self._load_committed(spark):
             return False
-        # Row count observed during the insert (no second source scan);
-        # an empty batch gets no ledger row (hashes.go:79 empty-skip) —
-        # the empty INSERT itself is harmless.
-        obs = Observation()
+        # Empty-skip (hashes.go:79): no data, no ledger row. Unlike the
+        # parquet sink this CANNOT use an in-flight Observation — the
+        # JDBC v1 writer saves through df.rdd.foreachPartition, which
+        # never fires observed metrics (live-Derby suite: obs reported
+        # 0 for a 5-row batch and every batch was mis-skipped). A
+        # limit-1 isEmpty probe costs at most one partition-read of the
+        # already-materialized micro-batch.
+        if df.isEmpty():
+            return False
         (
-            df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            .write.format("jdbc")
+            df.write.format("jdbc")
             .options(**self.config.jdbc_options())
             .mode("append")
             .save()
         )
-        if obs.get["rows"] == 0:
-            return False
         ledger_row = spark.createDataFrame(
             [(int(batch_id),)], "batch_id BIGINT"
         )

@@ -1,0 +1,216 @@
+"""LIVE JDBC execution of the ClickHouse sink against embedded Derby.
+
+The reference's test strategy is a real containerized ClickHouse
+server (`hashes_test.go:28-29,241-291`); this sandbox has no docker
+daemon, so the CH-dialect path stays gated. But Spark ships Apache
+Derby on its classpath (for the hive metastore), and the sink's JDBC
+mechanics are dialect-light — so every JDBC code path here executes
+against a REAL SQL database in-process: ping (bounded retry, both
+outcomes), Spark's table auto-create on first append, the ledger
+write, replay-skip idempotency, cross-restart `next_batch_id`
+resume, the disabled gate, the empty-batch skip, and the full
+streaming MicroBatcher drain into the JDBC sink. Only the ClickHouse
+driver class/URL and CH-specific client options remain unexecuted
+(they are pass-through strings).
+
+Found-by-this-suite: the ping probe used to merge `query` into the
+full option map while `dbtable` was still set — Spark rejects the
+combination, so ping could never have succeeded against any server.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from clickhouse_batcher_spark.sinks.clickhouse import (
+    ClickHouseSink,
+    ClickHouseSinkConfig,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+DERBY_PING = "SELECT 1 AS one FROM SYSIBM.SYSDUMMY1"
+
+
+def _derby_available() -> bool:
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any(j.startswith("derby") for j in os.listdir(jars))
+    except OSError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _derby_available(), reason="Derby jar not on the Spark classpath"
+)
+
+
+def _cfg(tmp_path, name: str, **kw) -> ClickHouseSinkConfig:
+    """Sink config pointed at an embedded Derby database.
+
+    Everything else (ledger, batch size, numPartitions, retry
+    constants) keeps the ClickHouse defaults so the production code
+    path runs unchanged.
+    """
+    defaults = dict(
+        url=f"jdbc:derby:{tmp_path}/{name};create=true",
+        table="limits_hashes",
+        user="",
+        password="",
+        ping_query=DERBY_PING,
+        extra_options={"driver": DERBY_DRIVER},
+    )
+    defaults.update(kw)
+    return ClickHouseSinkConfig(**defaults)
+
+
+def _rows(spark, cfg, table=None):
+    return (
+        spark.read.format("jdbc")
+        .options(**{**cfg.jdbc_options(), "dbtable": table or cfg.table})
+        .load()
+    )
+
+
+def _entity_df(spark, n, start=0):
+    """Rows shaped like the reference entity (hashes_test.go:207-212)."""
+    return spark.createDataFrame(
+        [(f"user{i}", f"hash{i}", i, f"msg{i}") for i in range(start, start + n)],
+        "user_id STRING, sha256sum STRING, amount BIGINT, msg STRING",
+    )
+
+
+def test_ping_succeeds_against_live_db(spark, tmp_path):
+    sink = ClickHouseSink(_cfg(tmp_path, "ping_ok"))
+    assert sink.ping(spark) is True
+
+
+def test_ping_bounded_retry_then_connection_error(spark, tmp_path):
+    # A Derby URL without ;create= against a nonexistent path fails to
+    # connect — the retry loop must exhaust ping_count then raise.
+    cfg = _cfg(
+        tmp_path,
+        "nope",
+        url=f"jdbc:derby:{tmp_path}/does_not_exist",
+        ping_count=2,
+        ping_interval_s=0.05,
+    )
+    with pytest.raises(ConnectionError):
+        ClickHouseSink(cfg).ping(spark)
+
+
+def test_write_batch_appends_and_ledgers(spark, tmp_path):
+    cfg = _cfg(tmp_path, "writes")
+    sink = ClickHouseSink(cfg)
+    assert sink.write_batch(_entity_df(spark, 5), batch_id=0) is True
+    assert sink.write_batch(_entity_df(spark, 3, start=5), batch_id=1) is True
+    got = _rows(spark, cfg)
+    assert got.count() == 8
+    assert {r["user_id"] for r in got.collect()} == {f"user{i}" for i in range(8)}
+    ledger = _rows(spark, cfg, cfg.ledger_table)
+    assert sorted(r["batch_id"] for r in ledger.collect()) == [0, 1]
+
+
+def test_replay_of_committed_batch_is_skipped(spark, tmp_path):
+    cfg = _cfg(tmp_path, "replay")
+    sink = ClickHouseSink(cfg)
+    df = _entity_df(spark, 4)
+    assert sink.write_batch(df, batch_id=7) is True
+    # same id again — in-process replay
+    assert sink.write_batch(df, batch_id=7) is False
+    # and from a FRESH sink instance (process-restart replay: the
+    # in-memory committed set is gone; the durable ledger must carry
+    # the skip — the property the reference's isSent flag lacks)
+    assert ClickHouseSink(cfg).write_batch(df, batch_id=7) is False
+    assert _rows(spark, cfg).count() == 4
+    assert _rows(spark, cfg, cfg.ledger_table).count() == 1
+
+
+def test_next_batch_id_resumes_past_ledger(spark, tmp_path):
+    cfg = _cfg(tmp_path, "resume")
+    sink = ClickHouseSink(cfg)
+    sink.write_batch(_entity_df(spark, 2), batch_id=0)
+    sink.write_batch(_entity_df(spark, 2, start=2), batch_id=1)
+    fresh = ClickHouseSink(cfg)
+    assert fresh.next_batch_id(spark) == 2
+
+
+def test_empty_batch_no_ledger_row(spark, tmp_path):
+    cfg = _cfg(tmp_path, "empty")
+    sink = ClickHouseSink(cfg)
+    assert sink.write_batch(_entity_df(spark, 3), batch_id=0) is True
+    assert sink.write_batch(_entity_df(spark, 3).limit(0), batch_id=1) is False
+    assert _rows(spark, cfg, cfg.ledger_table).count() == 1  # only id 0
+    # id 1 stays uncommitted, so a non-empty retry of it still lands
+    assert sink.write_batch(_entity_df(spark, 1, start=3), batch_id=1) is True
+    assert _rows(spark, cfg).count() == 4
+
+
+def test_disabled_sink_writes_nothing(spark, tmp_path):
+    cfg = _cfg(tmp_path, "disabled", enabled=False)
+    sink = ClickHouseSink(cfg)
+    assert sink.write_batch(_entity_df(spark, 3), batch_id=0) is False
+    assert sink.next_batch_id(spark) == 0
+    # no table was ever created — reading it must fail
+    with pytest.raises(Exception):
+        _rows(spark, cfg).collect()
+
+
+def test_streaming_drain_into_live_jdbc_sink(spark, sf_dir, tmp_path):
+    """End-to-end R1-R5: file source -> MicroBatcher size-or-time
+    trigger -> foreachBatch -> live JDBC append + ledger, multiple
+    micro-batches, exactly-once on a drain + re-drain."""
+    from clickhouse_batcher_spark.streaming.batcher import (
+        BatcherConfig,
+        MicroBatcher,
+    )
+    from clickhouse_batcher_spark.tables import load_table
+
+    src_df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            # exercise a string column through the JDBC type mapping
+            "o_orderpriority",
+        )
+        .limit(200)
+    )
+    src = f"{tmp_path}/src"
+    src_df.repartition(4).write.parquet(src)
+    total = src_df.count()
+
+    cfg = _cfg(tmp_path, "streamed", table="orders_sink")
+    sink = ClickHouseSink(cfg)
+    batcher = MicroBatcher(
+        sink,
+        BatcherConfig(
+            trigger_interval="100 milliseconds", max_files_per_trigger=1
+        ),
+    )
+    schema = spark.read.parquet(src).schema
+    batcher.run_until_drained(
+        batcher.file_source(spark, src, schema), f"{tmp_path}/ckpt"
+    )
+    assert _rows(spark, cfg).count() == total
+    n_batches = _rows(spark, cfg, cfg.ledger_table).count()
+    assert n_batches >= 2  # 4 source files at 1 file/trigger
+
+    # Re-drain from a FRESH checkpoint (the checkpoint is gone, so
+    # Spark replays the whole source): every batch id is committed,
+    # so the ledger must skip them all — row count unchanged.
+    fresh_sink = ClickHouseSink(cfg)
+    rebatcher = MicroBatcher(
+        fresh_sink,
+        BatcherConfig(
+            trigger_interval="100 milliseconds", max_files_per_trigger=1
+        ),
+    )
+    rebatcher.run_until_drained(
+        rebatcher.file_source(spark, src, schema), f"{tmp_path}/ckpt2"
+    )
+    assert _rows(spark, cfg).count() == total
+    assert _rows(spark, cfg, cfg.ledger_table).count() == n_batches
