@@ -83,3 +83,46 @@ def spark_sql_executor(spark) -> Callable[[str], None]:
         spark.sql(sql)
 
     return _run
+
+
+def jdbc_statement_executor(
+    spark,
+    url: str,
+    properties: dict[str, str] | None = None,
+    driver: str | None = None,
+) -> Callable[[str], None]:
+    """Executor applying DDL through a raw JDBC ``Statement`` on the
+    driver JVM — the path the reference's goose layer takes
+    (``migrate.go:13-34``: DDL runs verbatim on the server).
+
+    Spark's JDBC *datasource* can only read and write tables, never
+    run DDL, so migrations need ``java.sql.DriverManager`` directly.
+    One connection per statement: migrations are a handful of
+    one-time statements, and a fresh connection per DDL sidesteps
+    driver-specific autocommit/DDL-in-txn quirks. Drivers whose jar
+    is on the classpath self-register via the JDBC service loader;
+    pass ``driver`` to force-load one that does not.
+
+    Executed for real by the live-Derby migration test
+    (tests/test_jdbc_live_derby.py) — the same call shape reaches
+    ClickHouse when its jar and server exist.
+    """
+
+    def _run(sql: str) -> None:
+        jvm = spark._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    return _run

@@ -159,6 +159,57 @@ def test_disabled_sink_writes_nothing(spark, tmp_path):
         _rows(spark, cfg).collect()
 
 
+def test_migrations_run_live_ddl_then_ingest(spark, tmp_path):
+    """R8 against a live database: versioned DDL through the raw-JDBC
+    statement executor (the goose path, migrate.go:13-34), re-run as a
+    no-op, failure leaves the ledger resumable, and the migrated table
+    accepts the sink's ingest — the reference's migrate-before-ingest
+    ordering (hashes_test.go:49-57) end-to-end."""
+    from clickhouse_batcher_spark.plans.migrations import (
+        Migration,
+        MigrationRunner,
+        jdbc_statement_executor,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/mig;create=true"
+    execute = jdbc_statement_executor(spark, url)
+    migs = [
+        Migration(
+            1,
+            "create_limits_hashes",
+            # the DDL the reference embeds but lost in extraction
+            # (migrations/embed.go is empty); columns inferred from
+            # hashes.go:25 / hashes_test.go:207-212
+            "CREATE TABLE limits_hashes (user_id VARCHAR(64),"
+            " sha256sum VARCHAR(64), amount BIGINT, msg VARCHAR(256))",
+        ),
+        Migration(2, "create_ledger",
+                  "CREATE TABLE batch_ledger (batch_id BIGINT)"),
+    ]
+    state = f"{tmp_path}/mig_state.json"
+    runner = MigrationRunner(migs, execute, state)
+    assert runner.up() == [1, 2]
+    assert runner.up() == []  # re-run: ErrNoNextVersion tolerance
+
+    # a bad migration stops the run and keeps the ledger resumable
+    bad = MigrationRunner(
+        migs + [Migration(3, "broken", "CREATE SYNTAX ERROR")],
+        execute,
+        state,
+    )
+    with pytest.raises(Exception):
+        bad.up()
+    assert bad.applied_versions() == [1, 2]
+
+    # migrate-then-ingest: the sink appends into the MIGRATED table
+    # (mode=append against an existing table must not re-create it)
+    cfg = _cfg(tmp_path, "mig", url=url)
+    sink = ClickHouseSink(cfg)
+    assert sink.write_batch(_entity_df(spark, 6), batch_id=0) is True
+    assert _rows(spark, cfg).count() == 6
+    assert _rows(spark, cfg, cfg.ledger_table).count() == 1
+
+
 def test_streaming_drain_into_live_jdbc_sink(spark, sf_dir, tmp_path):
     """End-to-end R1-R5: file source -> MicroBatcher size-or-time
     trigger -> foreachBatch -> live JDBC append + ledger, multiple
