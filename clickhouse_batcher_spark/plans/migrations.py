@@ -105,10 +105,12 @@ def jdbc_statement_executor(
 
     Executed for real by the live-Derby migration test
     (tests/test_jdbc_live_derby.py) — the same call shape reaches
-    ClickHouse when its jar and server exist.
+    ClickHouse when its jar and server exist. Returns the JDBC update
+    count (0 for DDL) so DML users — the sink's server-side
+    ``DELETE WHERE`` — can report rows affected; migrations ignore it.
     """
 
-    def _run(sql: str) -> None:
+    def _run(sql: str) -> int:
         jvm = spark._jvm
         if driver:
             jvm.java.lang.Class.forName(driver)
@@ -119,7 +121,7 @@ def jdbc_statement_executor(
         try:
             st = conn.createStatement()
             try:
-                st.execute(sql)
+                return st.executeUpdate(sql)
             finally:
                 st.close()
         finally:

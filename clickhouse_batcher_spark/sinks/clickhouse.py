@@ -20,8 +20,13 @@ Spark-first restatement of the reference's connection + delivery layer:
   ReplacingMergeTree key to collapse duplicates.
 
 No ClickHouse server (or its JDBC driver jar) exists in the test
-container, so connectivity is exercised only when the driver jar is on
-the classpath; unit tests cover option construction, the enabled gate,
+container, but the full JDBC mechanics of this sink — ping, append
+with table auto-create, ledger, replay-skip, resume, the disabled
+gate, the streaming drain, and the Q1/Q2/Q3 verification surface —
+EXECUTE against embedded Apache Derby (bundled on Spark's classpath)
+in tests/test_jdbc_live_derby.py; only the CH driver class/URL and
+CH-specific client options (pass-through strings) remain unexecuted.
+Unit tests additionally cover option construction, the enabled gate,
 and ledger semantics against a local stand-in.
 """
 
@@ -165,6 +170,44 @@ class ClickHouseSink(BatchSink):
             self.ping(spark)
         committed = self._load_committed(spark)
         return max(committed) + 1 if committed else 0
+
+    # -- verification query surface (Q1/Q2/Q3 against the server) -------
+    def read(self, spark) -> DataFrame:
+        """JDBC read of the sink table — the facade's Q1/Q2 source.
+
+        Spark pushes COUNT/filters into the JDBC scan (PushedFilters +
+        aggregate pushdown where the dialect supports it), so
+        ``read().count()`` is the reference's ``SELECT COUNT(*)``
+        (hashes_test.go:227-233) evaluated server-side, not a full
+        table pull."""
+        return (
+            spark.read.format("jdbc").options(**self.config.jdbc_options()).load()
+        )
+
+    def count(self, spark) -> int:
+        return self.read(spark).count()
+
+    def delete_where(self, spark, where_sql: str) -> int:
+        """Server-side ``DELETE FROM <table> WHERE ...`` — the
+        reference's Q3 is a real ClickHouse lightweight delete
+        (hashes_test.go:235-239), not a lake rewrite, so the JDBC sink
+        issues the statement verbatim through the same raw-statement
+        path as the DDL migrations. Returns rows deleted (the JDBC
+        update count). Lake-resident data keeps the anti-filter
+        rewrite in ``sinks/delete.py``."""
+        from clickhouse_batcher_spark.plans.migrations import (
+            jdbc_statement_executor,
+        )
+
+        opts = self.config.jdbc_options()
+        run = jdbc_statement_executor(
+            spark,
+            opts["url"],
+            properties={
+                k: opts[k] for k in ("user", "password") if opts.get(k)
+            },
+        )
+        return run(f"DELETE FROM {self.config.table} WHERE {where_sql}")
 
     # -- sink -----------------------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
