@@ -76,6 +76,35 @@ def _rows(spark, cfg, table=None):
     )
 
 
+def _migrated_cfg(spark, tmp_path, name: str) -> ClickHouseSinkConfig:
+    """Config whose limits_hashes table is pre-created by the DDL
+    migration (VARCHAR columns): Spark's Derby dialect auto-creates
+    strings as CLOB, which Derby cannot compare against pushed
+    equality literals — the reference's migrate-before-ingest ordering
+    (hashes_test.go:49-57) is what keeps the verification queries
+    well-typed."""
+    from clickhouse_batcher_spark.plans.migrations import (
+        Migration,
+        MigrationRunner,
+        jdbc_statement_executor,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/{name};create=true"
+    MigrationRunner(
+        [
+            Migration(
+                1,
+                "create_limits_hashes",
+                "CREATE TABLE limits_hashes (user_id VARCHAR(64),"
+                " sha256sum VARCHAR(64), amount BIGINT, msg VARCHAR(256))",
+            )
+        ],
+        jdbc_statement_executor(spark, url),
+        f"{tmp_path}/{name}_mig_state.json",
+    ).up()
+    return _cfg(tmp_path, name, url=url)
+
+
 def _entity_df(spark, n, start=0):
     """Rows shaped like the reference entity (hashes_test.go:207-212)."""
     return spark.createDataFrame(
@@ -211,6 +240,61 @@ def test_migrations_run_live_ddl_then_ingest(spark, tmp_path):
     assert _rows(spark, cfg, cfg.ledger_table).count() == 1
 
 
+@pytest.mark.parametrize(
+    "n_rows,n_files,files_per_trigger",
+    [
+        (5_000, 8, 2),   # mixed regime: several size-capped batches
+        (2_000, 4, 100), # tick-only: one batch takes everything
+    ],
+)
+def test_golden_count_live(spark, tmp_path, n_rows, n_files, files_per_trigger):
+    """The reference's golden-count invariant (hashes_test.go:78-134)
+    against the LIVE sink: produce exactly N rows through the
+    size-or-time micro-batch trigger, then assert the server-side
+    COUNT(*) equals N exactly — no loss, no duplication."""
+    from clickhouse_batcher_spark.streaming.batcher import (
+        BatcherConfig,
+        MicroBatcher,
+    )
+
+    src = f"{tmp_path}/src"
+    _entity_df(spark, n_rows).repartition(n_files).write.parquet(src)
+    cfg = _cfg(tmp_path, f"golden_{n_rows}_{files_per_trigger}")
+    sink = ClickHouseSink(cfg)
+    batcher = MicroBatcher(
+        sink,
+        BatcherConfig(
+            trigger_interval="100 milliseconds",
+            max_files_per_trigger=files_per_trigger,
+        ),
+    )
+    schema = spark.read.parquet(src).schema
+    batcher.run_until_drained(
+        batcher.file_source(spark, src, schema), f"{tmp_path}/ckpt"
+    )
+    assert sink.count(spark) == n_rows  # exact: hashes_test.go:130-131
+
+
+def test_row_fidelity_live(spark, tmp_path):
+    """The reference's row-fidelity readback (TestRepository_save,
+    hashes_test.go:136-189): append literal entities, then assert each
+    exists EXACTLY once via a filtered conjunctive-equality count
+    (the :191-203 oracle), pushed down to the live server."""
+    cfg = _migrated_cfg(spark, tmp_path, "fidelity")
+    sink = ClickHouseSink(cfg)
+    sink.write_batch(_entity_df(spark, 7), batch_id=0)
+    got = sink.read(spark)
+    for i in range(7):
+        assert (
+            got.filter(
+                (F.col("user_id") == f"user{i}")
+                & (F.col("sha256sum") == f"hash{i}")
+                & (F.col("amount") == i)
+            ).count()
+            == 1
+        )
+
+
 def test_q1_q2_q3_verification_surface_live(spark, tmp_path):
     """The reference's whole verification query surface against a live
     database: Q1 COUNT(*) (hashes_test.go:227-233), Q2 conjunctive
@@ -219,30 +303,8 @@ def test_q1_q2_q3_verification_surface_live(spark, tmp_path):
     with the filter pushed into the JDBC scan.
 
     The table is MIGRATED first (VARCHAR columns) rather than
-    auto-created by the writer: Spark's Derby dialect auto-creates
-    strings as CLOB, which Derby cannot compare against a pushed
-    equality literal — the reference's migrate-before-ingest ordering
-    is what makes the verification queries well-typed."""
-    from clickhouse_batcher_spark.plans.migrations import (
-        Migration,
-        MigrationRunner,
-        jdbc_statement_executor,
-    )
-
-    url = f"jdbc:derby:{tmp_path}/verify;create=true"
-    MigrationRunner(
-        [
-            Migration(
-                1,
-                "create_limits_hashes",
-                "CREATE TABLE limits_hashes (user_id VARCHAR(64),"
-                " sha256sum VARCHAR(64), amount BIGINT, msg VARCHAR(256))",
-            )
-        ],
-        jdbc_statement_executor(spark, url),
-        f"{tmp_path}/verify_state.json",
-    ).up()
-    cfg = _cfg(tmp_path, "verify", url=url)
+    auto-created by the writer — see ``_migrated_cfg``."""
+    cfg = _migrated_cfg(spark, tmp_path, "verify")
     sink = ClickHouseSink(cfg)
     sink.write_batch(_entity_df(spark, 10), batch_id=0)
 
