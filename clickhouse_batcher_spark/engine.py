@@ -44,6 +44,13 @@ class EngineConfig:
     flush_interval_s: float | None = None # hashes.go:45 ticker
     migrations: list[Migration] = field(default_factory=list)
     migration_state_path: str = "/tmp/chb_engine_migrations.json"
+    # DDL executor for up_migrations. None -> spark.sql (managed /
+    # lakehouse tables). JDBC-backed engines pass
+    # ``plans.migrations.jdbc_statement_executor(spark, url, ...)`` so
+    # the DDL reaches the server verbatim, like the reference's
+    # ``UpMigrations(ctx, dsn)`` (migrate.go:13-34) — exercised live
+    # by tests/test_jdbc_live_derby.py's full-lifecycle test.
+    migration_executor: object | None = None
 
 
 class BatcherEngine:
@@ -92,9 +99,12 @@ class BatcherEngine:
         return self._next_batch_id
 
     def up_migrations(self) -> list[int]:
+        execute = self.config.migration_executor or (
+            lambda sql: self.spark.sql(sql)
+        )
         runner = MigrationRunner(
             self.config.migrations,
-            lambda sql: self.spark.sql(sql),
+            execute,
             self.config.migration_state_path,
         )
         return runner.up()

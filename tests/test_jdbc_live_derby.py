@@ -240,6 +240,69 @@ def test_migrations_run_live_ddl_then_ingest(spark, tmp_path):
     assert _rows(spark, cfg, cfg.ledger_table).count() == 1
 
 
+def test_engine_full_lifecycle_live(spark, tmp_path):
+    """The reference's whole public API in its real order, live:
+    NewRepository -> Connect (ping + resume) -> UpMigrations (server
+    DDL) -> SaveAsync producer path with a size-cap flush -> graceful
+    close -> Q1/Q2 verification counts -> Q3 server delete. One test,
+    every engine.py row of the §2.1 capability table, on a real
+    database."""
+    from clickhouse_batcher_spark.engine import BatcherEngine, EngineConfig
+    from clickhouse_batcher_spark.plans.migrations import (
+        Migration,
+        jdbc_statement_executor,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/engine;create=true"
+    cfg = _cfg(tmp_path, "engine", url=url)
+    engine = BatcherEngine(
+        spark,
+        ClickHouseSink(cfg),
+        "user_id STRING, sha256sum STRING, amount BIGINT, msg STRING",
+        EngineConfig(
+            max_batch_rows=4,  # size-cap flush after 4 saves
+            migrations=[
+                Migration(
+                    1,
+                    "create_limits_hashes",
+                    "CREATE TABLE limits_hashes (user_id VARCHAR(64),"
+                    " sha256sum VARCHAR(64), amount BIGINT,"
+                    " msg VARCHAR(256))",
+                )
+            ],
+            migration_state_path=f"{tmp_path}/engine_mig.json",
+            migration_executor=jdbc_statement_executor(spark, url),
+        ),
+    )
+    engine.connect()          # live ping + ledger resume
+    assert engine.up_migrations() == [1]
+    for i in range(6):        # 4 trip the size cap, 2 stay buffered
+        assert engine.save_async(
+            {"user_id": f"user{i}", "sha256sum": f"hash{i}",
+             "amount": i, "msg": f"msg{i}"}
+        )
+    engine.close()            # tail flush
+    assert engine.count() == 6                      # Q1
+    assert engine.filtered_count(user_id="user2", amount=2) == 1  # Q2
+    assert engine.sink.delete_where(spark, "amount >= 4") == 2    # Q3
+    assert engine.count() == 4
+
+    # restart resume: a fresh engine over the same sink continues past
+    # the committed ids (the reference's in-memory flag cannot)
+    engine2 = BatcherEngine(
+        spark,
+        ClickHouseSink(cfg),
+        "user_id STRING, sha256sum STRING, amount BIGINT, msg STRING",
+        EngineConfig(max_batch_rows=100),
+    )
+    engine2.connect()
+    engine2.save_async(
+        {"user_id": "user9", "sha256sum": "hash9", "amount": 9, "msg": "m"}
+    )
+    engine2.close()
+    assert engine2.count() == 5
+
+
 @pytest.mark.parametrize(
     "n_rows,n_files,files_per_trigger",
     [
