@@ -159,6 +159,29 @@ def test_replay_of_committed_batch_is_skipped(spark, tmp_path):
     assert _rows(spark, cfg, cfg.ledger_table).count() == 1
 
 
+def test_uncommitted_replay_semantics_live(spark, tmp_path):
+    """Pin the documented crash-window contract (sinks/clickhouse.py
+    module docstring): if a process dies AFTER the data insert but
+    BEFORE the ledger row, the replay re-inserts — on ClickHouse the
+    duplicate block is collapsed by insert_deduplication / a
+    ReplacingMergeTree key; on a plain dialect the rows duplicate.
+    This test makes that window observable on a real database: the
+    replay lands (ledger now committed), the data is doubled exactly
+    once, and every LATER replay of the id is skipped."""
+    cfg = _cfg(tmp_path, "crashwin")
+    sink = ClickHouseSink(cfg)
+    df = _entity_df(spark, 3)
+    # simulate the crash window: data lands via the sink's own JDBC
+    # options, but no ledger row is written
+    df.write.format("jdbc").options(**cfg.jdbc_options()).mode(
+        "append"
+    ).save()
+    assert sink.write_batch(df, batch_id=0) is True  # uncommitted replay
+    assert _rows(spark, cfg).count() == 6  # doubled once, by contract
+    assert ClickHouseSink(cfg).write_batch(df, batch_id=0) is False
+    assert _rows(spark, cfg).count() == 6  # committed now: no growth
+
+
 def test_next_batch_id_resumes_past_ledger(spark, tmp_path):
     cfg = _cfg(tmp_path, "resume")
     sink = ClickHouseSink(cfg)
