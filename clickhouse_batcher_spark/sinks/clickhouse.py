@@ -36,6 +36,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.sinks.base import BatchSink
 
@@ -61,6 +62,15 @@ class ClickHouseSinkConfig:
     conn_max_lifetime_s: int = 3600
     batch_size: int = 10_000     # hashes.go:68 flush threshold
     ledger_table: str = "batch_ledger"
+    # Replay horizon for the bounded ledger read (SURVEY §2.1 R3's
+    # "persisted batchId high-water mark"). The sink reads MAX(batch_id)
+    # plus only the ledger ids above ``hwm - replay_window``; ids at or
+    # below that floor are treated as committed. Batch ids commit in
+    # monotonic order (engine counter / streaming epoch), and a crash
+    # replays only the most recent uncommitted epochs, so any window
+    # >= the deepest possible replay is exact. Driver state is
+    # O(replay_window), not O(total micro-batches ever).
+    replay_window: int = 1024
     # 1-row liveness probe (connect.go:56-64). ClickHouse accepts the
     # bare `SELECT 1`; standards-stricter dialects need a FROM and a
     # column alias (Derby: `SELECT 1 AS one FROM SYSIBM.SYSDUMMY1` —
@@ -96,7 +106,12 @@ class ClickHouseSink(BatchSink):
     def __init__(self, config: ClickHouseSinkConfig) -> None:
         self.config = config
         self._pinged = False
-        self._committed: set[int] | None = None
+        # Bounded ledger cache: the high-water mark (MAX(batch_id);
+        # -1 = empty/absent ledger) plus only the committed ids above
+        # ``hwm - replay_window``. Never the full id set — that grew
+        # O(total micro-batches ever) on the driver.
+        self._hwm: int | None = None
+        self._recent: set[int] = set()
 
     # -- connectivity ---------------------------------------------------
     def ping(self, spark) -> bool:
@@ -132,25 +147,80 @@ class ClickHouseSink(BatchSink):
         ) from last_err
 
     # -- ledger ---------------------------------------------------------
-    def _load_committed(self, spark) -> set[int]:
-        if self._committed is None:
-            try:
-                rows = (
-                    spark.read.format("jdbc")
-                    .options(
-                        **{
-                            **self.config.jdbc_options(),
-                            "dbtable": self.config.ledger_table,
-                        }
-                    )
-                    .load()
-                    .select("batch_id")
-                    .collect()
+    def _load_ledger_state(self, spark) -> None:
+        """Bounded ledger read: server-side ``MAX(batch_id)`` (one row
+        over the wire, via the JDBC ``query`` option — the v1 source
+        does not push aggregates through ``dbtable`` scans) plus a
+        filter-pushed read of only the ids above ``hwm -
+        replay_window``. Replaces the round-1..11 collect of EVERY
+        batch_id ever committed: driver state is now O(replay_window)
+        regardless of pipeline age (SURVEY §2.1 R3's high-water-mark
+        design)."""
+        if self._hwm is not None:
+            return
+        base = {
+            k: v
+            for k, v in self.config.jdbc_options().items()
+            if k != "dbtable"
+        }
+        try:
+            row = (
+                spark.read.format("jdbc")
+                .options(
+                    **base,
+                    # Spark's JDBC writer auto-creates columns QUOTED
+                    # (Derby then holds a case-sensitive lowercase
+                    # "batch_id" an unquoted reference cannot resolve),
+                    # so the raw query quotes it too — ANSI double
+                    # quotes, accepted by both Derby and ClickHouse.
+                    # The table name stays unquoted to match how the
+                    # writer created it.
+                    query=(
+                        'SELECT MAX("batch_id") AS hwm FROM '
+                        f"{self.config.ledger_table}"
+                    ),
                 )
-                self._committed = {int(r[0]) for r in rows}
-            except Exception:  # table absent on first run
-                self._committed = set()
-        return self._committed
+                .load()
+                .collect()[0]
+            )
+            self._hwm = int(row[0]) if row[0] is not None else -1
+        except Exception:  # ledger table absent on first run
+            self._hwm = -1
+            self._recent = set()
+            return
+        if self._hwm < 0:
+            self._recent = set()
+            return
+        floor = self._hwm - self.config.replay_window
+        rows = (
+            spark.read.format("jdbc")
+            .options(
+                **{
+                    **self.config.jdbc_options(),
+                    "dbtable": self.config.ledger_table,
+                }
+            )
+            .load()
+            .filter(F.col("batch_id") > floor)  # pushed into the scan
+            .select("batch_id")
+            .collect()
+        )
+        self._recent = {int(r[0]) for r in rows}
+
+    def _is_committed(self, spark, batch_id: int) -> bool:
+        """Replay check against the bounded window. Ids above the
+        high-water mark are new; ids within ``replay_window`` of it
+        consult the exact recent set (so an uncommitted gap — e.g. an
+        empty batch that wrote no ledger row — can still land on
+        retry); ids at or below the floor are older than any possible
+        replay under the monotonic-commit discipline and are treated
+        as committed."""
+        self._load_ledger_state(spark)
+        if batch_id > self._hwm:
+            return False
+        if batch_id <= self._hwm - self.config.replay_window:
+            return True
+        return batch_id in self._recent
 
     def next_batch_id(self, spark=None) -> int:
         """Resume point for a fresh producer: one past the ledger max.
@@ -168,33 +238,65 @@ class ClickHouseSink(BatchSink):
             return 0
         if not self._pinged:
             self.ping(spark)
-        committed = self._load_committed(spark)
-        return max(committed) + 1 if committed else 0
+        self._load_ledger_state(spark)
+        return self._hwm + 1
 
     # -- verification query surface (Q1/Q2/Q3 against the server) -------
     def read(self, spark) -> DataFrame:
-        """JDBC read of the sink table — the facade's Q1/Q2 source.
+        """JDBC read of the sink table — the facade's Q2 source.
 
-        Spark pushes COUNT/filters into the JDBC scan (PushedFilters +
-        aggregate pushdown where the dialect supports it), so
-        ``read().count()`` is the reference's ``SELECT COUNT(*)``
-        (hashes_test.go:227-233) evaluated server-side, not a full
-        table pull."""
+        Spark pushes filters and column pruning into the JDBC scan
+        (PushedFilters, asserted live in the Derby suite), but the v1
+        DataFrame JDBC source does NOT push aggregates — a bare
+        ``read().count()`` streams a 1-column projection of every row.
+        ``count()`` below goes through the ``query`` option instead so
+        the reference's Q1 really is ``SELECT COUNT(*)``
+        (hashes_test.go:227-233) evaluated server-side."""
         return (
             spark.read.format("jdbc").options(**self.config.jdbc_options()).load()
         )
 
     def count(self, spark) -> int:
-        return self.read(spark).count()
+        """Q1: server-side ``SELECT COUNT(*)`` via the JDBC ``query``
+        option — exactly one row crosses the wire, independent of
+        table size."""
+        base = {
+            k: v
+            for k, v in self.config.jdbc_options().items()
+            if k != "dbtable"
+        }
+        row = (
+            spark.read.format("jdbc")
+            .options(
+                **base,
+                query=f"SELECT COUNT(*) AS n FROM {self.config.table}",
+            )
+            .load()
+            .collect()[0]
+        )
+        return int(row[0])
 
     def delete_where(self, spark, where_sql: str) -> int:
         """Server-side ``DELETE FROM <table> WHERE ...`` — the
         reference's Q3 is a real ClickHouse lightweight delete
         (hashes_test.go:235-239), not a lake rewrite, so the JDBC sink
         issues the statement verbatim through the same raw-statement
-        path as the DDL migrations. Returns rows deleted (the JDBC
-        update count). Lake-resident data keeps the anti-filter
-        rewrite in ``sinks/delete.py``."""
+        path as the DDL migrations. Lake-resident data keeps the
+        anti-filter rewrite in ``sinks/delete.py``.
+
+        Trusted-caller contract: ``where_sql`` (and the configured
+        table name) are interpolated into the statement verbatim — the
+        predicate is engine/test code, never external input. A caller
+        exposing this to untrusted predicates must validate them or
+        build conjunctive equality from (column, value) pairs the way
+        ``engine.filtered_count`` does.
+
+        Returns the JDBC update count. That is the exact rows-deleted
+        on synchronous dialects (Derby, where the live suite pins it),
+        but ClickHouse lightweight DELETE is an async mutation and
+        typically reports 0 affected rows — against CH, verify via
+        ``count()`` deltas (as the live tests also do), not the return
+        value."""
         from clickhouse_batcher_spark.plans.migrations import (
             jdbc_statement_executor,
         )
@@ -216,15 +318,19 @@ class ClickHouseSink(BatchSink):
         spark = df.sparkSession
         if not self._pinged:
             self.ping(spark)
-        if batch_id in self._load_committed(spark):
+        if self._is_committed(spark, batch_id):
             return False
         # Empty-skip (hashes.go:79): no data, no ledger row. Unlike the
         # parquet sink this CANNOT use an in-flight Observation — the
         # JDBC v1 writer saves through df.rdd.foreachPartition, which
         # never fires observed metrics (live-Derby suite: obs reported
-        # 0 for a 5-row batch and every batch was mis-skipped). A
-        # limit-1 isEmpty probe costs at most one partition-read of the
-        # already-materialized micro-batch.
+        # 0 for a 5-row batch and every batch was mis-skipped). The
+        # isEmpty probe (a limit-1 read) plus the save below evaluate
+        # the batch DataFrame twice — a foreachBatch df re-reads its
+        # source on each action, so this relies on the micro-batch
+        # being deterministic within its epoch (Spark's own
+        # exactly-once contract already requires that; a
+        # non-deterministic transform would break replay regardless).
         if df.isEmpty():
             return False
         (
@@ -244,5 +350,6 @@ class ClickHouseSink(BatchSink):
             .mode("append")
             .save()
         )
-        self._committed.add(int(batch_id))
+        self._recent.add(int(batch_id))
+        self._hwm = max(self._hwm, int(batch_id))
         return True

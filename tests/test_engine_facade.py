@@ -162,11 +162,28 @@ def test_clickhouse_next_batch_id_resumes_from_ledger():
     )
 
     class FakeReader:
+        """Models the bounded ledger protocol: the first read is the
+        server-side MAX("batch_id") probe (one row), the second is the
+        filter-pushed recent-window scan."""
+
+        def __init__(self):
+            self.collects = 0
+
         def format(self, *_): return self
         def options(self, **_): return self
         def load(self): return self
+        def filter(self, *_): return self
         def select(self, *_): return self
-        def collect(self): return [(0,), (3,), (2,)]
+
+        def collect(self):
+            # collect 1 = ping (SELECT 1), 2 = MAX("batch_id") probe,
+            # 3+ = the filter-pushed recent-window id scan.
+            self.collects += 1
+            if self.collects == 1:
+                return [(1,)]
+            if self.collects == 2:
+                return [(3,)]
+            return [(0,), (3,), (2,)]
 
     class FakeSpark:
         read = FakeReader()

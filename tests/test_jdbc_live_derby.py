@@ -202,6 +202,51 @@ def test_empty_batch_no_ledger_row(spark, tmp_path):
     assert _rows(spark, cfg).count() == 4
 
 
+def test_bounded_ledger_read_is_o1_driver_state(spark, tmp_path):
+    """SURVEY §2.1 R3's high-water-mark design, live: a fresh sink
+    over an aged ledger reads MAX(batch_id) plus only the ids inside
+    ``replay_window`` — driver state O(window), not O(total batches
+    ever) — while every replay-skip semantic the exact-set
+    implementation pinned still holds on the filtered path."""
+    cfg = _cfg(tmp_path, "hwm", replay_window=4)
+    sink = ClickHouseSink(cfg)
+    for i in range(12):
+        assert sink.write_batch(_entity_df(spark, 1, start=i), batch_id=i)
+    assert _rows(spark, cfg, cfg.ledger_table).count() == 12
+
+    fresh = ClickHouseSink(cfg)
+    assert fresh.next_batch_id(spark) == 12  # resume past MAX
+    # driver-side cache holds only the window above hwm - replay_window
+    assert fresh._hwm == 11
+    assert fresh._recent == {8, 9, 10, 11}
+    # replay-skip inside the window: exact set consulted
+    assert fresh.write_batch(_entity_df(spark, 1), batch_id=10) is False
+    # replay-skip below the floor: horizon contract (monotonic commit
+    # order means an id this old cannot be a legitimate new batch)
+    assert fresh.write_batch(_entity_df(spark, 1), batch_id=2) is False
+    # genuinely new id past the high-water mark still lands
+    assert fresh.write_batch(_entity_df(spark, 1, start=12), batch_id=12)
+    assert _rows(spark, cfg).count() == 13  # no duplicates from replays
+
+
+def test_uncommitted_gap_inside_window_still_lands(spark, tmp_path):
+    """An empty batch leaves a ledger gap; with later ids committed
+    (hwm advanced), a non-empty retry of the gap id must still land
+    as long as it sits inside the replay window — the exact-set
+    semantics the r11 empty-batch test pinned, now on the filtered
+    path."""
+    cfg = _cfg(tmp_path, "gap", replay_window=8)
+    sink = ClickHouseSink(cfg)
+    assert sink.write_batch(_entity_df(spark, 2), batch_id=0) is True
+    assert sink.write_batch(_entity_df(spark, 2).limit(0), batch_id=1) is False
+    assert sink.write_batch(_entity_df(spark, 2, start=2), batch_id=2) is True
+    # fresh sink: hwm=2, gap id 1 absent from the recent set
+    fresh = ClickHouseSink(cfg)
+    assert fresh.write_batch(_entity_df(spark, 1, start=4), batch_id=1) is True
+    assert _rows(spark, cfg).count() == 5
+    assert _rows(spark, cfg, cfg.ledger_table).count() == 3
+
+
 def test_disabled_sink_writes_nothing(spark, tmp_path):
     cfg = _cfg(tmp_path, "disabled", enabled=False)
     sink = ClickHouseSink(cfg)
