@@ -309,7 +309,12 @@ def test_no_broadcast_hints_on_sf_scaling_frames():
     (1-row totals, top-k, constant dims, bounded-key aggregates) keep
     hints under other names; a genuinely-bounded frame that trips the
     name check should be renamed to say what bounds it, not
-    allowlisted here."""
+    allowlisted here.
+
+    This check is the name-based TRIPWIRE only; the fail-closed guard
+    is ``test_broadcast_hints_fail_closed_allowlist`` below — every
+    hint site must be classified there, so a rename cannot bypass the
+    audit."""
     import ast
     import pathlib
 
@@ -347,6 +352,247 @@ def test_no_broadcast_hints_on_sf_scaling_frames():
             if isinstance(base, ast.Name) and base.id in banned:
                 offenders.append(f"{p.name}:{node.lineno} F.broadcast({base.id}...)")
     assert not offenders, offenders
+
+
+# Fail-closed classification of EVERY F.broadcast() hint site in the
+# package, keyed (relative path, hinted identifier). An explicit hint
+# is never demoted by AQE, so each entry records WHY the frame cannot
+# scale with data volume; a new hint (or a rename) that is not
+# classified here is CI-red until audited. Reasons use the round-11
+# audit's categories:
+#   1-row agg     — groupBy().agg(...) reduce, exactly one row
+#   bounded-key   — key universe fixed by construction (labels, types,
+#                   buckets, hours, digits), not by SF
+#   constant dim  — TPC-H nation (25) / region (5), SF-invariant
+#   top-k/capped  — LIMIT / row_number <= k / explicit cap upstream
+#   vocab-bounded — token/shingle vocabulary agg, sublinear in corpus
+#                   and capped upstream where the operator documents it
+#   size-gated    — hint applied only under a measured count gate
+#   caller-opt-in — hint behind an explicit caller flag, off by default
+_BROADCAST_HINT_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("functions/__init__.py", "offsets"):
+        "<= num_partitions rows by construction (global cumsum offsets)",
+    ("operators/bloomjoin.py", "bloom"):
+        "constant-size: packed bloom-bitmap words (fixed filter width)",
+    ("operators/bloomjoin.py", "truth"):
+        "distinct dim keys — the operator's contract is a small dim "
+        "side (that is what makes the bloom prefilter + semi-join win)",
+    ("operators/chagg.py", "tot"): "1-row agg: grand totals",
+    ("operators/chagg2.py", "b"): "1-row agg: moment/bounds frame",
+    ("operators/chagg2.py", "c"): "1-row agg: count frame",
+    ("operators/chagg2.py", "cb"): "1-row agg: combined moments",
+    ("operators/chagg2.py", "ha"): "1-row agg: histogram half A",
+    ("operators/chagg2.py", "hab"): "1-row agg: merged histogram",
+    ("operators/chagg2.py", "ma"): "1-row agg: metric-A moments",
+    ("operators/chagg2.py", "mb"): "1-row agg: metric-B moments",
+    ("operators/chagg2.py", "mx"): "1-row agg: max frame",
+    ("operators/chagg2.py", "ra"): "1-row agg: range frame",
+    ("operators/chagg2.py", "tot"): "1-row agg: grand totals",
+    ("operators/classifier.py", "cb"):
+        "bounded-key: per-class count frame (label universe)",
+    ("operators/classifier.py", "llr"):
+        "vocab-bounded: per-token log-likelihood ratios (capped "
+        "feature vocabulary)",
+    ("operators/classifier.py", "nd"): "1-row agg: doc totals",
+    ("operators/classifier.py", "pri"):
+        "bounded-key: class priors (label universe)",
+    ("operators/classifier.py", "th"): "1-row agg: decision threshold",
+    ("operators/classifier.py", "tot"): "1-row agg: totals",
+    ("operators/classifier.py", "tots"):
+        "bounded-key: per-class token totals",
+    ("operators/cohort.py", "nrow"): "1-row agg: row count",
+    ("operators/cohort.py", "obs"): "1-row agg: observation window",
+    ("operators/companions.py", "dups"): "1-row agg: violation counter",
+    ("operators/companions.py", "hits"):
+        "1-row agg: recall-hit count (per ANN variant)",
+    ("operators/companions.py", "resize_agg"):
+        "1-row agg: media-resize violation counter",
+    ("operators/companions.py", "spec_agg"):
+        "1-row agg: FFT-spectrum violation counter",
+    ("operators/companions.py", "stats"):
+        "bounded-key: per-event-type pick stats (type universe)",
+    ("operators/corpus.py", "bench"):
+        "benchmark shingle set — decontamination benchmarks are "
+        "fixed-size inputs by contract, not SF-scaling",
+    ("operators/corpus.py", "lr"):
+        "bounded-key: per-bucket logistic params (fixed bucket count)",
+    ("operators/corpus.py", "m"): "1-row agg: normalization max",
+    ("operators/corpus.py", "src"):
+        "bounded-key: per-source aggregate (source universe)",
+    ("operators/corpus.py", "stats"): "1-row agg: corpus stats",
+    ("operators/corpus.py", "tok"):
+        "vocab-bounded: per-token stats (top-N capped upstream)",
+    ("operators/corpus.py", "tot"): "1-row agg: totals",
+    ("operators/corpus.py", "total"): "1-row agg: grand total",
+    ("operators/corpus.py", "tots"): "1-row agg: totals",
+    ("operators/corpus.py", "vocab"):
+        "vocab-bounded: global token counts (documented cap; the "
+        "operator's scale note covers the 100 TB vocabulary bound)",
+    ("operators/dedup.py", "th"): "1-row agg: threshold frame",
+    ("operators/fuzzy.py", "va"):
+        "vocab-bounded: deletion-neighborhood token side A",
+    ("operators/fuzzy.py", "vb"):
+        "vocab-bounded: deletion-neighborhood token side B",
+    ("operators/graph.py", "nodes"):
+        "size-gated: hint applied only when rem.count() <= "
+        "KCORE_BROADCAST_MAX_NODES (the k-core peel gate)",
+    ("operators/graph.py", "ranks"):
+        "size-gated: PageRank rank vector under the documented "
+        "node-count gate",
+    ("operators/graph.py", "summed"):
+        "size-gated: per-node contribution sums under the same gate",
+    ("operators/profile.py", "tot"): "1-row agg: totals",
+    ("operators/rollup.py", "tot"): "1-row agg: grand total",
+    ("operators/sampling.py", "quota"):
+        "bounded-key: per-language quota (language universe)",
+    ("operators/sampling.py", "total"): "1-row agg: total weight",
+    ("operators/sampling.py", "vocab"):
+        "vocab-bounded: sampling vocabulary frame",
+    ("operators/sampling.py", "weights"):
+        "bounded-key: per-stratum weights (stratum universe)",
+    ("operators/similarity.py", "a"):
+        "bounded-key: per-label centroid side A (label universe)",
+    ("operators/similarity.py", "b"):
+        "bounded-key: per-label centroid side B (label universe)",
+    ("operators/similarity.py", "bm"):
+        "top-k/capped: brute-force match list for the query set "
+        "(N_QUERY_VECS x TOP_K rows)",
+    ("operators/similarity.py", "ca"): "bounded-key: per-label counts",
+    ("operators/similarity.py", "cb"): "bounded-key: per-label counts",
+    ("operators/similarity.py", "na"): "bounded-key: per-label norms",
+    ("operators/similarity.py", "nb"): "bounded-key: per-label norms",
+    ("operators/similarity.py", "probes"):
+        "top-k/capped: multi-probe LSH codes for the constant query "
+        "set (N_QUERY_VECS x n_probes rows)",
+    ("operators/similarity.py", "q"):
+        "top-k/capped: the constant query-vector set (N_QUERY_VECS)",
+    ("operators/similarity.py", "qside"):
+        "top-k/capped: query-side projection (N_QUERY_VECS rows)",
+    ("operators/similarity.py", "queries_df"):
+        "top-k/capped: the constant query-vector set (N_QUERY_VECS)",
+    ("operators/similarity.py", "snorm"):
+        "bounded-key: per-label norm sums (label universe)",
+    ("operators/similarity.py", "src"):
+        "bounded-key: per-source centroids (source universe)",
+    ("operators/similarity.py", "sums"):
+        "bounded-key: per-(label,pos) sums — label universe x EMB_DIM",
+    ("operators/sketch.py", "b"): "1-row agg: sketch-state row B",
+    ("operators/sketch.py", "days"):
+        "bounded-key: per-event-type day counts (type universe)",
+    ("operators/sketch.py", "members"):
+        "bounded-key: event-type pair membership (type universe "
+        "squared)",
+    ("operators/sketch.py", "row"):
+        "bounded-key: one CMS row of fixed width per depth index",
+    ("operators/sketch.py", "u"): "1-row agg: union sketch state",
+    ("operators/skew.py", "stats"): "1-row agg: key-distribution stats",
+    ("operators/skew.py", "top"): "1-row agg: hottest-key frame",
+    ("operators/text.py", "lab"):
+        "bounded-key: per-language label stats (language universe)",
+    ("operators/text.py", "prd"):
+        "bounded-key: per-language predicted stats",
+    ("operators/timeseries.py", "b"): "1-row agg: bounds frame",
+    ("operators/timeseries.py", "den"): "1-row agg: denominator",
+    ("operators/timeseries.py", "m"): "1-row agg: mean frame",
+    ("operators/timeseries.py", "mad"): "1-row agg: MAD scale",
+    ("operators/timeseries.py", "med"): "1-row agg: median frame",
+    ("operators/timeseries.py", "st"): "1-row agg: series stats",
+    ("operators/zorder.py", "bounds"):
+        "1-row agg: per-dimension min/max bounds",
+    ("queries.py", "nation"): "constant dim: nation (25 rows at any SF)",
+    ("queries.py", "region"): "constant dim: region (5 rows at any SF)",
+    ("queries_ext2.py", "types"):
+        "bounded-key: event-type universe frame",
+    ("queries_ext3.py", "avgs"): "1-row agg: average frame",
+    ("queries_ext3.py", "total"): "1-row agg: grand total",
+    ("queries_ext4.py", "nation"): "constant dim: nation",
+    ("queries_ext4.py", "region"): "constant dim: region",
+    ("queries_ext5.py", "avg_bal"): "1-row agg: average balance (q22)",
+    ("queries_ext5.py", "cn"):
+        "constant dim: single-nation key filter (<= 25 rows)",
+    ("queries_ext5.py", "nation"): "constant dim: nation",
+    ("queries_ext5.py", "region"): "constant dim: region",
+    ("queries_ext5.py", "top"): "1-row agg: max-revenue frame (q15)",
+    ("queries_ext6.py", "threshold"): "1-row agg: q11 value threshold",
+    ("streaming/joins.py", "projected"):
+        "caller-opt-in: enrich_stream hints only under the explicit "
+        "hint_broadcast=True flag (off by default since the r11 audit)",
+}
+# load_table(...) literals that may sit under a hint (SF-invariant
+# dimension tables only).
+_BROADCASTABLE_TABLES = {"nation", "region"}
+
+
+def test_broadcast_hints_fail_closed_allowlist():
+    """VERDICT r11 task 2: the broadcast-hint audit, inverted to fail
+    CLOSED. Every ``F.broadcast(...)`` site in the package must be
+    classified in ``_BROADCAST_HINT_ALLOWLIST`` (keyed by file +
+    hinted identifier, each entry recording why the frame is bounded
+    by construction), or — for inline ``load_table`` hints — name an
+    SF-invariant dimension table. A new hint, a rename, or a hint on
+    a newly-loaded fact table is red until audited; stale allowlist
+    entries (site removed) are red too, so the list cannot rot."""
+    import ast
+    import pathlib
+
+    import clickhouse_batcher_spark
+
+    root = pathlib.Path(clickhouse_batcher_spark.__file__).parent
+    offenders: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    for p in sorted(root.rglob("*.py")):
+        rel = str(p.relative_to(root))
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+            ):
+                continue
+            arg = node.args[0]
+            # Inline load_table(...) hints: every table literal under
+            # the hinted expression must be an SF-invariant dim.
+            table_lits = [
+                a.value
+                for c in ast.walk(arg)
+                if isinstance(c, ast.Call)
+                and isinstance(c.func, ast.Name)
+                and c.func.id == "load_table"
+                for a in c.args
+                if isinstance(a, ast.Constant) and isinstance(a.value, str)
+            ]
+            if table_lits:
+                bad = [t for t in table_lits if t not in _BROADCASTABLE_TABLES]
+                if bad:
+                    offenders.append(
+                        f"{rel}:{node.lineno} F.broadcast over "
+                        f"load_table({bad}) — SF-scaling table under an "
+                        "explicit hint"
+                    )
+                continue
+            base = arg
+            while isinstance(base, (ast.Attribute, ast.Call)):
+                base = (
+                    base.value
+                    if isinstance(base, ast.Attribute)
+                    else base.func
+                )
+            name = base.id if isinstance(base, ast.Name) else ast.dump(base)
+            key = (rel, name)
+            seen.add(key)
+            if key not in _BROADCAST_HINT_ALLOWLIST:
+                offenders.append(
+                    f"{rel}:{node.lineno} F.broadcast({name}...) is not "
+                    "classified in _BROADCAST_HINT_ALLOWLIST — audit the "
+                    "frame's bound (or remove the hint and let AQE decide)"
+                )
+    stale = set(_BROADCAST_HINT_ALLOWLIST) - seen
+    assert not offenders, "\n".join(offenders)
+    assert not stale, f"allowlist entries with no surviving site: {stale}"
 
 
 def test_no_module_level_pandas_kernels():
