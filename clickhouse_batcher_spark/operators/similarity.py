@@ -240,8 +240,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _twin_corpus(
         emb.select("vec_id", _dvec("embedding").alias("v"))
     )
-    if _resolve_candidate_source(lambda: 2 * emb.count()) == "lsh":
-        return _neardup_pairs_lsh(corpus)
+    counted: list = [None]  # auto's count job, reused for plane sizing
+
+    def _count() -> int:
+        counted[0] = 2 * emb.count()
+        return counted[0]
+
+    if _resolve_candidate_source(_count) == "lsh":
+        return _neardup_pairs_lsh(corpus, n_vecs=counted[0])
 
     t = NEARDUP_TILES
     tiled = (
@@ -295,15 +301,51 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path; recall-tested, no SQL oracle)
 # ---------------------------------------------------------------------------
-def _hyperplanes() -> list[list[list[float]]]:
+# Mean vectors-per-bucket the candidate index aims for. With fixed
+# LSH_PLANES the bucket count is constant, so occupancy — and the
+# per-bucket pair work of the candidate equi-join — grows LINEARLY
+# with corpus size: at 10M vectors, 2^8 buckets/table means ~39k
+# vectors per bucket and an O(n * occupancy) ~ O(n^2 / 2^planes)
+# candidate explosion. Production LSH grows the signature ~log2(n)
+# (the SCALE.md note); _planes_for implements exactly that for the
+# crossover candidate path, flooring at the tuned small-corpus
+# LSH_PLANES so behavior at <=2k vectors is byte-identical.
+LSH_TARGET_OCCUPANCY = 8
+
+
+def _planes_for(n_vecs: int) -> int:
+    """Sign-bit count keeping mean bucket occupancy near
+    LSH_TARGET_OCCUPANCY: ceil(log2(n / occupancy)) buckets-per-table
+    exponent. Keeps candidate volume O(n * LSH_TABLES *
+    LSH_TARGET_OCCUPANCY) — linear in n — at any corpus size. Recall
+    trade (random hyperplane LSH): per-table collision is
+    (1 - arccos(cos)/pi)^planes, union over LSH_TABLES=16 tables. At
+    the 0.97 threshold boundary (the worst case inside the near-dup
+    band) that is >= 0.95 through the crossover decade (planes=21 at
+    10M -> 0.958) and ~0.85 at 10^9 (planes=27); genuine twins at
+    cos >= 0.99 stay >= 0.99 recall even there. Past ~10^8 vectors
+    the production lever is MORE TABLES (recall is 1-(1-p)^T — linear
+    cost, exponential recall), not fewer planes."""
+    import math
+
+    if n_vecs <= LSH_TARGET_OCCUPANCY:
+        return LSH_PLANES
+    return max(
+        LSH_PLANES, math.ceil(math.log2(n_vecs / LSH_TARGET_OCCUPANCY))
+    )
+
+
+def _hyperplanes(n_planes: int = LSH_PLANES) -> list[list[list[float]]]:
     """Deterministic pseudo-random planes: [table][plane][dim]."""
     import numpy as np
 
     rng = np.random.default_rng(LSH_SEED)
-    return rng.standard_normal((LSH_TABLES, LSH_PLANES, 64)).tolist()
+    return rng.standard_normal((LSH_TABLES, n_planes, 64)).tolist()
 
 
-def lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
+def lsh_buckets(
+    df: DataFrame, vec_col: str = "v", n_planes: int = LSH_PLANES
+) -> DataFrame:
     """Explode each vector into one row per hash table:
     (..., table_id, bucket) where bucket is the table's sign-bit
     signature. Multi-table LSH: a near pair only needs to agree in ONE
@@ -319,7 +361,7 @@ def lsh_buckets(df: DataFrame, vec_col: str = "v") -> DataFrame:
     import numpy as np
 
     spark = df.sparkSession
-    planes = np.asarray(_hyperplanes(), dtype=np.float64)  # [T][P][64]
+    planes = np.asarray(_hyperplanes(n_planes), dtype=np.float64)
     flat = planes.reshape(-1, planes.shape[-1])  # (T*P, 64)
     bc = spark.sparkContext.broadcast(flat)
     in_cols = df.columns
@@ -427,7 +469,9 @@ def lsh_query_probes(
     return df.mapInPandas(assign, schema=schema)
 
 
-def _lsh_candidate_pairs(vecs: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(
+    vecs: DataFrame, n_vecs: int | None = None
+) -> DataFrame:
     """Distinct unordered candidate pairs from the LSH band index: two
     vectors are candidates iff they share a bucket in ANY table. Input
     must be (vec_id BIGINT, v ARRAY<DOUBLE>); output
@@ -437,8 +481,13 @@ def _lsh_candidate_pairs(vecs: DataFrame) -> DataFrame:
     ``CANDIDATE_SOURCE``/``ANN_CROSSOVER_VECS`` switch: index size is
     O(n * LSH_TABLES) rows, the bucket equi-join shuffles on
     (table_id, bucket), and the pair dedup is one keyed shuffle over
-    candidate pairs — never O(n^2)."""
-    idx = lsh_buckets(vecs)
+    candidate pairs — never O(n^2). The signature width adapts to the
+    corpus (``_planes_for``): occupancy stays ~LSH_TARGET_OCCUPANCY
+    per bucket, so candidate volume stays linear in n at any scale
+    (with fixed planes it would grow O(n^2 / 2^planes)). ``n_vecs``
+    lets a caller that already counted skip the count job."""
+    n = vecs.count() if n_vecs is None else n_vecs
+    idx = lsh_buckets(vecs, n_planes=_planes_for(n))
     a = idx.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
@@ -459,13 +508,17 @@ def _lsh_candidate_pairs(vecs: DataFrame) -> DataFrame:
     )
 
 
-def _neardup_pairs_lsh(corpus: DataFrame) -> DataFrame:
+def _neardup_pairs_lsh(
+    corpus: DataFrame, n_vecs: int | None = None
+) -> DataFrame:
     """LSH-candidate near-dup pairs with exact cosine rerank — the
     post-crossover plan for :func:`embedding_neardup`. Same output
     schema and (on surviving pairs) identical values to the exact
     GEMM; pairs the index misses are the recall cost, measured in
-    tests with the switch forced on."""
-    cand = _lsh_candidate_pairs(corpus)
+    tests with the switch forced on (tests/test_crossover.py — both
+    at the driver fixtures and at a 20k-vector planted-pair corpus
+    exercising the adaptive signature width)."""
+    cand = _lsh_candidate_pairs(corpus, n_vecs=n_vecs)
     return cand.select(
         "vec_a",
         "vec_b",
@@ -1298,9 +1351,16 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir)
     raw = load_table(spark, sf_dir, "embeddings")
-    if _resolve_candidate_source(raw.count) == "lsh":
+    counted: list = [None]
+
+    def _count() -> int:
+        counted[0] = raw.count()
+        return counted[0]
+
+    if _resolve_candidate_source(_count) == "lsh":
         cand = _lsh_candidate_pairs(
-            emb.select("vec_id", _dvec("embedding").alias("v"))
+            emb.select("vec_id", _dvec("embedding").alias("v")),
+            n_vecs=counted[0],
         )
         a_even = F.col("vec_a") % 2 == 0
         pairs = (
