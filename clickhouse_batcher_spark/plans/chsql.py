@@ -998,13 +998,9 @@ _UNSUPPORTED = (
         "operators.chagg.delta_sum_by_type's shape (lag() OVER an "
         "explicit ORDER BY, positive deltas summed)",
     ),
-    (
-        r"\bboundingRatio\s*\(",
-        "boundingRatio",
-        "use operators.chagg.bounding_ratio_by_user's shape "
-        "((max_by - min_by) / (max - min) over explicit min/max "
-        "aggregates)",
-    ),
+    # boundingRatio: TRANSLATED since round 12 (closed form
+    # (max_by(y,x) - min_by(y,x)) / (max(x) - min(x)) — the hint this
+    # entry used to give); see the round-12 promotion block.
     (
         r"\bmaxIntersections(?:Position)?\s*\(",
         "maxIntersections (peak concurrent intervals)",
@@ -1016,14 +1012,24 @@ _UNSUPPORTED = (
         # name, so a curated prefix list leaks (groupUniqArrayState,
         # topKState, deltaSumState all passed through silently). No
         # Spark builtin ends in these suffixes, so the broad match is
-        # safe inside dialect translation.
-        r"\b[A-Za-z]\w*(?:State|Merge|SimpleState|MergeState)\s*\(",
-        "-State/-Merge aggregate combinators",
-        "partial-aggregate states are engine-internal formats; use "
-        "the engine's mergeable sketch states "
-        "(operators.sketch hll_state_merge_daily shape: explicit "
-        "register arrays merged with greatest()) or re-aggregate "
-        "from the base table",
+        # safe inside dialect translation. Round 12 PROMOTES the
+        # scalar pairs whose partial state is portable algebra —
+        # count/sum/min/max (state == the aggregate itself) and avg
+        # (state == (sum, count) struct) — to real translations (see
+        # the round-12 promotion block); the negative lookahead
+        # exempts exactly those. Sketch-backed states (uniqState,
+        # quantileState, ...) stay loud: their binary formats are
+        # engine-internal.
+        r"\b(?!(?:count|sum|min|max|avg)(?:State|Merge)\s*\()"
+        r"[A-Za-z]\w*(?:State|Merge|SimpleState|MergeState)\s*\(",
+        "-State/-Merge aggregate combinators (non-scalar)",
+        "partial-aggregate states of sketch aggregates are "
+        "engine-internal formats; use the engine's mergeable sketch "
+        "states (operators.sketch hll_state_merge_daily shape: "
+        "explicit register arrays merged with greatest()) or "
+        "re-aggregate from the base table. The scalar pairs "
+        "countState/sumState/minState/maxState/avgState and their "
+        "Merges ARE translated",
     ),
     (
         r"\b\w+ForEach\s*\(",
@@ -4645,6 +4651,72 @@ def translate(
     # hasSubstr: contiguous-subsequence containment via an offset scan
     # (array equality on each window). Empty needle is contained.
     out = _rewrite_calls(out, "hasSubstr", _has_substr)
+    # --- round-12 promotions (VERDICT r11 task 5: the two most
+    # common recognized-untranslatable constructs) --------------------
+    # Scalar -State/-Merge combinator pairs. ClickHouse's two-level
+    # AggregatingMergeTree idiom keeps PARTIAL aggregate states in an
+    # inner query / materialized view and folds them later with
+    # -Merge. For count/sum/min/max the partial state IS the
+    # aggregate value (the fold is associative on the same scalar),
+    # and for avg it is the (sum, count) pair — all portable algebra,
+    # no engine-internal bytes — so the pairs translate exactly:
+    #   sumState(x)->sum(x)  sumMerge(s)->sum(s)
+    #   countState(x)->count(x|*)  countMerge(s)->sum(s) (BIGINT)
+    #   minState/minMerge->min  maxState/maxMerge->max
+    #   avgState(x)->named_struct(s: sum, c: count)
+    #   avgMerge(st)->sum(st.s)/sum(st.c)
+    # Sketch-backed states (uniqState, quantileState, ...) remain
+    # loud in _UNSUPPORTED — their binary state formats are
+    # engine-internal.
+    for st, mg in (("sum", "sum"), ("min", "min"), ("max", "max")):
+        out = _rewrite_calls(
+            out, f"{st}State", lambda a, f=st: f"{f}({a[0]})"
+        )
+        out = _rewrite_calls(
+            out, f"{st}Merge", lambda a, f=mg: f"{f}({a[0]})"
+        )
+    out = _rewrite_calls(
+        out,
+        "countState",
+        lambda a: f"count({a[0]})" if a and a[0].strip() else "count(*)",
+    )
+    # merging count partials SUMS them; CAST keeps BIGINT (DuckDB
+    # oracles otherwise drift to HUGEINT on the same algebra)
+    out = _rewrite_calls(
+        out, "countMerge", lambda a: f"CAST(sum({a[0]}) AS BIGINT)"
+    )
+    out = _rewrite_calls(
+        out,
+        "avgState",
+        lambda a: (
+            f"named_struct('s', sum({a[0]}), 'c', count({a[0]}))"
+        ),
+    )
+    # ClickHouse avg/avgMerge return Float64 whatever the input type;
+    # double/double division of exact operands is deterministic
+    # IEEE-754 (the repo's dec_avg discipline), where decimal/bigint
+    # division would pin engine-specific result scales.
+    out = _rewrite_calls(
+        out,
+        "avgMerge",
+        lambda a: (
+            f"(CAST(sum(({a[0]}).s) AS DOUBLE) / "
+            f"CAST(sum(({a[0]}).c) AS DOUBLE))"
+        ),
+    )
+    # boundingRatio(x, y): slope between the leftmost and rightmost
+    # points of the group — (y at max x - y at min x)/(max x - min x).
+    # Same closed form operators/chagg.bounding_ratio_by_user uses;
+    # deterministic iff x is unique within the group (ClickHouse's own
+    # result is otherwise order-dependent too).
+    out = _rewrite_calls(
+        out,
+        "boundingRatio",
+        lambda a: (
+            f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) / "
+            f"(max({a[0]}) - min({a[0]})))"
+        ),
+    )
     # quantilesGK(accuracy, l1, l2, ...)(x) -> the array form
     out = _rewrite_curried_fn(out, "quantilesGK", _quantiles_gk)
     # LAST (so every handler above sees the original spelling and

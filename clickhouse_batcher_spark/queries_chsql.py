@@ -435,3 +435,108 @@ def chsql_window_funnel_windowed(
 ORACLES["chsql_window_funnel_windowed"] = ORACLES[
     "chsql_window_funnel_default"
 ]
+
+
+@query(
+    "chsql_state_merge_rollup",
+    oracle="""
+    WITH st AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS c,
+             MAX(value) AS mx
+      FROM events GROUP BY day, user_id
+    )
+    SELECT day,
+           CAST(SUM(s) AS DOUBLE) AS total_value,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           MAX(mx) AS max_value,
+           CAST(SUM(s) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_value
+    FROM st GROUP BY day ORDER BY day
+    """,
+)
+def chsql_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's two-level AggregatingMergeTree idiom through the
+    round-12 scalar ``-State``/``-Merge`` promotion: the inner query
+    keeps per-(day, user) PARTIAL states (``sumState``/``countState``/
+    ``maxState``/``avgState``), the outer folds them per day with the
+    matching ``-Merge`` combinators — the materialized-view pattern a
+    reference user runs for incremental rollups. The translation is
+    exact algebra (scalar states are portable: sum->sum, count->sum,
+    max->max, avg->(sum, count) struct), so the whole pipeline stays
+    one Spark two-level hash aggregate — partial agg map-side, one
+    shuffle per level, no UDFs, scale-safe at any SF.
+
+    Determinism: the day key is a timestamp-typed date_trunc (the
+    repo's day-column convention); value routes through
+    ``toDecimal64(value, 2)``
+    (exact decimal sums on both engines, the repo's dec() contract);
+    the mean is double/double IEEE division of exact operands
+    (dec_avg discipline). Sketch states (uniqState, ...) stay loud —
+    their binary formats are engine-internal.
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT day,
+               toFloat64(sumMerge(s)) AS total_value,
+               countMerge(c) AS n_events,
+               maxMerge(mx) AS max_value,
+               avgMerge(av) AS mean_value
+        FROM (
+          SELECT toStartOfDay(ts) AS day, user_id,
+                 sumState(toDecimal64(value, 2)) AS s,
+                 countState() AS c,
+                 maxState(value) AS mx,
+                 avgState(toDecimal64(value, 2)) AS av
+          FROM events
+          GROUP BY day, user_id
+        )
+        GROUP BY day
+        ORDER BY day
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_bounding_ratio_by_type",
+    oracle="""
+    SELECT event_type,
+           (arg_max(value, event_id) - arg_min(value, event_id)) /
+             (CAST(MAX(event_id) AS DOUBLE) - CAST(MIN(event_id) AS DOUBLE))
+             AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def chsql_bounding_ratio_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``boundingRatio(x, y)`` — the slope between a group's leftmost
+    and rightmost points — through the round-12 promotion: it lowers
+    to the closed form ``(max_by(y, x) - min_by(y, x)) / (max(x) -
+    min(x))``, four ordinary aggregates in ONE hash-aggregate pass
+    (the same shape operators/chagg.bounding_ratio_by_user proved
+    out). x = event_id is unique per group, so max_by/min_by are
+    deterministic (ClickHouse's own boundingRatio is order-dependent
+    under x ties). Values: y is exact 2dp doubles, x integers cast to
+    double — one IEEE division of exact operands, no rounding needed
+    for the hash gate.
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT event_type,
+               boundingRatio(toFloat64(event_id), value) AS slope,
+               count() AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )

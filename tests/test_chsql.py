@@ -2006,9 +2006,10 @@ def test_round8_louds():
 
 
 def test_block_order_aggregates_are_loud():
+    # boundingRatio left this list in round 12: it now TRANSLATES to
+    # its closed form (test_scalar_state_merge_translations).
     for sql, frag in [
         ("SELECT deltaSum(x) FROM t", "delta_sum_by_type"),
-        ("SELECT boundingRatio(a, b) FROM t", "bounding_ratio_by_user"),
         ("SELECT maxIntersections(a, b) FROM t",
          "max_concurrent_intervals"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "topk_heavy_hitters"),
@@ -3490,3 +3491,99 @@ def test_cast_as_form_ch_type_names(spark, sf_dir):
     assert translate("SELECT CAST(x AS DOUBLE) FROM t") == (
         "SELECT CAST(x AS DOUBLE) FROM t"
     )
+
+
+# --- round-12 promotions: scalar -State/-Merge and boundingRatio ----
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT sumState(x) FROM t", "SELECT sum(x) FROM t"),
+        ("SELECT sumMerge(s) FROM t", "SELECT sum(s) FROM t"),
+        ("SELECT minState(x) FROM t", "SELECT min(x) FROM t"),
+        ("SELECT maxMerge(mx) FROM t", "SELECT max(mx) FROM t"),
+        ("SELECT countState() FROM t", "SELECT count(*) FROM t"),
+        ("SELECT countState(x) FROM t", "SELECT count(x) FROM t"),
+        (
+            "SELECT countMerge(c) FROM t",
+            "SELECT CAST(sum(c) AS BIGINT) FROM t",
+        ),
+        (
+            "SELECT avgState(x) FROM t",
+            "SELECT named_struct('s', sum(x), 'c', count(x)) FROM t",
+        ),
+        (
+            "SELECT avgMerge(av) FROM t",
+            "SELECT (CAST(sum((av).s) AS DOUBLE) / "
+            "CAST(sum((av).c) AS DOUBLE)) FROM t",
+        ),
+        (
+            "SELECT boundingRatio(x, y) FROM t",
+            "SELECT ((max_by(y, x) - min_by(y, x)) / "
+            "(max(x) - min(x))) FROM t",
+        ),
+    ],
+)
+def test_scalar_state_merge_translations(ch, expected):
+    """The round-12 promotions: scalar partial-aggregate states are
+    portable algebra, so the -State/-Merge pairs translate exactly;
+    boundingRatio lowers to its closed form (the hint its loud error
+    used to give)."""
+    assert translate(ch) == expected
+
+
+@pytest.mark.parametrize(
+    "ch",
+    [
+        "SELECT uniqState(x) FROM t",
+        "SELECT uniqMerge(u) FROM t",
+        "SELECT quantileState(0.5)(x) FROM t",
+        "SELECT groupUniqArrayState(x) FROM t",
+        "SELECT topKMerge(t) FROM t",
+        "SELECT sumSimpleState(x) FROM t",  # SimpleState stays loud
+    ],
+)
+def test_sketch_states_stay_loud(ch):
+    """Only the SCALAR pairs are promoted: sketch-backed states keep
+    engine-internal binary formats and must still fail loudly."""
+    with pytest.raises(ValueError, match="no Spark translation"):
+        translate(ch)
+
+
+def test_state_merge_two_level_equals_direct(spark, sf_dir):
+    """The AggregatingMergeTree idiom end-to-end: folding per-user
+    partial states per day must equal the direct one-level aggregate
+    — the algebraic contract the promotion rests on."""
+    two_level = run_sql(
+        spark,
+        """
+        SELECT day, toFloat64(sumMerge(s)) AS total,
+               countMerge(c) AS n, avgMerge(av) AS mean
+        FROM (
+          SELECT toStartOfDay(ts) AS day, user_id,
+                 sumState(toDecimal64(value, 2)) AS s,
+                 countState() AS c,
+                 avgState(toDecimal64(value, 2)) AS av
+          FROM events GROUP BY day, user_id
+        ) GROUP BY day
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+    direct = run_sql(
+        spark,
+        """
+        SELECT toStartOfDay(ts) AS day,
+               toFloat64(sum(toDecimal64(value, 2))) AS total,
+               count() AS n,
+               CAST(sum(toDecimal64(value, 2)) AS Float64)
+                 / CAST(count() AS Float64) AS mean
+        FROM events GROUP BY day
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+    a = {r["day"]: (r["total"], r["n"], r["mean"]) for r in two_level.collect()}
+    b = {r["day"]: (r["total"], r["n"], r["mean"]) for r in direct.collect()}
+    assert a == b and len(a) > 5

@@ -196,6 +196,13 @@ DIFFERENTIAL_CORPUS = [
     "SELECT arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS r",
     "SELECT range(4) AS r, [1, 2, 3][2] AS e",
     "SELECT arrayJaccardIndex([1, 2], [2, 3]) AS r",
+    # --- round-12 promotions: scalar -State/-Merge, boundingRatio ---
+    f"SELECT sumMerge(s) AS a, countMerge(c) AS b, maxMerge(mx) AS m "
+    f"FROM (SELECT w, sumState(v) AS s, countState() AS c, "
+    f"maxState(v) AS mx FROM {_NUMS} GROUP BY w)",
+    f"SELECT avgMerge(av) AS r FROM "
+    f"(SELECT w, avgState(v) AS av FROM {_NUMS} GROUP BY w)",
+    f"SELECT boundingRatio(w + v, v) AS r FROM {_NUMS}",
     # --- strings ---
     "SELECT lengthUTF8('héllo') AS a, lowerUTF8('ABC') AS b",
     "SELECT position('Hello World', 'World') AS r",
