@@ -51,6 +51,82 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
+    # --- ROUND 12 window (replaces the r11 list, preserved in
+    #     _R11_WINDOW_LEDGER below). BACKFILL-WEIGHTED round (VERDICT
+    #     r11 task 1): 46 of the 50 slots second-green every pre-r11
+    #     single-green query — the whole remaining r7/r8/r9/r10
+    #     backlog — driving the pre-r11 single-green count to 0; the
+    #     last 2 slots first-green the round-12 chsql promotions.
+    # (a) the one r7 single (deferred from r11 by design) ---
+    "weighted_sample_docs",
+    # (b) all 9 r8 singles, alphabetical ---
+    "chsql_window_funnel_windowed",
+    "dedup_lines_transform",
+    "dedup_span_rewrite",
+    "doremi_domain_weights",
+    "events_cusum_changepoint",
+    "events_theil_sen_trend",
+    "padding_efficiency_report",
+    "span_dedup_savings_by_source",
+    "user_survival_km",
+    # (c) all 15 r9 singles, alphabetical ---
+    "cluster_quality_consistency",
+    "coactivity_assortativity",
+    "coactivity_label_propagation",
+    "decontamination_report",
+    "dedup_inflation_report",
+    "docs_code_switch_report",
+    "events_hourly_seasonality",
+    "length_sorted_packing_gain",
+    "minhash_recall_curve",
+    "pii_rate_by_source",
+    "quality_psi_by_source",
+    "shingle_novelty_curve",
+    "temperature_mix_curve",
+    "token_budget_waterfill",
+    "user_lifecycle_stages",
+    # (d) all 21 r10 singles, alphabetical ---
+    "ab_assignment_srm",
+    "ab_ks_test",
+    "ab_min_sample_size",
+    "ann_recall_vs_exact",
+    "bpe_roundtrip_violations",
+    "docs_readability_report",
+    "dup_pair_training_spacing",
+    "embedding_centroid_distances",
+    "events_hourly_acf",
+    "lttb_invariant_violations",
+    "markov_kstep_distribution",
+    "media_pipeline_invariants",
+    "orders_benford_deviation",
+    "orders_pareto_skyline",
+    "parts_abc_classification",
+    "pca_projection_invariants",
+    "quantile_state_merge_daily",
+    "resharding_stability_report",
+    "semantic_dedup_invariants",
+    "shard_checksum_manifest",
+    "unigram_encode_lossless",
+    # (e) round-12 additions: the chsql transpiler promotions
+    #     (scalar -State/-Merge combinator pairs; boundingRatio),
+    #     each a loud-error-list construct turned real translation
+    #     with its own hash oracle ---
+    "chsql_state_merge_rollup",
+    "chsql_bounding_ratio_by_type",
+]
+# r13 queue (after this window goes green): the 7 r11 singles
+# (attribution_model_comparison, customer_order_islands,
+# docs_simpson_diversity, events_dominant_period,
+# events_holt_forecast_daily, orders_interarrival_burstiness,
+# user_metric_corr_matrix) plus whatever r12 first-greens — same
+# second-green vintage rule as rounds 10-12.
+# --- ROUND 11 window ledger (the list above replaced this; all 50
+#     r11 entries went hash-green in CORRECTNESS_r11, the third
+#     consecutive fully green window) ---
+_R11_WINDOW_LEDGER: list[str] = [
+    # --- t2 gate / reference core (kept every round) ---
+    "ingest_readback",
+    "replay_idempotent",
     # --- ROUND 11 window (replaces the r10 list, preserved in
     #     _R10_WINDOW_LEDGER below). BACKFILL-FIRST round (VERDICT
     #     r10 task 2): catalog widening is FROZEN this round; 48 of
@@ -116,13 +192,6 @@ _PRIORITY: list[str] = [
     "user_type_minmax_map",
     "vocab_growth_curve",
 ]
-# r12 queue (after this window goes green): weighted_sample_docs,
-# then the r8 singles (chsql_window_funnel_windowed,
-# dedup_lines_transform, dedup_span_rewrite, doremi_domain_weights,
-# events_cusum_changepoint, events_theil_sen_trend,
-# padding_efficiency_report, span_dedup_savings_by_source,
-# user_survival_km), then the 15 r9 singles, then the 21 r10
-# singles — second-green vintage order, same rule as this round.
 # --- ROUND 10 window ledger (the list above replaced this; all 50
 #     r10 entries went hash-green in CORRECTNESS_r10, the first
 #     fully green window with zero standing disputes) ---
