@@ -191,7 +191,16 @@ class BatcherEngine:
         return self.sink.read(self.spark)
 
     def count(self) -> int:
-        """Q1: SELECT COUNT(*) (hashes_test.go:227-233)."""
+        """Q1: SELECT COUNT(*) (hashes_test.go:227-233).
+
+        Delegates to the sink's server-side count when it has one
+        (the JDBC sink pushes the whole COUNT(*) through the query
+        option — one row over the wire; a DataFrame .count() on a v1
+        JDBC read would stream a 1-column projection of every row).
+        Sinks without a count method keep the DataFrame path."""
+        sink_count = getattr(self.sink, "count", None)
+        if callable(sink_count):
+            return sink_count(self.spark)
         return self.read().count()
 
     def filtered_count(self, **equals) -> int:
