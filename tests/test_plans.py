@@ -379,7 +379,9 @@ _BROADCAST_HINT_ALLOWLIST: dict[tuple[str, str], str] = {
         "side (that is what makes the bloom prefilter + semi-join win)",
     ("operators/chagg.py", "tot"): "1-row agg: grand totals",
     ("operators/chagg2.py", "b"): "1-row agg: moment/bounds frame",
-    ("operators/chagg2.py", "c"): "1-row agg: count frame",
+    ("operators/chagg2.py", "c"):
+        "1-row count frame, or the constant 24-row hour grid reached "
+        "via c.sparkSession.range(24) (sparkbar densify)",
     ("operators/chagg2.py", "cb"): "1-row agg: combined moments",
     ("operators/chagg2.py", "ha"): "1-row agg: histogram half A",
     ("operators/chagg2.py", "hab"): "1-row agg: merged histogram",
