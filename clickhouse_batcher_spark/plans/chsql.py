@@ -118,7 +118,14 @@ parser rather than silently misbehaving):
   have bound the second lambda parameter to Spark's element INDEX
   (3+ arrays loud); ClickHouse [..] array LITERALS become array(..)
   and integer subscripts ident[n] become element_at (ClickHouse is
-  1-based with negative-from-end — Spark's [] is 0-based)``
+  1-based with negative-from-end — Spark's [] is 0-based); round-12
+  promotions: scalar -State/-Merge pairs (count/sum/min/max/avg —
+  portable partial-state algebra; sketch states stay loud),
+  boundingRatio (closed max_by/min_by form), gcd/lcm (bounded-Euclid
+  aggregate() fold, 96 steps covers 64-bit), and the
+  statement-leading constant WITH (``WITH 100 AS k SELECT ..`` —
+  literal inlined at each alias use; nested/non-literal forms stay
+  loud)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -1102,10 +1109,16 @@ _UNSUPPORTED = (
         "and use the LEFT SEMI/ANTI form",
     ),
     (
-        r"\bWITH\s+(?:\d|')",
-        "constant-expression WITH (WITH <literal> AS name)",
-        "inline the constant, or use the subquery CTE form "
-        "WITH name AS (SELECT <literal>)",
+        # The statement-LEADING literal form is TRANSLATED since
+        # round 12 (_with_constants inlines it before this scan); what
+        # still lands here is a literal WITH in a NESTED scope or a
+        # non-literal constant expression.
+        r"\bWITH\s+(?:-?\d|')",
+        "constant-expression WITH in a nested scope",
+        "only the statement-leading WITH <literal> AS name form is "
+        "inlined (textual substitution across an inner scope boundary "
+        "could capture an unrelated identifier) — inline the constant "
+        "or use the subquery CTE form WITH name AS (SELECT <literal>)",
     ),
     (
         r"\btoWeek\s*\(",
@@ -1208,12 +1221,9 @@ _UNSUPPORTED = (
         "translate time — use CASE WHEN size(a) = 0 THEN "
         "array(<default>) ELSE a END with your element type's default",
     ),
-    (
-        r"\b(?:gcd|lcm)\s*\(",
-        "gcd/lcm",
-        "no Spark builtin and no closed SQL form — precompute, or "
-        "iterate the Euclid step to a fixed depth with nested CASE",
-    ),
+    # gcd/lcm: TRANSLATED since round 12 (bounded-Euclid aggregate()
+    # fold — 96 iterations covers the 64-bit Fibonacci worst case);
+    # see the round-12 promotion block.
     (
         r"\b(?:erf|erfc|lgamma|tgamma)\s*\(",
         "erf/erfc/lgamma/tgamma special functions",
@@ -2299,6 +2309,109 @@ def _distinct_on(sql: str) -> str:
     return f"{body.rstrip()} LIMIT 1 BY {cols}"
 
 
+_WITH_LIT_ITEM = re.compile(
+    r"(?P<lit>-?\d+(?:\.\d+)?|'(?:[^']|'')*')\s+AS\s+"
+    r"(?P<name>[A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
+def _subst_alias(text: str, name: str, lit: str) -> str:
+    """Replace word-boundary uses of a WITH-constant alias with the
+    parenthesized literal, skipping string literals, qualified
+    references (``t.name`` / ``name.x``), parameter markers, and
+    alias-definition positions (``AS name``)."""
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    out, pos = text, 0
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.end()
+            continue
+        prev = out[m.start() - 1] if m.start() > 0 else ""
+        nxt = out[m.end()] if m.end() < len(out) else ""
+        if (prev and prev in ".:{") or (nxt and nxt in ".:}"):
+            pos = m.end()
+            continue
+        if re.search(r"\bAS\s*$", out[: m.start()], re.IGNORECASE):
+            pos = m.end()
+            continue
+        repl = f"({lit})"
+        out = out[: m.start()] + repl + out[m.end() :]
+        pos = m.start() + len(repl)
+
+
+def _with_constants(sql: str) -> str:
+    """ClickHouse scalar-constant WITH — ``WITH 100 AS k, 0.15 AS r
+    SELECT x * r / k FROM t`` — inlined by substituting the
+    (parenthesized) literal at every use of its alias, which is
+    exactly ClickHouse's own semantics for the form (the alias names
+    a constant expression, not a relation). Mixed lists keep their
+    subquery-CTE items: ``WITH 3 AS k, t AS (SELECT ..) SELECT ..``
+    keeps ``WITH t AS (..)``. Scoped deliberately to the
+    statement-LEADING WITH, numeric/string literals only: a
+    constant-WITH inside a nested scope, or a non-literal constant
+    expression, keeps the loud error — textual substitution across an
+    inner scope boundary could capture an unrelated identifier."""
+    lead_ws = sql[: len(sql) - len(sql.lstrip())]
+    s = sql.lstrip()
+    head = re.match(r"WITH\s+", s, re.IGNORECASE)
+    if not head:
+        return sql
+    pos = head.end()
+    consts: list[tuple[str, str]] = []  # (name, lit)
+    kept: list[str] = []
+    while True:
+        pos += re.match(r"\s*", s[pos:]).end()
+        m = _WITH_LIT_ITEM.match(s, pos)
+        if m:
+            consts.append((m.group("name"), m.group("lit")))
+            pos = m.end()
+        else:
+            # non-constant item (subquery CTE): consume a balanced
+            # chunk up to the next top-level comma / the main SELECT
+            start, depth = pos, 0
+            while pos < len(s):
+                ch = s[pos]
+                if ch == "'":
+                    pos += 1
+                    while pos < len(s) and s[pos] != "'":
+                        pos += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and ch == ",":
+                    break
+                elif (
+                    depth == 0
+                    and s[pos : pos + 6].upper() == "SELECT"
+                    and not (s[pos - 1].isalnum() or s[pos - 1] == "_")
+                    and s[start:pos].strip()
+                ):
+                    break
+                pos += 1
+            item = s[start:pos].strip()
+            if not item:
+                return sql  # malformed: leave for the loud scan
+            kept.append(item)
+        ws = re.match(r"\s*", s[pos:]).end()
+        if pos + ws < len(s) and s[pos + ws] == ",":
+            pos = pos + ws + 1
+            continue
+        rest = s[pos:].lstrip()
+        break
+    if not consts:
+        return sql
+    for name, lit in consts:
+        rest = _subst_alias(rest, name, lit)
+        kept = [_subst_alias(k, name, lit) for k in kept]
+    prefix = f"WITH {', '.join(kept)} " if kept else ""
+    return lead_ws + prefix + rest
+
+
 def _clauses(
     sql: str,
     sample_keys: dict[str, str] | None = None,
@@ -2620,7 +2733,9 @@ def translate(
     documented strict_increase divergence) instead of ClickHouse's
     exact fold.
     """
-    out = _clauses(sql, sample_keys, final_keys)
+    # Constant-WITH inlining runs FIRST: _clauses' loud scan rejects
+    # any literal WITH it still sees (nested scopes stay loud).
+    out = _clauses(_with_constants(sql), sample_keys, final_keys)
     out = _rewrite_calls(out, "arrayJoin", lambda a: f"explode({a[0]})")
     # ClickHouse's lookup-table transform(x, from, to[, default]) vs
     # Spark's lambda transform(arr, fn): the same name with unrelated
@@ -4702,6 +4817,36 @@ def translate(
         lambda a: (
             f"(CAST(sum(({a[0]}).s) AS DOUBLE) / "
             f"CAST(sum(({a[0]}).c) AS DOUBLE))"
+        ),
+    )
+    # gcd/lcm: no Spark builtin, but Euclid's algorithm terminates in
+    # <= 91 steps for 64-bit inputs (consecutive Fibonacci numbers are
+    # the worst case), so a FIXED 96-step aggregate() fold over the
+    # (x, y) state is an exact closed SQL form: each step maps
+    # (x, y) -> (y, x % y) until y = 0, then x is the gcd. Sign/zero
+    # conventions are the mathematical ones (absolute values;
+    # gcd(0, n) = n, gcd(0, 0) = 0; lcm(0, n) = 0), matching DuckDB's
+    # builtins (differential-corpus pinned). lcm divides by the gcd
+    # BEFORE multiplying (overflow headroom, as ClickHouse does).
+    def _gcd_expr(a: str, b: str) -> str:
+        return (
+            "aggregate(sequence(1, 96), "
+            f"named_struct('x', abs(CAST({a} AS BIGINT)), "
+            f"'y', abs(CAST({b} AS BIGINT))), "
+            "(acc, i) -> IF(acc.y = 0L, acc, "
+            "named_struct('x', acc.y, 'y', acc.x % acc.y)), "
+            "acc -> acc.x)"
+        )
+
+    out = _rewrite_calls(out, "gcd", lambda a: f"({_gcd_expr(a[0], a[1])})")
+    out = _rewrite_calls(
+        out,
+        "lcm",
+        lambda a: (
+            f"(IF(CAST({a[0]} AS BIGINT) = 0L OR "
+            f"CAST({a[1]} AS BIGINT) = 0L, 0L, "
+            f"abs(CAST({a[0]} AS BIGINT)) div {_gcd_expr(a[0], a[1])} "
+            f"* abs(CAST({a[1]} AS BIGINT))))"
         ),
     )
     # boundingRatio(x, y): slope between the leftmost and rightmost

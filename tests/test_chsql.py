@@ -1831,8 +1831,11 @@ def test_ch_type_names_in_casts(spark, sf_dir):
         translate("SELECT untuple(tuple(1, 2)) FROM t")
     with pytest.raises(ValueError, match="IPv4"):
         translate("SELECT CAST(a, 'IPv4') FROM t")
-    with pytest.raises(ValueError, match="constant-expression WITH"):
-        translate("WITH 5 AS k SELECT k FROM t")
+    # round 12: the statement-leading constant WITH now TRANSLATES
+    # (test_constant_with_inlining); only nested scopes stay loud
+    assert translate("WITH 5 AS k SELECT k FROM t") == (
+        "SELECT (5) FROM t"
+    )
 
 
 def test_quantile_exact_weighted_and_plural_timing(spark, sf_dir):
@@ -2616,7 +2619,8 @@ def test_probe_batch4_louds():
         ("SELECT IPv6NumToString(x) FROM t", "IPv6"),
         ("SELECT toTypeName(x) FROM t", "typeof"),
         ("SELECT emptyArrayToSingle(a) FROM t", "default"),
-        ("SELECT gcd(a, b) FROM t", "Euclid"),
+        # gcd/lcm left this list in round 12: translated as the
+        # bounded-Euclid fold (test_gcd_lcm_values).
         ("SELECT erf(x) FROM t", "erf"),
         ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "EVERY match"),
         ("SELECT format('{0} {1}', a, b) FROM t", "indexed"),
@@ -3587,3 +3591,80 @@ def test_state_merge_two_level_equals_direct(spark, sf_dir):
     a = {r["day"]: (r["total"], r["n"], r["mean"]) for r in two_level.collect()}
     b = {r["day"]: (r["total"], r["n"], r["mean"]) for r in direct.collect()}
     assert a == b and len(a) > 5
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "WITH 100 AS k SELECT value / k AS v FROM events",
+            "SELECT value / (100) AS v FROM events",
+        ),
+        (
+            "WITH 100 AS k, 0.15 AS rate SELECT value * rate AS v, "
+            "k AS cap FROM events WHERE value > k",
+            "SELECT value * (0.15) AS v, (100) AS cap FROM events "
+            "WHERE value > (100)",
+        ),
+        (
+            "WITH -5 AS lo SELECT count() FROM events WHERE value > lo",
+            "SELECT count(*) FROM events WHERE value > (-5)",
+        ),
+        (
+            # mixed list keeps the subquery-CTE item
+            "WITH 3 AS k, t AS (SELECT user_id, count() AS n FROM "
+            "events GROUP BY user_id) SELECT user_id FROM t WHERE n > k",
+            "WITH t AS (SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id) SELECT user_id FROM t WHERE n > (3)",
+        ),
+        (
+            # the WITH alias takes precedence over an inner column of
+            # the same name (ClickHouse's own resolution order); the
+            # inner AS-definition is untouched
+            "WITH 10 AS k SELECT k FROM (SELECT 1 AS k) x",
+            "SELECT (10) FROM (SELECT 1 AS k) x",
+        ),
+        (
+            # string literal, used inside a translated call
+            "WITH '2024-01-01' AS d SELECT count() FROM events "
+            "WHERE toDate(ts) >= toDate(d)",
+            "SELECT count(*) FROM events WHERE CAST(ts AS DATE) >= "
+            "CAST(('2024-01-01') AS DATE)",
+        ),
+    ],
+)
+def test_constant_with_inlining(ch, expected):
+    """Round-12 promotion: the statement-leading ClickHouse scalar
+    WITH inlines its literal at every alias use."""
+    assert translate(ch) == expected
+
+
+def test_constant_with_nested_scope_stays_loud():
+    with pytest.raises(ValueError, match="nested scope"):
+        translate("SELECT * FROM (WITH 5 AS k SELECT k) x")
+
+
+@pytest.mark.parametrize(
+    "ch,want",
+    [
+        ("SELECT gcd(12, 18) AS r", 6),
+        ("SELECT gcd(0, 7) AS r", 7),
+        ("SELECT gcd(0, 0) AS r", 0),
+        ("SELECT gcd(-12, 18) AS r", 6),
+        # consecutive Fibonacci numbers: the 64-bit worst case for
+        # Euclid step count — proves the fixed 96-step fold suffices
+        ("SELECT gcd(7540113804746346429, 4660046610375530309) AS r", 1),
+        ("SELECT lcm(4, 6) AS r", 12),
+        ("SELECT lcm(0, 5) AS r", 0),
+        ("SELECT lcm(-4, 6) AS r", 12),
+    ],
+)
+def test_gcd_lcm_values(spark, sf_dir, ch, want):
+    """Round-12 promotion: gcd/lcm as a bounded-Euclid aggregate()
+    fold — values pinned against DuckDB's builtins (same cases sit in
+    the differential corpus)."""
+    got = run_sql(spark, ch, sf_dir, dialect="clickhouse").collect()[0]["r"]
+    assert got == want
+    import duckdb
+
+    assert duckdb.sql(ch.replace(" AS r", "")).fetchone()[0] == want

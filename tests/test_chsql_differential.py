@@ -203,6 +203,12 @@ DIFFERENTIAL_CORPUS = [
     f"SELECT avgMerge(av) AS r FROM "
     f"(SELECT w, avgState(v) AS av FROM {_NUMS} GROUP BY w)",
     f"SELECT boundingRatio(w + v, v) AS r FROM {_NUMS}",
+    "SELECT gcd(12, 18) AS a, gcd(0, 7) AS b, gcd(0, 0) AS c, "
+    "gcd(-12, 18) AS d, "
+    "gcd(7540113804746346429, 4660046610375530309) AS fib",
+    "SELECT lcm(4, 6) AS a, lcm(0, 5) AS b, lcm(-4, 6) AS c",
+    f"WITH 2 AS k, 10 AS cap SELECT sum(v * k) AS a, "
+    f"countIf(v < cap) AS b FROM {_NUMS}",
     # --- strings ---
     "SELECT lengthUTF8('héllo') AS a, lowerUTF8('ABC') AS b",
     "SELECT position('Hello World', 'World') AS r",
