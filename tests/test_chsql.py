@@ -3668,3 +3668,60 @@ def test_gcd_lcm_values(spark, sf_dir, ch, want):
     import duckdb
 
     assert duckdb.sql(ch.replace(" AS r", "")).fetchone()[0] == want
+
+
+def test_gcd_lcm_randomized_against_math(spark, sf_dir):
+    """100 seeded random int64 pairs (mixed signs, zeros, powers of
+    two, near-64-bit magnitudes) through the translated gcd/lcm in ONE
+    Spark query, checked against Python's math.gcd/lcm ground truth
+    (abs convention on both sides — the convention the translation
+    documents and DuckDB shares)."""
+    import math
+    import random
+
+    rng = random.Random(12)
+    pairs = [(0, 0), (0, 9), (9, 0), (1, 1), (-1, 1),
+             (2**62, 2**31), (7540113804746346429, 4660046610375530309)]
+    while len(pairs) < 100:
+        mag = rng.choice([10, 10**6, 10**12, 2**60])
+        a = rng.randint(-mag, mag)
+        b = rng.randint(-mag, mag)
+        pairs.append((a, b))
+    # lcm can overflow int64 for huge co-prime pairs — keep the lcm
+    # column only where the true lcm fits (the translation's contract
+    # is ClickHouse/DuckDB overflow behavior, not arbitrary precision)
+    sel = []
+    want = []
+    for i, (a, b) in enumerate(pairs):
+        sel.append(f"gcd({a}, {b}) AS g{i}")
+        want.append(("g" + str(i), math.gcd(a, b)))
+        l = abs(a * b) // math.gcd(a, b) if a and b else 0
+        if l < 2**63:
+            sel.append(f"lcm({a}, {b}) AS l{i}")
+            want.append(("l" + str(i), l))
+    row = run_sql(
+        spark, "SELECT " + ", ".join(sel), sf_dir, dialect="clickhouse"
+    ).collect()[0]
+    for col, expected in want:
+        assert row[col] == expected, (col, row[col], expected)
+
+
+@pytest.mark.parametrize(
+    "name", ["k", "rate", "K2", "_x", "cap_y"],
+)
+def test_constant_with_substitution_boundaries(name):
+    """The alias substitution must hit plain uses only: string
+    literals, qualified references, AS-definition positions, and
+    parameter markers keep the identifier."""
+    ch = (
+        f"WITH 7 AS {name} SELECT {name}, '{name}' AS s, "
+        f"t.{name} AS q, value AS {name}2, count() AS {name} "
+        f"FROM t WHERE value > {name}"
+    )
+    got = translate(ch)
+    assert f"'{name}'" in got            # string literal untouched
+    assert f"t.{name} AS q" in got       # qualified ref untouched
+    assert f"AS {name}" in got           # output alias untouched
+    assert f"value AS {name}2" in got    # longer identifier untouched
+    assert got.startswith("SELECT (7), ")
+    assert got.endswith("WHERE value > (7)")
