@@ -247,6 +247,26 @@ def test_uncommitted_gap_inside_window_still_lands(spark, tmp_path):
     assert _rows(spark, cfg, cfg.ledger_table).count() == 3
 
 
+def test_parallel_write_under_connection_cap(spark, tmp_path):
+    """The reference caps its connection pool (hashes_test.go:311-313
+    -> max_connections -> the JDBC numPartitions option). Executing
+    the path: a 32-partition 5k-row frame writes through the sink —
+    Spark coalesces the write to the 10-connection cap (observed as a
+    10-task write stage) and embedded Derby really serves the
+    concurrent connections. Exactly-once survives the parallel write:
+    count is exact and a replay of the id is skipped."""
+    cfg = _cfg(tmp_path, "parallel")
+    sink = ClickHouseSink(cfg)
+    df = _entity_df(spark, 5000).repartition(32)
+    assert df.rdd.getNumPartitions() == 32 > int(
+        cfg.jdbc_options()["numPartitions"]
+    )
+    assert sink.write_batch(df, batch_id=0) is True
+    assert sink.count(spark) == 5000
+    assert ClickHouseSink(cfg).write_batch(df, batch_id=0) is False
+    assert sink.count(spark) == 5000
+
+
 def test_disabled_sink_writes_nothing(spark, tmp_path):
     cfg = _cfg(tmp_path, "disabled", enabled=False)
     sink = ClickHouseSink(cfg)
