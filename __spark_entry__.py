@@ -51,6 +51,96 @@ _PRIORITY: list[str] = [
     # --- t2 gate / reference core (kept every round) ---
     "ingest_readback",
     "replay_idempotent",
+    # --- ROUND 13 window (replaces the r12 list, preserved in
+    #     _R12_WINDOW_LEDGER below). OLDEST-EVIDENCE-FIRST round
+    #     (VERDICT r12 task 1): with the single-green backlog cleared,
+    #     the staleness frontier is the 73 queries last driver-green
+    #     at r2/r4/r5 — the core TPC-H/dedup/text/set-ops block that
+    #     predates the r4 loader-drift era in driver terms. This
+    #     window re-greens the two OLDEST vintages whole: all 28
+    #     r2-vintage + all 19 r4-vintage rows, plus the alphabetically
+    #     first r5-vintage row in the one remaining slot. The 25
+    #     remaining r5 rows + the 9 current singles (7xr11, 2xr12)
+    #     are the r14 queue below.
+    # (a) all 28 queries last driver-green at r2, alphabetical ---
+    "asof_events_orders",
+    "cleaned_corpus_summary",
+    "count_star_all",
+    "customer_unpivot_measures",
+    "customers_without_recent_orders",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "delete_where_counts",
+    "docs_lang_quota_sample",
+    "docs_split_counts",
+    "events_analytics_window",
+    "events_hourly_gapfill",
+    "events_json_extract",
+    "events_pivot_by_type",
+    "except_all_users",
+    "filtered_count",
+    "intersect_users",
+    "join_revenue_by_segment",
+    "orders_grouping_sets",
+    "orders_rollup",
+    "parts_with_heavy_lineitems",
+    "quantity_percentiles",
+    "scd2_user_value_history",
+    "sha256_docs",
+    "topk_per_user",
+    "tpch_q1",
+    "training_mix_by_source",
+    "user_sessions",
+    # (b) all 19 queries last driver-green at r4, alphabetical ---
+    "bpe_pair_counts",
+    "chunk_documents",
+    "distinct_users_by_type",
+    "docs_rare_token_ratio",
+    "docs_repetition_signals",
+    "docs_token_entropy",
+    "docs_unigram_logprob",
+    "events_cube",
+    "events_deterministic_sample",
+    "events_hourly",
+    "events_range_window_30min",
+    "fuzzy_token_matches",
+    "inverted_index_postings",
+    "latest_event_per_user_day",
+    "orders_above_customer_avg",
+    "top10_orders",
+    "union_event_slices",
+    "user_event_type_profile",
+    "value_moments_by_type",
+    # (c) the oldest r5-vintage row (alphabetically first; the other
+    #     25 lead the r14 queue) ---
+    "bloom_semi_join_orders",
+]
+# r14 queue (after this window goes green): the 25 remaining
+# r5-vintage rows (bm25_retrieval_topk, coactivity_pagerank,
+# coactivity_triangle_stats, cohort_retention_weekly,
+# decontaminate_docs, dedup_content_hash, distinct_users_linear_count,
+# distinct_users_type_overlap, embedding_quantize_int8,
+# event_transition_matrix, event_type_value_correlation,
+# events_hourly_anomalies, events_hourly_wma,
+# events_zorder_bucket_stats, funnel_conversion,
+# incremental_rollup_events, orders_by_region, orders_ntile_quartiles,
+# orders_quality_constraints, orders_snapshot_diff,
+# purchase_attribution, quality_filter_gopher,
+# salted_join_user_segments, simhash_signatures,
+# sliding_distinct_users) + the 9 singles (attribution_model_comparison,
+# customer_order_islands, docs_simpson_diversity,
+# events_dominant_period, events_holt_forecast_daily,
+# orders_interarrival_burstiness, user_metric_corr_matrix,
+# chsql_state_merge_rollup, chsql_bounding_ratio_by_type) + the r7
+# pair (dedup_consensus, dedup_minhash_lsh) = 36 of 48 free slots;
+# the rest per the same oldest-evidence rule.
+# --- ROUND 12 window ledger (the list above replaced this; all 50
+#     r12 entries went hash-green in CORRECTNESS_r12, the fourth
+#     consecutive fully green window) ---
+_R12_WINDOW_LEDGER: list[str] = [
+    # --- t2 gate / reference core (kept every round) ---
+    "ingest_readback",
+    "replay_idempotent",
     # --- ROUND 12 window (replaces the r11 list, preserved in
     #     _R11_WINDOW_LEDGER below). BACKFILL-WEIGHTED round (VERDICT
     #     r11 task 1): 46 of the 50 slots second-green every pre-r11
@@ -114,12 +204,6 @@ _PRIORITY: list[str] = [
     "chsql_state_merge_rollup",
     "chsql_bounding_ratio_by_type",
 ]
-# r13 queue (after this window goes green): the 7 r11 singles
-# (attribution_model_comparison, customer_order_islands,
-# docs_simpson_diversity, events_dominant_period,
-# events_holt_forecast_daily, orders_interarrival_burstiness,
-# user_metric_corr_matrix) plus whatever r12 first-greens — same
-# second-green vintage rule as rounds 10-12.
 # --- ROUND 11 window ledger (the list above replaced this; all 50
 #     r11 entries went hash-green in CORRECTNESS_r11, the third
 #     consecutive fully green window) ---
