@@ -468,6 +468,9 @@ _BROADCAST_HINT_ALLOWLIST: dict[tuple[str, str], str] = {
         "set (N_QUERY_VECS x n_probes rows)",
     ("operators/similarity.py", "q"):
         "top-k/capped: the constant query-vector set (N_QUERY_VECS)",
+    ("operators/similarity.py", "qprobe"):
+        "top-k/capped: IVFPQ query-probe fanout (bounded query set x "
+        "nprobe rows)",
     ("operators/similarity.py", "qside"):
         "top-k/capped: query-side projection (N_QUERY_VECS rows)",
     ("operators/similarity.py", "queries_df"):
