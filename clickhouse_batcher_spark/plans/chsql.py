@@ -2316,11 +2316,50 @@ _WITH_LIT_ITEM = re.compile(
 )
 
 
+def _nested_select_spans(text: str) -> list[tuple[int, int]]:
+    """``[start, end)`` spans of parenthesized SELECT scopes (derived
+    tables, scalar subqueries, kept CTE bodies) — the inner scope
+    boundaries across which WITH-constant substitution must not
+    reach. Only the OUTERMOST span of each nest is recorded (anything
+    inside it is already fenced)."""
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < len(text) and text[i] != "'":
+                i += 1
+        elif ch == "(":
+            j = i + 1
+            j += re.match(r"\s*", text[j:]).end()
+            after = text[j + 6 : j + 7]
+            if text[j : j + 6].upper() == "SELECT" and not (
+                after.isalnum() or after == "_"
+            ):
+                end = _find_matching_paren(text, i)
+                spans.append((i, end + 1))
+                i = end
+        i += 1
+    return spans
+
+
 def _subst_alias(text: str, name: str, lit: str) -> str:
     """Replace word-boundary uses of a WITH-constant alias with the
     parenthesized literal, skipping string literals, qualified
     references (``t.name`` / ``name.x``), parameter markers, and
-    alias-definition positions (``AS name``)."""
+    alias-definition positions (``AS name``).
+
+    Scope discipline (r12 ADVICE): substitution happens in the
+    statement's OWN scope only. An unqualified use inside a nested
+    SELECT scope (derived table, scalar subquery, kept CTE body) is
+    LOUD — there the textual substitution could capture a real source
+    column of the same name, and ClickHouse's own two analyzers
+    disagree on which wins (the old analyzer substitutes the alias,
+    the new one resolves the column first). Top-level uses pin the
+    CLASSIC (old-analyzer) precedence: the WITH alias shadows a
+    same-named column of a derived table, matching the reference
+    dialect's traditional behavior."""
     pat = re.compile(rf"\b{re.escape(name)}\b")
     out, pos = text, 0
     while True:
@@ -2338,6 +2377,16 @@ def _subst_alias(text: str, name: str, lit: str) -> str:
         if re.search(r"\bAS\s*$", out[: m.start()], re.IGNORECASE):
             pos = m.end()
             continue
+        # spans recomputed per hit: earlier substitutions shift offsets
+        if any(a <= m.start() < b for a, b in _nested_select_spans(out)):
+            raise ValueError(
+                f"ClickHouse constant-WITH alias '{name}' is referenced "
+                "inside a nested SELECT scope — substituting across the "
+                "scope boundary could capture a same-named source "
+                "column (and ClickHouse's old/new analyzers disagree "
+                "there): qualify the inner column, rename the alias, "
+                "or inline the constant by hand"
+            )
         repl = f"({lit})"
         out = out[: m.start()] + repl + out[m.end() :]
         pos = m.start() + len(repl)
@@ -2351,10 +2400,16 @@ def _with_constants(sql: str) -> str:
     a constant expression, not a relation). Mixed lists keep their
     subquery-CTE items: ``WITH 3 AS k, t AS (SELECT ..) SELECT ..``
     keeps ``WITH t AS (..)``. Scoped deliberately to the
-    statement-LEADING WITH, numeric/string literals only: a
-    constant-WITH inside a nested scope, or a non-literal constant
-    expression, keeps the loud error — textual substitution across an
-    inner scope boundary could capture an unrelated identifier."""
+    statement-LEADING WITH, numeric/string literals only, and to the
+    statement's OWN scope: a constant-WITH inside a nested scope, a
+    non-literal constant expression, or an alias USE inside a nested
+    SELECT scope (kept CTE body / derived table / scalar subquery)
+    keeps the loud error — textual substitution across an inner scope
+    boundary could capture an unrelated identifier (see
+    ``_subst_alias``). Top-level uses follow ClickHouse's CLASSIC
+    (old-analyzer) precedence: the alias shadows same-named derived
+    columns; the new analyzer's column-first resolution diverges
+    there, which is documented rather than guessed at."""
     lead_ws = sql[: len(sql) - len(sql.lstrip())]
     s = sql.lstrip()
     head = re.match(r"WITH\s+", s, re.IGNORECASE)
@@ -2732,6 +2787,21 @@ def translate(
     ``_window_funnel_windowed`` for shape requirements and the one
     documented strict_increase divergence) instead of ClickHouse's
     exact fold.
+
+    Documented value divergences (deliberate, each noted at its
+    rewrite site):
+
+    - ``windowFunnel(...'strict_increase')`` under the windowed
+      cascade: see ``_window_funnel_windowed``.
+    - ``boundingRatio(x, y)`` on a single-point or constant-x group:
+      the closed form divides by ``max(x) - min(x) = 0`` — Spark's
+      non-ANSI division yields NULL where ClickHouse returns
+      inf/nan. NULL is the chosen sentinel (it aggregates away).
+    - ``gcd``/``lcm`` zero conventions: the fold returns the
+      mathematical conventions ``gcd(0, n) = |n|``, ``gcd(0, 0) = 0``,
+      ``lcm(0, n) = 0`` (matching DuckDB's builtins, which the
+      differential corpus pins against) where ClickHouse documents
+      throwing a division-by-zero error for zero arguments.
     """
     # Constant-WITH inlining runs FIRST: _clauses' loud scan rejects
     # any literal WITH it still sees (nested scopes stay loud).
@@ -4853,7 +4923,11 @@ def translate(
     # points of the group — (y at max x - y at min x)/(max x - min x).
     # Same closed form operators/chagg.bounding_ratio_by_user uses;
     # deterministic iff x is unique within the group (ClickHouse's own
-    # result is otherwise order-dependent too).
+    # result is otherwise order-dependent too). Documented divergence
+    # (see translate()): a single-point or constant-x group divides by
+    # zero — Spark's non-ANSI division yields NULL where ClickHouse
+    # returns inf/nan; NULL is the deliberate (and
+    # aggregation-friendly) sentinel here.
     out = _rewrite_calls(
         out,
         "boundingRatio",

@@ -3644,6 +3644,26 @@ def test_constant_with_nested_scope_stays_loud():
         translate("SELECT * FROM (WITH 5 AS k SELECT k) x")
 
 
+def test_constant_with_use_inside_nested_scope_stays_loud():
+    """r12 ADVICE (medium): an alias USE inside a nested SELECT scope
+    could capture a same-named real column of the inner source (and
+    ClickHouse's old/new analyzers resolve it differently) — loud, in
+    both the kept-CTE-body and derived-table positions."""
+    with pytest.raises(ValueError, match="nested SELECT scope"):
+        translate(
+            "WITH 10 AS k, t AS (SELECT k FROM src) SELECT * FROM t"
+        )
+    with pytest.raises(ValueError, match="nested SELECT scope"):
+        translate(
+            "WITH 10 AS k SELECT v FROM "
+            "(SELECT value + k AS v FROM events) x"
+        )
+    # plain parenthesized expressions are the SAME scope: substitute
+    assert translate(
+        "WITH 2 AS k SELECT (value + k) * k AS v FROM events"
+    ) == "SELECT (value + (2)) * (2) AS v FROM events"
+
+
 @pytest.mark.parametrize(
     "ch,want",
     [
