@@ -61,7 +61,10 @@ _PRIORITY: list[str] = [
     #     r2-vintage + all 19 r4-vintage rows, plus the alphabetically
     #     first r5-vintage row in the one remaining slot. The 25
     #     remaining r5 rows + the 9 current singles (7xr11, 2xr12)
-    #     are the r14 queue below.
+    #     are the r14 queue below. Two slots go to the round-13 chsql
+    #     promotions (first green beats everything else — the rule
+    #     every rotation since r10 has used), displacing the r5 extra
+    #     and the alphabetically last r4 row into the r14 queue.
     # (a) all 28 queries last driver-green at r2, alphabetical ---
     "asof_events_orders",
     "cleaned_corpus_summary",
@@ -110,13 +113,16 @@ _PRIORITY: list[str] = [
     "top10_orders",
     "union_event_slices",
     "user_event_type_profile",
-    "value_moments_by_type",
-    # (c) the oldest r5-vintage row (alphabetically first; the other
-    #     25 lead the r14 queue) ---
-    "bloom_semi_join_orders",
+    # (c) round-13 additions: the chsql transpiler promotions
+    #     (LIMIT offset forms; toWeek/toYearWeek modes 0+3), each a
+    #     loud-error-list construct turned real translation with its
+    #     own hash oracle ---
+    "chsql_limit_by_paged",
+    "chsql_week_rollup",
 ]
-# r14 queue (after this window goes green): the 25 remaining
-# r5-vintage rows (bm25_retrieval_topk, coactivity_pagerank,
+# r14 queue (after this window goes green): value_moments_by_type
+# (r4, displaced by the first-greens above) + the 26
+# r5-vintage rows (bloom_semi_join_orders, bm25_retrieval_topk, coactivity_pagerank,
 # coactivity_triangle_stats, cohort_retention_weekly,
 # decontaminate_docs, dedup_content_hash, distinct_users_linear_count,
 # distinct_users_type_overlap, embedding_quantize_int8,

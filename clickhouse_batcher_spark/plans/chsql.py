@@ -125,7 +125,11 @@ parser rather than silently misbehaving):
   aggregate() fold, 96 steps covers 64-bit), and the
   statement-leading constant WITH (``WITH 100 AS k SELECT ..`` —
   literal inlined at each alias use; nested/non-literal forms stay
-  loud)``
+  loud); round-13 promotions: LIMIT offset forms (``LIMIT off, n BY``
+  / ``LIMIT n OFFSET off BY`` — same row_number window, rank range
+  off+1..off+n) and toWeek/toYearWeek modes 0 (the ClickHouse
+  default: first-Sunday closed form, YEARWEEK previous-year
+  attribution) and 3 (ISO); other week modes stay loud``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -953,6 +957,83 @@ def _to_start_of_week(a: list[str]) -> str:
         f"got mode {mode!r}"
     )
 
+def _first_sunday_doy(d: str) -> str:
+    """Day-of-year of the first Sunday of ``d``'s year (the mode-0
+    week-1 anchor). Spark's dayofweek() is 1=Sunday..7=Saturday."""
+    return f"(1 + ((8 - dayofweek(trunc({d}, 'YYYY'))) % 7))"
+
+
+def _to_week(a: list[str]) -> str:
+    """toWeek(date[, mode]) — r13 promotion of the two common modes.
+
+    Mode 0 (the ClickHouse/MySQL default): Sunday-start weeks numbered
+    0-53, week 1 beginning at the year's FIRST SUNDAY, earlier days
+    week 0 — the closed form over dayofyear and the first-Sunday
+    anchor. Mode 3 is exactly ISO week -> weekofyear(). Other modes
+    (year-boundary/start-day variants) and a timezone argument stay
+    loud: a silently wrong week number re-buckets every downstream
+    aggregate (the toStartOfWeek silent-divergence class)."""
+    if len(a) > 2:
+        raise ValueError(
+            "toWeek with a timezone argument has no Spark translation "
+            "— convert with from_utc_timestamp/to_utc_timestamp "
+            "explicitly, then bucket"
+        )
+    mode = a[1].strip() if len(a) > 1 else "0"
+    d = f"CAST({a[0]} AS DATE)"
+    if mode == "0":
+        fs = _first_sunday_doy(d)
+        return (
+            f"(CASE WHEN dayofyear({d}) < {fs} THEN 0 "
+            f"ELSE (dayofyear({d}) - {fs}) DIV 7 + 1 END)"
+        )
+    if mode == "3":
+        return f"weekofyear({d})"
+    raise ValueError(
+        "toWeek: only modes 0 (Sunday start, the ClickHouse default) "
+        "and 3 (ISO) translate; the other MySQL week modes have no "
+        f"Spark equivalent here — got mode {mode!r}"
+    )
+
+
+def _to_year_week(a: list[str]) -> str:
+    """toYearWeek(date[, mode]) -> year*100 + week with MySQL
+    YEARWEEK attribution: mode-0 week-0 days belong to the PREVIOUS
+    year's last week (YEARWEEK('1987-01-01') = 198652), so the
+    previous-year branch counts weeks from the previous year's first
+    Sunday as a DATE. Mode 3 is ISO: extract(YEAROFWEEK) pairs with
+    weekofyear so the year flips with the ISO week, not the calendar
+    year. Other modes / timezone stay loud (see _to_week)."""
+    if len(a) > 2:
+        raise ValueError(
+            "toYearWeek with a timezone argument has no Spark "
+            "translation — convert explicitly, then bucket"
+        )
+    mode = a[1].strip() if len(a) > 1 else "0"
+    d = f"CAST({a[0]} AS DATE)"
+    if mode == "3":
+        return f"(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}))"
+    if mode == "0":
+        fs = _first_sunday_doy(d)
+        jan1_prev = f"add_months(trunc({d}, 'YYYY'), -12)"
+        fs_prev = (
+            f"date_add({jan1_prev}, "
+            f"(8 - dayofweek({jan1_prev})) % 7)"
+        )
+        return (
+            f"(CASE WHEN dayofyear({d}) < {fs} "
+            f"THEN (year({d}) - 1) * 100 + "
+            f"(datediff({d}, {fs_prev}) DIV 7 + 1) "
+            f"ELSE year({d}) * 100 + "
+            f"((dayofyear({d}) - {fs}) DIV 7 + 1) END)"
+        )
+    raise ValueError(
+        "toYearWeek: only modes 0 (the ClickHouse default) and 3 "
+        "(ISO) translate; the other MySQL week modes have no Spark "
+        f"equivalent here — got mode {mode!r}"
+    )
+
+
 _INT_CASTS = {
     "toUInt8": "INT",
     "toUInt16": "INT",
@@ -986,11 +1067,9 @@ _COND_AGGS = {
 
 _UNSUPPORTED = (
     # (pattern, construct, hint)
-    (
-        r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b",
-        "LIMIT n, m BY (offset form)",
-        "only LIMIT n BY translates; page with a row_number() window",
-    ),
+    # LIMIT off, n BY / LIMIT n OFFSET off BY: TRANSLATED since
+    # round 13 (same row_number() window as LIMIT n BY with the
+    # rank range off+1..off+n); see _limit_by.
     (
         r"\btopK(?:Weighted)?\s*\(",
         "topK(k)(x) / topKWeighted (approximate heavy hitters)",
@@ -1120,13 +1199,9 @@ _UNSUPPORTED = (
         "could capture an unrelated identifier) — inline the constant "
         "or use the subquery CTE form WITH name AS (SELECT <literal>)",
     ),
-    (
-        r"\btoWeek\s*\(",
-        "toWeek (mode-dependent week numbering)",
-        "default mode 0 is Sunday-start 0-53, which no Spark builtin "
-        "reproduces — use toISOWeek (-> weekofyear) or date "
-        "arithmetic for the other modes",
-    ),
+    # toWeek: modes 0 (the ClickHouse default — first-Sunday closed
+    # form) and 3 (ISO -> weekofyear) are TRANSLATED since round 13;
+    # the other modes stay loud inside the handler (_to_week).
     (
         r"\bparseDateTimeBestEffort\w*\s*\(",
         "parseDateTimeBestEffort",
@@ -1247,12 +1322,10 @@ _UNSUPPORTED = (
         "spell the Spark form: construct values with named_struct() "
         "and cast with the STRUCT<name: TYPE, ..> type syntax",
     ),
-    (
-        r"\btoYearWeek\s*\(",
-        "toYearWeek (mode-dependent week numbering)",
-        "same mode family as toWeek — use toISOWeek (-> weekofyear) "
-        "plus year(), or date arithmetic for non-ISO modes",
-    ),
+    # toYearWeek: modes 0 (default, with MySQL YEARWEEK's
+    # previous-year attribution for week-0 days) and 3 (ISO) are
+    # TRANSLATED since round 13; other modes stay loud
+    # (_to_year_week).
     (
         r"\b(?:greatCircleDistance|geoDistance|greatCircleAngle"
         r"|pointInPolygon)\s*\(",
@@ -1789,10 +1862,21 @@ def _limit_by(sql: str) -> str:
     the outer sort). At scale the window partitions on the by-tuple —
     one hash shuffle, per-group state of one counter.
     """
-    m = _top_level_search(sql, r"\bLIMIT\s+(\d+)\s+BY\b")
+    m = _top_level_search(
+        sql, r"\bLIMIT\s+(\d+)(?:\s*,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\b"
+    )
     if not m:
         return sql
-    n = int(m.group(1))
+    # Three ClickHouse spellings (r13 promotion of the offset forms):
+    #   LIMIT n BY ...            -> rows 1..n per group
+    #   LIMIT off, n BY ...       -> rows off+1..off+n (MySQL comma order)
+    #   LIMIT n OFFSET off BY ... -> same, explicit keyword
+    if m.group(2) is not None:
+        off, n = int(m.group(1)), int(m.group(2))
+    elif m.group(3) is not None:
+        n, off = int(m.group(1)), int(m.group(3))
+    else:
+        off, n = 0, int(m.group(1))
     om = None
     for cand in re.finditer(r"\bORDER\s+BY\b", sql[: m.start()], re.IGNORECASE):
         if not _in_string(sql, cand.start()) and _depth_at(sql, cand.start()) == 0:
@@ -1816,11 +1900,18 @@ def _limit_by(sql: str) -> str:
     tail = rest[cut:].strip()
     if not by:
         raise ValueError("LIMIT BY needs at least one expression")
+    # off == 0 keeps the historical single-bound text (differential
+    # corpus pins translation strings byte-exact)
+    bound = (
+        f"__limit_by_rn <= {n}"
+        if off == 0
+        else f"__limit_by_rn > {off} AND __limit_by_rn <= {off + n}"
+    )
     out = (
         f"SELECT * EXCEPT (__limit_by_rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {by} ORDER BY {order})"
         f" AS __limit_by_rn FROM ({body}) __limit_by_src"
-        f") WHERE __limit_by_rn <= {n} ORDER BY {order}"
+        f") WHERE {bound} ORDER BY {order}"
     )
     if tail:
         out = f"{out} {tail}"
@@ -3143,6 +3234,10 @@ def translate(
     out = _rewrite_calls(
         out, "toISOWeek", lambda a: f"weekofyear({a[0]})"
     )
+    # r13 promotions: default (mode 0) + ISO (mode 3) week numbering;
+    # other modes stay loud inside the handlers.
+    out = _rewrite_calls(out, "toYearWeek", _to_year_week)
+    out = _rewrite_calls(out, "toWeek", _to_week)
     out = _rewrite_calls(
         out,
         "toYYYYMMDD",

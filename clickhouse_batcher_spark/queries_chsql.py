@@ -540,3 +540,108 @@ def chsql_bounding_ratio_by_type(
         sf_dir,
         dialect="clickhouse",
     )
+
+
+@query(
+    "chsql_limit_by_paged",
+    oracle="""
+    SELECT event_type, user_id, n_events FROM (
+      SELECT event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id)
+               AS __rn
+      FROM events GROUP BY event_type, user_id
+    ) ranked WHERE __rn > 3 AND __rn <= 6
+    """,
+)
+def chsql_limit_by_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND page of users per event type — ClickHouse's
+    ``LIMIT offset, n BY`` (r13 promotion of the offset forms; the
+    ``LIMIT n OFFSET off BY`` spelling translates identically).
+
+    Lowers to the same single row_number window as ``LIMIT n BY``
+    with the rank range ``off+1..off+n`` — one hash shuffle on the
+    by-tuple, one counter of state per group, scale-safe at any
+    group count. Ties break on user_id so the page boundary is
+    deterministic (the translation's own LIMIT BY contract: a
+    top-level ORDER BY is required, loud otherwise)."""
+    return run_sql(
+        spark,
+        """
+        SELECT event_type, user_id, count() AS n_events
+        FROM events
+        GROUP BY event_type, user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 3, 3 BY event_type
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )
+
+
+@query(
+    "chsql_week_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP)::DATE AS d, value FROM events
+    ), parts AS (
+      SELECT d, value,
+             dayofyear(d) AS doy,
+             1 + ((7 - dayofweek(date_trunc('year', d)::DATE)) % 7)
+               AS fs,
+             (date_trunc('year', d) - INTERVAL 1 YEAR)::DATE
+               + CAST((7 - dayofweek((date_trunc('year', d)
+                   - INTERVAL 1 YEAR)::DATE)) % 7 AS INTEGER)
+               AS fs_prev
+      FROM e
+    ), keyed AS (
+      SELECT value,
+             CAST(CASE WHEN doy < fs
+                  THEN (year(d) - 1) * 100
+                       + (date_diff('day', fs_prev, d) // 7 + 1)
+                  ELSE year(d) * 100 + ((doy - fs) // 7 + 1)
+                  END AS BIGINT) AS yw,
+             CAST(CASE WHEN doy < fs THEN 0
+                  ELSE (doy - fs) // 7 + 1 END AS BIGINT) AS wk,
+             CAST(isoyear(d) * 100 + weekofyear(d) AS BIGINT)
+               AS iso_yw
+      FROM parts
+    )
+    SELECT yw, wk, iso_yw, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM keyed GROUP BY yw, wk, iso_yw ORDER BY yw, iso_yw
+    """,
+)
+def chsql_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event rollup keyed three ways — ``toYearWeek(ts)`` /
+    ``toWeek(ts)`` (ClickHouse's default mode 0: Sunday-start,
+    first-Sunday week 1, week-0 days attributed to the previous
+    year's last week by YEARWEEK) and ``toYearWeek(ts, 3)`` (ISO) —
+    through the r13 promotion of the week-numbering family.
+
+    The promotion lowers each to a closed form over dayofyear and
+    the year's first-Sunday anchor (no joins, no UDFs — stays inside
+    whole-stage codegen), so the rollup is one scan + one hash
+    aggregate at any scale. The DuckDB oracle implements the SAME
+    MySQL WEEK/YEARWEEK rules from DuckDB's own date parts
+    (dayofweek there is 0=Sunday vs Spark's 1=Sunday — independent
+    spellings, same table), with the repo's DECIMAL discipline on
+    the value average."""
+    return run_sql(
+        spark,
+        """
+        SELECT toInt64(toYearWeek(ts)) AS yw,
+               toInt64(toWeek(ts)) AS wk,
+               toInt64(toYearWeek(ts, 3)) AS iso_yw,
+               count() AS n_events,
+               round(toFloat64(sum(toDecimal64(value, 2))) / count(), 6)
+                 AS avg_value
+        FROM events
+        GROUP BY yw, wk, iso_yw
+        ORDER BY yw, iso_yw
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )

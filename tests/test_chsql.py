@@ -160,7 +160,9 @@ def test_translate_clauses(ch, expected):
     "ch",
     [
         "SELECT * FROM orders FINAL",
-        "SELECT * FROM events ORDER BY ts LIMIT 2, 3 BY user_id",
+        # LIMIT 2, 3 BY left this list in round 13: the offset forms
+        # now translate (test_limit_by_offset_forms)
+        "SELECT neighbor(value, 1) FROM events",
         "SELECT * FROM events SAMPLE 0.1",
     ],
 )
@@ -2001,7 +2003,9 @@ def test_round8_louds():
          "lttb"),
         ("SELECT sparkbar(9)(h, v) FROM t", "sparkbar_hourly"),
         ("SELECT parseDateTimeBestEffort(s) FROM t", "to_timestamp"),
-        ("SELECT toWeek(ts) FROM t", "toISOWeek"),
+        # toWeek(ts) left this list in round 13 (modes 0/3 translate);
+        # the OTHER modes keep the loud contract:
+        ("SELECT toWeek(ts, 1) FROM t", "modes 0"),
         ("SELECT arrayReverseSort(x -> x.a, arr) FROM t", "negate"),
     ]:
         with pytest.raises(ValueError, match=frag):
@@ -2690,7 +2694,9 @@ def test_probe_batch5_window_aliases(spark, sf_dir):
 def test_probe_batch5_louds():
     for sql, frag in [
         ("SELECT CAST(('a', 1) AS Tuple(String, Int64))", "STRUCT"),
-        ("SELECT toYearWeek(now())", "toISOWeek"),
+        # toYearWeek default left this list in round 13 (modes 0/3
+        # translate); non-translatable modes stay loud:
+        ("SELECT toYearWeek(now(), 2)", "modes 0"),
         ("SELECT greatCircleDistance(0, 0, 1, 1)", "haversine"),
         ("SELECT pointInPolygon((0.5, 0.5), [(0, 0), (1, 0)])",
          "haversine"),
@@ -3642,6 +3648,95 @@ def test_constant_with_inlining(ch, expected):
 def test_constant_with_nested_scope_stays_loud():
     with pytest.raises(ValueError, match="nested scope"):
         translate("SELECT * FROM (WITH 5 AS k SELECT k) x")
+
+
+def test_limit_by_offset_forms():
+    """r13 promotion: both ClickHouse offset spellings translate to
+    the rank range off+1..off+n; the historical single-bound text is
+    byte-stable for the off=0 form."""
+    base = "SELECT user_id, value FROM events ORDER BY value DESC "
+    plain = translate(base + "LIMIT 3 BY user_id")
+    assert "WHERE __limit_by_rn <= 3 ORDER BY" in plain
+    comma = translate(base + "LIMIT 2, 3 BY user_id")
+    kw = translate(base + "LIMIT 3 OFFSET 2 BY user_id")
+    assert comma == kw
+    assert "WHERE __limit_by_rn > 2 AND __limit_by_rn <= 5" in comma
+    # determinism contract unchanged: no ORDER BY stays loud
+    with pytest.raises(ValueError, match="nondeterministic"):
+        translate("SELECT user_id FROM events LIMIT 2, 3 BY user_id")
+
+
+def test_limit_by_offset_executes(spark, sf_dir):
+    """Page 2 (offset form) == rows 4..6 of the unpaged per-group
+    ranking, end-to-end through run_sql."""
+    full = run_sql(
+        spark,
+        "SELECT event_type, user_id, count() AS n FROM events "
+        "GROUP BY event_type, user_id "
+        "ORDER BY n DESC, user_id LIMIT 6 BY event_type",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    paged = run_sql(
+        spark,
+        "SELECT event_type, user_id, count() AS n FROM events "
+        "GROUP BY event_type, user_id "
+        "ORDER BY n DESC, user_id LIMIT 3, 3 BY event_type",
+        sf_dir,
+        dialect="clickhouse",
+    ).collect()
+    per_group: dict = {}
+    for r in full:
+        per_group.setdefault(r["event_type"], []).append(
+            (r["user_id"], r["n"])
+        )
+    want = {
+        (t, u, n)
+        for t, rows in per_group.items()
+        for u, n in rows[3:6]
+    }
+    got = {(r["event_type"], r["user_id"], r["n"]) for r in paged}
+    assert got == want and got
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # mode 0 (default): Sunday-start, week 1 = first Sunday
+        ("toWeek(toDate('2024-01-01'))", 0),  # Monday before first Sunday
+        ("toWeek(toDate('2024-01-07'))", 1),  # the first Sunday
+        ("toWeek(toDate('2023-01-01'))", 1),  # Jan 1 IS a Sunday
+        ("toWeek(toDate('2024-12-31'))", 52),
+        # mode 3 == ISO
+        ("toWeek(toDate('2024-06-15'), 3)", 24),
+        ("toWeek(toDate('2023-01-01'), 3)", 52),  # ISO: 2022-W52
+        # toYearWeek mode 0: week-0 days belong to the PREVIOUS year
+        # (the MySQL YEARWEEK docs' own example)
+        ("toYearWeek(toDate('1987-01-01'))", 198652),
+        ("toYearWeek(toDate('2024-01-07'))", 202401),
+        ("toYearWeek(toDate('2023-01-01'))", 202301),
+        # toYearWeek mode 3: year flips with the ISO week
+        ("toYearWeek(toDate('2023-01-01'), 3)", 202252),
+        ("toYearWeek(toDate('2024-06-15'), 3)", 202424),
+    ],
+)
+def test_week_numbering_promotions(spark, expr, want):
+    """r13 promotion: toWeek/toYearWeek modes 0 (ClickHouse default)
+    and 3 (ISO), executed — values hand-checked against the MySQL
+    WEEK/YEARWEEK tables ClickHouse documents itself against."""
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0]["r"]
+    assert got == want, expr
+
+
+def test_week_other_modes_and_tz_stay_loud():
+    for bad in (
+        "SELECT toWeek(toDate('2024-01-01'), 1)",
+        "SELECT toWeek(toDate('2024-01-01'), 0, 'UTC')",
+        "SELECT toYearWeek(toDate('2024-01-01'), 2)",
+        "SELECT toYearWeek(toDate('2024-01-01'), 3, 'UTC')",
+    ):
+        with pytest.raises(ValueError):
+            translate(bad)
 
 
 def test_constant_with_use_inside_nested_scope_stays_loud():

@@ -143,6 +143,26 @@ DIFFERENTIAL_CORPUS = [
     f"SELECT formatDateTime({_T}, '%Y-%m-%d %H:%M:%S') AS r",
     f"SELECT yesterday() >= toDate('2020-01-01') AS r",
     f"SELECT toDaysSinceYearZero(toDate('2024-03-15')) AS r",
+    # r13 promotions: default (mode 0) and ISO (mode 3) week numbering
+    # at the year-boundary cases where the modes disagree
+    "SELECT toWeek(toDate('2024-01-01')) AS a, "
+    "toWeek(toDate('2024-01-07')) AS b, "
+    "toWeek(toDate('2023-01-01')) AS c, "
+    "toWeek(toDate('2024-12-31')) AS d, "
+    "toWeek(toDate('2024-06-15'), 3) AS e",
+    "SELECT toYearWeek(toDate('1987-01-01')) AS a, "
+    "toYearWeek(toDate('2024-01-07')) AS b, "
+    "toYearWeek(toDate('2023-01-01')) AS c, "
+    "toYearWeek(toDate('2024-06-15'), 3) AS d, "
+    "toYearWeek(toDate('2023-01-01'), 3) AS e",
+    # r13 promotion: LIMIT offset forms (comma + OFFSET keyword)
+    "SELECT g, v FROM (SELECT 1 AS g, 10 AS v UNION ALL SELECT 1, 20 "
+    "UNION ALL SELECT 1, 30 UNION ALL SELECT 1, 40 UNION ALL "
+    "SELECT 2, 5 UNION ALL SELECT 2, 6) t ORDER BY v DESC "
+    "LIMIT 1, 2 BY g",
+    "SELECT g, v FROM (SELECT 1 AS g, 10 AS v UNION ALL SELECT 1, 20 "
+    "UNION ALL SELECT 1, 30 UNION ALL SELECT 2, 5) t ORDER BY v ASC "
+    "LIMIT 1 OFFSET 1 BY g",
     # --- aggregates with engine-specific conventions ---
     f"SELECT round(skewPop(v), 9) AS a, round(skewSamp(v), 9) AS b "
     f"FROM {_NUMS}",
