@@ -957,6 +957,77 @@ def _to_start_of_week(a: list[str]) -> str:
         f"got mode {mode!r}"
     )
 
+def _count_capture_groups(pattern: str) -> int:
+    """Number of CAPTURING groups in a regex (character classes and
+    ``(?...)`` non-capturing/lookaround constructs excluded) — both
+    RE2 (ClickHouse) and java.util.regex (Spark) number plain ``(``
+    groups identically, which is what makes the static expansion in
+    ``_extract_groups`` dialect-safe."""
+    n = 0
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and pattern[i + 1 : i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _extract_groups(a: list[str]) -> str:
+    """extractGroups(s, 'pattern') — r13 promotion for LITERAL
+    patterns: the group count is countable at translate time, so the
+    array of first-match captures is ``array(regexp_extract(s, p, 1),
+    .., regexp_extract(s, p, N))``, guarded by ``s RLIKE p`` so a
+    non-matching row yields ClickHouse's empty array (Spark's
+    regexp_extract would yield '' per group instead). Non-literal
+    patterns (group count unknowable) and named groups (RE2 spells
+    ``(?P<name>``, Java ``(?<name>`` — a syntax divergence, and they
+    still capture) stay loud."""
+    if len(a) != 2:
+        raise ValueError(
+            "extractGroups takes (haystack, pattern) — got "
+            f"{len(a)} arguments"
+        )
+    pat = a[1].strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", pat, re.DOTALL)
+    if not m:
+        raise ValueError(
+            "ClickHouse extractGroups with a non-literal pattern has "
+            "no Spark translation — the capture-group count must be "
+            "countable at translate time; inline the pattern as a "
+            "string literal"
+        )
+    lit = m.group(1).replace("''", "'")
+    if "(?P<" in lit or re.search(r"\(\?<[A-Za-z]", lit):
+        raise ValueError(
+            "extractGroups with NAMED capture groups has no Spark "
+            "translation — RE2 spells (?P<name>..) where Java wants "
+            "(?<name>..); use plain numbered groups"
+        )
+    n = _count_capture_groups(lit)
+    if n == 0:
+        raise ValueError(
+            "extractGroups needs at least one capture group in its "
+            "pattern"
+        )
+    parts = ", ".join(
+        f"regexp_extract({a[0]}, {pat}, {i})" for i in range(1, n + 1)
+    )
+    return (
+        f"(CASE WHEN {a[0]} RLIKE {pat} THEN array({parts}) "
+        f"ELSE array() END)"
+    )
+
+
 def _first_sunday_doy(d: str) -> str:
     """Day-of-year of the first Sunday of ``d``'s year (the mode-0
     week-1 anchor). Spark's dayofweek() is 1=Sunday..7=Saturday."""
@@ -1275,13 +1346,11 @@ _UNSUPPORTED = (
         "128-bit binary arithmetic with no Spark builtin — normalize "
         "IPv6 upstream or add a vectorized UDF",
     ),
-    (
-        r"\bextractGroups\s*\(",
-        "extractGroups (all capture groups of the first match)",
-        "Spark's regexp_extract returns ONE group — array(regexp_"
-        "extract(s, re, 1), regexp_extract(s, re, 2), ...) for a "
-        "known group count",
-    ),
+    # extractGroups: TRANSLATED since round 13 for LITERAL patterns
+    # (the group count is statically countable -> one regexp_extract
+    # per group, RLIKE-guarded for the no-match empty array);
+    # non-literal / named-group patterns stay loud in the handler
+    # (_extract_groups).
     (
         r"\bto(?:Column)?TypeName\s*\(",
         "toTypeName (ClickHouse type introspection)",
@@ -3032,6 +3101,9 @@ def translate(
         "toDecimal64",
         # literal scale only: the precision is part of the target type
         lambda a: f"CAST({a[0]} AS DECIMAL(18, {int(a[1])}))",
+    )
+    out = _rewrite_calls(
+        out, "extractGroups", _extract_groups
     )
     out = _rewrite_calls(
         out, "extractAll", lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)"

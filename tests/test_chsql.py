@@ -3728,6 +3728,39 @@ def test_week_numbering_promotions(spark, expr, want):
     assert got == want, expr
 
 
+def test_extract_groups_promotion(spark):
+    """r13 promotion: extractGroups with a LITERAL pattern expands to
+    one regexp_extract per statically counted capture group, with the
+    RLIKE guard giving ClickHouse's empty array on no match."""
+    t = translate(
+        r"SELECT extractGroups(s, '(\\d+)-(\\w+)') AS g FROM t"
+    )
+    assert t.count("regexp_extract") == 2 and "RLIKE" in t
+    # NB: '\\d' is the PORTABLE spelling — both ClickHouse and Spark
+    # consume one backslash level in string literals ('\d' would reach
+    # Spark's regex engine as plain 'd')
+    got = spark.sql(
+        translate(
+            r"SELECT extractGroups('order-123-ABC', '(\\d+)-([A-Z]+)') "
+            r"AS a, extractGroups('nope', '(\\d+)') AS b, "
+            r"extractGroups('k=v', '(?:k)=(\\w+)') AS c"
+        )
+    ).collect()[0]
+    assert got["a"] == ["123", "ABC"]
+    assert got["b"] == []  # no match -> empty array, not ['']
+    assert got["c"] == ["v"]  # (?:..) is not a capture group
+
+
+def test_extract_groups_stays_loud_outside_scope():
+    for bad, frag in [
+        ("SELECT extractGroups(s, p) FROM t", "non-literal"),
+        (r"SELECT extractGroups(s, '(?P<a>x)') FROM t", "NAMED"),
+        ("SELECT extractGroups(s, 'abc') FROM t", "capture group"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            translate(bad)
+
+
 def test_week_other_modes_and_tz_stay_loud():
     for bad in (
         "SELECT toWeek(toDate('2024-01-01'), 1)",

@@ -155,6 +155,10 @@ DIFFERENTIAL_CORPUS = [
     "toYearWeek(toDate('2023-01-01')) AS c, "
     "toYearWeek(toDate('2024-06-15'), 3) AS d, "
     "toYearWeek(toDate('2023-01-01'), 3) AS e",
+    # r13 promotion: extractGroups (literal pattern, static expansion)
+    r"SELECT extractGroups('order-123-ABC', '(\\d+)-([A-Z]+)') AS a, "
+    r"extractGroups('no match here', '(\\d+)') AS b, "
+    r"extractGroups('k=v', '(?:k)=(\\w+)') AS c",
     # r13 promotion: LIMIT offset forms (comma + OFFSET keyword)
     "SELECT g, v FROM (SELECT 1 AS g, 10 AS v UNION ALL SELECT 1, 20 "
     "UNION ALL SELECT 1, 30 UNION ALL SELECT 1, 40 UNION ALL "
