@@ -112,16 +112,20 @@ _PRIORITY: list[str] = [
     "orders_above_customer_avg",
     "top10_orders",
     "union_event_slices",
-    "user_event_type_profile",
     # (c) round-13 additions: the chsql transpiler promotions
-    #     (LIMIT offset forms; toWeek/toYearWeek modes 0+3), each a
-    #     loud-error-list construct turned real translation with its
-    #     own hash oracle ---
+    #     (LIMIT offset forms; toWeek/toYearWeek modes 0+3; the
+    #     interpolating exact-quantile pair PERCENTILE.INC/EXC),
+    #     each a loud-error-list construct turned real translation
+    #     with its own hash oracle. The third first-green displaces
+    #     user_event_type_profile (the alphabetically last r4 row)
+    #     into the r14 queue ---
     "chsql_limit_by_paged",
     "chsql_week_rollup",
+    "chsql_quantile_bands",
 ]
-# r14 queue (after this window goes green): value_moments_by_type
-# (r4, displaced by the first-greens above) + the 26
+# r14 queue (after this window goes green): value_moments_by_type +
+# user_event_type_profile (r4, displaced by the first-greens above)
+# + the 26
 # r5-vintage rows (bloom_semi_join_orders, bm25_retrieval_topk, coactivity_pagerank,
 # coactivity_triangle_stats, cohort_retention_weekly,
 # decontaminate_docs, dedup_content_hash, distinct_users_linear_count,
@@ -138,7 +142,7 @@ _PRIORITY: list[str] = [
 # events_dominant_period, events_holt_forecast_daily,
 # orders_interarrival_burstiness, user_metric_corr_matrix,
 # chsql_state_merge_rollup, chsql_bounding_ratio_by_type) + the r7
-# pair (dedup_consensus, dedup_minhash_lsh) = 36 of 48 free slots;
+# pair (dedup_consensus, dedup_minhash_lsh) = 39 of 48 free slots;
 # the rest per the same oldest-evidence rule.
 # --- ROUND 12 window ledger (the list above replaced this; all 50
 #     r12 entries went hash-green in CORRECTNESS_r12, the fourth

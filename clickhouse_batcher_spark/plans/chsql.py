@@ -129,7 +129,11 @@ parser rather than silently misbehaving):
   / ``LIMIT n OFFSET off BY`` — same row_number window, rank range
   off+1..off+n) and toWeek/toYearWeek modes 0 (the ClickHouse
   default: first-Sunday closed form, YEARWEEK previous-year
-  attribution) and 3 (ISO); other week modes stay loud``
+  attribution) and 3 (ISO); other week modes stay loud; and the
+  interpolating exact-quantile pair quantileExactInclusive ==
+  PERCENTILE.INC -> percentile() / quantileExactExclusive ==
+  PERCENTILE.EXC -> the Hyndman-Fan R6 closed form (+ plurals;
+  Low/High stay loud — element-index convention unverifiable here)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -1330,12 +1334,19 @@ _UNSUPPORTED = (
         "shape (GROUP BY value, then -sum(p * log2(p)) over the "
         "frequency table)",
     ),
+    # quantileExactInclusive/Exclusive (+ plurals): TRANSLATED since
+    # round 13 — ClickHouse documents them as Excel PERCENTILE.INC
+    # (= percentile_cont = Spark's percentile()) and PERCENTILE.EXC
+    # (Hyndman-Fan R6, the h = p*(n+1) closed form); see the
+    # round-13b promotion block. Low/High stay loud below.
     (
-        r"\bquantileExact(?:Low|High|Inclusive|Exclusive)\s*\(",
-        "quantileExactLow/High/Inclusive/Exclusive",
-        "these pick exact ELEMENTS where Spark's percentile() "
-        "interpolates — use quantileExact (interpolated) if that is "
-        "acceptable, or an exact rank window "
+        r"\bquantiles?Exact(?:Low|High)\s*\(",
+        "quantileExactLow/High",
+        "these pick exact ELEMENTS under an index convention this "
+        "translator cannot verify without a live server — "
+        "quantileExactInclusive/Exclusive translate exactly "
+        "(percentile_cont / the documented R6 closed form); for an "
+        "element pick use an exact rank window "
         "(row_number() = ceil/floor(p * n))",
     ),
     (
@@ -3461,6 +3472,37 @@ def translate(
         )
 
     out = _rewrite_curried_fn(out, "quantileExactWeighted", _qew)
+    # --- round-13b promotion: the INTERPOLATING half of the exact
+    # quantile family. ClickHouse's own documentation defines these by
+    # public closed forms, so the translation is value-exact (unlike
+    # bare quantileExact -> percentile, a documented divergence):
+    # - quantileExactInclusive == Excel PERCENTILE.INC ==
+    #   percentile_cont (Hyndman-Fan R7: h = p*(n-1), linear
+    #   interpolation) — exactly Spark's percentile().
+    # - quantileExactExclusive == Excel PERCENTILE.EXC (Hyndman-Fan
+    #   R6: h = p*(n+1), truncate to n, clamp to [1, size], linearly
+    #   interpolate a[n-1]..a[n]) — emitted as the closed form over
+    #   array_sort(collect_list(..)) (the per-group materialization a
+    #   CH user already accepts for this exact-family aggregate;
+    #   Catalyst dedups the repeated collect_list aggregate).
+    # Value pins: the Microsoft documentation examples
+    # (PERCENTILE.INC({1,2,3,4}, 0.3) = 1.9;
+    # PERCENTILE.EXC({1,2,3,6,6,6,7,8,9}, 0.25) = 2.5) are asserted
+    # in tests/test_chsql.py. NULL arguments are skipped on both
+    # engines; an all-NULL group yields NULL here (the sibling
+    # translations' convention) where ClickHouse's exact family
+    # errors on an empty set. quantileExactLow/High stay loud
+    # (_UNSUPPORTED): their element-index convention is not publicly
+    # specified as a closed form. Plural single-level forms follow
+    # the family convention (quantiles(p)(x) emits the scalar).
+    out = _rewrite_curried_fn(
+        out, "quantilesExactExclusive", _qs_exact_exclusive
+    )
+    out = _rewrite_curried_fn(
+        out, "quantileExactExclusive", _q_exact_exclusive
+    )
+    out = _rewrite_curried(out, "quantilesExactInclusive", "percentile")
+    out = _rewrite_curried(out, "quantileExactInclusive", "percentile")
     out = _rewrite_curried(
         out,
         "quantilesTiming",
@@ -5252,6 +5294,45 @@ def _round_bucket_age(args: list[str]) -> str:
     x = args[0]
     whens = " ".join(f"WHEN ({x}) < {b} THEN {v}" for b, v in _AGE_BUCKETS)
     return f"(CASE {whens} ELSE 55 END)"
+
+
+def _exact_exclusive_expr(p: str, x: str) -> str:
+    """PERCENTILE.EXC / Hyndman-Fan R6 closed form (the documented
+    definition of ClickHouse's quantileExactExclusive): over the
+    sorted non-NULL values a[1..sz] (1-based), h = p*(sz+1),
+    n = trunc(h), result = a[n] + (h-n)*(a[n+1]-a[n]) with the ends
+    clamped to a[1] / a[sz]. Values cast to DOUBLE up front —
+    interpolation returns Float64 in ClickHouse too."""
+    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    sz = f"size({arr})"
+    h = f"(CAST({p} AS DOUBLE) * ({sz} + 1))"
+    n = f"CAST(floor({h}) AS INT)"
+    lo = f"element_at({arr}, {n})"
+    hi = f"element_at({arr}, {n} + 1)"
+    return (
+        f"(CASE WHEN {sz} = 0 THEN NULL "
+        f"WHEN {n} >= {sz} THEN element_at({arr}, {sz}) "
+        f"WHEN {n} < 1 THEN element_at({arr}, 1) "
+        f"ELSE {lo} + ({h} - {n}) * ({hi} - {lo}) END)"
+    )
+
+
+def _q_exact_exclusive(p_parts: list[str], x_parts: list[str]) -> str:
+    if len(p_parts) != 1 or len(x_parts) != 1:
+        raise ValueError(
+            "quantileExactExclusive takes (level)(x) parameters"
+        )
+    return _exact_exclusive_expr(p_parts[0], x_parts[0])
+
+
+def _qs_exact_exclusive(p_parts: list[str], x_parts: list[str]) -> str:
+    if not p_parts or len(x_parts) != 1:
+        raise ValueError(
+            "quantilesExactExclusive takes (level1[, level2, ...])(x) "
+            "parameters"
+        )
+    exprs = [_exact_exclusive_expr(p, x_parts[0]) for p in p_parts]
+    return exprs[0] if len(exprs) == 1 else f"array({', '.join(exprs)})"
 
 
 def _quantile_gk(p_parts: list[str], x_parts: list[str]) -> str:

@@ -645,3 +645,78 @@ def chsql_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         dialect="clickhouse",
     )
+
+
+@query(
+    "chsql_quantile_bands",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(l_quantity AS DOUBLE) AS q
+      FROM lineitem
+    ), agg AS (
+      SELECT rf, ls, CAST(COUNT(*) AS BIGINT) AS n_items,
+             ROUND(quantile_cont(q, 0.5), 6) AS med_inc,
+             list_sort(list(q)) AS a
+      FROM base GROUP BY rf, ls
+    ), k AS (
+      SELECT rf, ls, n_items, med_inc, a,
+             CAST(floor(0.25 * (n_items + 1)) AS BIGINT) AS n25,
+             0.25 * (n_items + 1) AS h25,
+             CAST(floor(0.75 * (n_items + 1)) AS BIGINT) AS n75,
+             0.75 * (n_items + 1) AS h75
+      FROM agg
+    )
+    SELECT rf, ls, n_items, med_inc,
+           ROUND(CASE WHEN n25 >= n_items THEN a[n_items]
+                      WHEN n25 < 1 THEN a[1]
+                      ELSE a[n25] + (h25 - n25) * (a[n25 + 1] - a[n25])
+                 END, 6) AS q25_exc,
+           ROUND(CASE WHEN n75 >= n_items THEN a[n_items]
+                      WHEN n75 < 1 THEN a[1]
+                      ELSE a[n75] + (h75 - n75) * (a[n75 + 1] - a[n75])
+                 END, 6) AS q75_exc
+    FROM k ORDER BY rf, ls
+    """,
+)
+def chsql_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) quantity bands through the r13
+    promotion of the INTERPOLATING exact-quantile pair:
+    ``quantileExactInclusive`` (== Excel PERCENTILE.INC ==
+    percentile_cont — lowered to Spark's exact ``percentile()``) and
+    ``quantileExactExclusive`` (== PERCENTILE.EXC, the Hyndman-Fan R6
+    ``h = p*(n+1)`` closed form over the sorted group).
+
+    Value discipline: l_quantity is integer-valued, so every
+    interpolated quantile lands on an exact quarter (h's fraction is
+    a multiple of 0.25 for p in {.25, .5, .75}) — bit-identical
+    across engines regardless of interpolation formula order;
+    round(6) is belt-and-braces per the house invariant. The DuckDB
+    oracle derives INC from DuckDB's OWN quantile_cont (independent
+    implementation) and EXC from the documented R6 formula over
+    list_sort (independent spelling of the same public rule — the
+    week-rollup oracle precedent).
+
+    Scale contract: the exact family materializes each group
+    (ClickHouse's own quantileExact* is O(group) memory too) — 6
+    bounded groups here; unbounded-cardinality quantiles at 100 TB
+    belong to the translated GK/TDigest approx spellings.
+    """
+    return run_sql(
+        spark,
+        """
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               count() AS n_items,
+               round(quantileExactInclusive(0.5)
+                     (toFloat64(l_quantity)), 6) AS med_inc,
+               round(quantileExactExclusive(0.25)
+                     (toFloat64(l_quantity)), 6) AS q25_exc,
+               round(quantileExactExclusive(0.75)
+                     (toFloat64(l_quantity)), 6) AS q75_exc
+        FROM lineitem
+        GROUP BY rf, ls
+        ORDER BY rf, ls
+        """,
+        sf_dir,
+        dialect="clickhouse",
+    )

@@ -3873,3 +3873,108 @@ def test_constant_with_substitution_boundaries(name):
     assert f"value AS {name}2" in got    # longer identifier untouched
     assert got.startswith("SELECT (7), ")
     assert got.endswith("WHERE value > (7)")
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # Microsoft's own PERCENTILE.INC documentation example
+        ("quantileExactInclusive(0.3)", 1.9),
+        # percentile_cont quartiles of {1,2,3,4}
+        ("quantileExactInclusive(0.25)", 1.75),
+        ("quantileExactInclusive(0.75)", 3.25),
+        # PERCENTILE.EXC / R6: h = p*(n+1) = 1.25 -> 1 + 0.25*(2-1)
+        ("quantileExactExclusive(0.25)", 1.25),
+        ("quantileExactExclusive(0.5)", 2.5),
+        # R6 end clamps: n < 1 -> min, n >= size -> max
+        ("quantileExactExclusive(0.01)", 1.0),
+        ("quantileExactExclusive(0.99)", 4.0),
+    ],
+)
+def test_quantile_exact_inclusive_exclusive_values(spark, expr, want):
+    """r13 promotion: the interpolating half of the exact-quantile
+    family. quantileExactInclusive == PERCENTILE.INC == Spark's
+    percentile() (Hyndman-Fan R7); quantileExactExclusive ==
+    PERCENTILE.EXC (R6 closed form over the sorted group). Values
+    pinned to the publicly documented Excel cases."""
+    src = (
+        "(SELECT 1.0 AS v UNION ALL SELECT 2.0 "
+        "UNION ALL SELECT 3.0 UNION ALL SELECT 4.0)"
+    )
+    got = spark.sql(
+        translate(f"SELECT {expr}(v) AS r FROM {src}")
+    ).collect()[0]["r"]
+    assert got == pytest.approx(want, abs=1e-12), expr
+
+
+def test_quantile_exact_exclusive_microsoft_example(spark):
+    """PERCENTILE.EXC({1,2,3,6,6,6,7,8,9}, 0.25) = 2.5 — the worked
+    example in Microsoft's PERCENTILE.EXC documentation."""
+    src = "(" + " UNION ALL ".join(
+        f"SELECT {x}.0 AS v" for x in (1, 2, 3, 6, 6, 6, 7, 8, 9)
+    ) + ")"
+    got = spark.sql(
+        translate(
+            f"SELECT quantileExactExclusive(0.25)(v) AS r FROM {src}"
+        )
+    ).collect()[0]["r"]
+    assert got == pytest.approx(2.5, abs=1e-12)
+
+
+def test_quantiles_exact_inclusive_exclusive_plural(spark):
+    """Plural forms: multi-level -> array (percentile's native array
+    form for Inclusive, per-level R6 closed forms for Exclusive);
+    a single level follows the family's scalar convention
+    (quantiles(p)(x) emits the scalar too)."""
+    src = (
+        "(SELECT 1.0 AS v UNION ALL SELECT 2.0 "
+        "UNION ALL SELECT 3.0 UNION ALL SELECT 4.0)"
+    )
+    got = spark.sql(
+        translate(
+            "SELECT quantilesExactInclusive(0.25, 0.75)(v) AS qi, "
+            "quantilesExactExclusive(0.25, 0.5)(v) AS qe, "
+            "quantilesExactExclusive(0.5)(v) AS qe1 "
+            f"FROM {src}"
+        )
+    ).collect()[0]
+    assert got["qi"] == pytest.approx([1.75, 3.25], abs=1e-12)
+    assert got["qe"] == pytest.approx([1.25, 2.5], abs=1e-12)
+    assert got["qe1"] == pytest.approx(2.5, abs=1e-12)
+
+
+def test_quantile_exact_exclusive_null_handling(spark):
+    """NULL arguments are skipped (ClickHouse skips NULL aggregate
+    args); an all-NULL group yields NULL — the sibling translations'
+    convention where ClickHouse's exact family errors on empty."""
+    got = spark.sql(
+        translate(
+            "SELECT quantileExactExclusive(0.5)(v) AS r, "
+            "quantileExactInclusive(0.5)(v) AS ri FROM "
+            "(SELECT 1.0 AS v UNION ALL SELECT CAST(NULL AS DOUBLE) "
+            "UNION ALL SELECT 3.0)"
+        )
+    ).collect()[0]
+    assert got["r"] == pytest.approx(2.0, abs=1e-12)
+    assert got["ri"] == pytest.approx(2.0, abs=1e-12)
+    allnull = spark.sql(
+        translate(
+            "SELECT quantileExactExclusive(0.5)"
+            "(CAST(NULL AS DOUBLE)) AS r FROM (SELECT 1 AS d)"
+        )
+    ).collect()[0]["r"]
+    assert allnull is None
+
+
+def test_quantile_exact_low_high_stay_loud():
+    """Low/High pick exact elements under an index convention this
+    translator cannot verify without a live server — loud, in both
+    singular and (newly caught) plural spellings."""
+    for bad in (
+        "SELECT quantileExactLow(0.5)(x) FROM t",
+        "SELECT quantileExactHigh(0.5)(x) FROM t",
+        "SELECT quantilesExactLow(0.25, 0.75)(x) FROM t",
+        "SELECT quantilesExactHigh(0.25, 0.75)(x) FROM t",
+    ):
+        with pytest.raises(ValueError, match="ELEMENTS"):
+            translate(bad)

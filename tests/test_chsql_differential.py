@@ -321,6 +321,22 @@ DIFFERENTIAL_CORPUS = [
     "SELECT quantilesExact(0.25, 0.5, 0.75)(v) AS r FROM "
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 4.0)",
+    # r13 promotion: the interpolating exact-quantile pair (Excel
+    # PERCENTILE.INC/EXC closed forms; the 0.3 case is Microsoft's
+    # own documented PERCENTILE.INC example = 1.9)
+    "SELECT quantileExactInclusive(0.3)(v) AS a, "
+    "quantilesExactInclusive(0.25, 0.75)(v) AS b, "
+    "quantileExactExclusive(0.25)(v) AS c, "
+    "quantilesExactExclusive(0.25, 0.5)(v) AS d, "
+    "quantileExactExclusive(0.01)(v) AS lo, "
+    "quantileExactExclusive(0.99)(v) AS hi FROM "
+    "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
+    "UNION ALL SELECT 4.0)",
+    # Microsoft's PERCENTILE.EXC worked example: 0.25 -> 2.5
+    "SELECT quantileExactExclusive(0.25)(v) AS r FROM "
+    "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
+    "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
+    "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
     "SELECT uniqUpTo(2)(v) AS r FROM (SELECT 1 AS v UNION ALL "
     "SELECT 2 UNION ALL SELECT 3)",
     "SELECT sumOrNull(v) AS a, maxOrDefault(v) AS b FROM "
