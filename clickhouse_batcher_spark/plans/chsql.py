@@ -133,7 +133,9 @@ parser rather than silently misbehaving):
   interpolating exact-quantile pair quantileExactInclusive ==
   PERCENTILE.INC -> percentile() / quantileExactExclusive ==
   PERCENTILE.EXC -> the Hyndman-Fan R6 closed form (+ plurals;
-  Low/High stay loud — element-index convention unverifiable here)``
+  Low/High stay loud — element-index convention unverifiable here);
+  corrMatrix/covarSampMatrix/covarPopMatrix -> nested array literals
+  of the pairwise streaming aggregates``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -1689,13 +1691,11 @@ _UNSUPPORTED = (
         "shapes, or compute the closed form from count/avg/stddev "
         "aggregates",
     ),
-    (
-        r"\b(?:corrMatrix|covarSampMatrix|covarPopMatrix)\s*\(",
-        "matrix aggregate family",
-        "corr/covar_samp/covar_pop translate pairwise — cross every "
-        "column pair explicitly, or use operators/pca.py's bounded "
-        "Gram-matrix path for dense covariance",
-    ),
+    # corrMatrix/covarSampMatrix/covarPopMatrix: TRANSLATED since
+    # round 13 — each is pure syntax sugar over the n^2 pairwise
+    # corr/covar_samp/covar_pop streaming aggregates (which already
+    # pass through by name), expanded to a nested array literal in
+    # argument order; see the round-13b promotion block.
     (
         r"\b(?:byteSize|defaultValueOfArgumentType|"
         r"defaultValueOfTypeName|tupleToNameValuePairs)\s*\(",
@@ -4685,6 +4685,24 @@ def translate(
             f"'b', regr_intercept({a[1]}, {a[0]}))"
         ),
     )
+    # round-13b promotion: the matrix aggregate family. Each is pure
+    # syntax sugar over the n^2 pairwise streaming aggregates in
+    # argument order (row i = aggregate of column i against every
+    # column), so the expansion is a nested array literal of corr /
+    # covar_samp / covar_pop calls — aggregates Spark and DuckDB both
+    # provide natively (plain corr/covar already pass through by
+    # name). No per-group materialization: 3n^2 running moments, same
+    # state ClickHouse keeps. Degenerate-group conventions (n < 2,
+    # zero variance) follow each engine's own corr/covar, the
+    # already-accepted baseline for the pairwise spellings; sub-ulp
+    # drift on the diagonal is absorbed by the corpus's round-9
+    # normalization.
+    for _m_ch, _m_spark in (
+        ("corrMatrix", "corr"),
+        ("covarSampMatrix", "covar_samp"),
+        ("covarPopMatrix", "covar_pop"),
+    ):
+        out = _rewrite_calls(out, _m_ch, _matrix_agg_handler(_m_spark))
     # Skewness/kurtosis: Spark's skewness IS the population form
     # (m3/m2^1.5) and its kurtosis is EXCESS (m4/m2^2 - 3), both
     # verified numerically; ClickHouse kurtPop is non-excess and the
@@ -5294,6 +5312,25 @@ def _round_bucket_age(args: list[str]) -> str:
     x = args[0]
     whens = " ".join(f"WHEN ({x}) < {b} THEN {v}" for b, v in _AGE_BUCKETS)
     return f"(CASE {whens} ELSE 55 END)"
+
+
+def _matrix_agg_handler(fn: str):
+    """Expand ``<agg>Matrix(x1..xn)`` to the nested array literal of
+    pairwise ``fn`` calls (row-major in argument order — ClickHouse's
+    Array(Array(Float64)) layout)."""
+
+    def handler(args: list[str]) -> str:
+        if not args:
+            raise ValueError(
+                f"{fn} matrix aggregate needs at least one column"
+            )
+        rows = ", ".join(
+            "array(" + ", ".join(f"{fn}({a}, {b})" for b in args) + ")"
+            for a in args
+        )
+        return f"array({rows})"
+
+    return handler
 
 
 def _exact_exclusive_expr(p: str, x: str) -> str:

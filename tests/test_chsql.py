@@ -3074,7 +3074,8 @@ def test_probe_batch10_louds():
         ("SELECT arrayFill(x -> x > 0, a) FROM t", "arrayFill"),
         ("SELECT groupArrayInsertAt(x, i) FROM t", "groupArrayInsertAt"),
         ("SELECT proportionsZTest(1, 2, 3, 4, 0.9, 'u')", "z-test"),
-        ("SELECT corrMatrix(x, y) FROM t", "matrix aggregate"),
+        # corrMatrix left this list in round 13: translated as the
+        # pairwise-corr nested array (test_matrix_aggregates).
         ("SELECT byteSize(x) FROM t", "introspection"),
         ("SELECT bitSlice(s, 1, 4) FROM t", "bitSlice"),
         ("SELECT kostikConsistentHash(x, 4) FROM t", "kostik"),
@@ -3978,3 +3979,48 @@ def test_quantile_exact_low_high_stay_loud():
     ):
         with pytest.raises(ValueError, match="ELEMENTS"):
             translate(bad)
+
+
+def test_matrix_aggregates(spark):
+    """r13 promotion: corrMatrix/covarSampMatrix/covarPopMatrix as
+    nested array literals of the pairwise streaming aggregates —
+    values checked against DuckDB's independent corr/covar_samp/
+    covar_pop implementations (round-9 float normalization, the
+    differential corpus's discipline)."""
+    import duckdb
+
+    src = (
+        "(SELECT 1.0 AS x, 2.0 AS y, 5.0 AS z UNION ALL "
+        "SELECT 2.0, 4.0, 3.0 UNION ALL "
+        "SELECT 3.0, 6.0, 4.0 UNION ALL SELECT 4.0, 8.0, 1.0)"
+    )
+    t = translate(
+        f"SELECT corrMatrix(x, y, z) AS cm, "
+        f"covarSampMatrix(x, z) AS cs, "
+        f"covarPopMatrix(x, z) AS cp FROM {src}"
+    )
+    assert "array(array(corr(x, x)" in t
+    got = spark.sql(t).collect()[0]
+
+    def norm(m):
+        return [[round(v, 9) for v in row] for row in m]
+
+    def duck(fn, cols):
+        rows = []
+        for a in cols:
+            row = []
+            for b in cols:
+                row.append(
+                    duckdb.sql(
+                        f"SELECT {fn}({a}, {b}) FROM {src}"
+                    ).fetchone()[0]
+                )
+            rows.append(row)
+        return norm(rows)
+
+    assert norm(got["cm"]) == duck("corr", ["x", "y", "z"])
+    assert norm(got["cs"]) == duck("covar_samp", ["x", "z"])
+    assert norm(got["cp"]) == duck("covar_pop", ["x", "z"])
+    # the perfectly linear pair pins the exact entries
+    assert norm(got["cm"])[0][1] == 1.0
+    assert norm(got["cp"])[0][0] == 1.25  # var_pop of 1..4

@@ -337,6 +337,13 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 promotion: matrix aggregates = pairwise corr/covar sugar
+    # (the linear pair pins corr = 1 / -1; covar_pop(x,x) = 1.25)
+    "SELECT corrMatrix(x, y, z) AS cm, covarPopMatrix(x, z) AS cp, "
+    "covarSampMatrix(y, z) AS cs FROM "
+    "(SELECT 1.0 AS x, 2.0 AS y, 4.0 AS z UNION ALL "
+    "SELECT 2.0, 4.0, 3.0 UNION ALL SELECT 3.0, 6.0, 2.0 "
+    "UNION ALL SELECT 4.0, 8.0, 1.0)",
     "SELECT uniqUpTo(2)(v) AS r FROM (SELECT 1 AS v UNION ALL "
     "SELECT 2 UNION ALL SELECT 3)",
     "SELECT sumOrNull(v) AS a, maxOrDefault(v) AS b FROM "
