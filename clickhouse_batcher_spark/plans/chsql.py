@@ -135,7 +135,9 @@ parser rather than silently misbehaving):
   PERCENTILE.EXC -> the Hyndman-Fan R6 closed form (+ plurals;
   Low/High stay loud — element-index convention unverifiable here);
   corrMatrix/covarSampMatrix/covarPopMatrix -> nested array literals
-  of the pairwise streaming aggregates``
+  of the pairwise streaming aggregates; entropy(x) -> the run-length
+  Shannon-entropy fold over the sorted group (tuple form stays
+  loud)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
   boundary-crossing semantics via unit truncation, while age counts
@@ -1329,13 +1331,11 @@ _UNSUPPORTED = (
         "format client-side, or build a CASE chain over pow(1024, n) "
         "thresholds",
     ),
-    (
-        r"\bentropy\s*\(",
-        "entropy(x) (value-distribution Shannon entropy)",
-        "needs the value histogram first — use the docs_token_entropy "
-        "shape (GROUP BY value, then -sum(p * log2(p)) over the "
-        "frequency table)",
-    ),
+    # entropy(x): TRANSLATED since round 13 for the single-column
+    # form — Shannon entropy in bits over the group's value
+    # distribution, as the run-length closed form over the sorted
+    # group (log2(n) - sum(c*log2(c))/n; see _entropy_expr). The
+    # multi-column tuple form stays loud inside the handler.
     # quantileExactInclusive/Exclusive (+ plurals): TRANSLATED since
     # round 13 — ClickHouse documents them as Excel PERCENTILE.INC
     # (= percentile_cont = Spark's percentile()) and PERCENTILE.EXC
@@ -3503,6 +3503,17 @@ def translate(
     )
     out = _rewrite_curried(out, "quantilesExactInclusive", "percentile")
     out = _rewrite_curried(out, "quantileExactInclusive", "percentile")
+    # entropy(x) — Shannon entropy in bits of the group's value
+    # distribution: -sum((c/n)*log2(c/n)) = log2(n) - sum(c*log2(c))/n
+    # over value run-lengths, computed by a single fold over the
+    # SORTED group (equal values are adjacent after array_sort). The
+    # rewrite of log2(n)-... keeps n out of the lambda entirely.
+    # O(group) per-group materialization vs ClickHouse's O(distinct)
+    # hash map — the quantileExactWeighted contract class; DuckDB's
+    # own entropy() aggregate (same log2 definition) is the
+    # independent value check in pytest. Multi-column tuple
+    # distributions stay loud inside the handler.
+    out = _rewrite_calls(out, "entropy", _entropy_expr)
     out = _rewrite_curried(
         out,
         "quantilesTiming",
@@ -5312,6 +5323,45 @@ def _round_bucket_age(args: list[str]) -> str:
     x = args[0]
     whens = " ".join(f"WHEN ({x}) < {b} THEN {v}" for b, v in _AGE_BUCKETS)
     return f"(CASE {whens} ELSE 55 END)"
+
+
+def _entropy_expr(args: list[str]) -> str:
+    """Shannon entropy (bits) of the value distribution, as the
+    run-length closed form over the sorted group: with run counts c_i
+    of the n non-NULL values, entropy = log2(n) - sum(c_i*log2(c_i))/n
+    — algebraically identical to -sum((c/n)*log2(c/n)) but needing no
+    reference to n inside the fold. Empty group -> NULL (sibling
+    convention); a single-run group is exactly 0.0 (log2(1) = 0)."""
+    if len(args) != 1:
+        raise ValueError(
+            "entropy translates only the single-column form — the "
+            "multi-column tuple distribution has no closed Spark "
+            "spelling; GROUP BY the tuple and aggregate the "
+            "histogram explicitly (docs_token_entropy shape)"
+        )
+    x = args[0]
+    arr = f"array_sort(collect_list({x}))"
+    n = f"size({arr})"
+    zero = (
+        f"named_struct('prev', element_at({arr}, 1), "
+        f"'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS DOUBLE))"
+    )
+    step = (
+        "(__en_s, __en_e) -> CASE "
+        "WHEN __en_s.run = 0 THEN named_struct('prev', __en_e, "
+        "'run', CAST(1 AS BIGINT), 'acc', __en_s.acc) "
+        "WHEN __en_e <=> __en_s.prev THEN named_struct("
+        "'prev', __en_s.prev, 'run', __en_s.run + 1, "
+        "'acc', __en_s.acc) "
+        "ELSE named_struct('prev', __en_e, 'run', CAST(1 AS BIGINT), "
+        "'acc', __en_s.acc + __en_s.run * log2(__en_s.run)) END"
+    )
+    finish = "__en_s -> __en_s.acc + __en_s.run * log2(__en_s.run)"
+    total = f"aggregate({arr}, {zero}, {step}, {finish})"
+    return (
+        f"(CASE WHEN {n} = 0 THEN NULL "
+        f"ELSE log2({n}) - ({total}) / {n} END)"
+    )
 
 
 def _matrix_agg_handler(fn: str):

@@ -2618,7 +2618,10 @@ def test_probe_batch4_louds():
     for sql, frag in [
         ("SELECT runningDifference(x) FROM t", "lag"),
         ("SELECT formatReadableSize(n) FROM t", "presentation"),
-        ("SELECT entropy(x) FROM t", "docs_token_entropy"),
+        # entropy(x) left this list in round 13: translated as the
+        # run-length fold over the sorted group (test_entropy_values);
+        # the multi-column tuple form is still loud:
+        ("SELECT entropy(x, y) FROM t", "tuple"),
         ("SELECT quantileExactLow(0.5)(x) FROM t", "ELEMENTS"),
         ("SELECT IPv6NumToString(x) FROM t", "IPv6"),
         ("SELECT toTypeName(x) FROM t", "typeof"),
@@ -4024,3 +4027,57 @@ def test_matrix_aggregates(spark):
     # the perfectly linear pair pins the exact entries
     assert norm(got["cm"])[0][1] == 1.0
     assert norm(got["cp"])[0][0] == 1.25  # var_pop of 1..4
+
+
+def test_entropy_values(spark):
+    """r13 promotion: entropy(x) — Shannon entropy (bits) of the
+    group's value distribution via the run-length fold over the
+    sorted group. Checked against DuckDB's independent entropy()
+    aggregate (same log2 definition) at the round-9 float
+    normalization, plus the hand formula and edge conventions."""
+    import math
+
+    import duckdb
+
+    src = (
+        "(SELECT 'a' AS v UNION ALL SELECT 'a' UNION ALL "
+        "SELECT 'b' UNION ALL SELECT 'c' UNION ALL SELECT 'c' "
+        "UNION ALL SELECT 'c')"
+    )
+    got = spark.sql(
+        translate(f"SELECT entropy(v) AS r FROM {src}")
+    ).collect()[0]["r"]
+    duck = duckdb.sql(f"SELECT entropy(v) FROM {src}").fetchone()[0]
+    hand = -(
+        2 / 6 * math.log2(2 / 6)
+        + 1 / 6 * math.log2(1 / 6)
+        + 3 / 6 * math.log2(3 / 6)
+    )
+    assert round(got, 9) == round(duck, 9) == round(hand, 9)
+    # numeric column, larger group, uniform distribution -> 2 bits
+    r3 = spark.sql(
+        translate(
+            "SELECT entropy(n % 4) AS r FROM "
+            "(SELECT explode(sequence(1, 100)) AS n)"
+        )
+    ).collect()[0]["r"]
+    assert round(r3, 9) == 2.0
+    # single-run group is exactly 0; all-NULL group -> NULL;
+    # NULL args skipped
+    row = spark.sql(
+        translate(
+            "SELECT entropy(x) AS a, entropy(y) AS b, "
+            "entropy(z) AS c FROM "
+            "(SELECT 5 AS x, CAST(NULL AS DOUBLE) AS y, 1.0 AS z "
+            "UNION ALL SELECT 5, NULL, NULL "
+            "UNION ALL SELECT 5, NULL, 2.0)"
+        )
+    ).collect()[0]
+    assert row["a"] == 0.0
+    assert row["b"] is None
+    assert round(row["c"], 9) == 1.0  # NULL skipped: two equal-p values
+
+
+def test_entropy_multi_column_stays_loud():
+    with pytest.raises(ValueError, match="tuple"):
+        translate("SELECT entropy(a, b) FROM t")

@@ -337,6 +337,11 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 promotion: entropy as the run-length fold (2-1-3 value
+    # histogram over 6 rows = 1.459147917 bits)
+    "SELECT entropy(v) AS r FROM (SELECT 'a' AS v UNION ALL "
+    "SELECT 'a' UNION ALL SELECT 'b' UNION ALL SELECT 'c' "
+    "UNION ALL SELECT 'c' UNION ALL SELECT 'c')",
     # r13 promotion: matrix aggregates = pairwise corr/covar sugar
     # (the linear pair pins corr = 1 / -1; covar_pop(x,x) = 1.25)
     "SELECT corrMatrix(x, y, z) AS cm, covarPopMatrix(x, z) AS cp, "
