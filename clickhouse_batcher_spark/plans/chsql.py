@@ -137,6 +137,8 @@ parser rather than silently misbehaving):
   corrMatrix/covarSampMatrix/covarPopMatrix -> nested array literals
   of the pairwise streaming aggregates; entropy(x) -> the run-length
   Shannon-entropy fold over the sorted group (tuple form stays
+  loud); arrayFill/arrayReverseFill -> carry folds matching the
+  documented scan (arraySplit and multi-array conditions stay
   loud)``
   (literal formats/units/separators;
   unknown codes and units are loud errors; dateDiff keeps ClickHouse's
@@ -1669,10 +1671,14 @@ _UNSUPPORTED = (
         "operators/fuzzy.py (deletion neighborhoods) or "
         "dedup_ngram_jaccard cover the fuzzy-match use cases",
     ),
+    # arrayFill/arrayReverseFill: TRANSLATED since round 13 for the
+    # single-array form (carry-forward/backward fold over the array —
+    # the documented ClickHouse scan, consecutive gaps carry the
+    # ALREADY-replaced value); multi-array conditions stay loud
+    # inside the handler. arraySplit stays loud below.
     (
-        r"\b(?:arrayFill|arrayReverseFill|arraySplit"
-        r"|arrayReverseSplit)\s*\(",
-        "arrayFill/arraySplit (stateful array scans)",
+        r"\barray(?:Reverse)?Split\s*\(",
+        "arraySplit/arrayReverseSplit (stateful array scans)",
         "no Spark builtin carries values between elements; express "
         "the scan as aggregate() explicitly (see the arrayCumSum "
         "translation for the accumulating-fold shape)",
@@ -3050,6 +3056,18 @@ def translate(
         "countEqual",
         lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
     )
+    # round-13b promotion: arrayFill/arrayReverseFill — ClickHouse's
+    # documented carry scan ("replaces arr[i] by arr[i-1] if func
+    # returns 0; the first element is not replaced"), where the doc's
+    # own example ([12, NULL, NULL] -> [12, 12, 12]) pins that
+    # consecutive gaps carry the ALREADY-replaced value — exactly an
+    # array-accumulating fold. The reverse form is the same fold over
+    # reverse(arr), reversed back. slice(arr, 1, 0) is the typed
+    # empty-array zero (array()'s element type would not unify). A
+    # NULL condition takes the replace branch (CASE semantics) — the
+    # UInt8-falsy convention. Multi-array conditions stay loud.
+    out = _rewrite_calls(out, "arrayReverseFill", _array_reverse_fill)
+    out = _rewrite_calls(out, "arrayFill", _array_fill)
     out = _rewrite_calls(
         out,
         "arrayCumSum",
@@ -5454,6 +5472,42 @@ def _hof_lambda_parts(lam: str) -> tuple[list[str], str]:
     else:
         plist = [params]
     return plist, body
+
+
+def _array_fill_expr(a: list[str], reverse: bool) -> str:
+    """Shared body for arrayFill/arrayReverseFill: carry fold over
+    the (possibly reversed) array; the user's own lambda parameter
+    is reused as the fold's element binder, so the condition body
+    needs no identifier substitution (bound name, no capture)."""
+    name = "arrayReverseFill" if reverse else "arrayFill"
+    if len(a) != 2:
+        raise ValueError(
+            f"{name} translates only the single-array form — zip the "
+            "arrays into structs first for a multi-array condition"
+        )
+    plist, body = _hof_lambda_parts(a[0])
+    if len(plist) != 1:
+        raise ValueError(
+            f"{name} translates only the single-array form — zip the "
+            "arrays into structs first for a multi-array condition"
+        )
+    p = plist[0]
+    src = f"reverse({a[1]})" if reverse else a[1]
+    fold = (
+        f"aggregate({src}, slice({src}, 1, 0), "
+        f"(__fl_acc, {p}) -> CASE WHEN size(__fl_acc) = 0 "
+        f"OR ({body}) THEN __fl_acc || array({p}) "
+        f"ELSE __fl_acc || array(element_at(__fl_acc, -1)) END)"
+    )
+    return f"reverse({fold})" if reverse else fold
+
+
+def _array_fill(a: list[str]) -> str:
+    return _array_fill_expr(a, reverse=False)
+
+
+def _array_reverse_fill(a: list[str]) -> str:
+    return _array_fill_expr(a, reverse=True)
 
 
 def _filter_two_arrays(a: list[str]) -> str:

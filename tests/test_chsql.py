@@ -3074,7 +3074,11 @@ def test_probe_batch10_louds():
 
     for q, frag in (
         ("SELECT ngramDistance(a, b) FROM t", "ngramDistance"),
-        ("SELECT arrayFill(x -> x > 0, a) FROM t", "arrayFill"),
+        # arrayFill/arrayReverseFill left this list in round 13:
+        # translated as the carry fold (test_array_fill_values); the
+        # split pair and multi-array conditions are still loud:
+        ("SELECT arraySplit(x -> x > 0, a) FROM t", "arraySplit"),
+        ("SELECT arrayFill((x, y) -> x > y, a, b) FROM t", "zip"),
         ("SELECT groupArrayInsertAt(x, i) FROM t", "groupArrayInsertAt"),
         ("SELECT proportionsZTest(1, 2, 3, 4, 0.9, 'u')", "z-test"),
         # corrMatrix left this list in round 13: translated as the
@@ -4081,3 +4085,28 @@ def test_entropy_values(spark):
 def test_entropy_multi_column_stays_loud():
     with pytest.raises(ValueError, match="tuple"):
         translate("SELECT entropy(a, b) FROM t")
+
+
+def test_array_fill_values(spark):
+    """r13 promotion: arrayFill/arrayReverseFill as carry folds.
+    The first case IS the ClickHouse documentation's own example —
+    its [12, NULL, NULL] -> [12, 12, 12] run pins that consecutive
+    gaps carry the ALREADY-replaced value, which the fold reproduces
+    by construction. First/last element is never replaced (trailing
+    NULLs survive the reverse form)."""
+    row = spark.sql(
+        translate(
+            "SELECT arrayFill(x -> isNotNull(x), "
+            "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL])"
+            " AS f, "
+            "arrayReverseFill(x -> isNotNull(x), "
+            "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL])"
+            " AS rf, "
+            "arrayFill(x -> x > 2, [5, 1, 2, 7]) AS g, "
+            "arrayFill(x -> x > 0, CAST(array() AS ARRAY<INT>)) AS e"
+        )
+    ).collect()[0]
+    assert row["f"] == [1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14]
+    assert row["rf"] == [1, 3, 3, 11, 12, 5, 5, 5, 6, 14, None, None]
+    assert row["g"] == [5, 5, 5, 7]
+    assert row["e"] == []

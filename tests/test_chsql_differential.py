@@ -337,6 +337,13 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 promotion: arrayFill carry folds (the ClickHouse docs' own
+    # example row, both directions)
+    "SELECT arrayFill(x -> isNotNull(x), "
+    "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL]) AS f, "
+    "arrayReverseFill(x -> isNotNull(x), "
+    "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL]) AS rf, "
+    "arrayFill(x -> x > 2, [5, 1, 2, 7]) AS g",
     # r13 promotion: entropy as the run-length fold (2-1-3 value
     # histogram over 6 rows = 1.459147917 bits)
     "SELECT entropy(v) AS r FROM (SELECT 'a' AS v UNION ALL "
