@@ -5203,6 +5203,12 @@ def translate(
     #    supported). String-key map access (m['k']) is key-based in
     #    both dialects and passes through.
     out = _rewrite_int_subscripts(out)
+    # 1b. The same 1-based/0-based trap on CALL-RESULT and
+    #     ARRAY-LITERAL subscripts (``groupArray(x)[1]``,
+    #     ``[10, 20][1]``): these previously passed through raw and
+    #     Spark evaluated ``[]`` 0-based — the silent off-by-one the
+    #     ident rewrite exists to kill, found live in round 13.
+    out = _rewrite_postfix_subscripts(out)
     # 2. ClickHouse [..] array literals -> Spark array(..) (Spark has
     #    no bracket array literal; without this every literal-bearing
     #    query died with an opaque parse error). A '[' right after an
@@ -5233,6 +5239,64 @@ def _rewrite_int_subscripts(out: str) -> str:
         repl = f"element_at({m.group(1)}, {m.group(2)})"
         out = out[: m.start()] + repl + out[m.end() :]
         pos = m.start() + len(repl)
+
+
+_POSTFIX_SUBSCRIPT_PAT = re.compile(r"[\)\]]\s*\[\s*(-?\d+)\s*\]")
+
+
+def _rewrite_postfix_subscripts(out: str) -> str:
+    """``f(..)[n]`` / ``[..][n]`` -> ``element_at(<head>, n)``.
+
+    Runs after the ident pass (so ``a[1][2]`` arrives here as
+    ``element_at(a, 1)[2]``, a call-result case) and BEFORE the
+    array-literal conversion (so ``[10, 20][1]``'s literal head is
+    still bracket-spelled; the wrap puts it after ``(`` where the
+    literal converter treats it as a literal again). The head is
+    found by a quote-aware backward walk to the matching opener,
+    extended over a preceding (qualified) callable name for the
+    ``)`` case; chained subscripts resolve left-to-right by
+    rescanning from the rewritten head. String-key map access
+    (``m['k']``) is key-based in both dialects and is untouched by
+    the integer-only pattern."""
+    pos = 0
+    while True:
+        m = _POSTFIX_SUBSCRIPT_PAT.search(out, pos)
+        if not m:
+            return out
+        if _in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
+        closer = out[m.start()]
+        open_ch = "(" if closer == ")" else "["
+        depth = 0
+        i = m.start()
+        while i >= 0:
+            c = out[i]
+            if c == "'":
+                i -= 1
+                while i >= 0 and out[i] != "'":
+                    i -= 1
+            elif c == closer:
+                depth += 1
+            elif c == open_ch:
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            # unbalanced (mid-rewrite fragment) — leave untouched
+            pos = m.end()
+            continue
+        start = i
+        if closer == ")":
+            j = start - 1
+            while j >= 0 and (out[j].isalnum() or out[j] in "_."):
+                j -= 1
+            start = j + 1
+        head = out[start : m.start() + 1]
+        repl = f"element_at({head}, {m.group(1)})"
+        out = out[:start] + repl + out[m.end() :]
+        pos = start
 
 
 def _bracket_literals(sql: str) -> str:

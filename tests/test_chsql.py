@@ -4110,3 +4110,32 @@ def test_array_fill_values(spark):
     assert row["rf"] == [1, 3, 3, 11, 12, 5, 5, 5, 6, 14, None, None]
     assert row["g"] == [5, 5, 5, 7]
     assert row["e"] == []
+
+
+def test_postfix_subscripts_one_based(spark):
+    """r13 live find: call-result and array-literal integer
+    subscripts previously passed through RAW, and Spark's [] is
+    0-BASED where ClickHouse's is 1-based — groupArray(x)[1] silently
+    returned the SECOND element. The postfix pass wraps them in
+    element_at like the ident pass always did; chains, negatives, and
+    parenthesized heads included. String-key map access stays raw."""
+    t = translate("SELECT groupArray(x)[1] AS f FROM t")
+    assert "element_at(collect_list(x), 1)" in t
+    assert "[1]" not in t
+    row = spark.sql(
+        translate(
+            "SELECT [10, 20, 30][1] AS lit1, [10, 20, 30][-1] AS ll, "
+            "arraySort(groupArray(v))[1] AS first_sorted, "
+            "arraySort(groupArray(v))[2] AS second_sorted, "
+            "splitByChar('-', 'a-b-c')[1] AS head, "
+            "[[1, 2], [3, 4]][2][1] AS chained FROM "
+            "(SELECT 3 AS v UNION ALL SELECT 1 UNION ALL SELECT 2)"
+        )
+    ).collect()[0]
+    assert row["lit1"] == 10  # 1-based: the FIRST element
+    assert row["ll"] == 30
+    assert row["first_sorted"] == 1 and row["second_sorted"] == 2
+    assert row["head"] == "a"
+    assert row["chained"] == 3
+    # string-key map access is key-based in both dialects: untouched
+    assert "m['k']" in translate("SELECT m['k'] FROM t")

@@ -337,6 +337,12 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 fix: 1-based subscripts on CALL RESULTS and literals (the
+    # raw Spark [] would be 0-based — silent off-by-one)
+    "SELECT [10, 20, 30][1] AS a, [10, 20, 30][-1] AS b, "
+    "arraySort(groupArray(v))[1] AS c, "
+    "splitByChar('-', 'a-b-c')[1] AS d FROM "
+    "(SELECT 3 AS v UNION ALL SELECT 1 UNION ALL SELECT 2)",
     # r13 promotion: arrayFill carry folds (the ClickHouse docs' own
     # example row, both directions)
     "SELECT arrayFill(x -> isNotNull(x), "
