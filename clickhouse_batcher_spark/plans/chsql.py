@@ -5204,11 +5204,13 @@ def translate(
     #    both dialects and passes through.
     out = _rewrite_int_subscripts(out)
     # 1b. The same 1-based/0-based trap on CALL-RESULT and
-    #     ARRAY-LITERAL subscripts (``groupArray(x)[1]``,
-    #     ``[10, 20][1]``): these previously passed through raw and
+    #     ARRAY-LITERAL subscripts and on EXPRESSION indices
+    #     (``groupArray(x)[1]``, ``[10, 20][1]``, ``a[i]``,
+    #     ``arr[n - 1]``): these previously passed through raw and
     #     Spark evaluated ``[]`` 0-based — the silent off-by-one the
-    #     ident rewrite exists to kill, found live in round 13.
-    out = _rewrite_postfix_subscripts(out)
+    #     ident rewrite exists to kill, found live in round 13 (a
+    #     corpus entry carried the 0-based value in its fixture pin).
+    out = _rewrite_expr_subscripts(out)
     # 2. ClickHouse [..] array literals -> Spark array(..) (Spark has
     #    no bracket array literal; without this every literal-bearing
     #    query died with an opaque parse error). A '[' right after an
@@ -5241,62 +5243,149 @@ def _rewrite_int_subscripts(out: str) -> str:
         pos = m.start() + len(repl)
 
 
-_POSTFIX_SUBSCRIPT_PAT = re.compile(r"[\)\]]\s*\[\s*(-?\d+)\s*\]")
+# Keywords that can legally precede a '[' without being a
+# subscriptable expression head (IN [1, 2] et al) — a bracket after
+# one of these is not a subscript and is left for the literal
+# converter / Spark's parser.
+_NON_SUBSCRIPT_KEYWORDS = frozenset(
+    "in values and or not then else when select from where by as on "
+    "using join between like distinct all any some exists case end "
+    "is null true false interval limit offset union array".split()
+)
 
 
-def _rewrite_postfix_subscripts(out: str) -> str:
-    """``f(..)[n]`` / ``[..][n]`` -> ``element_at(<head>, n)``.
+def _find_matching_bracket(sql: str, open_idx: int) -> int | None:
+    """Index of the ']' matching sql[open_idx] == '[', honoring
+    single-quoted strings; only bracket nesting counts (an index
+    expression may contain unrelated parentheses)."""
+    depth = 0
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
 
-    Runs after the ident pass (so ``a[1][2]`` arrives here as
-    ``element_at(a, 1)[2]``, a call-result case) and BEFORE the
-    array-literal conversion (so ``[10, 20][1]``'s literal head is
-    still bracket-spelled; the wrap puts it after ``(`` where the
-    literal converter treats it as a literal again). The head is
-    found by a quote-aware backward walk to the matching opener,
-    extended over a preceding (qualified) callable name for the
-    ``)`` case; chained subscripts resolve left-to-right by
-    rescanning from the rewritten head. String-key map access
-    (``m['k']``) is key-based in both dialects and is untouched by
-    the integer-only pattern."""
-    pos = 0
-    while True:
-        m = _POSTFIX_SUBSCRIPT_PAT.search(out, pos)
-        if not m:
-            return out
-        if _in_string(out, m.start()):
-            pos = m.start() + 1
+
+def _rewrite_expr_subscripts(out: str) -> str:
+    """Generalized 1-based subscript rewrite:
+    ``f(..)[idx]`` / ``[..][idx]`` / ``ident[idx]`` ->
+    ``element_at(<head>, idx)`` for ARBITRARY index expressions —
+    Spark's ``[]`` is 0-based on arrays, so every raw passthrough was
+    a silent off-by-one; ``element_at`` is 1-based on arrays and
+    key-based on maps, correct for both. Runs after the literal-int
+    ident pass (which handles the overwhelmingly common spelling) and
+    BEFORE the array-literal conversion (a literal head stays
+    bracket-spelled here; the wrap puts it after ``(`` where the
+    literal converter still treats it as a literal). Heads are found
+    by a quote-aware backward walk to the matching opener, extended
+    over a preceding qualified callable name for the ``)`` case;
+    chains resolve left-to-right by rescanning from the rewritten
+    head. Left untouched: pure string-literal keys (``m['k']`` is
+    key-based in both dialects), bracket contents with a top-level
+    comma (an argument list / malformed subscript), and brackets
+    following a bare SQL keyword (``IN [1, 2]``)."""
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if c == "'":
+            i += 1
+            while i < len(out) and out[i] != "'":
+                i += 1
+            i += 1
             continue
-        closer = out[m.start()]
-        open_ch = "(" if closer == ")" else "["
-        depth = 0
-        i = m.start()
-        while i >= 0:
-            c = out[i]
-            if c == "'":
-                i -= 1
-                while i >= 0 and out[i] != "'":
-                    i -= 1
-            elif c == closer:
-                depth += 1
-            elif c == open_ch:
-                depth -= 1
-                if depth == 0:
-                    break
-            i -= 1
-        if i < 0:
-            # unbalanced (mid-rewrite fragment) — leave untouched
-            pos = m.end()
+        if c != "[":
+            i += 1
             continue
-        start = i
-        if closer == ")":
-            j = start - 1
-            while j >= 0 and (out[j].isalnum() or out[j] in "_."):
-                j -= 1
-            start = j + 1
-        head = out[start : m.start() + 1]
-        repl = f"element_at({head}, {m.group(1)})"
-        out = out[:start] + repl + out[m.end() :]
-        pos = start
+        j = i - 1
+        while j >= 0 and out[j].isspace():
+            j -= 1
+        if j < 0 or not (out[j].isalnum() or out[j] in "_.)]"):
+            i += 1
+            continue
+        close = _find_matching_bracket(out, i)
+        if close is None:
+            i += 1
+            continue
+        idx = out[i + 1 : close].strip()
+        if (
+            not idx
+            or len(_split_top_level(idx)) != 1
+            or re.fullmatch(r"'(?:[^']|'')*'", idx)
+        ):
+            i += 1
+            continue
+        # find the head start
+        if out[j] == ")":
+            depth = 0
+            k = j
+            while k >= 0:
+                ch = out[k]
+                if ch == "'":
+                    k -= 1
+                    while k >= 0 and out[k] != "'":
+                        k -= 1
+                elif ch == ")":
+                    depth += 1
+                elif ch == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                i += 1
+                continue
+            start = k
+            k -= 1
+            while k >= 0 and (out[k].isalnum() or out[k] in "_."):
+                k -= 1
+            start = k + 1 if k + 1 < start else start
+        elif out[j] == "]":
+            depth = 0
+            k = j
+            while k >= 0:
+                ch = out[k]
+                if ch == "'":
+                    k -= 1
+                    while k >= 0 and out[k] != "'":
+                        k -= 1
+                elif ch == "]":
+                    depth += 1
+                elif ch == "[":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                i += 1
+                continue
+            start = k
+        else:
+            k = j
+            while k >= 0 and (out[k].isalnum() or out[k] in "_."):
+                k -= 1
+            start = k + 1
+            word = out[start : j + 1]
+            if word.lower() in _NON_SUBSCRIPT_KEYWORDS or not re.match(
+                r"[A-Za-z_]", word
+            ):
+                i += 1
+                continue
+        head = out[start : j + 1]
+        repl = f"element_at({head}, {idx})"
+        out = out[:start] + repl + out[close + 1 :]
+        i = start
+    return out
 
 
 def _bracket_literals(sql: str) -> str:

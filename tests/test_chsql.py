@@ -4139,3 +4139,28 @@ def test_postfix_subscripts_one_based(spark):
     assert row["chained"] == 3
     # string-key map access is key-based in both dialects: untouched
     assert "m['k']" in translate("SELECT m['k'] FROM t")
+
+
+def test_expression_subscripts_one_based(spark):
+    """The generalized pass also covers EXPRESSION indices (a[i],
+    arr[n - 1], groupArray(x)[n]) — previously raw, hence 0-based.
+    element_at is 1-based on arrays and key-based on maps, so every
+    head/index combination is correct; keyword-adjacent brackets
+    (IN [1, 2]) and pure string keys stay untouched."""
+    t = translate("SELECT a[i] FROM t")
+    assert t == "SELECT element_at(a, i) FROM t"
+    t = translate("SELECT a[b[i]] FROM t")
+    assert t == "SELECT element_at(a, element_at(b, i)) FROM t"
+    assert "IN array(1, 2)" in translate("SELECT x IN [1, 2] FROM t")
+    row = spark.sql(
+        translate(
+            "SELECT [10, 20, 30][n] AS a, "
+            "arraySort(groupArray(v))[n] AS b, "
+            "[5, 6, 7][n + 1] AS c FROM "
+            "(SELECT 3 AS v, 1 AS n UNION ALL SELECT 1, 1 "
+            "UNION ALL SELECT 2, 1) GROUP BY n"
+        )
+    ).collect()[0]
+    assert row["a"] == 10  # 1-based with a column index
+    assert row["b"] == 1
+    assert row["c"] == 6
