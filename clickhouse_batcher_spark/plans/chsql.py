@@ -992,6 +992,44 @@ def _count_capture_groups(pattern: str) -> int:
     return n
 
 
+def _null_propagating(fn: str):
+    """Wrap ``fn(args...)`` so any NULL argument yields NULL —
+    ClickHouse's ordinary-function convention for greatest/least,
+    where Spark's builtins skip NULLs instead."""
+
+    def handler(args: list[str]) -> str:
+        if len(args) < 2:
+            return f"{fn}({', '.join(args)})"
+        guard = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (
+            f"(CASE WHEN {guard} THEN NULL "
+            f"ELSE {fn}({', '.join(args)}) END)"
+        )
+
+    return handler
+
+
+def _extract_one(a: list[str]) -> str:
+    """ClickHouse 2-arg ``extract(haystack, pattern)``: returns the
+    FIRST subpattern's match if the regex has capture groups, else
+    the WHOLE match. For a literal pattern the group count is
+    countable at translate time (the extractGroups machinery), so
+    group-less patterns get regexp_extract index 0 — the r13 probe
+    found the old unconditional index 1 made Spark throw
+    'group count is 0' on them. Non-literal patterns keep index 1
+    (the dominant spelling); a group-less one still fails LOUDLY at
+    runtime, never silently. Standard SQL ``EXTRACT(unit FROM ts)``
+    has one comma-free argument and passes through untouched."""
+    if len(a) != 2:
+        return f"extract({', '.join(a)})"
+    m = re.fullmatch(r"'((?:[^']|'')*)'", a[1].strip(), re.DOTALL)
+    if m is None:
+        return f"regexp_extract({a[0]}, {a[1]}, 1)"
+    lit = m.group(1).replace("''", "'")
+    idx = 1 if _count_capture_groups(lit) >= 1 else 0
+    return f"regexp_extract({a[0]}, {a[1]}, {idx})"
+
+
 def _extract_groups(a: list[str]) -> str:
     """extractGroups(s, 'pattern') — r13 promotion for LITERAL
     patterns: the group count is countable at translate time, so the
@@ -2979,6 +3017,21 @@ def translate(
       ``lcm(0, n) = 0`` (matching DuckDB's builtins, which the
       differential corpus pins against) where ClickHouse documents
       throwing a division-by-zero error for zero arguments.
+    - ``round(x[, n])`` at exact .5 ties: ClickHouse uses banker's
+      rounding for FLOATS (round(2.5) = 2) but half-away-from-zero
+      for Decimals; Spark's round is HALF_UP for both. The argument
+      type is unknowable textually, so round passes through with
+      Spark's tie behavior — spell ``roundBankers`` (-> bround) when
+      the banker's convention is the point.
+    - ``reverse(s)`` on strings: ClickHouse reverses BYTES (garbage
+      on multibyte UTF-8; reverseUTF8 is its char-wise form); Spark
+      reverses characters, i.e. reverse == reverseUTF8 here. Array
+      reversal is identical in both.
+    - ``locate``: passes through with Spark's (needle, haystack)
+      order, which matches ClickHouse >= 23.8's MySQL-compatible
+      signature; older servers used (haystack, needle) — spell
+      ``position(haystack, needle)`` (arg-swapped by the
+      translation) to be version-proof.
     """
     # Constant-WITH inlining runs FIRST: _clauses' loud scan rejects
     # any literal WITH it still sees (nested scopes stay loud).
@@ -3768,18 +3821,7 @@ def translate(
     )
     out = _rewrite_calls(out, "multiIf", _multi_if)
     out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
-    out = _rewrite_calls(
-        out,
-        "extract",
-        # Only the 2-arg ClickHouse regex form; standard SQL
-        # EXTRACT(unit FROM ts) has one comma-free argument and passes
-        # through untouched.
-        lambda a: (
-            f"regexp_extract({a[0]}, {a[1]}, 1)"
-            if len(a) == 2
-            else f"extract({', '.join(a)})"
-        ),
-    )
+    out = _rewrite_calls(out, "extract", _extract_one)
     out = _rewrite_calls(out, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
     out = _rewrite_calls(
         out,
@@ -5203,6 +5245,25 @@ def translate(
     #    supported). String-key map access (m['k']) is key-based in
     #    both dialects and passes through.
     out = _rewrite_int_subscripts(out)
+    # ClickHouse greatest/least NULL-PROPAGATE (ordinary functions:
+    # any NULL argument -> NULL) where Spark's greatest/least SKIP
+    # NULLs — same name, silently different results on nullable
+    # inputs (r13 probe find). Wrap every call — user-written AND
+    # fragments emitted by the rewrites above — with an any-arg-NULL
+    # guard; for the emitted fragments the wrap is value-equivalent
+    # (their clamp/bound arguments are literals or non-NULL counts)
+    # and for quantileTiming's saturation clamp it is a FIX: the raw
+    # least(x, 30000) turned a NULL input into a counted 30000 where
+    # ClickHouse skips NULL rows. skip_if_prefix keeps the pass a
+    # fixpoint on re-translation (the emitted guard's own
+    # 'THEN NULL ELSE fn(..)' is not re-wrapped).
+    for _gl in ("greatest", "least"):
+        out = _rewrite_calls(
+            out,
+            _gl,
+            _null_propagating(_gl),
+            skip_if_prefix="then null else ",
+        )
     # 1b. The same 1-based/0-based trap on CALL-RESULT and
     #     ARRAY-LITERAL subscripts and on EXPRESSION indices
     #     (``groupArray(x)[1]``, ``[10, 20][1]``, ``a[i]``,

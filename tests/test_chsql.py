@@ -4164,3 +4164,51 @@ def test_expression_subscripts_one_based(spark):
     assert row["a"] == 10  # 1-based with a column index
     assert row["b"] == 1
     assert row["c"] == 6
+
+
+def test_greatest_least_null_propagation(spark):
+    """r13 probe find: ClickHouse greatest/least NULL-PROPAGATE (any
+    NULL argument -> NULL, the ordinary-function convention) where
+    Spark's builtins SKIP NULLs — same name, silently different
+    results. The end-of-pipeline guard wraps user calls AND emitted
+    fragments (value-equivalent for literal/count bounds; a FIX for
+    quantileTiming, whose raw least(x, 30000) counted a NULL input
+    as 30000 where ClickHouse skips NULL rows); skip_if_prefix keeps
+    re-translation a fixpoint."""
+    row = spark.sql(
+        translate(
+            "SELECT greatest(1, NULL) AS g, least(2, NULL) AS l, "
+            "greatest(1, 2, 3) AS g3, least(7, 5, 9) AS l3"
+        )
+    ).collect()[0]
+    assert row["g"] is None and row["l"] is None
+    assert row["g3"] == 3 and row["l3"] == 5
+    # quantileTiming's clamp is wrapped too: NULL inputs now SKIPPED
+    # (CH semantics) instead of clamped to a counted 30000
+    t = translate(
+        "SELECT quantileTiming(0.5)(value) AS qt FROM "
+        "(SELECT 99.0 AS value UNION ALL SELECT CAST(NULL AS DOUBLE))"
+    )
+    assert translate(t) == t  # fixpoint with the wrap in place
+    assert float(spark.sql(t).collect()[0]["qt"]) == 99.0
+
+
+def test_extract_groupless_whole_match(spark):
+    """r13 probe find: ClickHouse's 2-arg extract returns the WHOLE
+    match when the literal pattern has no capture groups — the old
+    unconditional group-1 index made Spark throw 'group count is 0'.
+    Group-ful patterns keep the first subpattern; no match -> ''."""
+    row = spark.sql(
+        translate(
+            r"SELECT extract('abc123', '\\d+') AS whole, "
+            r"extract('abc123', '([a-z]+)(\\d+)') AS grp, "
+            r"extract('nope', '\\d+') AS miss"
+        )
+    ).collect()[0]
+    assert row["whole"] == "123"
+    assert row["grp"] == "abc"  # first subpattern, CH semantics
+    assert row["miss"] == ""
+    # standard SQL EXTRACT(unit FROM ts) still passes through
+    assert "extract(YEAR FROM" in translate(
+        "SELECT extract(YEAR FROM ts) FROM events"
+    )

@@ -337,6 +337,14 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 fixes: greatest/least NULL propagation (CH: any NULL arg ->
+    # NULL; raw Spark would skip them) and 2-arg extract's whole-match
+    # form for group-less literal patterns
+    "SELECT greatest(1, NULL) AS g, least(2, NULL) AS l, "
+    "greatest(1, 2, 3) AS g3, least(7, 5, 9) AS l3",
+    r"SELECT extract('abc123', '\\d+') AS whole, "
+    r"extract('abc123', '([a-z]+)(\\d+)') AS grp, "
+    r"extract('nope', '\\d+') AS miss",
     # r13 fix: 1-based subscripts on CALL RESULTS and literals (the
     # raw Spark [] would be 0-based — silent off-by-one)
     "SELECT [10, 20, 30][1] AS a, [10, 20, 30][-1] AS b, "
