@@ -3032,6 +3032,11 @@ def translate(
       signature; older servers used (haystack, needle) — spell
       ``position(haystack, needle)`` (arg-swapped by the
       translation) to be version-proof.
+    - ``lower``/``upper``: ClickHouse's are ASCII-ONLY (multibyte
+      code points pass through unchanged); Spark's are full Unicode,
+      i.e. this engine treats lower as lowerUTF8 (which translates
+      to the same builtin). Identical on ASCII text; spell the
+      intent with lowerUTF8/upperUTF8 where it matters.
     """
     # Constant-WITH inlining runs FIRST: _clauses' loud scan rejects
     # any literal WITH it still sees (nested scopes stay loud).
@@ -4670,7 +4675,10 @@ def translate(
             f"(CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN "
             f"concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
             f"{a[2]}, substring({a[0]}, locate({a[1]}, {a[0]}) + "
-            f"length({a[1]}))) ELSE {a[0]} END)"
+            # char_length, NOT length: locate() is a CHAR index, and
+            # the user-facing length -> octet_length (bytes) rewrite
+            # at the end of the pipeline must not touch this splice
+            f"char_length({a[1]}))) ELSE {a[0]} END)"
         ),
     )
     out = _rewrite_calls(
@@ -5264,6 +5272,19 @@ def translate(
             _null_propagating(_gl),
             skip_if_prefix="then null else ",
         )
+    # ClickHouse length(s) counts BYTES ("not characters or Unicode
+    # code points" — its docs' own emphasis); Spark's length() counts
+    # CHARACTERS — silent value divergence on any multibyte string
+    # (r13 probe find). octet_length is Spark's exact byte spelling;
+    # lengthUTF8/char_length stay char-wise (emitted as char_length,
+    # which this word-boundary pattern cannot match — fixpoint-safe).
+    # Arrays: ClickHouse length(arr) is the element count, but
+    # Spark's length AND octet_length both reject arrays loudly, so
+    # that spelling fails the same way it always did (use size/
+    # arrayCount). Emitted emptiness/substring-count fragments above
+    # are byte/char-equivalent; replaceOne's char-index splice
+    # deliberately emits char_length.
+    out = _rewrite_calls(out, "length", lambda a: f"octet_length({a[0]})")
     # 1b. The same 1-based/0-based trap on CALL-RESULT and
     #     ARRAY-LITERAL subscripts and on EXPRESSION indices
     #     (``groupArray(x)[1]``, ``[10, 20][1]``, ``a[i]``,

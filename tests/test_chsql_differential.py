@@ -337,6 +337,9 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 fix: length counts BYTES in ClickHouse (lengthUTF8 chars)
+    "SELECT length('héllo') AS b, lengthUTF8('héllo') AS c, "
+    "length('abc') AS a",
     # r13 fixes: greatest/least NULL propagation (CH: any NULL arg ->
     # NULL; raw Spark would skip them) and 2-arg extract's whole-match
     # form for group-less literal patterns
