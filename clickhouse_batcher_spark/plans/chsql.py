@@ -3334,7 +3334,10 @@ def translate(
     out = _rewrite_calls(
         out,
         "toMonday",
-        lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
+        _tz_loud(
+            "toMonday",
+            lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)",
+        ),
     )
     out = _rewrite_calls(
         out,
@@ -3400,13 +3403,19 @@ def translate(
     out = _rewrite_calls(
         out,
         "toYYYYMMDD",
-        lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)",
+        _tz_loud(
+            "toYYYYMMDD",
+            lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)",
+        ),
     )
     out = _rewrite_calls(
         out,
         "toYYYYMMDDhhmmss",
-        lambda a: (
-            f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        _tz_loud(
+            "toYYYYMMDDhhmmss",
+            lambda a: (
+                f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+            ),
         ),
     )
     out = _rewrite_calls(
@@ -3654,7 +3663,9 @@ def translate(
     out = _rewrite_calls(out, "median", lambda a: f"percentile({a[0]}, 0.5)")
     for ch, unit in _TRUNC_UNITS.items():
         out = _rewrite_calls(
-            out, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})"
+            out,
+            ch,
+            _tz_loud(ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})"),
         )
     out = _rewrite_calls(out, "toStartOfWeek", _to_start_of_week)
 
@@ -3791,18 +3802,59 @@ def translate(
     # follows spark.sql.ansi.enabled (documented best-effort mapping)
     out = _rewrite_calls(out, "accurateCast", _accurate_cast_strict)
     out = _rewrite_calls(
-        out, "toYYYYMM", lambda a: f"date_format({a[0]}, 'yyyyMM')"
+        out,
+        "toYYYYMM",
+        _tz_loud("toYYYYMM", lambda a: f"date_format({a[0]}, 'yyyyMM')"),
     )
-    out = _rewrite_calls(out, "toDateTime", lambda a: f"CAST({a[0]} AS TIMESTAMP)")
-    out = _rewrite_calls(out, "toDate", lambda a: f"CAST({a[0]} AS DATE)")
+    out = _rewrite_calls(
+        out,
+        "toDateTime",
+        _tz_loud("toDateTime", lambda a: f"CAST({a[0]} AS TIMESTAMP)"),
+    )
+    out = _rewrite_calls(
+        out, "toDate", _tz_loud("toDate", lambda a: f"CAST({a[0]} AS DATE)")
+    )
     for ch, sp in _INT_CASTS.items():
-        out = _rewrite_calls(out, ch, lambda a, t=sp: f"CAST({a[0]} AS {t})")
-    out = _rewrite_calls(out, "now", lambda a: "current_timestamp()")
+        out = _rewrite_calls(
+            out,
+            ch,
+            # toString(ts, 'tz') renders in an explicit timezone —
+            # silently dropping the argument would shift the value
+            # (r13 probe find); the numeric casts have no 2-arg form.
+            lambda a, t=sp, f=ch: f"CAST({a[0]} AS {t})"
+            if len(a) == 1
+            else _raise(
+                ValueError(
+                    f"ClickHouse {f} with {len(a)} arguments has no "
+                    "Spark translation — the timezone-rendering form "
+                    "needs convert_timezone()/date_format spelled "
+                    "deliberately"
+                )
+            ),
+        )
+    out = _rewrite_calls(
+        out,
+        "now",
+        # now(tz) renders the clock in an explicit server timezone —
+        # Spark timestamps carry no zone, so dropping the argument
+        # would silently shift the rendered value (r13 probe find).
+        lambda a: "current_timestamp()"
+        if not a
+        else _raise(
+            ValueError(
+                "ClickHouse now(timezone) has no Spark translation — "
+                "Spark session time is zoneless; use now() and "
+                "convert_timezone()/from_utc_timestamp deliberately"
+            )
+        ),
+    )
     out = _rewrite_calls(out, "today", lambda a: "current_date()")
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
     out = _rewrite_calls(out, "empty", lambda a: f"(length({a[0]}) = 0)")
     for ch, sp in _DATE_PARTS.items():
-        out = _rewrite_calls(out, ch, lambda a, s=sp: f"{s}({a[0]})")
+        out = _rewrite_calls(
+            out, ch, _tz_loud(ch, lambda a, s=sp: f"{s}({a[0]})")
+        )
     out = _rewrite_calls(
         out,
         "toDayOfWeek",
@@ -4158,6 +4210,12 @@ def translate(
         lambda a: (
             f"locate({a[1]}, {a[0]})"
             if len(a) == 2
+            # 3-arg form: the start_pos rides along (both dialects'
+            # start is a 1-based char index) — the raw passthrough
+            # would hit Spark's REVERSED (needle, haystack, pos)
+            # roles, the r13 probe's silent-swap find.
+            else f"locate({a[1]}, {a[0]}, {a[2]})"
+            if len(a) == 3
             else f"position({', '.join(a)})"
         ),
     )
@@ -4236,9 +4294,15 @@ def translate(
         ),
     )
     out = _rewrite_calls(
-        out, "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"
+        out,
+        "toStartOfQuarter",
+        _tz_loud(
+            "toStartOfQuarter", lambda a: f"date_trunc('quarter', {a[0]})"
+        ),
     )
-    out = _rewrite_calls(out, "toQuarter", lambda a: f"quarter({a[0]})")
+    out = _rewrite_calls(
+        out, "toQuarter", _tz_loud("toQuarter", lambda a: f"quarter({a[0]})")
+    )
     out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
     out = _rewrite_calls(
         out, "toUnixTimestamp", lambda a: f"unix_timestamp({a[0]})"
@@ -4335,7 +4399,11 @@ def translate(
     out = _rewrite_calls(
         out,
         "arrayCount",
-        lambda a: f"size(filter({a[1]}, {a[0]}))"
+        # 1-arg form: ClickHouse counts the TRUTHY elements (non-zero,
+        # non-NULL — a NULL comparison result drops out of filter).
+        lambda a: f"size(filter({a[0]}, __ac -> __ac != 0))"
+        if len(a) == 1
+        else f"size(filter({a[1]}, {a[0]}))"
         if len(a) == 2
         else (
             f"size(filter(zip_with({a[1]}, {a[2]}, {a[0]}), "
@@ -6145,6 +6213,25 @@ _DATE_PARTS = {
     "toMinute": "minute",
     "toSecond": "second",
 }
+
+
+def _tz_loud(ch: str, render):
+    """Wrap a 1-arg date-family handler so ClickHouse's optional
+    trailing-TIMEZONE argument goes LOUD: Spark timestamps are
+    zoneless, and the old behavior of silently dropping the argument
+    shifted every rendered value by the zone offset (r13 probe
+    find — toDate(ts, 'UTC') et al simply ignored the 'UTC')."""
+
+    def handler(a: list[str]) -> str:
+        if len(a) == 1:
+            return render(a)
+        raise ValueError(
+            f"ClickHouse {ch}(x, timezone) has no Spark translation "
+            "— Spark timestamps are zoneless; convert_timezone() "
+            "first, deliberately"
+        )
+
+    return handler
 
 
 def _multi_if(args: list[str]) -> str:

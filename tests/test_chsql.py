@@ -4233,3 +4233,38 @@ def test_length_byte_semantics(spark):
     assert row["c"] == 5
     assert row["a"] == 3
     assert row["e"] is True and row["n"] == 3
+
+
+def test_position_start_and_array_count_truthy(spark):
+    """r13 probe finds: (1) 3-arg position(haystack, needle, start)
+    previously passed through raw into Spark's REVERSED
+    (needle, haystack, start) roles — a silent swap; it now lowers
+    to locate like the 2-arg form (both dialects' start is a 1-based
+    char index). (2) 1-arg arrayCount counts TRUTHY elements
+    (non-zero, non-NULL) in ClickHouse; it went loud with the wrong
+    multi-array message before."""
+    row = spark.sql(
+        translate(
+            "SELECT position('haystack', 'a', 3) AS p, "
+            "position('haystack', 'hay') AS p2, "
+            "arrayCount([1, 0, 2, NULL]) AS c, "
+            "arrayCount(x -> x > 1, [1, 2, 3]) AS cl"
+        )
+    ).collect()[0]
+    assert row["p"] == 6  # the SECOND 'a', searching from char 3
+    assert row["p2"] == 1
+    assert row["c"] == 2  # 1 and 2 are truthy; 0 and NULL are not
+    assert row["cl"] == 2
+
+
+def test_timezone_rendering_forms_stay_loud():
+    """now(tz) / toString(x, tz) render in an explicit server
+    timezone — Spark timestamps are zoneless, so dropping the
+    argument (the old behavior) silently shifted values."""
+    for bad in (
+        "SELECT now('UTC')",
+        "SELECT toString(ts, 'UTC') FROM t",
+        "SELECT toDate(ts, 'UTC') FROM t",
+    ):
+        with pytest.raises(ValueError):
+            translate(bad)
