@@ -2812,16 +2812,20 @@ _IP_OCTET = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
 
 
 def _fold_arg(fname: str, args: list[str]) -> str:
-    """The 1-arg array for the fold family; the 2-arg higher-order
-    ClickHouse form (``arraySum(x -> ..., arr)``) is recognized and
-    rejected loudly rather than emitting SQL Spark cannot analyze."""
-    if len(args) != 1:
-        raise ValueError(
-            f"ClickHouse {fname}(lambda, array) higher-order form has no "
-            f"direct Spark translation here — apply arrayMap first, then "
-            f"the 1-arg {fname}"
-        )
-    return args[0]
+    """The source array for the fold family. The 2-arg higher-order
+    ClickHouse form (``arraySum(x -> .., arr)``) maps the lambda
+    first — ``transform(arr, lam)`` is the exact Spark spelling
+    (r13 promotion; previously loud). Multi-array lambdas stay
+    loud."""
+    if len(args) == 1:
+        return args[0]
+    if len(args) == 2 and "->" in args[0]:
+        return f"transform({args[1]}, {args[0]})"
+    raise ValueError(
+        f"ClickHouse {fname} over multiple arrays has no Spark "
+        "translation — zip_with the arrays into structs first, then "
+        f"the 1-arg {fname}"
+    )
 
 
 def _nest_binary(fn: str, args: list[str]) -> str:
@@ -4305,7 +4309,11 @@ def translate(
     )
     out = _rewrite_calls(out, "toDayOfYear", lambda a: f"dayofyear({a[0]})")
     out = _rewrite_calls(
-        out, "toUnixTimestamp", lambda a: f"unix_timestamp({a[0]})"
+        out,
+        "toUnixTimestamp",
+        # the 2-arg form parses/interprets in an explicit timezone —
+        # dropping it silently shifts string-input epochs (r13 probe)
+        _tz_loud("toUnixTimestamp", lambda a: f"unix_timestamp({a[0]})"),
     )
     out = _rewrite_calls(
         out,
@@ -4461,10 +4469,12 @@ def translate(
     out = _rewrite_calls(
         out,
         "arrayAvg",
-        # caveat: empty array is NULL here; ClickHouse returns NaN
+        # caveat: empty array is NULL here; ClickHouse returns NaN.
+        # The divisor uses the SAME _fold_arg source so the 2-arg
+        # lambda form divides by the array size, not size(<lambda>).
         lambda a: (
             f"(aggregate({_fold_arg('arrayAvg', a)}, CAST(0 AS DOUBLE),"
-            f" (acc, e) -> acc + e) / size({a[0]}))"
+            f" (acc, e) -> acc + e) / size({_fold_arg('arrayAvg', a)}))"
         ),
     )
     out = _rewrite_calls(

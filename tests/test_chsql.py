@@ -1425,15 +1425,18 @@ def test_query_string_and_fragment_edge_cases(spark, sf_dir):
     assert got["neither"] == ""
 
 
-def test_array_fold_lambda_form_is_loud():
+def test_array_fold_lambda_form_translates():
+    """Single-array lambda forms left the loud list in round 13
+    (test_array_fold_lambda_forms has the executed values); only the
+    multi-array spelling stays loud."""
     import pytest
 
     from clickhouse_batcher_spark.plans.chsql import translate
 
-    with pytest.raises(ValueError, match="arrayMap first"):
-        translate("SELECT arraySum(x -> x * 2, array(1, 2)) FROM t")
-    with pytest.raises(ValueError, match="arrayMap first"):
-        translate("SELECT arrayMin(x -> -x, xs) FROM t")
+    t = translate("SELECT arraySum(x -> x * 2, array(1, 2)) FROM t")
+    assert "transform(array(1, 2), x -> x * 2)" in t
+    with pytest.raises(ValueError, match="multiple arrays"):
+        translate("SELECT arrayMin((x, y) -> x + y, xs, ys) FROM t")
 
 
 def test_array_reduce(spark, sf_dir):
@@ -4268,3 +4271,27 @@ def test_timezone_rendering_forms_stay_loud():
     ):
         with pytest.raises(ValueError):
             translate(bad)
+
+
+def test_array_fold_lambda_forms(spark):
+    """r13 promotion: the fold family's 2-arg higher-order forms
+    (arrayMin/Max/Sum/Avg/Product(lambda, arr)) map the lambda first
+    via transform() — previously loud. arrayAvg divides by the SAME
+    transformed source, not size(<lambda>); multi-array lambdas stay
+    loud; the tz-bearing toUnixTimestamp joins the loud family."""
+    row = spark.sql(
+        translate(
+            "SELECT arrayMin(x -> -x, [1, 2]) AS m, "
+            "arraySum(x -> x * 2, [1, 2]) AS s, "
+            "arrayAvg(x -> x * 2, [1, 2, 3]) AS a, "
+            "arrayProduct(x -> x + 1, [1, 2]) AS p"
+        )
+    ).collect()[0]
+    assert row["m"] == -2
+    assert row["s"] == 6.0
+    assert row["a"] == 4.0
+    assert row["p"] == 6.0
+    with pytest.raises(ValueError, match="multiple arrays"):
+        translate("SELECT arraySum((x, y) -> x + y, a, b) FROM t")
+    with pytest.raises(ValueError, match="timezone"):
+        translate("SELECT toUnixTimestamp(ts, 'UTC') FROM t")

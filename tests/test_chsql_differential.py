@@ -337,6 +337,15 @@ DIFFERENTIAL_CORPUS = [
     "(SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 "
     "UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 UNION ALL SELECT 6.0 "
     "UNION ALL SELECT 7.0 UNION ALL SELECT 8.0 UNION ALL SELECT 9.0)",
+    # r13 promotion: fold-family higher-order forms map the lambda
+    # first (arraySum(f, a) == arraySum(arrayMap(f, a)))
+    "SELECT arrayMin(x -> -x, [1, 2]) AS m, "
+    "arraySum(x -> x * 2, [1, 2]) AS s, "
+    "arrayAvg(x -> x * 2, [1, 2, 3]) AS a",
+    # r13 fix: 3-arg position keeps ClickHouse's (haystack, needle,
+    # start) roles; 1-arg arrayCount counts truthy elements
+    "SELECT position('haystack', 'a', 3) AS p, "
+    "arrayCount([1, 0, 2]) AS c",
     # r13 fix: length counts BYTES in ClickHouse (lengthUTF8 chars)
     "SELECT length('héllo') AS b, lengthUTF8('héllo') AS c, "
     "length('abc') AS a",
