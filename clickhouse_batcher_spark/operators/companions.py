@@ -148,13 +148,16 @@ def bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("syms")
     )
-    enc = F.col("syms")
-    for a, b in merges:
-        enc = N._merge_fold(enc, a, b)
-    restored = F.flatten(F.transform(enc, lambda s: F.split(s, " ")))
-    return docs.select(
+    # one chained-replace pass in its own projection (see
+    # ngrams.bpe_encode_docs): the two consumers below reference the
+    # attribute instead of duplicating the chain
+    enc_df = docs.withColumn(
+        "_enc", N._merge_fold_chain("syms", merges)
+    )
+    restored = F.flatten(F.transform("_enc", lambda s: F.split(s, " ")))
+    return enc_df.select(
         (restored != F.col("syms")).alias("bad_roundtrip"),
-        (F.size(enc) > F.size("syms")).alias("inflated"),
+        (F.size("_enc") > F.size("syms")).alias("inflated"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("bad_roundtrip").cast("bigint"))
@@ -198,6 +201,11 @@ def unigram_encode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ASCII whitespace, matching the learn side (see
         # unigram_lm_encode_docs for why not Python \s).
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        # per-task word verdict memo (round-13, guide §4.5): the
+        # (empty, bad_concat) verdict is a pure function of the word —
+        # compute it once per distinct word per task (Zipf working
+        # set), bounded against pathological vocabularies.
+        verdict_memo: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -205,11 +213,19 @@ def unigram_encode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bad_concat = 0
                 empty = 0
                 for w in words:
-                    pieces = viterbi(w, scores, max_len)
-                    if not pieces:
-                        empty += 1
-                    elif "".join(pieces) != w:
-                        bad_concat += 1
+                    v = verdict_memo.get(w)
+                    if v is None:
+                        pieces = viterbi(w, scores, max_len)
+                        v = (
+                            0 if pieces else 1,
+                            1
+                            if pieces and "".join(pieces) != w
+                            else 0,
+                        )
+                        if len(verdict_memo) < 65536:
+                            verdict_memo[w] = v
+                    empty += v[0]
+                    bad_concat += v[1]
                 out.append((int(doc_id), bad_concat, empty))
             yield pd.DataFrame(
                 out, columns=["doc_id", "bad_concat", "empty_pieces"]

@@ -226,6 +226,22 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verified-pair memo (round-13): minhash_recall_curve (the "truth"
+    # side) and dedup_consensus both re-derived this exact pair frame;
+    # materialize once per (session, sf_dir) — clearCache-proof
+    # localCheckpoint, same discipline as _SHINGLE_MEMO above.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _JACCARD_PAIRS_MEMO.get(key)
+    if df is None:
+        df = _ngram_jaccard_build(spark, sf_dir).localCheckpoint()
+        _JACCARD_PAIRS_MEMO[key] = df
+    return df
+
+
+_JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _shingles_cached(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Pair generation without a self-join: group each rare shingle's
@@ -475,7 +491,7 @@ def evict_memos(sf_dir: str | None = None) -> int:
     lineage to recompute from); every consumer must re-enter through
     the getter, which rebuilds."""
     released = 0
-    for memo in (_SHINGLE_MEMO, _MINHASH_PAIRS_MEMO):
+    for memo in (_SHINGLE_MEMO, _MINHASH_PAIRS_MEMO, _JACCARD_PAIRS_MEMO):
         for key in [
             k for k in memo if sf_dir is None or k[1] == sf_dir
         ]:

@@ -449,6 +449,10 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order sort key (lift, together, part_a, part_b) makes the
     top-k hash-stable.
     """
+    # NOT cached (round-13 measured): AQE's ReusedExchange already
+    # dedupes the distinct across the four consumers; an explicit
+    # cache measured neutral-to-slower (the round-10 persist-campaign
+    # lesson — static plan counts overstate recompute).
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -628,6 +632,10 @@ def coactivity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for r in range(2, KCORE_ROUNDS + 1):
         rem = next_rem(rem)
+        # the r == KCORE_ROUNDS cut is NOT wasted: within(rem)
+        # references rem twice (src + dst semi-joins), so the final
+        # action would otherwise compute the 3-round chained plan
+        # twice — once per broadcast build
         if r % 3 == 0:
             rem = _cut_lineage(rem)
     core = (

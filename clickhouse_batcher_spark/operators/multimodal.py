@@ -652,19 +652,32 @@ def resize_media(media: DataFrame) -> DataFrame:
     codecs = _build_codecs()  # driver-side: dict values pickle by value
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def one(payload):
             png = codecs["png_decode"](payload)
             if png is None or png[4] is None or png[2] != 3:
                 return payload, 0, 0  # pass through non-decodable
             w, h, ch, _depth, px = png
-            out = bytearray()
-            for y in range(rh):
-                sy = y * h // rh
-                for x in range(rw):
-                    sx = x * w // rw
-                    base = (sy * w + sx) * 3
-                    out += px[base : base + 3]
-            return codecs["png_encode"](rw, rh, bytes(out)), rw, rh
+            # vectorized nearest-neighbor resample (round-13): same
+            # source index per target pixel as the former per-pixel
+            # Python loop (sy = y*h//rh, sx = x*w//rw), row-major
+            # tobytes == the loop's append order — byte-identical
+            # output, ~100x less Python per image
+            raw = bytes(px)
+            if len(raw) == h * w * 3:
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                sy = (np.arange(rh) * h) // rh
+                sx = (np.arange(rw) * w) // rw
+                out = arr[np.ix_(sy, sx)].tobytes()
+            else:  # malformed pixel buffer: keep the tolerant slice path
+                buf = bytearray()
+                for y in range(rh):
+                    for x in range(rw):
+                        base = ((y * h // rh) * w + (x * w // rw)) * 3
+                        buf += raw[base : base + 3]
+                out = bytes(buf)
+            return codecs["png_encode"](rw, rh, out), rw, rh
 
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)

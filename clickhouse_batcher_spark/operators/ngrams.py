@@ -331,15 +331,34 @@ def _merge_fold(syms_col, a: str, b: str):
     cases) is pinned by tests/test_ngrams_unigram.py's sequential
     re-encode plus the randomized fold-equivalence test.
     """
-    merged = f"{a} {b}"
+    return _merge_fold_chain(syms_col, [(a, b)])
+
+
+def _merge_fold_chain(syms_col, merges: list[tuple[str, str]]):
+    """Apply a whole merge sequence with ONE array->string round trip.
+
+    Each merge is one linear ``replace`` on the tab-framed string; the
+    string threads through all k replaces with every intermediate
+    referenced exactly once (``btrim`` strips the frame in a single
+    reference — ``substr(2, length-2)`` would reference it twice and
+    double the chain). Chaining the ARRAY form instead (k nested
+    _merge_fold calls) re-references each level's input 3x (empty
+    guard, join, otherwise), i.e. 3^k copies of the base subtree in
+    the expression tree — measured as most of bpe_roundtrip_violations'
+    remaining cost after the linear fold landed.
+    """
     col = F.col(syms_col) if isinstance(syms_col, str) else syms_col
-    joined = F.concat(F.lit("\t"), F.array_join(col, "\t\t"), F.lit("\t"))
-    replaced = F.replace(
-        joined, F.lit(f"\t{a}\t\t{b}\t"), F.lit(f"\t{merged}\t")
+    if not merges:
+        return col
+    s = F.concat(F.lit("\t"), F.array_join(col, "\t\t"), F.lit("\t"))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"\t{a}\t\t{b}\t"), F.lit(f"\t{a} {b}\t"))
+    # symbols are non-empty and tab-free, so the frame is exactly one
+    # tab each side; empty array: array_join gives "" and split would
+    # resurrect [""]
+    return F.when(F.size(col) == 0, col).otherwise(
+        F.split(F.btrim(s, F.lit("\t")), "\t\t")
     )
-    inner = replaced.substr(F.lit(2), F.length(replaced) - 2)
-    # empty array: array_join gives "", split would resurrect [""]
-    return F.when(F.size(col) == 0, col).otherwise(F.split(inner, "\t\t"))
 
 
 @query("bpe_encode_docs", oracle=None)  # rows-only: learned-state dependent
@@ -361,17 +380,21 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.select("doc_id", tokens("text").alias("syms")).withColumn(
         "n_tokens", F.size("syms")
     )
-    enc = F.col("syms")
-    for a, b in merges:
-        enc = _merge_fold(enc, a, b)
-    return out.select(
+    # one chained-replace pass, materialized as its own projection so
+    # the three consumers below reference an attribute, not 3 copies
+    # of the chain (CollapseProject keeps non-cheap multi-referenced
+    # aliases in their own Project)
+    enc = out.withColumn(
+        "_enc", _merge_fold_chain("syms", merges)
+    )
+    return enc.select(
         "doc_id",
         "n_tokens",
-        F.size(enc).alias("n_symbols"),
+        F.size("_enc").alias("n_symbols"),
         F.round(
-            F.size(enc).cast("double") / F.col("n_tokens"), 6
+            F.size("_enc").cast("double") / F.col("n_tokens"), 6
         ).alias("compression"),
-        F.concat_ws("|", F.slice(enc, 1, 8)).alias("head_symbols"),
+        F.concat_ws("|", F.slice("_enc", 1, 8)).alias("head_symbols"),
     )
 
 
@@ -720,13 +743,23 @@ def unigram_lm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the encoder's word list would diverge from the learned
         # word frame, skewing n_words/fertility.
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        # per-task word->pieces memo (round-13, guide §4.5): word
+        # frequency is Zipfian, so most occurrences repeat a small
+        # working set — segment each distinct word once per task.
+        # Bounded so a pathological vocabulary can't grow it unbounded.
+        seg_memo: dict[str, list[str]] = {}
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in ws.split(text.lower()) if w]
                 pieces: list[str] = []
                 for w in words:
-                    pieces.extend(viterbi(w, scores, max_len))
+                    ps = seg_memo.get(w)
+                    if ps is None:
+                        ps = viterbi(w, scores, max_len)
+                        if len(seg_memo) < 65536:
+                            seg_memo[w] = ps
+                    pieces.extend(ps)
                 n_words = len(words)
                 n_pieces = len(pieces)
                 out.append(

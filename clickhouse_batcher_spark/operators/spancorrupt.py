@@ -127,6 +127,10 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "grp", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # cached + eagerly materialized (round-13): three consumers (the
+    # unmasked pieces, the masked-run numbering, and the target
+    # assembly) reference this frame inside the final action — lazily
+    # they race and recompute the token explode + two windows each
     runs = g.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("p0"),
         F.min("m").alias("m"),
@@ -138,7 +142,8 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("words"),
         F.count(F.lit(1)).alias("n_toks"),
-    )
+    ).cache()
+    runs.count()
     wm = Window.partitionBy("doc_id").orderBy("p0")
     mruns = runs.filter(F.col("m") == 1).withColumn(
         "sid", F.row_number().over(wm) - 1

@@ -46,15 +46,15 @@ def test_bpe_companion_detects_lossy_merge(spark, sf_dir, monkeypatch):
 
     from clickhouse_batcher_spark.operators import ngrams as N
 
-    real_fold = N._merge_fold
+    real_chain = N._merge_fold_chain
 
-    def lossy_fold(syms_col, a, b):
+    def lossy_chain(syms_col, merges):
         return F.transform(
-            real_fold(syms_col, a, b),
+            real_chain(syms_col, merges),
             lambda s: F.regexp_replace(s, " ", ""),
         )
 
-    monkeypatch.setattr(N, "_merge_fold", lossy_fold)
+    monkeypatch.setattr(N, "_merge_fold_chain", lossy_chain)
     row = catalog.QUERIES["bpe_roundtrip_violations"](
         spark, sf_dir
     ).collect()[0]
