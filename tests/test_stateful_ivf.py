@@ -154,10 +154,22 @@ def test_pq_recall_vs_bruteforce(spark, fixture_dir):
 
 
 def test_pq_deterministic(spark):
+    # call the BUILD function directly (the catalog query memoizes its
+    # result per session, which would make a second call vacuously
+    # equal): two full recomputes must agree exactly
+    from clickhouse_batcher_spark.operators.similarity import (
+        _similarity_ann_pq_build,
+    )
+
     a = sorted(
-        map(tuple, catalog.QUERIES["similarity_ann_pq"](spark, "/root/testdata/sf0.001").collect())
+        map(tuple, _similarity_ann_pq_build(spark, "/root/testdata/sf0.001").collect())
     )
     b = sorted(
-        map(tuple, catalog.QUERIES["similarity_ann_pq"](spark, "/root/testdata/sf0.001").collect())
+        map(tuple, _similarity_ann_pq_build(spark, "/root/testdata/sf0.001").collect())
     )
     assert a == b
+    # and the memoized catalog entry serves the same rows
+    m = sorted(
+        map(tuple, catalog.QUERIES["similarity_ann_pq"](spark, "/root/testdata/sf0.001").collect())
+    )
+    assert m == a
