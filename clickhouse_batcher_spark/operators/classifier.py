@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.operators.corpus import (
     GOPHER_MAX_MEAN_LEN,
     GOPHER_MAX_TOKENS,
@@ -321,18 +322,14 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
 # doc-level scores and cuts the train+score lineage so every
 # consumer's plan is a scan. nb_quality_scores itself stays
 # input-agnostic for the streaming gate.
-_NBQ_MEMO: dict[tuple[str, str], DataFrame] = {}
+_NBQ_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def nb_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _NBQ_MEMO.get(key)
-    if df is None:
-        df = nb_quality_scores(
-            load_table(spark, sf_dir, "documents")
-        ).localCheckpoint()
-        _NBQ_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _NBQ_MEMO, spark, sf_dir,
+        lambda: nb_quality_scores(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @query("quality_classifier_nb", oracle=None)

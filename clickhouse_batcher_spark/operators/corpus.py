@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.operators.text import SQL_TOKENS
 from clickhouse_batcher_spark.tables import load_table
 
@@ -199,15 +200,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derived this whole shingle+join pipeline for its per-source
     # rollup; materialize once per (session, sf_dir) — clearCache-proof
     # localCheckpoint, same discipline as dedup._SHINGLE_MEMO.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _DECONTAM_MEMO.get(key)
-    if df is None:
-        df = _decontaminate_docs_build(spark, sf_dir).localCheckpoint()
-        _DECONTAM_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _DECONTAM_MEMO, spark, sf_dir,
+        lambda: _decontaminate_docs_build(spark, sf_dir),
+    )
 
 
-_DECONTAM_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DECONTAM_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def _decontaminate_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,15 +767,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to back with this query in bench/driver windows; materialize once
     # per (session, sf_dir) — clearCache-proof localCheckpoint, same
     # discipline as dedup._SHINGLE_MEMO.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _DSIR_W_MEMO.get(key)
-    if df is None:
-        df = _dsir_importance_weights_build(spark, sf_dir).localCheckpoint()
-        _DSIR_W_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _DSIR_W_MEMO, spark, sf_dir,
+        lambda: _dsir_importance_weights_build(spark, sf_dir),
+    )
 
 
-_DSIR_W_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DSIR_W_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def _dsir_importance_weights_build(

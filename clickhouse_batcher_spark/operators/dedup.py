@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import sha256_hex, tokens
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.tables import load_table
 
 TWIN_ID_OFFSET = 100_000
@@ -146,28 +147,23 @@ def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 # RDD-backed, not CacheManager-backed, so clearCache cannot evict it —
 # the same discipline graph._EDGES_MEMO / classifier._NBQ_MEMO already
 # use. Release goes through :func:`evict_memos` (which unpersists the
-# checkpointed RDD directly). Local-mode caveat (same as the other
-# checkpoint users): on a cluster with executor loss the blocks have no
-# lineage to recompute from — cluster runs should setCheckpointDir and
-# swap to reliable checkpoints per SCALE.md.
-_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
+# checkpointed RDD directly). Round 14: the dict lives in the central
+# registry (operators/memo.py) so ONE hook releases every module's
+# memos, and materialization goes through memo.materialize() — a
+# reliable checkpoint() when the context has a checkpoint dir (cluster
+# runs per SCALE.md), localCheckpoint() otherwise.
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
-
-def _checkpoint_rdd(df: DataFrame):
-    """The materialized RDD behind a localCheckpoint()-ed frame (its
-    analyzed plan is a LogicalRDD); lets evict_memos release the blocks
-    deterministically instead of waiting for the ContextCleaner."""
-    return df._jdf.queryExecution().analyzed().rdd()
+# Re-exported for tests/tools that inspect storage levels directly.
+_checkpoint_rdd = memo._checkpoint_rdd
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHINGLE_MEMO.get(key)
-    if df is None:
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        df = shingle_set(tokenized_corpus(docs)).localCheckpoint()
-        _SHINGLE_MEMO[key] = df
-    return df
+        return shingle_set(tokenized_corpus(docs))
+
+    return memo.get_or_build(_SHINGLE_MEMO, spark, sf_dir, build)
 
 
 def _jaccard(shared: Column, na: Column, nb: Column) -> Column:
@@ -229,16 +225,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verified-pair memo (round-13): minhash_recall_curve (the "truth"
     # side) and dedup_consensus both re-derived this exact pair frame;
     # materialize once per (session, sf_dir) — clearCache-proof
-    # localCheckpoint, same discipline as _SHINGLE_MEMO above.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _JACCARD_PAIRS_MEMO.get(key)
-    if df is None:
-        df = _ngram_jaccard_build(spark, sf_dir).localCheckpoint()
-        _JACCARD_PAIRS_MEMO[key] = df
-    return df
+    # checkpoint, same discipline as _SHINGLE_MEMO above.
+    return memo.get_or_build(
+        _JACCARD_PAIRS_MEMO, spark, sf_dir,
+        lambda: _ngram_jaccard_build(spark, sf_dir),
+    )
 
 
-_JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def _ngram_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,50 +452,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline once per (session, sf_dir) amortizes the suite's single most
 # expensive subtree across four catalog queries (VERDICT r6 task 4).
 # Same keying discipline as _SHINGLE_MEMO above.
-_MINHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _MINHASH_PAIRS_MEMO.get(key)
-    if df is None:
-        # localCheckpoint, not cache: survives the bench loop's
-        # per-query clearCache (see _SHINGLE_MEMO note above).
-        df = _minhash_pairs(spark, sf_dir).localCheckpoint()
-        _MINHASH_PAIRS_MEMO[key] = df
-    return df
+    # checkpoint, not cache: survives the bench loop's per-query
+    # clearCache (see _SHINGLE_MEMO note above).
+    return memo.get_or_build(
+        _MINHASH_PAIRS_MEMO, spark, sf_dir,
+        lambda: _minhash_pairs(spark, sf_dir),
+    )
 
 
 def evict_memos(sf_dir: str | None = None) -> int:
-    """Unpersist and drop the memoized shingle / verified-pair frames.
+    """Unpersist and drop ALL registered memoized frames (every module's,
+    not just dedup's — round 14, VERDICT r13 task 1).
 
-    The memos deliberately amortize the dedup family's most expensive
+    The memos deliberately amortize each family's most expensive
     subtrees across back-to-back catalog queries (bench/driver runs),
     but in a long-lived session iterating over MANY corpora they would
     pin executor storage with no release path (VERDICT r9 "what's
-    wrong" #2). Call with an ``sf_dir`` to release one corpus's frames
-    (bench/sweep teardown between scale points), or with ``None`` to
-    flush everything. Frames owned by an already-stopped SparkContext
-    are dropped without the (impossible) unpersist call. Returns the
-    number of entries released.
-
-    The memos are localCheckpoint()-backed (see _SHINGLE_MEMO), so
-    release unpersists the checkpointed RDD's blocks directly — after
-    eviction the popped frame is DEAD (a localCheckpoint has no
-    lineage to recompute from); every consumer must re-enter through
-    the getter, which rebuilds."""
-    released = 0
-    for memo in (_SHINGLE_MEMO, _MINHASH_PAIRS_MEMO, _JACCARD_PAIRS_MEMO):
-        for key in [
-            k for k in memo if sf_dir is None or k[1] == sf_dir
-        ]:
-            df = memo.pop(key)
-            try:
-                _checkpoint_rdd(df).unpersist(False)
-            except Exception:
-                pass  # owning session already stopped
-            released += 1
-    return released
+    wrong" #2, r13 #2). Call with an ``sf_dir`` to release one corpus's
+    frames (bench/sweep teardown between scale points), or with ``None``
+    to flush everything. Returns the number of entries released; see
+    :func:`clickhouse_batcher_spark.operators.memo.evict_all`."""
+    return memo.evict_all(sf_dir)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

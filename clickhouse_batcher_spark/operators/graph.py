@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.tables import load_table
 
 COACT_MIN_HOURS = 12  # co-active hours needed for an edge
@@ -104,17 +105,14 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
 # localCheckpoint both materializes the (small, user-pair-level)
 # edges and cuts the self-join lineage so every consumer's plan is a
 # scan.
-_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def coactivity_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _EDGES_MEMO.get(key)
-    if df is None:
-        events = load_table(spark, sf_dir, "events")
-        df = coactivity_edges(events).localCheckpoint()
-        _EDGES_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _EDGES_MEMO, spark, sf_dir,
+        lambda: coactivity_edges(load_table(spark, sf_dir, "events")),
+    )
 
 
 # Both-directions edge memo (round-13 optimization): PageRank, k-core,
@@ -125,23 +123,19 @@ def coactivity_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clearCache. Materialize the union ONCE per (session, sf_dir) as a
 # localCheckpoint (clearCache-proof, same discipline as _EDGES_MEMO);
 # every iterative consumer then starts from a block scan.
-_DIRECTED_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DIRECTED_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def _directed_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _DIRECTED_MEMO.get(key)
-    if df is None:
+    def build() -> DataFrame:
         e = coactivity_edges_cached(spark, sf_dir)
-        df = (
-            e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
-            .unionByName(
-                e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-            )
-            .localCheckpoint()
+        return e.select(
+            F.col("ua").alias("src"), F.col("ub").alias("dst")
+        ).unionByName(
+            e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
         )
-        _DIRECTED_MEMO[key] = df
-    return df
+
+    return memo.get_or_build(_DIRECTED_MEMO, spark, sf_dir, build)
 
 
 @query(

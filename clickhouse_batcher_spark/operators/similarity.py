@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clickhouse_batcher_spark.catalog import query
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.tables import load_table
 
 N_QUERY_VECS = 10
@@ -205,15 +206,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per (session, sf_dir) — clearCache-proof localCheckpoint,
     # same discipline as dedup._SHINGLE_MEMO. Output is queries x
     # TOP_K rows, trivially small.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _TOPK_MEMO.get(key)
-    if df is None:
-        df = _similarity_topk_build(spark, sf_dir).localCheckpoint()
-        _TOPK_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _TOPK_MEMO, spark, sf_dir,
+        lambda: _similarity_topk_build(spark, sf_dir),
+    )
 
 
-_TOPK_MEMO: dict[tuple[str, str], DataFrame] = {}
+_TOPK_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 def _similarity_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,16 +772,11 @@ def _ivf_topk(base: DataFrame, n_vecs: int, query_pred) -> DataFrame:
 # paths are deterministic (seeded k-means/sampling, pinned by
 # tests/test_stateful_ivf.py which exercises the BUILD functions twice
 # to keep the recompute-determinism pin meaningful).
-_ANN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_ANN_MEMO: dict[tuple[str, str, str], DataFrame] = memo.register({})
 
 
 def _ann_memoized(spark: SparkSession, sf_dir: str, method: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, method)
-    df = _ANN_MEMO.get(key)
-    if df is None:
-        df = build().localCheckpoint()
-        _ANN_MEMO[key] = df
-    return df
+    return memo.get_or_build(_ANN_MEMO, spark, sf_dir, build, method)
 
 
 @query("similarity_ann_ivf")  # rows-only: recall measured in tests
@@ -1354,17 +1348,15 @@ def _twin_corpus(base: DataFrame) -> DataFrame:
 # driver-side k-means (collect) before the assign/prune kernels — the
 # companion re-paid the whole pipeline. Same keying + localCheckpoint
 # discipline as dedup._SHINGLE_MEMO (clearCache-proof).
-_SEMDEDUP_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SEMDEDUP_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 
 @query("semantic_dedup")  # rows-only: exact NumPy recompute + invariants in tests
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SEMDEDUP_MEMO.get(key)
-    if df is None:
-        df = _semantic_dedup_build(spark, sf_dir).localCheckpoint()
-        _SEMDEDUP_MEMO[key] = df
-    return df
+    return memo.get_or_build(
+        _SEMDEDUP_MEMO, spark, sf_dir,
+        lambda: _semantic_dedup_build(spark, sf_dir),
+    )
 
 
 def _semantic_dedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,11 +30,20 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import tokens
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.operators.sampling import _sql_bucket
 from clickhouse_batcher_spark.tables import load_table
 
 MASK_PCT = 15
 _SALT = "t5|"
+
+# The masked-run frame: three consumers reference it inside the final
+# action (unmasked pieces, masked-run numbering, target assembly) —
+# lazily they race and recompute the token explode + two windows each.
+# Registered memo rather than an in-query .cache() (round-14, ADVICE
+# r13): repeated calls in one session no longer accumulate cached
+# frames, and evict_memos releases it like every other shared frame.
+_T5_RUNS_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 _HB_SQL = _sql_bucket(
     "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", 100, _SALT
@@ -127,23 +136,22 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "grp", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    # cached + eagerly materialized (round-13): three consumers (the
-    # unmasked pieces, the masked-run numbering, and the target
-    # assembly) reference this frame inside the final action — lazily
-    # they race and recompute the token explode + two windows each
-    runs = g.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("p0"),
-        F.min("m").alias("m"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("words"),
-        F.count(F.lit(1)).alias("n_toks"),
-    ).cache()
-    runs.count()
+    # memoized + eagerly materialized (see _T5_RUNS_MEMO note above)
+    runs = memo.get_or_build(
+        _T5_RUNS_MEMO, spark, sf_dir,
+        lambda: g.groupBy("doc_id", "grp").agg(
+            F.min("pos").alias("p0"),
+            F.min("m").alias("m"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("words"),
+            F.count(F.lit(1)).alias("n_toks"),
+        ),
+    )
     wm = Window.partitionBy("doc_id").orderBy("p0")
     mruns = runs.filter(F.col("m") == 1).withColumn(
         "sid", F.row_number().over(wm) - 1
