@@ -114,18 +114,28 @@ def tokenized_corpus(docs: DataFrame, spread: bool = True) -> DataFrame:
     return toks.unionByName(twins)
 
 
-def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle)."""
-    mk = F.transform(
+def _mk_shingles(k: int = SHINGLE_K):
+    """In-row k-shingle array over a ``tokens`` column."""
+    return F.transform(
         F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(k)]
         ),
     )
+
+
+def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle).
+
+    Per-doc dedup happens IN-ROW (``array_distinct`` over the doc's
+    shingle array) rather than as a global ``distinct()`` — identical
+    rows (a shingle repeats only within its own doc), minus one full
+    shuffle of the largest relation in the dedup family (round-14,
+    guide §2.4)."""
     return (
         corpus.filter(F.size("tokens") >= k)
-        .select("doc_id", F.explode(mk).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.array_distinct(_mk_shingles(k)).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
     )
 
 
@@ -152,18 +162,52 @@ def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 # memos, and materialization goes through memo.materialize() — a
 # reliable checkpoint() when the context has a checkpoint dir (cluster
 # runs per SCALE.md), localCheckpoint() otherwise.
+#
+# Round-14 restructure (guide §2.4): the memo holds PER-DOC DISTINCT
+# SHINGLE ARRAYS (doc_id, sh: array<string>) built entirely in-row —
+# tokenize, shingle, array_distinct — ZERO shuffles where the old
+# exploded (doc_id, shingle) relation paid a global distinct() shuffle
+# of the family's largest intermediate. Consumers derive what they
+# need without re-shuffling: the exploded relation is one explode over
+# the materialized arrays, per-doc sizes are F.size(sh) (previously a
+# groupBy(doc_id) exchange), MinHash signatures are in-row array_min
+# folds (previously a vocab distinct + join + 16-way min aggregate —
+# three exchanges), and pair verification intersects the arrays
+# directly (previously a collect_set groupBy).
 _SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 # Re-exported for tests/tools that inspect storage levels directly.
 _checkpoint_rdd = memo._checkpoint_rdd
 
 
-def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) — each doc's DISTINCT k-shingles,
+    memoized per (session, sf_dir). See the _SHINGLE_MEMO note."""
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        return shingle_set(tokenized_corpus(docs))
+        corpus = tokenized_corpus(docs)
+        return corpus.filter(F.size("tokens") >= SHINGLE_K).select(
+            "doc_id", F.array_distinct(_mk_shingles()).alias("sh")
+        )
 
     return memo.get_or_build(_SHINGLE_MEMO, spark, sf_dir, build)
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded (doc_id, shingle) relation — a lazy explode over
+    the materialized per-doc arrays (no second checkpoint: consumers
+    reference it at most once and the explode is narrow)."""
+    return _doc_shingles_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+
+
+def _doc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n): distinct-shingle count per doc — a projection of
+    the array memo, NOT a groupBy over the exploded relation."""
+    return _doc_shingles_cached(spark, sf_dir).select(
+        "doc_id", F.size("sh").alias("n")
+    )
 
 
 def _jaccard(shared: Column, na: Column, nb: Column) -> Column:
@@ -237,7 +281,7 @@ _JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
 def _ngram_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _shingles_cached(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _doc_sizes(spark, sf_dir)
     # Pair generation without a self-join: group each rare shingle's
     # doc list (bounded by the DF cap) and emit its i<j combinations
     # in-row, then count per pair. One groupBy on shingle replaces the
@@ -285,6 +329,17 @@ def _minhash_salts_sql() -> str:
 
 
 _BAND_HEX = MINHASH_PERMS // MINHASH_BANDS * 16  # hex chars per band (16-char hash prefixes)
+
+
+def _perm_hash(i: int):
+    """Permutation-i shingle hash (shared by the batch array path and
+    the streaming inline path — same salts, same truncation). Single-
+    parameter closure: a 2-param lambda would make F.transform bind
+    the array INDEX as the second argument."""
+    salt = f"{i:02d}|"
+    return lambda s: F.substring(
+        F.sha2(F.concat(F.lit(salt), s), 256), 1, 16
+    )
 
 
 def band_signatures(shingles: DataFrame) -> DataFrame:
@@ -375,14 +430,6 @@ def band_signatures_inline(docs: DataFrame) -> DataFrame:
     sh = corpus.filter(F.size("tokens") >= k).select(
         "doc_id", F.array_distinct(mk).alias("shingles")
     )
-    def _perm_hash(i: int):
-        # single-parameter closure: a 2-param lambda would make
-        # F.transform bind the array INDEX as the second argument
-        salt = f"{i:02d}|"
-        return lambda s: F.substring(
-            F.sha2(F.concat(F.lit(salt), s), 256), 1, 16
-        )
-
     mins = sh.select(
         "doc_id",
         *[
@@ -480,8 +527,27 @@ def evict_memos(sf_dir: str | None = None) -> int:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingles = _shingles_cached(spark, sf_dir)
-    bands = band_signatures(shingles)
+    # Round-14 restructure (guide §2.4): signatures come straight off
+    # the per-doc shingle ARRAYS — 16 in-row array_min folds over the
+    # memoized arrays (the streaming gate's proven-bit-identical
+    # band_signatures_inline shape) instead of the batch vocab path's
+    # distinct + hash join + 16-way MIN aggregate (three exchanges).
+    # Every reference below is a block scan of the array memo.
+    docsh = _doc_shingles_cached(spark, sf_dir)
+    mins = docsh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sh", _perm_hash(i))).alias(f"mh{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    sig = mins.select(
+        "doc_id",
+        F.concat(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias(
+            "signature"
+        ),
+    )
+    bands = _explode_bands(sig)
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cand = (
@@ -496,13 +562,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Verification: candidates are few (band collisions), so gather each
-    # doc's shingle SET into an array once and verify per pair with
-    # array_intersect — O(|cand| * shingles-per-doc) instead of two more
-    # joins over the full (doc, shingle) relation.
-    doc_sets = shingles.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n")
-    )
+    # Verification: candidates are few (band collisions); the per-doc
+    # shingle sets are ALREADY arrays in the memo (no collect_set
+    # groupBy), so verify per pair with array_intersect — O(|cand| *
+    # shingles-per-doc), zero extra exchanges on the doc-set side.
+    doc_sets = docsh.select("doc_id", "sh", F.size("sh").alias("n"))
     sa = doc_sets.alias("sa")
     sb = doc_sets.alias("sb")
     shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -1182,7 +1246,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting up to two directed rows.
     """
     shingles = _shingles_cached(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _doc_sizes(spark, sf_dir)
     doc_lists = (
         shingles.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))

@@ -180,8 +180,8 @@ def test_evict_memos_releases_storage(spark):
     app = spark.sparkContext.applicationId
     a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
     D.evict_memos()  # clean slate
-    fa = D._shingles_cached(spark, a)
-    fb = D._shingles_cached(spark, b)
+    fa = D._doc_shingles_cached(spark, a)
+    fb = D._doc_shingles_cached(spark, b)
 
     def held(df) -> bool:
         lvl = D._checkpoint_rdd(df).getStorageLevel()
@@ -224,7 +224,7 @@ def test_evict_all_covers_every_module(spark):
     memo.evict_all()  # clean slate
     QUERIES["t5_span_corruption"](spark, sf)  # populates _T5_RUNS_MEMO
     frames = {
-        "dedup": dedup._shingles_cached(spark, sf),
+        "dedup": dedup._doc_shingles_cached(spark, sf),
         "graph": graph.coactivity_edges_cached(spark, sf),
         "classifier": classifier.nb_scores_cached(spark, sf),
         "similarity": similarity.similarity_topk(spark, sf),

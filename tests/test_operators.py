@@ -613,7 +613,7 @@ def test_shingle_memo_keyed_on_application_id(spark):
     dedup._SHINGLE_MEMO[stale_key] = stale_sentinel
     try:
         # the live session gets its own entry...
-        assert dedup._shingles_cached(spark, "/fake/sf") is live_sentinel
+        assert dedup._doc_shingles_cached(spark, "/fake/sf") is live_sentinel
 
         # ...and a different session, even at the same sf_dir, resolves
         # to ITS entry — never the other session's.
@@ -623,7 +623,10 @@ def test_shingle_memo_keyed_on_application_id(spark):
         class _FakeSpark:
             sparkContext = _FakeSC()
 
-        assert dedup._shingles_cached(_FakeSpark(), "/fake/sf") is stale_sentinel
+        assert (
+            dedup._doc_shingles_cached(_FakeSpark(), "/fake/sf")
+            is stale_sentinel
+        )
     finally:
         del dedup._SHINGLE_MEMO[live_key]
         del dedup._SHINGLE_MEMO[stale_key]
