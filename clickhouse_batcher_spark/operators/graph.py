@@ -70,6 +70,16 @@ def coactivity_edges(events: DataFrame, min_hours: int = COACT_MIN_HOURS) -> Dat
     is MEMORY_AND_DISK, so at cluster scale the (user, hour) frame
     spills rather than evicting mid-job; it is orders of magnitude
     smaller than the events it summarizes.
+
+    Round-14 measured and REVERTED (guide §1 — keep the lesson): an
+    in-row pair generator (per-hour collect_list + nested transform/
+    slice combinations, the dedup doc_lists idiom) removed the
+    self-join and the cache barrier but ran ~2x SLOWER end to end —
+    higher-order functions evaluate interpreted, and building ~24M
+    pair structs in expression-land loses badly to the JVM hash join
+    that produces the same pairs inside whole-stage codegen. The
+    bounded fan-out (<= 256 users/hour) keeps the join linear; the
+    join stays.
     """
     from pyspark.sql.window import Window
 
@@ -125,14 +135,32 @@ def coactivity_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every iterative consumer then starts from a block scan.
 _DIRECTED_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
 
+# Target bytes per partition for the ITERATE frames (guide §2: size
+# partitions to data volume, not core count). The directed edge frame
+# is scanned by every iteration of PageRank / k-core / label
+# propagation; AQE cannot coalesce a checkpointed RDD scan, so the
+# frame is coalesced explicitly at build time from its own row count.
+# At sf0.1 (~10k edges) that is ONE partition — the r13 driver's
+# scaling run showed pagerank 3x FASTER at local[8] than local[32]
+# because 32 near-empty iterate tasks + their barriers dominated; at
+# web scale (1e11 edges) the same rule yields ~40k partitions.
+_ITERATE_PARTITION_BYTES = 128 * 1024 * 1024
+_EDGE_ROW_BYTES = 48  # two bigints + row overhead, conservative
+
 
 def _directed_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         e = coactivity_edges_cached(spark, sf_dir)
-        return e.select(
-            F.col("ua").alias("src"), F.col("ub").alias("dst")
-        ).unionByName(
-            e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        n = e.count()  # block-count over the materialized edge memo
+        parts = max(
+            1, (2 * n * _EDGE_ROW_BYTES) // _ITERATE_PARTITION_BYTES
+        )
+        return (
+            e.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+            .unionByName(
+                e.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+            )
+            .coalesce(int(parts))
         )
 
     return memo.get_or_build(_DIRECTED_MEMO, spark, sf_dir, build)
