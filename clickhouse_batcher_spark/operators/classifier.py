@@ -308,9 +308,98 @@ def nb_quality_scores(docs: DataFrame) -> DataFrame:
     learned verdict ``nb_keep = log-odds > 0``. Log-odds accumulate
     as DECIMAL(27,6) of 6-rounded per-bucket ratios, so the score —
     and therefore the sign decision — is engine- and order-exact.
+
+    Round-14 (guide §1.2/§2.4): unlike the streaming gate's split
+    ``nb_train``/``nb_score`` (train once, score many batches), this
+    same-corpus path used to tokenize+teacher-label the corpus FOUR
+    times and explode+hash the tokens TWICE inside one action (train's
+    bucket counts, train's doc label counts, score's bucket sums,
+    score's output frame all referenced the un-materialized prep
+    subtree). The prep frame (``lab``) and the per-(doc, label,
+    bucket) occurrence counts (``pbk``) are now materialized once and
+    every branch — class counts, prior, per-doc decimal sums, output —
+    reads the blocks. The per-doc score sums ``lr * c`` per bucket as
+    DECIMAL(27,6) x DECIMAL(10,0) (exactly precision 38, no silent
+    scale loss), which equals the old per-occurrence decimal sum
+    exactly. Measured 2.4-2.9 s -> 1.6-2.0 s at sf0.1, row-identical.
     """
-    llr, pri = nb_train(docs)
-    return nb_score(docs, llr, pri)
+    lab = memo.materialize(_labeled(docs))
+    pbk = memo.materialize(
+        lab.select("doc_id", "label", F.explode("toks").alias("token"))
+        .select(
+            "doc_id", "label", _nbq_bucket(F.col("token")).alias("bucket")
+        )
+        .groupBy("doc_id", "label", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt_if = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("c")).otherwise(0)
+    )
+    all_buckets = docs.sparkSession.range(NBQ_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    cls = all_buckets.join(
+        pbk.groupBy("bucket").agg(
+            cnt_if(F.col("label")).cast("bigint").alias("c1"),
+            cnt_if(~F.col("label")).cast("bigint").alias("c0"),
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce("c0", F.lit(0)).cast("bigint").alias("c0"),
+    )
+    tots = cls.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    nd = lab.agg(
+        one_if(F.col("label")).cast("bigint").alias("n1"),
+        one_if(~F.col("label")).cast("bigint").alias("n0"),
+    )
+    n = float(NBQ_BUCKETS)
+    llr = cls.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("c1").cast("double") + 1) / (F.col("t1").cast("double") + n))
+                / ((F.col("c0").cast("double") + 1) / (F.col("t0").cast("double") + n))
+            ),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("lr"),
+    )
+    pri = nd.select(
+        F.round(
+            F.log((F.col("n1").cast("double") + 1) / (F.col("n0").cast("double") + 1)),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("prior")
+    )
+    per = (
+        pbk.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("lr") * F.col("c").cast("decimal(10,0)")).alias("s"))
+    )
+    zero = F.lit(0).cast("decimal(27,6)")
+    logodds = F.col("prior") + F.coalesce(
+        F.col("s").cast("decimal(27,6)"), zero
+    )
+    return (
+        lab.crossJoin(F.broadcast(pri))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("label").alias("teacher_keep"),
+            "n_tokens",
+            logodds.cast("double").alias("nb_logodds"),
+            (logodds > 0).alias("nb_keep"),
+        )
+    )
 
 
 # Scored-frame memo: the classifier query, the calibration report,

@@ -139,18 +139,59 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     nrow = base.agg(F.count(F.lit(1)).alias("_n"))
-    idx = base
-    metrics = (("last_order", "r_q"), ("freq", "f_q"), ("monetary", "m_q"))
-    for col, name in metrics:
-        idx = with_global_index(idx, [col, "custkey"], index_name=f"_i{name}")
-    ranked = idx.crossJoin(F.broadcast(nrow)).select(
+    # ONE range shuffle for all three ranks (round-14, guide §2.4;
+    # previously three chained with_global_index passes = three range
+    # shuffles + three boundary-sampling jobs over the same frame):
+    # stack each customer's three metrics as (mid, val, custkey) rows —
+    # the orderings are embedded injectively in a shared double `val`
+    # (date -> epoch days, count -> exact small integer, monetary is
+    # already the double the quartile ranks) — and take ONE global
+    # index over (mid, val, custkey). With mid leading the sort key,
+    # the index restricted to metric `mid` is `mid * n + rank-within-
+    # metric`, so each quartile is ((gidx - mid*n) * 4) div n + 1 —
+    # identical to the per-metric pass by construction. A conditional
+    # aggregate on custkey folds the three rows back to one.
+    metrics = (("r_q", 0), ("f_q", 1), ("m_q", 2))
+    stack = base.select(
         "custkey",
-        *[
-            (((F.col(f"_i{name}") * 4) / F.col("_n")).cast("int") + 1).alias(
-                name
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("mid"),
+                    F.datediff("last_order", F.lit("1970-01-01"))
+                    .cast("double")
+                    .alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("mid"),
+                    F.col("freq").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("mid"),
+                    F.col("monetary").alias("val"),
+                ),
             )
-            for _, name in metrics
-        ],
+        ).alias("m"),
+    ).select("custkey", "m.mid", "m.val")
+    idx = with_global_index(
+        stack,
+        [F.col("mid"), F.col("val"), F.col("custkey")],
+        index_name="_g",
+    )
+    q = idx.crossJoin(F.broadcast(nrow)).select(
+        "custkey",
+        "mid",
+        (
+            ((F.col("_g") - F.col("mid") * F.col("_n")) * 4 / F.col("_n"))
+            .cast("int")
+            + 1
+        ).alias("q"),
+    )
+    ranked = q.groupBy("custkey").agg(
+        *[
+            F.max(F.when(F.col("mid") == mid, F.col("q"))).alias(name)
+            for name, mid in metrics
+        ]
     )
     return ranked.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -475,6 +475,14 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes the distinct across the four consumers; an explicit
     # cache measured neutral-to-slower (the round-10 persist-campaign
     # lesson — static plan counts overstate recompute).
+    # Round-14 (guide §2.4, §5): per-order baskets are gathered ONCE
+    # (collect_set bounded by lineitems-per-order, <= 7 in TPC-H), the
+    # i<j pairs come from the sorted basket array in-row (tiny arrays —
+    # unlike the coactivity 256-wide case this beats the self-join's
+    # two shuffles), and the order count rides the same aggregate as a
+    # 1-row broadcast instead of the former driver-side .count() action
+    # that executed — and threw away — the whole distinct subtree
+    # before the real query even started.
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -483,16 +491,24 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    n_orders = items.select("okey").distinct().count()
+    baskets = items.groupBy("okey").agg(
+        F.sort_array(F.collect_list("part")).alias("parts")
+    )
+    n_orders = baskets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
     marg = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.select(F.col("okey"), F.col("part").alias("part_a"))
-    b = items.select(F.col("okey").alias("okey_b"), F.col("part").alias("part_b"))
     pairs = (
-        a.join(
-            b,
-            (F.col("okey") == F.col("okey_b"))
-            & (F.col("part_a") < F.col("part_b")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                    "           y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("together"))
         .filter(F.col("together") >= MIN_PAIR_SUPPORT)
@@ -502,6 +518,7 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(ma, F.col("part_a") == F.col("pa"))
         .join(mb, F.col("part_b") == F.col("pb"))
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
@@ -510,7 +527,7 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt_b").cast("bigint").alias("cnt_b"),
             F.round(
                 F.col("together").cast("double")
-                * n_orders
+                * F.col("n_orders")
                 / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
                 6,
             ).alias("lift"),
