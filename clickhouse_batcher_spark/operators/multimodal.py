@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.catalog import query
 from clickhouse_batcher_spark.functions import sha256_hex
+from clickhouse_batcher_spark.operators import memo
 from clickhouse_batcher_spark.tables import load_table
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -185,40 +186,71 @@ def _build_codecs():
         stride = w * channels
         if len(raw) != h * (stride + 1):
             return (w, h, channels, depth, None)
-        out = bytearray()
-        prev = bytearray(stride)
+        import numpy as np
+
+        # Vectorized unfilter (round-14, guide §4.2). Rows are
+        # sequential only through the PREVIOUS decoded row; within a
+        # row, None/Up are whole-row numpy ops and Sub is a cumulative
+        # sum per pixel-channel column (out[k] = sum of residuals in
+        # k's residue class mod bpp). Average/Paeth keep the per-byte
+        # loop (each byte depends on the decoded byte to its left).
+        # The all-None fast path — every PNG this engine writes uses
+        # filter 0 — is one reshape+slice, no row loop at all.
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        ftypes = mat[:, 0]
+        if ftypes.max(initial=0) == 0:
+            return (w, h, channels, depth, mat[:, 1:].tobytes())
+        if ftypes.max(initial=0) > 4:
+            return (w, h, channels, depth, None)
         bpp = channels
+        out_m = np.empty((h, stride), dtype=np.uint8)
+        prev_np = np.zeros(stride, dtype=np.uint8)
         for y in range(h):
-            ftype = raw[y * (stride + 1)]
-            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-            if ftype == 1:  # Sub
-                for i in range(bpp, stride):
-                    line[i] = (line[i] + line[i - bpp]) & 0xFF
-            elif ftype == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    left = line[i - bpp] if i >= bpp else 0
-                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    a = line[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    line[i] = (line[i] + pred) & 0xFF
-            elif ftype != 0:
-                return (w, h, channels, depth, None)
-            out += line
-            prev = line
-        return (w, h, channels, depth, bytes(out))
+            ftype = int(ftypes[y])
+            line_np = mat[y, 1:]
+            if ftype == 0:
+                dec = line_np.copy()
+            elif ftype == 1:  # Sub: per-channel cumulative sum
+                cols = line_np[: (stride // bpp) * bpp].reshape(-1, bpp)
+                dec = (
+                    cols.astype(np.uint32).cumsum(axis=0).astype(np.uint8)
+                ).reshape(-1)
+                if stride % bpp:  # ragged tail (malformed stride)
+                    dec = np.concatenate([dec, line_np[len(dec):]])
+            elif ftype == 2:  # Up: one vector add
+                dec = line_np + prev_np  # uint8 wraps mod 256
+            else:  # Average / Paeth: left-dependency, per-byte
+                line = bytearray(line_np.tobytes())
+                prev = prev_np
+                if ftype == 3:
+                    for i in range(stride):
+                        left = line[i - bpp] if i >= bpp else 0
+                        line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                else:
+                    for i in range(stride):
+                        a = line[i - bpp] if i >= bpp else 0
+                        b = int(prev[i])
+                        c = int(prev[i - bpp]) if i >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        line[i] = (line[i] + pred) & 0xFF
+                dec = np.frombuffer(bytes(line), dtype=np.uint8)
+            out_m[y] = dec
+            prev_np = dec
+        return (w, h, channels, depth, out_m.tobytes())
 
     def wav_encode(sample_rate, samples):
         """Minimal valid mono 16-bit PCM WAV."""
-        data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+        import numpy as np
+
+        # one clip+cast instead of a struct.pack per sample (§4.2);
+        # byte-identical: same clamp, same little-endian int16
+        data = (
+            np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
         fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
         return (
             b"RIFF"
@@ -247,10 +279,13 @@ def _build_codecs():
         _, channels, rate, _, _, bits = fmt
         samples = None
         if data is not None and bits == 16:
-            samples = [
-                struct.unpack("<h", data[i : i + 2])[0]
-                for i in range(0, len(data) - 1, 2)
-            ]
+            import numpy as np
+
+            # one frombuffer instead of a struct.unpack per sample
+            # (§4.2); same values, same floor(len/2) sample count
+            samples = np.frombuffer(
+                data[: (len(data) // 2) * 2], dtype="<i2"
+            ).tolist()
         return (rate, channels, bits, samples)
 
     def gif_header(payload):
@@ -315,24 +350,27 @@ def _build_codecs():
             out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
             out.append(min_code)
             # bit-pack LSB-first: CLEAR, pixel, CLEAR, pixel, ..., EOI
-            acc = clear
-            nbits = width_bits
-            data = bytearray()
-            for px in frame:
-                acc |= px << nbits
-                nbits += width_bits
-                acc |= clear << nbits
-                nbits += width_bits
-                while nbits >= 8:
-                    data.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-            acc |= eoi << nbits
-            nbits += width_bits
-            while nbits > 0:
-                data.append(acc & 0xFF)
-                acc >>= 8
-                nbits -= 8
+            # — vectorized (round-14, §4.2): build the fixed-width code
+            # sequence as one array and pack its bits in one numpy
+            # pass; byte-identical to the per-pixel shift loop
+            # (LSB-first order, zero-padded final byte) — pinned by
+            # the roundtrip/equality tests.
+            import numpy as np
+
+            px_arr = np.frombuffer(bytes(frame), dtype=np.uint8)
+            codes = np.empty(2 * len(px_arr) + 2, dtype=np.uint16)
+            codes[0::2] = clear  # positions 0, 2, ..., 2P
+            codes[1:-1:2] = px_arr
+            codes[-1] = eoi
+            bits = (
+                np.unpackbits(
+                    codes.astype("<u2").view(np.uint8).reshape(-1, 2),
+                    axis=1,
+                    bitorder="little",
+                )[:, :width_bits]
+                .reshape(-1)
+            )
+            data = np.packbits(bits, bitorder="little").tobytes()
             for i in range(0, len(data), 255):
                 block = data[i : i + 255]
                 out.append(len(block))
@@ -340,6 +378,48 @@ def _build_codecs():
             out.append(0)  # block terminator
         out.append(0x3B)  # trailer
         return bytes(out)
+
+    def _lzw_fixed_width(data, min_code, n_px, pal):
+        """Vectorized decode of the fixed-width LZW stream this
+        engine's gif_encode emits: CLEAR (px CLEAR)* EOI, code width
+        pinned at min_code+1 because every CLEAR resets the table.
+        Returns the palette-resolved RGB bytes, or None when the
+        stream does not verify (generic loop handles it)."""
+        import numpy as np
+
+        clear = 1 << min_code
+        eoi = clear + 1
+        wb = min_code + 1
+        need = 2 * n_px + 2  # CLEAR (px CLEAR)*n EOI
+        if len(data) * 8 < need * wb:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8), bitorder="little"
+        )
+        codes = (
+            bits[: need * wb]
+            .reshape(need, wb)
+            .astype(np.uint32)
+            .dot(1 << np.arange(wb, dtype=np.uint32))
+        )
+        if (
+            int(codes[-1]) != eoi
+            or not (codes[0:-1:2] == clear).all()
+        ):
+            return None
+        pix = codes[1:-1:2]
+        npal = len(pal) // 3
+        if pix.size and int(pix.max()) >= min(clear, npal):
+            return None
+        # trailing bits after EOI must be byte padding only (the
+        # generic decoder ignores them; a longer real stream would
+        # mean the pattern match was coincidental — impossible since
+        # EOI terminates the generic decode too)
+        return (
+            np.frombuffer(pal, dtype=np.uint8)[: npal * 3]
+            .reshape(-1, 3)[pix]
+            .tobytes()
+        )
 
     def gif_decode(payload):
         """Full GIF decode: (width, height, n_frames, frames) where
@@ -392,6 +472,18 @@ def _build_codecs():
                 # --- LZW decode ---
                 clear = 1 << min_code
                 eoi = clear + 1
+                # Fast path (round-14, §4.2): this engine's encoder
+                # interleaves CLEAR before every pixel, so the code
+                # width never grows — the whole stream is fixed-width
+                # codes in the pattern CLEAR (px CLEAR)* EOI. Unpack
+                # all codes in one numpy pass and VERIFY the pattern;
+                # any stream that doesn't match (real-world GIFs with
+                # growing tables) falls through to the generic loop,
+                # so the fast path can never change a result.
+                fast = _lzw_fixed_width(bytes(data), min_code, fw * fh, pal)
+                if fast is not None:
+                    frames.append(fast)
+                    continue
                 table = [bytes([i]) for i in range(clear)] + [b"", b""]
                 width_bits = min_code + 1
                 acc = nbits = 0
@@ -454,6 +546,14 @@ def _build_codecs():
     }
 
 
+# Generated-payload memo (round-14): media_pipeline_invariants
+# references the binary table THREE times in one action (decode,
+# resize+re-decode, spectrum), and the generation kernel (per-doc
+# container encode) was re-run per reference. One checkpointed build
+# per (session, sf_dir); ~10k small payloads, a few MB of blocks.
+_MEDIA_BIN_MEMO: dict[tuple[str, str], DataFrame] = memo.register({})
+
+
 def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-bytes media table: (doc_id, media_type, payload) where the
     payload is a genuinely parseable container — a valid RGB8 PNG for
@@ -461,6 +561,13 @@ def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     video. Dimensions/content derive deterministically from the
     document (id + text bytes), so decode results are stable and
     assertable without the driver shipping binary fixtures."""
+    return memo.get_or_build(
+        _MEDIA_BIN_MEMO, spark, sf_dir,
+        lambda: _media_binary_build(spark, sf_dir),
+    )
+
+
+def _media_binary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Call the factory ON THE DRIVER and close over the returned dict:
     # its values are local defs, so cloudpickle ships them by value —
@@ -469,7 +576,7 @@ def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs = _build_codecs()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
+        import numpy as np
 
         for pdf in batches:
             ids, types, payloads = [], [], []
@@ -486,19 +593,22 @@ def media_binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mt = "image"
                 elif kind == 1:
                     n = 32 + len(tb) % 64
-                    samples = [
-                        (tb[i % len(tb)] - 128) * 64 for i in range(n)
-                    ]
+                    # vectorized (§4.2): same (byte - 128) * 64 samples
+                    ta = np.frombuffer(tb, dtype=np.uint8)
+                    samples = (
+                        ta[np.arange(n) % len(tb)].astype(np.int64) - 128
+                    ) * 64
                     payload = codecs["wav_encode"](8000, samples)
                     mt = "audio"
                 else:
                     w, h = 16 + doc_id % 9, 9 + doc_id % 7
                     n_frames = 2 + doc_id % 3
                     palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+                    # vectorized (§4.2): same tb[(f+i) % len] % 4 pixels
+                    ta = np.frombuffer(tb, dtype=np.uint8)
+                    pos = np.arange(w * h)
                     frames = [
-                        bytes(
-                            tb[(f + i) % len(tb)] % 4 for i in range(w * h)
-                        )
+                        (ta[(f + pos) % len(tb)] % 4).astype(np.uint8).tobytes()
                         for f in range(n_frames)
                     ]
                     payload = codecs["gif_encode"](w, h, palette, frames)
