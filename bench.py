@@ -473,13 +473,17 @@ def main() -> None:
     if failures:
         print("\n".join(failures), file=sys.stderr)
 
-    # Amortized pass (untimed-by-min, separately reported): one run of
-    # the suite in order with the memos LEFT WARM across queries, so
-    # shared subtrees (shingles, verified pairs, graph edges, ANN
-    # results, NB scores) are built once by their first consumer and
-    # read by the rest — the long-lived-session behavior. Each memo
-    # BUILD is inside its first consumer's amortized time; nothing is
-    # charged to no recorded number.
+    # Amortized pass (separately reported): ONE run of the suite in
+    # order with the memos LEFT WARM across queries, so shared subtrees
+    # (shingles, verified pairs, graph edges, ANN results, NB scores)
+    # are built once by their first consumer and read by the rest —
+    # the long-lived-session behavior. Each memo BUILD is inside its
+    # first consumer's amortized time; nothing is charged to no
+    # recorded number. Deliberately SINGLE-sample (a best-of-2 with
+    # memos warm would record warm reads for the build-paying queries
+    # too, hiding the builds again — the exact r13 accounting hole);
+    # per-query amortized values therefore carry tail-of-run noise,
+    # and the figure of merit is amortized_total_sec.
     amortized: dict[str, float] = {}
     for name in HEADLINE:
         if name in failed:

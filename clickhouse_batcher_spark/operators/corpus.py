@@ -213,11 +213,18 @@ def _decontaminate_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_batcher_spark.operators.dedup import shingle_set
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_set(
-        docs.repartition(spark.sparkContext.defaultParallelism).select(
-            "doc_id", tokens("text").alias("tokens")
+    # Eagerly materialized (round-14): the bench-side distinct and the
+    # hits join BOTH reference this frame; the former lazy .cache()
+    # raced its two consumers inside one action (the memo's own build
+    # job), so only an up-front materialization removes the duplicate
+    # tokenize+shingle work.
+    sh = memo.materialize(
+        shingle_set(
+            docs.repartition(spark.sparkContext.defaultParallelism).select(
+                "doc_id", tokens("text").alias("tokens")
+            )
         )
-    ).cache()
+    )
     bench = (
         sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
         .select("shingle")

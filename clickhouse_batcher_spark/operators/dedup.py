@@ -127,15 +127,19 @@ def _mk_shingles(k: int = SHINGLE_K):
 def shingle_set(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Distinct k-token shingles per doc: (doc_id, shingle).
 
-    Per-doc dedup happens IN-ROW (``array_distinct`` over the doc's
-    shingle array) rather than as a global ``distinct()`` — identical
-    rows (a shingle repeats only within its own doc), minus one full
-    shuffle of the largest relation in the dedup family (round-14,
-    guide §2.4)."""
+    Round-14 measured and KEPT AS IS (guide §1 — keep the lesson): an
+    in-row rewrite (``explode(array_distinct(shingle array))``, no
+    global distinct() shuffle) measured 11.7-16.3 s vs 0.7-2.4 s for
+    this form at sf0.1 — Catalyst collapses the array_distinct into
+    the Generate input and the expression ends up re-evaluated
+    per output element. The dedup family gets the in-row benefit
+    safely through ``_doc_shingles_cached`` (the arrays are
+    MATERIALIZED before any explode); this un-memoized builder keeps
+    the explode + distinct shape."""
     return (
         corpus.filter(F.size("tokens") >= k)
-        .select("doc_id", F.array_distinct(_mk_shingles(k)).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.explode(_mk_shingles(k)).alias("shingle"))
+        .distinct()
     )
 
 

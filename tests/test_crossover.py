@@ -29,6 +29,10 @@ catalog.load_all()
 
 from clickhouse_batcher_spark.operators import similarity as S  # noqa: E402
 
+# 20k-vector crossover corpus — excluded from the driver's default verify run (pytest.ini
+# deselects 'slow'; run with -m slow). VERDICT r13 task 6.
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

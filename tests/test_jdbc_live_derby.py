@@ -44,9 +44,14 @@ def _derby_available() -> bool:
         return False
 
 
-pytestmark = pytest.mark.skipif(
-    not _derby_available(), reason="Derby jar not on the Spark classpath"
-)
+# slow: live embedded-Derby JDBC soak — excluded from the driver's
+# default verify run (pytest.ini deselects 'slow'; run with -m slow).
+pytestmark = [
+    pytest.mark.skipif(
+        not _derby_available(), reason="Derby jar not on the Spark classpath"
+    ),
+    pytest.mark.slow,
+]
 
 
 def _cfg(tmp_path, name: str, **kw) -> ClickHouseSinkConfig:

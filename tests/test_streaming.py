@@ -19,6 +19,10 @@ from clickhouse_batcher_spark.streaming.batcher import BatcherConfig, MicroBatch
 from clickhouse_batcher_spark.streaming.windowed import windowed_counts
 from clickhouse_batcher_spark.tables import load_table
 
+# streaming end-to-end soak — excluded from the driver's default verify run (pytest.ini
+# deselects 'slow'; run with -m slow). VERDICT r13 task 6.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def tmp_root(tmp_path):

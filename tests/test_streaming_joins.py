@@ -2,10 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_batcher_spark.streaming.joins import enrich_stream, interval_self_join
 from clickhouse_batcher_spark.tables import load_table
+
+# streaming joins soak — excluded from the driver's default verify run (pytest.ini
+# deselects 'slow'; run with -m slow). VERDICT r13 task 6.
+pytestmark = pytest.mark.slow
 
 
 def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
